@@ -1,13 +1,595 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{MeteauSignal, Observations}
+import graft.ext.{Dedup, EventOps, Similarity, TextAnalysis}
+import graft.model.{DataProvenance, Parameters}
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract: every operator from SURVEY.md §2 exposed as a named
+  * query over the driver's parquet tables, each paired with equivalent
+  * ANSI SQL for the DuckDB oracle.
+  *
+  * Determinism rules (SURVEY.md §7.4 item 5) used throughout so results
+  * hash-match across engines, partitionings, and row orders:
+  *  - every query is totally ordered (explicit tie-breaks);
+  *  - big-sum aggregates go through exact decimal sums cast back to double
+  *    (one IEEE division max afterwards);
+  *  - doubles are rounded (6 places — round(x,6) has no representable
+  *    halfway cases, so both engines' rounding modes agree);
+  *  - timestamps are emitted as formatted strings or floor-epoch seconds,
+  *    never raw (the events table is nanosecond parquet: both Spark and
+  *    DuckDB truncate to micros, but bucket/format in both engines anyway).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Observations.{KeyCol, TsCol, ValueCol}
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events table with its nanosecond parquet timestamp normalized to a
+    * microsecond TimestampType (Spark's native resolution — same floor
+    * truncation DuckDB applies when reading TIMESTAMP_NS). Spark 4 rejects
+    * NANOS parquet columns unless they are read as raw longs. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** events as the tall observations frame: user_id → series_key. */
+  private def obsEvents(spark: SparkSession, dir: String): DataFrame =
+    Observations.from(events(spark, dir), "user_id", "ts", "value")
+
+  /** events keyed by event_type (the cross-signal alignment fixtures). */
+  private def obsByType(spark: SparkSession, dir: String): DataFrame =
+    Observations.from(events(spark, dir), "event_type", "ts", "value")
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Portable round-half-up at 6 places via explicit float arithmetic —
+    * used where interpolation's dyadic time fractions can land values
+    * exactly on x.xxxxxx5 halfway points (native round() semantics differ
+    * between engines there; floor(x*1e6+0.5)/1e6 is the same IEEE op
+    * sequence in both). */
+  private def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Flagship query (sf0.001 smoke): the reference's canonical pipeline —
+    * resample to a 1 h grid, then gap-fill by linear interpolation — over
+    * every user series of the events table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val obs = obsEvents(spark, "/root/testdata/sf0.001")
+    val resampled = Resample.transformFixed(obs, 3600, grid = true)
+    Interpolate.transform(resampled, Parameters.empty)
+      .select(col(KeyCol), fmtTs(col(TsCol)).as("bucket_ts"),
+        round(col(ValueCol), 6).as(ValueCol))
+      .orderBy(KeyCol, "bucket_ts")
+  }
+
+  /** DuckDB rendering of [[Resample.detMean]]. */
+  private val DetMeanSql = "CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)/COUNT(value)"
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // T1 resample (non-grid): tumbling-window deterministic mean per user
+    "ts_resample" -> ((s, dir) => {
+      Resample.transformFixed(obsEvents(s, dir), 900, grid = false)
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // T1 resample (pandas-parity full grid, empty buckets null)
+    "ts_resample_grid" -> ((s, dir) => {
+      Resample.transformFixed(obsEvents(s, dir), 3600, grid = true)
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // T2 linear interpolation over the gridded resample
+    "ts_interpolate" -> ((s, dir) => {
+      val grid = Resample.transformFixed(obsEvents(s, dir), 3600, grid = true)
+      Interpolate.transform(grid, Parameters.empty)
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // T3 replace-ranges (calibration-window nulling) on raw events
+    "ts_replace_ranges" -> ((s, dir) => {
+      val params = Parameters.of(
+        "ranges" -> "2024-01-10 00:00:00/2024-01-12 00:00:00;2024-01-20 12:00:00/2024-01-21 00:00:00",
+        "reason" -> "sensor calibration procedure")
+      ReplaceRanges.transform(obsEvents(s, dir), params)
+        .select(col(KeyCol).as("series_key"),
+          EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("value"))
+        .orderBy("series_key", "ts_s", "value")
+    }),
+
+    // T4 previous-point prediction (materialized one-step shift)
+    "ts_predict_prev" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+      PredictPrevious.transform(resampled, Parameters.of("frequency" -> "1h"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // T5 cross-signal average: click+view event-type series aligned on 15 min
+    "ts_average" -> ((s, dir) => {
+      val byType = Resample.transformFixed(
+        obsByType(s, dir).where(col(KeyCol).isin("click", "view")),
+        900, grid = false)
+      AverageSignals.transform(byType, Parameters.empty)
+        .select(fmtTs(col(TsCol)).as("bucket_ts"), round(col(ValueCol), 6).as("value"))
+        .orderBy("bucket_ts")
+    }),
+
+    // T6 cross-signal sum (documented my_dataset_func pattern)
+    "ts_sum" -> ((s, dir) => {
+      val byType = Resample.transformFixed(
+        obsByType(s, dir).where(col(KeyCol).isin("click", "view")), 900, grid = false)
+        .select(col(KeyCol), col(TsCol), round(col(ValueCol), 6).as(ValueCol))
+      SumSignals.transform(byType, Parameters.empty)
+        .select(fmtTs(col(TsCol)).as("bucket_ts"), round(col(ValueCol), 6).as("value"))
+        .orderBy("bucket_ts")
+    }),
+
+    // T7 scalar map (documented my_func pattern): value*2 on a resample
+    "ts_scale" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+        .select(col(KeyCol), col(TsCol), round(col(ValueCol), 6).as(ValueCol))
+      ScaleValues.transform(resampled, Parameters.of("factor" -> "2.0"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // E1/E3/E5 engine executor + versioned naming + dependency graph:
+    // run the canonical pipeline through Signal.process and emit the
+    // dependency edges of the final series (pinned contract).
+    "lineage_edges" -> ((s, dir) => {
+      import s.implicits._
+      val raw = obsEvents(s, dir).where(col(KeyCol) === "1")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "A", "mg/l",
+          DataProvenance(parameter = Some("COD")))
+        .process(Seq("A#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "true"))
+        .process(Seq("A#1_RESAMPLED#1"), ReplaceRanges,
+          Parameters.of("ranges" -> "2024-01-10 00:00:00/2024-01-12 00:00:00"))
+        .process(Seq("A#1_REPLACED-RANGES#1"), Interpolate)
+      sig.dependencyEdges("A#1_LIN-INT#1")
+        .toDF().select(col("step"), col("stepType").as("step_type"),
+          col("origin"), col("destination"))
+        .orderBy("destination")
+    }),
+
+    // ------------------------------------------------- relational coverage
+
+    // scan + hash aggregate with exact decimal sums (TPC-H Q1 shape)
+    "rel_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 6))).cast("double"), 4).as("sum_disc"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast(DecimalType(24, 6))).cast("double"), 4)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // broadcast-join chain + aggregate (orders ⋈ customer ⋈ nation)
+    "rel_revenue_by_nation" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // window-function rank: top-3 orders per customer
+    "rel_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // global sort + limit (top-k scan)
+    "rel_part_topk" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(20)
+    }),
+
+    // time-window rollup on a date column (monthly order stats)
+    "rel_orders_monthly" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .orderBy("month")
+    }),
+
+    // ------------------------------------------------- extension operators
+
+    // exact dedup (hash-groupBy, deterministic keeper)
+    "doc_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // exact n-gram Jaccard near-dup pairs
+    "doc_jaccard_pairs" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.jaccardPairs(sh, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash-LSH near-dup pairs with exact verification (same oracle as
+    // exact Jaccard — recall at the planted-dup level is ~1)
+    "doc_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
+    "emb_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // global most-similar pairs (near-dup mining baseline)
+    "emb_top_pairs" -> ((s, dir) => {
+      Similarity.topPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20)
+    }),
+
+    // text quality scoring
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // language ID heuristic
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"), col("hits_en"), col("hits_de"),
+          col("hits_es"), col("hits_fr"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus token frequencies (top 50)
+    "text_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(t(s, dir, "documents"), "text", 50)
+    }),
+
+    // rolling-hash document fingerprint
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // JSON property extraction (multimodal sidecar) + rollup per type
+    "json_props" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("k", EventOps.jsonLong(col("props"), "$.k"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // multimodal ingest: binary payload + typed metadata (sha256/bytes)
+    "multimodal_meta" -> ((s, dir) => {
+      graft.ext.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source")
+        .select(col("doc_id"), col("meta.modality").as("modality"),
+          col("meta.byteLen").as("byte_len"), col("meta.sha256").as("sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // gap-based sessionization (30 min) + per-session rollup
+    "event_sessions" -> ((s, dir) => {
+      EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_s"), col("end_s"), col("duration_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // as-of lookup: for each purchase, the user's most recent prior signup
+    "event_asof" -> ((s, dir) => {
+      val e = events(s, dir)
+      EventOps.asOfMarker(e, "user_id", "ts", "event_id",
+          col("event_type") === "signup", "asof_ts")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          EventOps.epochS(col("ts")).as("purchase_s"),
+          EventOps.epochS(col("asof_ts")).as("signup_s"))
+        .orderBy("event_id")
+    }))
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+
+    "ts_resample" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round($DetMeanSql, 6) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_resample_grid" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         round($DetMeanSql, 6) AS v
+         |  FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '3600 seconds')) AS bt FROM spans)
+         |SELECT CAST(grid.user_id AS VARCHAR) AS series_key,
+         |  strftime(grid.bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts, b.v AS value
+         |FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bt = b.bt
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ts_interpolate" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '3600 seconds')) AS bt FROM spans),
+         |g AS (SELECT grid.user_id, grid.bt, b.v, epoch(grid.bt) AS e
+         |      FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bt = b.bt),
+         |w AS (SELECT user_id, bt, v, e,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+         |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+         |  FROM g)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor((CASE WHEN v IS NOT NULL THEN v
+         |              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+         |                THEN pv + (nv - pv) * (e - pt) / (nt - pt)
+         |              WHEN pv IS NOT NULL THEN pv END) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "ts_replace_ranges" ->
+      """SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  CASE WHEN (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-12 00:00:00')
+        |         OR (ts >= TIMESTAMP '2024-01-20 12:00:00' AND ts <= TIMESTAMP '2024-01-21 00:00:00')
+        |       THEN NULL ELSE value END AS value
+        |FROM events ORDER BY 1, 2, 3""".stripMargin,
+
+    "ts_predict_prev" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(time_bucket(INTERVAL '3600 seconds', ts) + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round($DetMeanSql, 6) AS value
+         |FROM events GROUP BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ts_average" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+         |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round(CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v), 6) AS value
+         |FROM b GROUP BY bt ORDER BY 1""".stripMargin,
+
+    "ts_sum" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         round($DetMeanSql, 6) AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+         |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round(CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE), 6) AS value
+         |FROM b GROUP BY bt ORDER BY 1""".stripMargin,
+
+    "ts_scale" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round(round($DetMeanSql, 6) * 2.0, 6) AS value
+         |FROM events GROUP BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "lineage_edges" ->
+      """SELECT * FROM (VALUES
+        |  ('linear_interpolation', 'gap_filling', 'A#1_REPLACED-RANGES#1', 'A#1_LIN-INT#1'),
+        |  ('replace_ranges', 'filtering', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
+        |  ('resample', 'resampling', 'A#1_RAW#1', 'A#1_RESAMPLED#1')
+        |) t(step, step_type, origin, destination) ORDER BY destination""".stripMargin,
+
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_disc,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE), 4) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_top_orders_per_cust" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "rel_part_topk" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "rel_orders_monthly" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+    "doc_jaccard_pairs" -> JaccardOracle,
+    "doc_minhash_lsh" -> JaccardOracle,
+
+    "emb_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_top_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) /
+        |    (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))])) *
+        |     sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(len([x for x in toks if list_contains(['the','a','of','and','to','in','is','it','for','on','with','as','at','by','an','be','this','that'], x)]) AS BIGINT) AS n_stop,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+        |  FROM d)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, n_chars_computed,
+        |  round(CAST(n_chars_computed AS DOUBLE) / n_tokens, 6) AS mean_token_span,
+        |  round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        |  round(CAST(n_alpha AS DOUBLE) / n_chars_computed, 6) AS alpha_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> LangIdOracle,
+
+    "text_token_stats" ->
+      """SELECT token, COUNT(*) AS c
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY c DESC, token LIMIT 50""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(length(t) AS BIGINT) * 1315423911 + ascii(t[1]) * 2654435761 + ascii(t[-1]) * 97
+        |       for t in string_split(text, ' ')]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, source AS modality,
+        |  CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "event_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts,
+        |        CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM o)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+        |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s,
+        |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_asof" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s,
+        |  CAST(floor(epoch(asof_ts)) AS BIGINT) AS signup_s
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+
+  private val JaccardOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+      |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val LangIdOracle =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |h AS (SELECT doc_id,
+      |  CAST(len([x for x in toks if list_contains(['the','and','of','to','is','in','that','it'], x)]) AS BIGINT) AS hits_en,
+      |  CAST(len([x for x in toks if list_contains(['der','die','das','und','ist','nicht','ein','zu'], x)]) AS BIGINT) AS hits_de,
+      |  CAST(len([x for x in toks if list_contains(['el','la','de','que','y','en','un','es'], x)]) AS BIGINT) AS hits_es,
+      |  CAST(len([x for x in toks if list_contains(['le','la','et','les','des','est','un','dans'], x)]) AS BIGINT) AS hits_fr
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+      |       WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+      |       WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+      |       WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+      |       ELSE 'und' END AS pred_lang,
+      |  hits_en, hits_de, hits_es, hits_fr
+      |FROM h ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,219 @@
+package graft.core
+
+import graft.model._
+import graft.ops.{DatasetTransform, SeriesTransform}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The two engine executors, mirroring `Signal.process`
+  * (/root/reference/src/meteaudata/types.py:678-740) and `Dataset.process`
+  * (types.py:1366-1429), re-expressed immutably: every call returns a new
+  * wrapper; the observations DataFrame is lazily composed (Catalyst fuses
+  * the whole chain into one physical plan at action time) while lineage and
+  * naming bookkeeping stay eager and driver-side, like the reference.
+  *
+  * A deliberate divergence from the reference's in-place mutation
+  * (types.py:722,1407): immutability is the Spark idiom and gives the
+  * deep-copy isolation of types.py:1397-1399 for free (SURVEY.md §3.4).
+  */
+final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
+  import Observations._
+
+  def seriesKeys: Seq[String] = meta.seriesKeys
+
+  /** Rows of one series. */
+  def series(key: String): DataFrame = data.filter(col(KeyCol) === key)
+
+  /** Univariate executor. For each input series: run the transform, merge
+    * lineage (all input steps + the new step, order-preserving dedup),
+    * auto-version the output name, and union the new rows in.
+    * Ref trace: types.py:678-740 (validate :697-703, bind :704-706,
+    * lineage merge+dedup :708-719, register :720-722). */
+  def process(inputNames: Seq[String], t: SeriesTransform,
+      params: Parameters = Parameters.empty,
+      runAt: Long = 0L): MeteauSignal = {
+    val known = meta.seriesKeys.toSet
+    val missing = inputNames.filterNot(known)
+    require(missing.isEmpty,
+      s"input series ${missing.mkString(", ")} not in signal '${meta.name}' " +
+        s"(has: ${meta.seriesKeys.mkString(", ")})")
+
+    var cur = this
+    inputNames.foreach { input =>
+      val (signalPart, _) = Naming.splitKey(input)
+      val unversioned = Naming.newSeriesName(signalPart, t.suffix)
+      val (_, seriesPart) = Naming.splitKey(unversioned)
+      val versionedSeries = Naming.nextVersioned(
+        cur.meta.seriesKeys.map(k => Naming.splitKey(k)._2), seriesPart)
+      val outKey = s"${Naming.splitKey(unversioned)._1}_$versionedSeries"
+
+      val inputSteps = cur.meta.seriesMeta(input).map(_.steps).getOrElse(Nil)
+      val newStep = t.step(params, Seq(input), runAt)
+      val lineage = ProcessingStep.dedup(inputSteps :+ newStep)
+
+      val outRows = t.transform(cur.series(input), params)
+        .select(lit(outKey).as(KeyCol), col(TsCol), col(ValueCol))
+      val sm = cur.meta.seriesMeta(input)
+        .getOrElse(SeriesMeta(input))
+        .copy(seriesKey = outKey, steps = lineage, createdOn = runAt)
+      cur = MeteauSignal(
+        cur.data.unionByName(outRows),
+        cur.meta.copy(series = cur.meta.series :+ sm, lastUpdated = runAt))
+    }
+    cur
+  }
+
+  /** Versioned rename of the whole signal (re-keys every series).
+    * Ref: types.py:753-764 (`Signal.rename`). */
+  def rename(newName: String): MeteauSignal = {
+    val newPart = Naming.ensureNumbered(newName)
+    val oldPart = Naming.ensureNumbered(meta.name)
+    val renamed = meta.series.map { sm =>
+      val (_, seriesPart) = Naming.splitKey(sm.seriesKey)
+      sm.copy(seriesKey = s"${newPart}_$seriesPart")
+    }
+    val newData = data.withColumn(KeyCol,
+      concat(lit(newPart + "_"), element_at(split(col(KeyCol), "_", 2), 2)))
+    MeteauSignal(newData, meta.copy(name = newPart, series = renamed))
+  }
+
+  /** Retrospective dependency-graph walk: last step of a series → its
+    * `inputSeriesNames` → recurse. Ref: types.py:928-949
+    * (`build_dependency_graph`). Driver-side (metadata is O(#series)). */
+  def dependencyEdges(tsName: String): Seq[DependencyEdge] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[DependencyEdge]
+    def walk(name: String): Unit =
+      meta.seriesMeta(name).foreach { sm =>
+        sm.steps.lastOption.foreach { st =>
+          st.inputSeriesNames.foreach { origin =>
+            val e = DependencyEdge(st.functionInfo.name, st.stepType.value,
+              origin, name)
+            if (seen.add(e)) walk(origin)
+          }
+        }
+      }
+    walk(tsName)
+    seen.toSeq
+  }
+}
+
+object MeteauSignal {
+  import Observations._
+
+  /** Build a signal from a tall frame, normalizing every key to
+    * `SIG#N_SERIES#M` (default series name RAW — the reference's ingest
+    * normalization, types.py:547-606). */
+  def ingest(df: DataFrame, name: String, units: String,
+      provenance: DataProvenance = DataProvenance(),
+      seriesName: String = "RAW",
+      index: IndexMeta = IndexMeta(IndexKind.DatetimeIndex),
+      createdOn: Long = 0L): MeteauSignal = {
+    val signalPart = Naming.ensureNumbered(name)
+    val seriesPart = Naming.ensureNumbered(seriesName)
+    val key = s"${signalPart}_$seriesPart"
+    val data = df.select(lit(key).as(KeyCol), col(TsCol), col(ValueCol))
+    MeteauSignal(data,
+      SignalMeta(signalPart, units, provenance, createdOn, createdOn,
+        Vector(SeriesMeta(key, Nil, index, "double", createdOn))))
+  }
+}
+
+/** Dataset-level executor. Ref: types.py:1366-1429 (`Dataset.process`). */
+final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
+    signals: Vector[MeteauSignal]) {
+  import Observations._
+
+  def signal(name: String): MeteauSignal =
+    signals.find(_.meta.name == name).getOrElse(
+      throw new NoSuchElementException(s"no signal '$name'"))
+
+  def allSeriesKeys: Seq[String] = signals.flatMap(_.meta.seriesKeys)
+
+  /** Multivariate executor: validate fully-qualified input names across all
+    * signals, run the transform over their unioned rows, version the new
+    * signal's name dataset-wide, and merge every input's lineage into the
+    * output series. Ref trace: types.py:1385-1428. Units agreement check:
+    * average.py:42-46. */
+  def process(inputNames: Seq[String], t: DatasetTransform,
+      params: Parameters = Parameters.empty,
+      runAt: Long = 0L,
+      requireSameUnits: Boolean = true): MeteauDataset = {
+    val known = allSeriesKeys.toSet
+    val missing = inputNames.filterNot(known)
+    require(missing.isEmpty,
+      s"input series ${missing.mkString(", ")} not in dataset '${meta.name}'")
+
+    val owners = inputNames.map { k =>
+      signals.find(_.meta.seriesKeys.contains(k)).get
+    }
+    if (requireSameUnits) {
+      val units = owners.map(_.meta.units).distinct
+      require(units.size <= 1,
+        s"input series must share units, got: ${units.mkString(", ")}")
+    }
+
+    val inputRows = data.filter(col(KeyCol).isin(inputNames: _*))
+    val versioned = Naming.nextVersioned(meta.signalNames, t.signalBaseName)
+    val outKey = s"${versioned}_${Naming.ensureNumbered(t.suffix)}"
+
+    val newStep = t.step(params, inputNames, runAt)
+    val inputSteps = owners.zip(inputNames).flatMap { case (sig, k) =>
+      sig.meta.seriesMeta(k).map(_.steps).getOrElse(Nil)
+    }
+    val lineage = ProcessingStep.dedup(inputSteps :+ newStep)
+
+    val outRows = t.transform(inputRows, params)
+      .select(lit(outKey).as(KeyCol), col(TsCol), col(ValueCol))
+
+    // Provenance inherited from the first input (average.py:73-82).
+    val prov = owners.headOption.map(_.meta.provenance).getOrElse(DataProvenance())
+    val units = owners.headOption.map(_.meta.units).getOrElse("")
+    val newSignal = MeteauSignal(outRows,
+      SignalMeta(versioned, units, prov, runAt, runAt,
+        Vector(SeriesMeta(outKey, lineage,
+          IndexMeta(IndexKind.DatetimeIndex), "double", runAt))))
+
+    MeteauDataset(
+      data.unionByName(outRows),
+      meta.copy(signals = meta.signals :+ newSignal.meta, lastUpdated = runAt),
+      signals :+ newSignal)
+  }
+
+  def dependencyEdges(fqName: String): Seq[DependencyEdge] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[DependencyEdge]
+    def lookup(name: String): Option[SeriesMeta] =
+      signals.iterator.flatMap(_.meta.seriesMeta(name)).nextOption()
+    def walk(name: String): Unit =
+      lookup(name).foreach { sm =>
+        sm.steps.lastOption.foreach { st =>
+          st.inputSeriesNames.foreach { origin =>
+            val e = DependencyEdge(st.functionInfo.name, st.stepType.value,
+              origin, name)
+            if (seen.add(e)) walk(origin)
+          }
+        }
+      }
+    walk(fqName)
+    seen.toSeq
+  }
+}
+
+object MeteauDataset {
+  /** Assemble a dataset from signals, renumbering names dataset-wide
+    * (types.py:1213-1231). */
+  def of(name: String, sigs: Seq[MeteauSignal],
+      description: String = "", owner: String = "", purpose: String = "",
+      project: String = "", createdOn: Long = 0L): MeteauDataset = {
+    var names = Vector.empty[String]
+    val renamed = sigs.map { s =>
+      val v = Naming.nextVersioned(names, s.meta.name)
+      names :+= v
+      if (v == s.meta.name) s else s.rename(v)
+    }.toVector
+    val data = renamed.map(_.data).reduce(_ unionByName _)
+    MeteauDataset(data,
+      DatasetMeta(name, description, owner, purpose, project, createdOn,
+        createdOn, renamed.map(_.meta)),
+      renamed)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The tall observations schema: one row per (series, timestamp) —
+  * the 100 TB-scale representation of the reference's per-column
+  * `pd.Series` (SURVEY.md §1.4). Partition/shuffle unit is `series_key`;
+  * all window specs partition by it so a single upstream repartition is
+  * reused across chained operators.
+  */
+object Observations {
+  val KeyCol = "series_key"
+  val TsCol = "ts"
+  val ValueCol = "value"
+
+  val schema: StructType = StructType(Seq(
+    StructField(KeyCol, StringType, nullable = false),
+    StructField(TsCol, TimestampType, nullable = false),
+    StructField(ValueCol, DoubleType, nullable = true)))
+
+  /** Normalize an arbitrary 3-column frame into the canonical schema. */
+  def from(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    df.select(
+      col(key).cast(StringType).as(KeyCol),
+      col(ts).cast(TimestampType).as(TsCol),
+      col(value).cast(DoubleType).as(ValueCol))
+
+  /** Ingest a wide frame (one column per series — the reference's
+    * `Signal.__init__` DataFrame path, types.py:547-606) by unpivoting. */
+  def fromWide(df: DataFrame, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val stacked = df.unpivot(
+      Array(col(tsCol)), valueCols.map(col).toArray, KeyCol, ValueCol)
+    stacked.select(
+      col(KeyCol),
+      col(tsCol).cast(TimestampType).as(TsCol),
+      col(ValueCol).cast(DoubleType).as(ValueCol))
+  }
+
+  /** Empty observations frame. */
+  def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: sessionization, as-of lookup, JSON property
+  * extraction, time-window rollups. All window specs partition by the
+  * entity key, so one shuffle+sort per pipeline is reused across the
+  * chained window expressions (Catalyst collapses same-spec windows).
+  */
+object EventOps {
+
+  /** Floor epoch seconds as BIGINT — the engine-portable timestamp
+    * rendering (DuckDB: `CAST(floor(epoch(ts)) AS BIGINT)`). */
+  def epochS(ts: Column): Column = floor(ts.cast("double")).cast("long")
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSeconds`. session_id is the
+    * running count of session starts (1-based). Deterministic tie-break:
+    * events ordered by (ts, idCol). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isStart = when(prevTs.isNull ||
+      (col(tsCol).cast("double") - prevTs.cast("double")) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-session rollup: bounds + event count. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      gapSeconds: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochS(col(tsCol))).as("start_s"),
+        max(epochS(col(tsCol))).as("end_s"))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+
+  /** As-of lookup within one stream: for every row, the timestamp of the
+    * key's most recent row (strictly before, by (ts, id) order) satisfying
+    * `marker`. The classic sensor-fusion as-of join expressed as
+    * `last(..., ignoreNulls)` over one sorted pass — no join, no skew. */
+  def asOfMarker(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      marker: Column, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(outCol,
+      last(when(marker, col(tsCol)), ignoreNulls = true).over(w))
+  }
+
+  /** General as-of join of two event frames on a shared key: each left row
+    * gets the latest right row with rightTs <= leftTs. Implemented
+    * union-style (tag + single sorted window pass) so it scales like a
+    * sort-merge join without materializing the pairwise product. `payload`
+    * columns from the right side are carried through. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val lTag = left.withColumn("_side", lit(1))
+      .withColumns(payloadCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+    val rTag = right.select((Seq(keyCol, tsCol).map(col) :+ lit(0).as("_side")) ++
+      payloadCols.map(col): _*)
+    val all = lTag.select(lTag.columns.map(col): _*)
+      .unionByName(rTag, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(all) { (d, c) =>
+      d.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_side")
+  }
+
+  /** Typed JSON property extraction from a string column (the multimodal
+    * `props` sidecar): `get_json_object` stays native/codegen'd. */
+  def jsonLong(c: Column, path: String): Column =
+    get_json_object(c, path).cast("long")
+
+  /** Tumbling-window rollup per event_type (count/sum/min/max over the
+    * extracted JSON metric). */
+  def windowRollup(df: DataFrame, tsCol: String, typeCol: String,
+      metric: Column, windowSec: Long): DataFrame =
+    df.groupBy(col(typeCol),
+        window(col(tsCol), s"$windowSec seconds").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(metric).as("sum_m"),
+        min(metric).as("min_m"), max(metric).as("max_m"))
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Numeric discipline (for engine-portable determinism): embeddings are
+  * widened float→double (exact), dot products are sequential left-to-right
+  * array folds — bit-identical to DuckDB's list arithmetic — and
+  * similarities are rounded before ranking so top-k cuts are stable across
+  * engines and partitionings.
+  */
+object Similarity {
+
+  /** Sequential dot product of two double arrays (left-to-right fold —
+    * deterministic, codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two `array<double>` columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * non-identical candidates. The query side is broadcast (queries are
+    * few); the candidate scan streams — at cluster scale this is one pass
+    * over the corpus with no shuffle except the final per-query top-k,
+    * which `rank <= k` reduces to k rows per query before the sort. */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundScale: Int = 6): DataFrame = {
+    val c = asDouble(candidates, vecCol)
+    val q = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("candidate_id"),
+        round(cosine(col("qvec"), col(vecCol)), roundScale).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Brute-force global top-N most similar pairs (a < b). */
+  def topPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int,
+      roundScale: Int = 6): DataFrame = {
+    val d = asDouble(df, vecCol)
+    val a = d.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = d.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), roundScale).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
+    * Hyperplanes are pseudo-random unit-free vectors derived from
+    * xxhash64(bit, dim) — deterministic, no stored model. */
+  def hyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16): DataFrame = {
+    val d = asDouble(df, vecCol)
+    val dims = size(col(vecCol))
+    // bit index is a compile-time constant: unroll the projections
+    val sigBits: Seq[Column] = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), dims - 1),
+            i => (pmod(xxhash64(lit(b), i), lit(2001L)) - 1000L).cast("double") / 1000.0),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    d.select(col(idCol), col(vecCol),
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("lsh_sig"))
+  }
+
+  /** LSH-bucketed approximate pair search: only pairs sharing a signature
+    * bucket are scored. The scale path for near-dup mining: shuffle is on
+    * 64-bit bucket keys, candidate verification is bucket-local. Recall
+    * depends on `bits` vs the similarity threshold (fewer bits = higher
+    * recall, bigger buckets). */
+  def lshBucketedPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bits: Int = 12, roundScale: Int = 6): DataFrame = {
+    val sig = hyperplaneSignature(df, idCol, vecCol, bits)
+    sig.as("a").join(sig.as("b"),
+        col("a.lsh_sig") === col("b.lsh_sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), roundScale).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** IVF-style two-stage search: partition vectors into `nLists` buckets by
+    * nearest pseudo-random centroid (deterministic, derived like the LSH
+    * hyperplanes), then search only the query's `nProbe` nearest lists.
+    * Trades recall for a `nProbe/nLists` scan fraction — the 100 TB path
+    * when queries are many. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      roundScale: Int = 6): DataFrame = {
+    val c = asDouble(candidates, vecCol)
+    val q = asDouble(queries, vecCol)
+    val dims = size(col(vecCol))
+    def centroidScores: Column =
+      transform(sequence(lit(0), lit(nLists - 1)), cIdx => struct(
+        cIdx.as("list"),
+        aggregate(
+          zip_with(col(vecCol),
+            transform(sequence(lit(0), dims - 1),
+              i => (pmod(xxhash64(lit(7L), cIdx, i), lit(2001L)) - 1000L).cast("double") / 1000.0),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x).as("score")))
+    // candidates go to their single best list
+    val cAssigned = c.withColumn("list",
+      aggregate(centroidScores, struct(lit(-1).as("list"), lit(Double.MinValue).as("score")),
+        (best, s) => when(s.getField("score") > best.getField("score"), s).otherwise(best))
+        .getField("list"))
+    // queries probe their nProbe best lists
+    val qProbes = q.withColumn("probes",
+        slice(array_sort(centroidScores,
+          (l, r) => when(l.getField("score") > r.getField("score"), -1)
+            .when(l.getField("score") < r.getField("score"), 1).otherwise(0)), 1, nProbe))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(col("probes").getField("list")).as("list"))
+    val scored = cAssigned.join(broadcast(qProbes), Seq("list"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("candidate_id"),
+        round(cosine(col("qvec"), col(vecCol)), roundScale).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and rolling-hash document
+  * fingerprints. Everything is row-local native-expression work (perfectly
+  * parallel, whole-stage codegen) except the corpus-level token frequency,
+  * which is one hash aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** BPE-ish word/number tokens via regex (strips punctuation). */
+  def regexTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9']+"), t => t =!= "")
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is",
+    "it", "for", "on", "with", "as", "at", "by", "an", "be", "this", "that")
+
+  /** Per-document quality metrics: token counts, distinct ratio, mean token
+    * length, stopword ratio, alpha-char ratio — the standard cheap quality
+    * filters for LLM corpus curation. All ratios are single IEEE divisions
+    * over exact integer counts (engine-portable). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("long")
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nDistinct.as("n_distinct_tokens"),
+      nChars.as("n_chars_computed"),
+      round(nChars.cast("double") / nTok, 6).as("mean_token_span"),
+      round(nDistinct.cast("double") / nTok, 6).as("distinct_ratio"),
+      round(nStop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(nAlpha.cast("double") / nChars, 6).as("alpha_ratio"))
+  }
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Deterministic, dictionary-free. */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "dans"))
+
+  /** Language ID: count function-word hits per language; predict the
+    * argmax with a fixed precedence tie-break (en > de > es > fr order as
+    * declared), "und" (undetermined) when no hits. Integer scoring —
+    * deterministic across engines. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = langWords.map(_._1)
+    val scored = langWords.foldLeft(
+        df.select(col(idCol), tokens(lower(col(textCol))).as("_toks"))) {
+      case (d, (lang, words)) => d.withColumn(s"hits_$lang",
+        size(filter(col("_toks"), t => t.isin(words: _*))).cast("long"))
+    }
+    val best = langs.foldRight(lit("und")) { (lang, acc) =>
+      when(col(s"hits_$lang") > lit(0) &&
+        langs.filter(_ != lang).map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+          .reduce(_ && _), lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", best).drop("_toks")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the ordered token stream,
+    * mod 10^15+37 (fits 64-bit intermediate: acc*31 + tokenTerm < 2^63).
+    * The per-token term uses only arithmetic both engines share (length
+    * and first/last char codes), so the oracle can reproduce it exactly:
+    * acc' = (acc*31 + len*1315423911 + ascii(first)*2654435761 +
+    * ascii(last)*97) % M. */
+  val FingerprintMod = 1000000000000037L
+
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val term: Column => Column = t =>
+      length(t).cast("long") * 1315423911L +
+        ascii(substring(t, 1, 1)).cast("long") * 2654435761L +
+        ascii(substring(t, -1, 1)).cast("long") * 97L
+    val fp = aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 31L + term(t), lit(FingerprintMod)))
+    df.select(col(idCol), fp.as("fingerprint"))
+  }
+
+  /** Corpus-level token frequencies: top-N by count (tie-break token). */
+  def tokenStats(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(topN)
+}

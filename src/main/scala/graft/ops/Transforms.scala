@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.core.Observations._
+import graft.model._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Frequency strings (pandas-style: "5min", "30s", "1h", "D") → seconds.
+  * Only fixed-duration frequencies are executable on the data path; month/period
+  * frequencies remain catalog metadata (SURVEY.md §1.2). */
+object Freq {
+  private val Pat = """(\d*)\s*(ns|us|ms|s|sec|min|t|h|hr|d|day)""".r
+  def seconds(freq: String): Long = freq.trim.toLowerCase match {
+    case Pat(n, unit) =>
+      val k = if (n.isEmpty) 1L else n.toLong
+      val mult = unit match {
+        case "s" | "sec"   => 1L
+        case "min" | "t"   => 60L
+        case "h" | "hr"    => 3600L
+        case "d" | "day"   => 86400L
+        case other => throw new IllegalArgumentException(
+          s"sub-second frequency '$other' not supported on the data path")
+      }
+      k * mult
+    case _ => throw new IllegalArgumentException(s"cannot parse frequency '$freq'")
+  }
+}
+
+/** A univariate series transform — the Spark rendering of the reference's
+  * `SignalTransformFunctionProtocol` (/root/reference/src/meteaudata/
+  * types.py:479-495). Operates on the tall observations frame; may hold
+  * many series at once (each `series_key` is transformed independently) —
+  * this is what makes the same operator code run on one sensor or on 10^8
+  * of them without change. */
+trait SeriesTransform {
+  def opName: String
+  def suffix: String
+  def ptype: ProcessingType
+  def description: String
+  def requiresCalibration: Boolean = false
+  def stepDistance: Int = 0
+  def info: FunctionInfo =
+    FunctionInfo(opName, "0.1.0", "graft", "graft.ops",
+      Some(s"graft.ops.$opName: $description"))
+  /** Canonical-schema frame in, canonical-schema frame out.
+    * `series_key` values are preserved (renamed by the caller). */
+  def transform(series: DataFrame, params: Parameters): DataFrame
+
+  def step(params: Parameters, inputNames: Seq[String], runAt: Long): ProcessingStep =
+    ProcessingStep(ptype, description, runAt, requiresCalibration, info,
+      params, suffix, stepDistance, inputNames)
+}
+
+/** Downsample/upsample to a fixed frequency; bucket values by tumbling
+  * window, aggregate with mean, and (pandas parity) emit a row for every
+  * bucket between each series' min and max — empty buckets null.
+  * Ref: univariate/resample.py:12-51 (`col.resample(f).mean()` at :47).
+  * Spark shape: hash-aggregate on (key, bucket) with map-side partials, then
+  * a per-key grid via `sequence`+`explode` and a left join that AQE turns
+  * into a co-partitioned join (both sides already hashed by key). The
+  * deterministic-mean trick (exact decimal sum, single double division) is
+  * what makes the result hash-stable across engines and partition counts. */
+object Resample extends SeriesTransform {
+  val opName = "resample"
+  val suffix = "RESAMPLED"
+  val ptype = ProcessingType.Resampling
+  val description =
+    "Resample to a fixed frequency by tumbling-window mean; full bucket grid per series"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val freq = params.get("frequency").getOrElse(
+      throw new IllegalArgumentException("resample requires 'frequency'"))
+    val grid = params.get("grid").forall(_.toBoolean)
+    val sec = Freq.seconds(freq)
+    transformFixed(series, sec, grid)
+  }
+
+  def transformFixed(series: DataFrame, sec: Long, grid: Boolean): DataFrame = {
+    val bucketed = series
+      .groupBy(col(KeyCol), window(col(TsCol), s"$sec seconds").getField("start").as(TsCol))
+      .agg(detMean(col(ValueCol)).as(ValueCol))
+    if (!grid) bucketed.select(col(KeyCol), col(TsCol), col(ValueCol))
+    else {
+      // Full pandas-style grid: one row per bucket in [min, max] per key.
+      val spans = bucketed.groupBy(col(KeyCol))
+        .agg(min(TsCol).as("mn"), max(TsCol).as("mx"))
+      val gridDf = spans.select(col(KeyCol),
+        explode(sequence(col("mn"), col("mx"),
+          expr(s"interval $sec seconds"))).as(TsCol))
+      gridDf.join(bucketed, Seq(KeyCol, TsCol), "left")
+        .select(col(KeyCol), col(TsCol), col(ValueCol))
+    }
+  }
+
+  /** Order-independent, engine-portable mean: exact decimal(27,8) sum cast
+    * to double, then ONE IEEE division — bit-identical under any row order,
+    * partitioning, or engine (matches DuckDB
+    * `CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v)`). Exact for
+    * inputs with <= 8 decimal digits (raw 2-decimal readings and our own
+    * round(…,6) intermediates); for arbitrary doubles the scale-8 cast is
+    * itself deterministic, so the mean stays engine-portable. */
+  def detMean(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(v.cast(DecimalType(27, 8))).cast("double") / count(v)
+}
+
+/** Fill null gaps by linear interpolation between nearest non-null
+  * neighbours; leading nulls stay null, trailing nulls carry the last value
+  * (pandas `interpolate(method="linear")` default semantics —
+  * SURVEY.md §7.4 item 1). Ref: univariate/interpolate.py:12-52.
+  * Spark shape: two window passes over the same (key, ts) sort — Catalyst
+  * executes both frames off one shuffle+sort; no UDFs, fully codegen'd. */
+object Interpolate extends SeriesTransform {
+  val opName = "linear_interpolation"
+  val suffix = "LIN-INT"
+  val ptype = ProcessingType.GapFilling
+  val description =
+    "Linear interpolation of null gaps between nearest non-null neighbours"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val wAll = Window.partitionBy(KeyCol).orderBy(TsCol)
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(ValueCol)
+    val tsS = col(TsCol).cast("double") // epoch seconds
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, tsS), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(when(v.isNotNull, tsS), ignoreNulls = true).over(wNext)
+    val interp =
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull && (nextT =!= prevT),
+          prevV + (nextV - prevV) * (tsS - prevT) / (nextT - prevT))
+        .when(prevV.isNotNull, prevV) // trailing gap: forward-fill
+        .otherwise(lit(null).cast("double")) // leading gap: stays null
+    series.select(col(KeyCol), col(TsCol), interp.as(ValueCol))
+  }
+}
+
+/** Overwrite values inside [start, end] (inclusive) timestamp ranges with a
+  * replacement (reference default: NaN; our null marker — SURVEY.md §1.2).
+  * Ref: univariate/replace.py:14-61 (`col.loc[start:end] = replace_with`).
+  * Pure projection (`CASE WHEN`) — no shuffle at all. */
+object ReplaceRanges extends SeriesTransform {
+  val opName = "replace_ranges"
+  val suffix = "REPLACED-RANGES"
+  val ptype = ProcessingType.Filtering
+  val description =
+    "Replace values in inclusive timestamp ranges with a constant (default null)"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    // ranges: "start1/end1;start2/end2" (ISO timestamps)
+    val ranges = params.get("ranges").getOrElse(
+        throw new IllegalArgumentException("replace_ranges requires 'ranges'"))
+      .split(';').toSeq.filter(_.nonEmpty).map { r =>
+        val Array(s, e) = r.split('/')
+        (s.trim, e.trim)
+      }
+    val replaceWith: org.apache.spark.sql.Column =
+      params.get("replace_with") match {
+        case Some(x) if x.nonEmpty && x != "null" && x.toLowerCase != "nan" =>
+          lit(x.toDouble)
+        case _ => lit(null).cast("double")
+      }
+    val inRange = ranges
+      .map { case (s, e) =>
+        col(TsCol) >= to_timestamp(lit(s)) && col(TsCol) <= to_timestamp(lit(e)) }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    series.select(col(KeyCol), col(TsCol),
+      when(inRange, replaceWith).otherwise(col(ValueCol)).as(ValueCol))
+  }
+}
+
+/** Naive one-step-ahead forecast ŷ(t+1) = y(t). The reference copies the
+  * series and records `step_distance=1`, shifting only at display time
+  * (univariate/prediction.py:12-51; types.py:435-448). We materialize the
+  * shift as the queryable behaviour (ts + frequency) and keep
+  * step_distance=1 in lineage (SURVEY.md §7.4 item 7). */
+object PredictPrevious extends SeriesTransform {
+  val opName = "predict_previous_point"
+  val suffix = "PREV-PRED"
+  val ptype = ProcessingType.Prediction
+  val description =
+    "Naive previous-point forecast: value kept, timestamp advanced one frequency step"
+  override val stepDistance = 1
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val freq = params.get("frequency").getOrElse(
+      throw new IllegalArgumentException("predict_previous_point requires 'frequency'"))
+    val sec = Freq.seconds(freq)
+    series.select(col(KeyCol),
+      (col(TsCol) + expr(s"interval $sec seconds")).as(TsCol),
+      col(ValueCol))
+  }
+}
+
+/** Scalar map `value * k` — the reference's documented custom-transform
+  * pattern (snippets/all_together_signal.py:11-44, README.md:239-274:
+  * `my_func` doubling values, suffix DBL). Shows the extension surface:
+  * any `DataFrame => DataFrame` with native expressions slots in. */
+object ScaleValues extends SeriesTransform {
+  val opName = "scale_values"
+  val suffix = "DBL"
+  val ptype = ProcessingType.Transformation
+  val description = "Multiply every value by a constant factor"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val k = params.get("factor").map(_.toDouble).getOrElse(2.0)
+    series.select(col(KeyCol), col(TsCol), (col(ValueCol) * k).as(ValueCol))
+  }
+}
