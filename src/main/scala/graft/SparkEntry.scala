@@ -243,7 +243,7 @@ object SparkEntry {
 
     // exact n-gram Jaccard near-dup pairs
     "doc_jaccard_pairs" -> ((s, dir) => {
-      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
       Dedup.jaccardPairs(sh, 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")

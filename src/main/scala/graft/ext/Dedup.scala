@@ -35,31 +35,86 @@ object Dedup {
       .where(col("shingle") =!= "")
   }
 
-  /** Exact pairwise n-gram Jaccard over a shingle frame; emits pairs with
-    * similarity >= minJ (doc_a < doc_b). The shingle equi-join only pairs
-    * documents that share at least one shingle — already sub-quadratic on
-    * real corpora; for planet-scale use [[minhashDupPairs]]. */
-  def jaccardPairs(sh: DataFrame, minJ: Double): DataFrame = {
+  /** Shingles hashed to 64-bit keys: all downstream joins/aggregates run on
+    * fixed-width longs instead of strings (cheaper hashing, shuffles, and
+    * comparisons at scale; xxhash64 collisions are negligible for dedup).
+    * Hashes the n words directly (multi-arg xxhash64) — no intermediate
+    * shingle strings are materialized. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    // materialize the word array first: lambda bodies must reference an
+    // attribute, not an expression, or Catalyst re-evaluates the split
+    // once per shingle index
+    val words = col("_w")
+    val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
+      .otherwise(array().cast("array<int>"))
+    val hashed = transform(idxs, i =>
+      xxhash64((1 to n).map(k => element_at(words, i + k)): _*))
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_w"))
+      .select(col("doc"), explode(array_distinct(hashed)).as("sh"))
+  }
+
+  /** Exact pairwise n-gram Jaccard over a hashed-shingle frame (columns
+    * doc, sh); emits pairs with similarity >= minJ (doc_a < doc_b).
+    *
+    * Uses PPJoin-style prefix filtering so hub shingles don't explode the
+    * self-join: J(A,B) >= t implies |A∩B| >= ceil(t·|A|), so any qualifying
+    * pair must collide within each doc's (n - ceil(t·n) + 1)-prefix under a
+    * global shingle order. Ordering shingles rarest-first makes prefixes
+    * collide almost only for true near-dups. Candidates then pass a length
+    * filter (t·na <= nb <= na/t) and exact intersection counting — work is
+    * proportional to candidate pairs, not Σ k² over shingle buckets. */
+  def jaccardPairs(shIn: DataFrame, minJ: Double): DataFrame = {
+    val sh = shIn.cache() // reused for frequencies, prefixes, verification
     val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    // global order: frequency ascending (rarest first), hash tie-break
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("f"), col("sh"))
+    val pref = sh.join(freq, "sh")
+      .withColumn("rnk", row_number().over(wDoc))
+      .join(counts, "doc")
+      .where(col("rnk") <= col("n") - ceil(col("n") * minJ) + 1)
+      .select(col("doc"), col("sh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, minJ)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: each doc's shingle set
+    * is packed into one sorted array row, pairs get both arrays via two
+    * equi-joins (rows ∝ candidates), and the intersection is counted
+    * row-locally with `array_intersect` — no shingle-level join explosion.
+    * Includes the length filter (t·na <= nb <= na/t) before touching
+    * arrays. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+      minJ: Double): DataFrame = {
+    val docSets = sh.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("n"))
+    cand
+      .join(docSets.select(col("doc").as("doc_a"), col("shs").as("sha"),
+        col("n").as("na")), "doc_a")
+      .join(docSets.select(col("doc").as("doc_b"), col("shs").as("shb"),
+        col("n").as("nb")), "doc_b")
+      .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
+      .withColumn("i", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64 of the shingle; signature[i] = min over shingles. One hash
-    * aggregate per document (all mins computed in one pass). */
+  /** MinHash signatures from hashed shingles: numHashes permutations
+    * approximated by affine re-mixes of the 64-bit shingle hash
+    * (h_i = a_i*sh + b_i with odd multipliers — a standard universal-ish
+    * family); signature[i] = min over shingles. One hash aggregate per
+    * document, all mins computed in a single pass. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val mins: Seq[Column] = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
     }
     sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -89,21 +144,9 @@ object Dedup {
     * j >= 0.8 is ~2e-4; at the planted-dup level j >= 0.9 it is < 1e-9). */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       minJ: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).cache()
     val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .where(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyPairs(cand, sh, minJ)
   }
 
   /** 64-bit SimHash over whitespace tokens, computed row-locally with
@@ -112,18 +155,20 @@ object Dedup {
     * 16-bit chunk banding (any equal chunk → candidate), same LSH shape as
     * MinHash banding. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val hashes = transform(toks, t => xxhash64(t))
+    // materialize token hashes once; the 64 per-bit folds then read the
+    // attribute instead of re-splitting/re-hashing per bit
+    val withHashes = df.select(col(idCol).as("doc"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("_h"))
     // per bit i: sign of Σ tokens (bit i set ? +1 : -1); bit index is a
     // compile-time constant, so the 64 folds unroll at plan-build time
     val bits: Seq[Column] = (0 until 64).map { i =>
-      val s = aggregate(hashes, lit(0L),
+      val s = aggregate(col("_h"), lit(0L),
         (acc, h) => acc +
           when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(s > 0, lit(1L << i)).otherwise(lit(0L))
     }
     val sim = bits.reduce((a, b) => a.bitwiseOR(b))
-    df.select(col(idCol).as("doc"), sim.as("simhash"))
+    withHashes.select(col("doc"), sim.as("simhash"))
   }
 
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming

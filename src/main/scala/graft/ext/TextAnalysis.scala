@@ -26,13 +26,14 @@ object TextAnalysis {
     * filters for LLM corpus curation. All ratios are single IEEE divisions
     * over exact integer counts (engine-portable). */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokenize once into an attribute; downstream metrics reference it
+    val toks = col("_toks")
     val nTok = size(toks).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val nChars = length(col(textCol)).cast("long")
     val nAlpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long")
     val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("long")
-    df.select(
+    df.withColumn("_toks", tokens(col(textCol))).select(
       col(idCol),
       nTok.as("n_tokens"),
       nDistinct.as("n_distinct_tokens"),
