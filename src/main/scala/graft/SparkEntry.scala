@@ -314,6 +314,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // E6/E7/E8 persistence round trip: pipeline → save (parquet + JSON
+    // catalog) → load → query the reloaded data; matching the oracle's
+    // direct computation proves data fidelity through the sink
+    "io_roundtrip" -> ((s, dir) => {
+      val raw = obsEvents(s, dir).where(col(KeyCol) === "7")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "E", "mg/l")
+        .process(Seq("E#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "false"))
+      val ds = graft.core.MeteauDataset.of("rt", Seq(sig))
+      val path = "/tmp/graft_io_roundtrip"
+      graft.io.SignalIO.save(ds, path)
+      val loaded = graft.io.SignalIO.load(s, path)
+      loaded.signal("E#1").series("E#1_RESAMPLED#1")
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("bucket_ts")
+    }),
+
+    // Structured Streaming resample: bounded replay through the streaming
+    // engine (file source → windowed agg → memory sink) ≡ batch semantics
+    "stream_resample" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val name = "stream_resample_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val res = graft.streaming.StreamingOps.replayResample(
+        s, s"$dir/events.parquet",
+        df => Observations.from(
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+          "user_id", "ts", "value"),
+        900, name)
+      res.select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          round(col(ValueCol), 6).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
     // gap-based sessionization (30 min) + per-session rollup
     "event_sessions" -> ((s, dir) => {
       EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
@@ -457,6 +492,20 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
         |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "io_roundtrip" ->
+      s"""SELECT 'E#1_RESAMPLED#1' AS series_key,
+         |  strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round($DetMeanSql, 6) AS value
+         |FROM events WHERE user_id = 7
+         |GROUP BY time_bucket(INTERVAL '3600 seconds', ts)
+         |ORDER BY 2""".stripMargin,
+
+    "stream_resample" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  round($DetMeanSql, 6) AS value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies

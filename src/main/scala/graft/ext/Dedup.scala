@@ -172,13 +172,20 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming
-    * distance <= maxDist verification. */
+    * distance <= maxDist verification. With `nChunks` bands a pair within
+    * Hamming distance d is guaranteed to collide on some chunk iff
+    * d < nChunks (pigeonhole) — the default 8×8-bit banding is exact for
+    * maxDist <= 7. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 7, nChunks: Int = 8): DataFrame = {
+    require(maxDist < nChunks,
+      s"banding with $nChunks chunks only guarantees recall for distance < $nChunks")
+    val bitsPer = 64 / nChunks
+    val mask = (1L << bitsPer) - 1
     val sim = simhash64(df, idCol, textCol).cache()
     val chunked = sim.select(col("doc"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("simhash"), i * bitsPer).bitwiseAND(mask)): _*)))
       .toDF("doc", "simhash", "chunk", "chunkval")
     val cand = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.core.Observations._
+import graft.ops.Resample
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming variants of the engine operators over the same
+  * tall observations schema (SURVEY.md §2.3 "Streaming"). The reference is
+  * batch-only; these are the extension surface a live sensor feed needs.
+  * Semantics match the batch operators exactly — the streaming resample is
+  * the same tumbling-window deterministic mean, so a bounded stream
+  * replayed through it hash-matches the batch result (tested in
+  * StreamingSpec and the stream_resample oracle query).
+  */
+object StreamingOps {
+
+  /** Tumbling-window resample as a streaming aggregation. With a watermark
+    * the state store evicts closed windows (append mode for unbounded
+    * runs); for bounded replays run in complete mode. */
+  def resampleStream(stream: DataFrame, sec: Long,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(TsCol, watermark)
+      .groupBy(col(KeyCol),
+        window(col(TsCol), s"$sec seconds").getField("start").as(TsCol))
+      .agg(Resample.detMean(col(ValueCol)).as(ValueCol))
+
+  /** Replay a bounded parquet table through the streaming engine and
+    * return the materialized result (memory sink, available-now trigger).
+    * This is how the oracle checks the streaming path: bounded replay ≡
+    * batch semantics. */
+  def replayResample(spark: SparkSession, parquetPath: String,
+      toObs: DataFrame => DataFrame, sec: Long,
+      queryName: String): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    // the file source wants a directory; glob-filter down to the table file
+    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
+    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+    val agg = resampleStream(toObs(stream), sec)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Per-key running statistics via explicit state — the
+    * mapGroupsWithState extension point for custom streaming state
+    * (count + running mean per series). */
+  case class ObsEvent(series_key: String, ts: java.sql.Timestamp, value: Double)
+  case class SeriesState(n: Long, sum: Double)
+  case class SeriesStat(series_key: String, n: Long, mean: Double)
+
+  def runningStats(stream: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stream.as[ObsEvent]
+      .groupByKey(_.series_key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[ObsEvent], state: GroupState[SeriesState]) =>
+          val prev = state.getOption.getOrElse(SeriesState(0L, 0.0))
+          var n = prev.n; var s = prev.sum
+          events.foreach { e => n += 1; s += e.value }
+          state.update(SeriesState(n, s))
+          SeriesStat(key, n, if (n == 0) 0.0 else s / n)
+      }
+      .toDF()
+  }
+}

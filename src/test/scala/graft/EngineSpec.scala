@@ -1,0 +1,127 @@
+package graft
+
+import graft.core.{MeteauDataset, MeteauSignal, Observations}
+import graft.model._
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Engine-executor contract: versioned registration, lineage merge+dedup,
+  * dependency graph, dataset-level process (ports of
+  * tests/test_metEAUdata.py:238-353 semantics). */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureSignal(name: String = "A", units: String = "mg/l"): MeteauSignal = {
+    val rows = (0 until 100).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z")
+        .plusSeconds(i * 360L)), math.sin(i * 0.7) * 10)
+    }
+    val df = rows.toDF(Observations.TsCol, Observations.ValueCol)
+    MeteauSignal.ingest(df, name, units,
+      DataProvenance(parameter = Some("COD"), metadataId = Some("1")))
+  }
+
+  test("ingest normalizes names to SIG#1_RAW#1") {
+    val sig = fixtureSignal()
+    assert(sig.meta.name == "A#1")
+    assert(sig.seriesKeys == Seq("A#1_RAW#1"))
+    assert(sig.series("A#1_RAW#1").count() == 100)
+  }
+
+  test("process registers versioned outputs and accumulates lineage") {
+    val sig = fixtureSignal()
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "5min"))
+      .process(Seq("A#1_RESAMPLED#1"), Interpolate)
+    assert(sig.seriesKeys == Seq("A#1_RAW#1", "A#1_RESAMPLED#1", "A#1_LIN-INT#1"))
+    val linint = sig.meta.seriesMeta("A#1_LIN-INT#1").get
+    assert(linint.steps.map(_.functionInfo.name) == Seq("resample", "linear_interpolation"))
+    assert(linint.steps.last.inputSeriesNames == Seq("A#1_RESAMPLED#1"))
+    // every step's inputs resolve to existing series (lineage closure)
+    val known = sig.seriesKeys.toSet
+    sig.meta.series.flatMap(_.steps).flatMap(_.inputSeriesNames)
+      .foreach(n => assert(known.contains(n), s"dangling input $n"))
+  }
+
+  test("re-running a step auto-increments the version instead of overwriting") {
+    val once = fixtureSignal()
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "5min"))
+    val twice = once
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "10min"))
+    assert(twice.seriesKeys == Seq("A#1_RAW#1", "A#1_RESAMPLED#1", "A#1_RESAMPLED#2"))
+  }
+
+  test("process validates input names") {
+    intercept[IllegalArgumentException] {
+      fixtureSignal().process(Seq("A#1_NOPE#1"), Interpolate)
+    }
+  }
+
+  test("lineage steps are deduped order-preserving") {
+    val steps = Seq(
+      Resample.step(Parameters.of("frequency" -> "5min"), Seq("A#1_RAW#1"), 0L),
+      Resample.step(Parameters.of("frequency" -> "5min"), Seq("A#1_RAW#1"), 0L),
+      Interpolate.step(Parameters.empty, Seq("A#1_RESAMPLED#1"), 0L))
+    assert(ProcessingStep.dedup(steps).map(_.functionInfo.name)
+      == Seq("resample", "linear_interpolation"))
+  }
+
+  test("dependency graph walks lineage back to RAW") {
+    val sig = fixtureSignal()
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "5min"))
+      .process(Seq("A#1_RESAMPLED#1"), ReplaceRanges,
+        Parameters.of("ranges" -> "2020-01-01 03:00:00/2020-01-02 00:00:00"))
+      .process(Seq("A#1_REPLACED-RANGES#1"), Interpolate)
+    val edges = sig.dependencyEdges("A#1_LIN-INT#1")
+    assert(edges.map(e => (e.origin, e.destination)) == Seq(
+      ("A#1_REPLACED-RANGES#1", "A#1_LIN-INT#1"),
+      ("A#1_RESAMPLED#1", "A#1_REPLACED-RANGES#1"),
+      ("A#1_RAW#1", "A#1_RESAMPLED#1")))
+  }
+
+  test("rename re-keys every series and the data") {
+    val sig = fixtureSignal()
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "5min"))
+      .rename("D")
+    assert(sig.meta.name == "D#1")
+    assert(sig.seriesKeys == Seq("D#1_RAW#1", "D#1_RESAMPLED#1"))
+    assert(sig.data.select(Observations.KeyCol).distinct()
+      .as[String].collect().toSet == Set("D#1_RAW#1", "D#1_RESAMPLED#1"))
+  }
+
+  test("dataset process: average across signals, units enforced, lineage merged") {
+    val a = fixtureSignal("A", "mg/l")
+    val b = fixtureSignal("B", "mg/l")
+    val c = fixtureSignal("C", "uS/cm")
+    val ds = MeteauDataset.of("fix", Seq(a, b, c))
+    val out = ds.process(Seq("A#1_RAW#1", "B#1_RAW#1"), AverageSignals)
+    assert(out.meta.signalNames.contains("AVERAGE#1"))
+    val avg = out.signal("AVERAGE#1")
+    assert(avg.seriesKeys == Seq("AVERAGE#1_RAW#1"))
+    assert(avg.meta.units == "mg/l")
+    assert(avg.meta.provenance.parameter == Some("COD"))
+    val steps = avg.meta.seriesMeta("AVERAGE#1_RAW#1").get.steps
+    assert(steps.last.functionInfo.name == "average_signals")
+    assert(steps.last.inputSeriesNames == Seq("A#1_RAW#1", "B#1_RAW#1"))
+    // units mismatch raises (average.py:42-46 contract)
+    intercept[IllegalArgumentException] {
+      out.process(Seq("A#1_RAW#1", "C#1_RAW#1"), AverageSignals)
+    }
+    // values: average of identical ingests == the series itself
+    val aa = MeteauDataset.of("fix2", Seq(fixtureSignal("A"), fixtureSignal("B")))
+      .process(Seq("A#1_RAW#1", "B#1_RAW#1"), AverageSignals)
+    val avgVals = aa.signal("AVERAGE#1").series("AVERAGE#1_RAW#1")
+      .orderBy(Observations.TsCol).select(Observations.ValueCol)
+      .as[Double].collect()
+    val aVals = aa.signal("A#1").series("A#1_RAW#1")
+      .orderBy(Observations.TsCol).select(Observations.ValueCol)
+      .as[Double].collect()
+    assert(avgVals.length == aVals.length)
+    // detMean's decimal(27,8) cast rounds at the 8th decimal by design
+    avgVals.zip(aVals).foreach { case (x, y) => assert(math.abs(x - y) < 1e-7) }
+  }
+
+  test("dataset renumbers same-base signals on assembly") {
+    val ds = MeteauDataset.of("fix", Seq(fixtureSignal("A"), fixtureSignal("A")))
+    assert(ds.meta.signalNames == Seq("A#1", "A#2"))
+  }
+}

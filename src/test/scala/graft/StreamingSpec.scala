@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Observations
+import graft.ops.Resample
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Streaming ≡ batch semantics on bounded replays. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming resample over a bounded replay equals the batch resample") {
+    val toObs = (df: org.apache.spark.sql.DataFrame) =>
+      Observations.from(
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "ts", "value")
+    val streamed = StreamingOps.replayResample(spark, sf("events"), toObs,
+        900, "streaming_spec_tbl")
+      .select(col("series_key"), col("ts"), round(col("value"), 6).as("v"))
+    val batch = Resample.transformFixed(
+        toObs(spark.read.parquet(sf("events"))), 900, grid = false)
+      .select(col("series_key"), col("ts"), round(col("value"), 6).as("v"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("mapGroupsWithState running stats accumulate per series") {
+    implicit val s = spark
+    val events = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 3.0),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 10.0))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)](spark, 1)
+    input.addData(events: _*)
+    val df = input.toDF().toDF("series_key", "ts", "value")
+    val q = StreamingOps.runningStats(df).writeStream
+      .outputMode("update").format("memory").queryName("running_stats_tbl").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("running_stats_tbl")
+      .select("series_key", "n", "mean").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == Set(("a", 2L, 2.0), ("b", 1L, 10.0)))
+  }
+}

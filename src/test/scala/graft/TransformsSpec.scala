@@ -1,0 +1,109 @@
+package graft
+
+import graft.core.Observations._
+import graft.model.Parameters
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hand-computed operator semantics (the SURVEY.md §7.4 watch-list items:
+  * full-grid resample, interpolation edge rules). */
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def obs(rows: (String, String, java.lang.Double)*): DataFrame =
+    rows.toSeq.toDF(KeyCol, "ts_s", ValueCol)
+      .select(col(KeyCol), to_timestamp(col("ts_s")).as(TsCol), col(ValueCol))
+
+  private def collectSeries(df: DataFrame): Seq[(String, java.lang.Double)] =
+    df.orderBy(KeyCol, TsCol)
+      .select(date_format(col(TsCol), "HH:mm").as("t"), col(ValueCol))
+      .as[(String, java.lang.Double)].collect().toSeq
+
+  test("resample: mean per bucket, full grid emits null buckets (pandas parity)") {
+    val in = obs(
+      ("a", "2024-01-01 00:01:00", 1.0),
+      ("a", "2024-01-01 00:04:00", 3.0),
+      // 00:05 bucket empty
+      ("a", "2024-01-01 00:11:00", 10.0))
+    val out = collectSeries(Resample.transformFixed(in, 300, grid = true))
+    assert(out == Seq(("00:00", 2.0: java.lang.Double), ("00:05", null),
+      ("00:10", 10.0: java.lang.Double)))
+  }
+
+  test("resample non-grid emits only non-empty buckets") {
+    val in = obs(
+      ("a", "2024-01-01 00:01:00", 1.0),
+      ("a", "2024-01-01 00:11:00", 10.0))
+    val out = collectSeries(Resample.transformFixed(in, 300, grid = false))
+    assert(out == Seq(("00:00", 1.0: java.lang.Double), ("00:10", 10.0: java.lang.Double)))
+  }
+
+  test("interpolation: interior linear, leading null stays, trailing forward-fills") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", null), // leading gap -> stays null
+      ("a", "2024-01-01 00:05:00", 1.0),
+      ("a", "2024-01-01 00:10:00", null), // interior -> 2.0
+      ("a", "2024-01-01 00:15:00", 3.0),
+      ("a", "2024-01-01 00:20:00", null)) // trailing -> 3.0 (ffill)
+    val out = collectSeries(Interpolate.transform(in, Parameters.empty))
+    assert(out == Seq(
+      ("00:00", null),
+      ("00:05", 1.0: java.lang.Double),
+      ("00:10", 2.0: java.lang.Double),
+      ("00:15", 3.0: java.lang.Double),
+      ("00:20", 3.0: java.lang.Double)))
+  }
+
+  test("interpolation weights by time distance on irregular grids") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 0.0),
+      ("a", "2024-01-01 00:01:00", null), // 1/4 of the way -> 4.0
+      ("a", "2024-01-01 00:04:00", 16.0))
+    val out = collectSeries(Interpolate.transform(in, Parameters.empty))
+    assert(out(1)._2 == 4.0)
+  }
+
+  test("replace_ranges nulls inclusive ranges, keeps the rest") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:05:00", 2.0),
+      ("a", "2024-01-01 00:10:00", 3.0))
+    val out = collectSeries(ReplaceRanges.transform(in, Parameters.of(
+      "ranges" -> "2024-01-01 00:05:00/2024-01-01 00:10:00")))
+    assert(out == Seq(("00:00", 1.0: java.lang.Double), ("00:05", null), ("00:10", null)))
+    val out2 = collectSeries(ReplaceRanges.transform(in, Parameters.of(
+      "ranges" -> "2024-01-01 00:05:00/2024-01-01 00:05:00",
+      "replace_with" -> "99.5")))
+    assert(out2 == Seq(("00:00", 1.0: java.lang.Double),
+      ("00:05", 99.5: java.lang.Double), ("00:10", 3.0: java.lang.Double)))
+  }
+
+  test("predict_previous_point shifts timestamps one frequency forward") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:05:00", 2.0))
+    val out = collectSeries(PredictPrevious.transform(in,
+      Parameters.of("frequency" -> "5min")))
+    assert(out == Seq(("00:05", 1.0: java.lang.Double), ("00:10", 2.0: java.lang.Double)))
+    assert(PredictPrevious.stepDistance == 1)
+  }
+
+  test("multiple series transform independently in one pass") {
+    val in = obs(
+      ("a", "2024-01-01 00:01:00", 2.0),
+      ("b", "2024-01-01 00:02:00", 8.0))
+    val out = Resample.transformFixed(in, 300, grid = true)
+      .orderBy(KeyCol).select(KeyCol, ValueCol).as[(String, Double)].collect().toSeq
+    assert(out == Seq(("a", 2.0), ("b", 8.0)))
+  }
+
+  test("frequency parsing") {
+    assert(Freq.seconds("5min") == 300)
+    assert(Freq.seconds("6 min") == 360)
+    assert(Freq.seconds("1h") == 3600)
+    assert(Freq.seconds("D") == 86400)
+    assert(Freq.seconds("30s") == 30)
+    intercept[IllegalArgumentException](Freq.seconds("1 month"))
+  }
+}
