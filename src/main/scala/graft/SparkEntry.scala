@@ -160,7 +160,8 @@ object SparkEntry {
     // dependency edges of the final series (pinned contract).
     "lineage_edges" -> ((s, dir) => {
       import s.implicits._
-      val raw = obsEvents(s, dir).where(col(KeyCol) === "1")
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 1),
+        "user_id", "ts", "value")
         .select(col(TsCol), col(ValueCol))
       val sig = MeteauSignal.ingest(raw, "A", "mg/l",
           DataProvenance(parameter = Some("COD")))
@@ -173,6 +174,23 @@ object SparkEntry {
         .toDF().select(col("step"), col("stepType").as("step_type"),
           col("origin"), col("destination"))
         .orderBy("destination")
+    }),
+
+    // E11 plot-data operator: the canonical pipeline's series with
+    // display mode per trace (prediction rendered lines+markers)
+    "plot_frame" -> ((s, dir) => {
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 1),
+        "user_id", "ts", "value")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "A", "mg/l")
+        .process(Seq("A#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "false"))
+        .process(Seq("A#1_RESAMPLED#1"), PredictPrevious,
+          Parameters.of("frequency" -> "1h"))
+      sig.plotFrame(Seq("A#1_RAW#1", "A#1_RESAMPLED#1", "A#1_PREV-PRED#1"), 3600L)
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("ts_str"),
+          round(col(ValueCol), 6).as("value"), col("mode"))
+        .orderBy("series_key", "ts_str", "value")
     }),
 
     // ------------------------------------------------- relational coverage
@@ -220,6 +238,14 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
         .limit(20)
+    }),
+
+    // distinct aggregation (expand-based distinct-agg plan)
+    "rel_distinct_users" -> ((s, dir) => {
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }),
 
     // time-window rollup on a date column (monthly order stats)
@@ -318,7 +344,8 @@ object SparkEntry {
     // catalog) → load → query the reloaded data; matching the oracle's
     // direct computation proves data fidelity through the sink
     "io_roundtrip" -> ((s, dir) => {
-      val raw = obsEvents(s, dir).where(col(KeyCol) === "7")
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 7),
+        "user_id", "ts", "value")
         .select(col(TsCol), col(ValueCol))
       val sig = MeteauSignal.ingest(raw, "E", "mg/l")
         .process(Seq("E#1_RAW#1"), Resample,
@@ -460,6 +487,31 @@ object SparkEntry {
         |  ('replace_ranges', 'filtering', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
         |  ('resample', 'resampling', 'A#1_RAW#1', 'A#1_RESAMPLED#1')
         |) t(step, step_type, origin, destination) ORDER BY destination""".stripMargin,
+
+    "plot_frame" ->
+      s"""WITH raw AS (
+         |  SELECT 'A#1_RAW#1' AS series_key,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    round(value, 6) AS value, 'lines' AS mode
+         |  FROM events WHERE user_id = 1),
+         |res AS (
+         |  SELECT 'A#1_RESAMPLED#1' AS series_key,
+         |    strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    round($DetMeanSql, 6) AS value, 'lines' AS mode
+         |  FROM events WHERE user_id = 1
+         |  GROUP BY time_bucket(INTERVAL '3600 seconds', ts)),
+         |pred AS (
+         |  SELECT 'A#1_PREV-PRED#1' AS series_key,
+         |    strftime(time_bucket(INTERVAL '3600 seconds', ts) + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    round($DetMeanSql, 6) AS value, 'lines+markers' AS mode
+         |  FROM events WHERE user_id = 1
+         |  GROUP BY time_bucket(INTERVAL '3600 seconds', ts))
+         |SELECT * FROM (SELECT * FROM raw UNION ALL SELECT * FROM res UNION ALL SELECT * FROM pred)
+         |ORDER BY series_key, ts_str, value""".stripMargin,
+
+    "rel_distinct_users" ->
+      """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -77,6 +77,40 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
     MeteauSignal(newData, meta.copy(name = newPart, series = renamed))
   }
 
+  /** Plot-data operator (the engine side of the reference's plotting,
+    * types.py:379-464 — visualization itself is out of scope, SURVEY.md
+    * §2.2 E11): one tall frame of the requested series with the
+    * display-time x-shift and trace mode attached.
+    *
+    * x-shift: the reference displays prediction series at
+    * `index + freq·Σ step_distance` (types.py:435-448). Our
+    * PredictPrevious materializes its own shift in the data
+    * (SURVEY.md §7.4 item 7), so the shift applied here counts only the
+    * NON-materialized step distances — for engine-produced series that sum
+    * is zero and the frame is faithful; series imported with
+    * reference-style metadata-only shifts get shifted here.
+    * mode: by the last step's ProcessingType (prediction → lines+markers,
+    * fault detection → markers, raw/other → lines; types.py:419-434). */
+  def plotFrame(keys: Seq[String], freqSeconds: Long,
+      materializedShift: Boolean = true): DataFrame = {
+    keys.map { k =>
+      val sm = meta.seriesMeta(k).getOrElse(
+        throw new NoSuchElementException(s"no series '$k'"))
+      val dist = if (materializedShift) 0
+        else sm.steps.map(_.stepDistance).sum
+      val mode = sm.steps.lastOption.map(_.stepType) match {
+        case Some(ProcessingType.Prediction) => "lines+markers"
+        case Some(ProcessingType.FaultDetection) => "markers"
+        case _ => "lines"
+      }
+      series(k).select(
+        col(KeyCol),
+        (col(TsCol) + expr(s"interval ${dist * freqSeconds} seconds")).as(TsCol),
+        col(ValueCol),
+        lit(mode).as("mode"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Retrospective dependency-graph walk: last step of a series → its
     * `inputSeriesNames` → recurse. Ref: types.py:928-949
     * (`build_dependency_graph`). Driver-side (metadata is O(#series)). */

@@ -124,17 +124,23 @@ object Interpolate extends SeriesTransform {
     val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
     val v = col(ValueCol)
     val tsS = col(TsCol).cast("double") // epoch seconds
-    val prevV = last(v, ignoreNulls = true).over(wPrev)
-    val prevT = last(when(v.isNotNull, tsS), ignoreNulls = true).over(wPrev)
-    val nextV = first(v, ignoreNulls = true).over(wNext)
-    val nextT = first(when(v.isNotNull, tsS), ignoreNulls = true).over(wNext)
+    // stage the four neighbour values as columns: each window expression
+    // appears exactly once in the physical Window operator (inlining the
+    // Column three times would make Spark evaluate 12 running
+    // accumulators instead of 4 — observed in the executed plan)
+    val staged = series
+      .withColumn("_pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("_pt", last(when(v.isNotNull, tsS), ignoreNulls = true).over(wPrev))
+      .withColumn("_nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("_nt", first(when(v.isNotNull, tsS), ignoreNulls = true).over(wNext))
+    val (pv, pt, nv, nt) = (col("_pv"), col("_pt"), col("_nv"), col("_nt"))
     val interp =
       when(v.isNotNull, v)
-        .when(prevV.isNotNull && nextV.isNotNull && (nextT =!= prevT),
-          prevV + (nextV - prevV) * (tsS - prevT) / (nextT - prevT))
-        .when(prevV.isNotNull, prevV) // trailing gap: forward-fill
+        .when(pv.isNotNull && nv.isNotNull && (nt =!= pt),
+          pv + (nv - pv) * (tsS - pt) / (nt - pt))
+        .when(pv.isNotNull, pv) // trailing gap: forward-fill
         .otherwise(lit(null).cast("double")) // leading gap: stays null
-    series.select(col(KeyCol), col(TsCol), interp.as(ValueCol))
+    staged.select(col(KeyCol), col(TsCol), interp.as(ValueCol))
   }
 }
 

@@ -106,6 +106,36 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L, 3L))
   }
 
+  test("two-frame as-of join picks the latest right row at or before each left ts") {
+    import graft.ext.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      ("u1", ts("2024-01-01 00:10:00"), 1L),
+      ("u1", ts("2024-01-01 00:30:00"), 2L),
+      ("u2", ts("2024-01-01 00:05:00"), 3L)).toDF("k", "ts", "id")
+    val right = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "r0"),
+      ("u1", ts("2024-01-01 00:20:00"), "r1"),
+      ("u2", ts("2024-01-01 00:07:00"), "r2")).toDF("k", "ts", "tag")
+    val out = EventOps.asOfJoin(left, right, "k", "ts", Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "r0", 2L -> "r1", 3L -> null))
+  }
+
+  test("wide-frame ingest unpivots one column per series (reference ctor path)") {
+    import graft.core.Observations
+    val wide = Seq(
+      (java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1.0, 10.0),
+      (java.sql.Timestamp.valueOf("2020-01-01 00:06:00"), 2.0, 20.0))
+      .toDF("ts", "A", "B")
+    val tall = Observations.fromWide(wide, "ts", Seq("A", "B"))
+    assert(tall.columns.toSeq ==
+      Seq(Observations.KeyCol, Observations.TsCol, Observations.ValueCol))
+    val got = tall.orderBy("series_key", "ts")
+      .select("series_key", "value").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("A", 1.0), ("A", 2.0), ("B", 10.0), ("B", 20.0)))
+  }
+
   test("multimodal plumbing: ingest -> decode stub -> features, row counts preserved") {
     implicit val s = spark
     import s.implicits._
