@@ -106,6 +106,16 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq == Seq(3L, 3L))
   }
 
+  test("native expressions are registered as SQL functions via SparkSessionExtensions") {
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
+    assert(dot == 11.0)
+    val n = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L))")
+      .head().getLong(0)
+    assert(n == 2L)
+  }
+
   test("two-frame as-of join picks the latest right row at or before each left ts") {
     import graft.ext.EventOps
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

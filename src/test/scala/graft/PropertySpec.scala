@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.Observations._
+import graft.ext.Dedup
+import graft.model.Parameters
+import graft.ops.{Interpolate, Resample}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY.md §5 item 3): algebraic invariants that
+  * must hold for any input, not just fixtures. Generators are sampled with
+  * fixed seeds (each case runs real Spark jobs, so cases are few and
+  * reproducible). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], cases: Int = 8)(body: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)) match {
+        case Some(a) => body(a)
+        case None => fail(s"generator failed for seed $i")
+      }
+    }
+
+  private val seriesGen: Gen[List[(Int, Option[Double])]] = for {
+    n <- Gen.choose(1, 40)
+    vals <- Gen.listOfN(n, Gen.option(Gen.choose(-100.0, 100.0)))
+  } yield vals.zipWithIndex.map { case (v, i) => (i, v) }
+
+  private def toDf(rows: List[(Int, Option[Double])]): DataFrame =
+    rows.map { case (i, v) =>
+      ("s", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L)),
+        v.map(Double.box).orNull)
+    }.toDF(KeyCol, TsCol, ValueCol)
+      .select(col(KeyCol), col(TsCol), col(ValueCol).cast("double").as(ValueCol))
+
+  test("interpolation is idempotent: interp(interp(x)) == interp(x)") {
+    forAll(seriesGen) { rows =>
+      val once = Interpolate.transform(toDf(rows), Parameters.empty)
+      val twice = Interpolate.transform(once, Parameters.empty)
+      val a = once.orderBy(TsCol).select(ValueCol).collect().toSeq
+      val b = twice.orderBy(TsCol).select(ValueCol).collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("interpolation leaves gap-free series unchanged") {
+    forAll(seriesGen.map(_.map { case (i, v) => (i, Some(v.getOrElse(1.5))) })) { rows =>
+      val in = toDf(rows)
+      val out = Interpolate.transform(in, Parameters.empty)
+      assert(out.exceptAll(in).count() == 0 && in.exceptAll(out).count() == 0)
+    }
+  }
+
+  test("resample is partition-count invariant") {
+    forAll(seriesGen) { rows =>
+      val in = toDf(rows)
+      val r1 = Resample.transformFixed(in.repartition(1), 300, grid = true)
+        .orderBy(TsCol).collect().toSeq
+      val r7 = Resample.transformFixed(in.repartition(7), 300, grid = true)
+        .orderBy(TsCol).collect().toSeq
+      assert(r1 == r7)
+    }
+  }
+
+  test("resample preserves the per-series value sum for exact inputs (grid or not)") {
+    // mean*count per bucket sums to the series total when inputs have <= 2
+    // decimals (detMean's decimal sum is exact there)
+    forAll(seriesGen.map(_.map { case (i, v) =>
+      (i, v.map(x => math.rint(x * 100) / 100)) })) { rows =>
+      val in = toDf(rows)
+      val bucketed = in.groupBy(col(KeyCol),
+          window(col(TsCol), "300 seconds").getField("start").as(TsCol))
+        .agg(Resample.detMean(col(ValueCol)).as(ValueCol),
+          count(col(ValueCol)).as("n"))
+      val lhs = bucketed.agg(sum(col(ValueCol) * col("n"))).as[Double].head()
+      val rhs = in.agg(sum(ValueCol)).as[Double].head()
+      assert(math.abs(lhs - rhs) < 1e-6)
+    }
+  }
+
+  test("exact dedup is idempotent and keeps one row per key") {
+    val docs = spark.read.parquet(sf("documents"))
+    val withDups = docs.unionByName(docs.limit(100)) // plant exact dups
+    val once = Dedup.exact(withDups.select(col("doc_id"), col("text")),
+      Seq("text"), "doc_id")
+    assert(once.count() == docs.select("text").distinct().count())
+    // keepers are stable under re-dedup of the kept rows (fresh read to
+    // avoid self-join attribute ambiguity)
+    val fresh = spark.read.parquet(sf("documents"))
+      .select(col("doc_id").as("id2"), col("text").as("text2"))
+    val keyed = once.join(fresh, once("doc_id") === fresh("id2"))
+      .select(col("id2").as("doc_id"), col("text2").as("text"))
+    val twice = Dedup.exact(keyed, Seq("text"), "doc_id")
+    assert(twice.select("doc_id").exceptAll(once.select("doc_id")).count() == 0)
+  }
+}
