@@ -69,7 +69,7 @@ object SparkEntry {
     val resampled = Resample.transformFixed(obs, 3600, grid = true)
     Interpolate.transform(resampled, Parameters.empty)
       .select(col(KeyCol), fmtTs(col(TsCol)).as("bucket_ts"),
-        round(col(ValueCol), 6).as(ValueCol))
+        r6(col(ValueCol)).as(ValueCol))
       .orderBy(KeyCol, "bucket_ts")
   }
 
@@ -84,7 +84,7 @@ object SparkEntry {
     "ts_resample" -> ((s, dir) => {
       Resample.transformFixed(obsEvents(s, dir), 900, grid = false)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
     }),
 
@@ -92,7 +92,7 @@ object SparkEntry {
     "ts_resample_grid" -> ((s, dir) => {
       Resample.transformFixed(obsEvents(s, dir), 3600, grid = true)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
     }),
 
@@ -121,7 +121,7 @@ object SparkEntry {
       val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
       PredictPrevious.transform(resampled, Parameters.of("frequency" -> "1h"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
     }),
 
@@ -131,7 +131,7 @@ object SparkEntry {
         obsByType(s, dir).where(col(KeyCol).isin("click", "view")),
         900, grid = false)
       AverageSignals.transform(byType, Parameters.empty)
-        .select(fmtTs(col(TsCol)).as("bucket_ts"), round(col(ValueCol), 6).as("value"))
+        .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
         .orderBy("bucket_ts")
     }),
 
@@ -139,19 +139,19 @@ object SparkEntry {
     "ts_sum" -> ((s, dir) => {
       val byType = Resample.transformFixed(
         obsByType(s, dir).where(col(KeyCol).isin("click", "view")), 900, grid = false)
-        .select(col(KeyCol), col(TsCol), round(col(ValueCol), 6).as(ValueCol))
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
       SumSignals.transform(byType, Parameters.empty)
-        .select(fmtTs(col(TsCol)).as("bucket_ts"), round(col(ValueCol), 6).as("value"))
+        .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
         .orderBy("bucket_ts")
     }),
 
     // T7 scalar map (documented my_func pattern): value*2 on a resample
     "ts_scale" -> ((s, dir) => {
       val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
-        .select(col(KeyCol), col(TsCol), round(col(ValueCol), 6).as(ValueCol))
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
       ScaleValues.transform(resampled, Parameters.of("factor" -> "2.0"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
     }),
 
@@ -189,7 +189,7 @@ object SparkEntry {
           Parameters.of("frequency" -> "1h"))
       sig.plotFrame(Seq("A#1_RAW#1", "A#1_RESAMPLED#1", "A#1_PREV-PRED#1"), 3600L)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("ts_str"),
-          round(col(ValueCol), 6).as("value"), col("mode"))
+          r6(col(ValueCol)).as("value"), col("mode"))
         .orderBy("series_key", "ts_str", "value")
     }),
 
@@ -246,6 +246,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    }),
+
+    // salted two-stage aggregation (skew-resistant; exact decimal partials
+    // make the result independent of the salt distribution)
+    "skew_salted_mean" -> ((s, dir) => {
+      graft.ext.Skew.saltedMeanByKey(events(s, dir), "user_id", "value")
+        .select(col("user_id"), round(col("sum"), 2).as("sum"), col("n"),
+          r6(col("mean")).as("mean")) // sum/2^k counts can land on x.xxxxxx5
+        .orderBy("user_id")
     }),
 
     // time-window rollup on a date column (monthly order stats)
@@ -356,7 +365,7 @@ object SparkEntry {
       val loaded = graft.io.SignalIO.load(s, path)
       loaded.signal("E#1").series("E#1_RESAMPLED#1")
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("bucket_ts")
     }),
 
@@ -372,7 +381,7 @@ object SparkEntry {
           "user_id", "ts", "value"),
         900, name)
       res.select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
-          round(col(ValueCol), 6).as("value"))
+          r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
     }),
 
@@ -403,13 +412,13 @@ object SparkEntry {
     "ts_resample" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
          |  strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round($DetMeanSql, 6) AS value
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_resample_grid" ->
       s"""WITH b AS (
          |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
-         |         round($DetMeanSql, 6) AS v
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
          |  FROM events GROUP BY 1, 2),
          |spans AS (SELECT user_id, min(bt) mn, max(bt) mx FROM b GROUP BY 1),
          |grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '3600 seconds')) AS bt FROM spans)
@@ -452,7 +461,7 @@ object SparkEntry {
     "ts_predict_prev" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
          |  strftime(time_bucket(INTERVAL '3600 seconds', ts) + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round($DetMeanSql, 6) AS value
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events GROUP BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
          |ORDER BY 1, 2""".stripMargin,
 
@@ -462,13 +471,13 @@ object SparkEntry {
          |         $DetMeanSql AS v
          |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
          |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round(CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v), 6) AS value
+         |  floor((CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v)) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM b GROUP BY bt ORDER BY 1""".stripMargin,
 
     "ts_sum" ->
       s"""WITH b AS (
          |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
-         |         round($DetMeanSql, 6) AS v
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
          |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
          |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
          |  round(CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE), 6) AS value
@@ -477,7 +486,7 @@ object SparkEntry {
     "ts_scale" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
          |  strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round(round($DetMeanSql, 6) * 2.0, 6) AS value
+         |  floor(((floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0) * 2.0) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events GROUP BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
          |ORDER BY 1, 2""".stripMargin,
 
@@ -492,18 +501,18 @@ object SparkEntry {
       s"""WITH raw AS (
          |  SELECT 'A#1_RAW#1' AS series_key,
          |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-         |    round(value, 6) AS value, 'lines' AS mode
+         |    floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
          |  FROM events WHERE user_id = 1),
          |res AS (
          |  SELECT 'A#1_RESAMPLED#1' AS series_key,
          |    strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
-         |    round($DetMeanSql, 6) AS value, 'lines' AS mode
+         |    floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
          |  FROM events WHERE user_id = 1
          |  GROUP BY time_bucket(INTERVAL '3600 seconds', ts)),
          |pred AS (
          |  SELECT 'A#1_PREV-PRED#1' AS series_key,
          |    strftime(time_bucket(INTERVAL '3600 seconds', ts) + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS ts_str,
-         |    round($DetMeanSql, 6) AS value, 'lines+markers' AS mode
+         |    floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines+markers' AS mode
          |  FROM events WHERE user_id = 1
          |  GROUP BY time_bucket(INTERVAL '3600 seconds', ts))
          |SELECT * FROM (SELECT * FROM raw UNION ALL SELECT * FROM res UNION ALL SELECT * FROM pred)
@@ -512,6 +521,13 @@ object SparkEntry {
     "rel_distinct_users" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "skew_salted_mean" ->
+      s"""SELECT user_id,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE), 2) AS sum,
+         |  COUNT(value) AS n,
+         |  floor((CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -548,7 +564,7 @@ object SparkEntry {
     "io_roundtrip" ->
       s"""SELECT 'E#1_RESAMPLED#1' AS series_key,
          |  strftime(time_bucket(INTERVAL '3600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round($DetMeanSql, 6) AS value
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events WHERE user_id = 7
          |GROUP BY time_bucket(INTERVAL '3600 seconds', ts)
          |ORDER BY 2""".stripMargin,
@@ -556,7 +572,7 @@ object SparkEntry {
     "stream_resample" ->
       s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
          |  strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
-         |  round($DetMeanSql, 6) AS value
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_dedup_exact" ->

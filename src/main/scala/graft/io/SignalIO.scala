@@ -52,6 +52,81 @@ object SignalIO {
     MeteauDataset(data, meta, signals)
   }
 
+  // ------------------------------------------------------------ zip export
+
+  /** Reference-parity zip export: one CSV per time series under
+    * `<dataset>/<signal>/` plus the metadata document, zipped — the layout
+    * of the reference's `Dataset.save` (types.py:1293-1313, one CSV per
+    * series types.py:766-774, zip helpers types.py:42-61).
+    *
+    * This is a SMALL-EXPORT path (collects to the driver, like the
+    * reference's single-machine format); the distributed sink is [[save]].
+    * Guarded by `maxRows`. */
+  def saveZip(ds: MeteauDataset, file: String, maxRows: Long = 1000000L): Unit = {
+    val n = ds.data.count()
+    require(n <= maxRows,
+      s"zip export is a small-export path: $n rows > $maxRows; use save()")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(file))
+    try {
+      out.putNextEntry(new java.util.zip.ZipEntry(s"${ds.meta.name}/metadata.json"))
+      out.write(toJson(ds.meta).getBytes("UTF-8"))
+      out.closeEntry()
+      ds.signals.foreach { sig =>
+        sig.meta.seriesKeys.foreach { key =>
+          val rows = sig.series(key)
+            .orderBy(col(TsCol))
+            .select(date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+              col(ValueCol).cast("string"))
+            .collect()
+          val sb = new StringBuilder("ts,value\n")
+          rows.foreach { r =>
+            sb.append(r.getString(0)).append(',')
+              .append(Option(r.getString(1)).getOrElse("")).append('\n')
+          }
+          out.putNextEntry(new java.util.zip.ZipEntry(
+            s"${ds.meta.name}/${sig.meta.name}/$key.csv"))
+          out.write(sb.toString.getBytes("UTF-8"))
+          out.closeEntry()
+        }
+      }
+    } finally out.close()
+  }
+
+  /** Load a [[saveZip]] archive back into a dataset (driver-side parse,
+    * parallelized frame). Values/timestamps are re-imposed from the
+    * catalog, mirroring the reference's CSV-degrade-then-reconstruct. */
+  def loadZip(spark: SparkSession, file: String): MeteauDataset = {
+    val zf = new java.util.zip.ZipFile(file)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zf.entries().asScala.toList
+      val metaEntry = entries.find(_.getName.endsWith("/metadata.json"))
+        .getOrElse(throw new IllegalArgumentException("no metadata.json in zip"))
+      val meta = fromJson(new String(
+        zf.getInputStream(metaEntry).readAllBytes(), "UTF-8"))
+      val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
+        val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
+          .stripSuffix(".csv")
+        scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
+          .getLines().drop(1).map { line =>
+            val i = line.indexOf(',')
+            (key, line.substring(0, i), line.substring(i + 1))
+          }.toList
+      }
+      import spark.implicits._
+      val data = rows.toDF(KeyCol, TsCol, ValueCol)
+        .select(col(KeyCol),
+          to_timestamp(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(TsCol),
+          when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
+            .cast("double").as(ValueCol))
+      val signals = meta.signals.map { sm =>
+        MeteauSignal(data.filter(col(KeyCol).isin(sm.seriesKeys: _*)), sm)
+      }
+      MeteauDataset(data, meta, signals)
+    } finally zf.close()
+  }
+
   // ---------------------------------------------------------------- JSON
 
   /** Hand-rolled catalog⇔JSON mapping via Jackson's untyped tree (ships

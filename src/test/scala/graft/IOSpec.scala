@@ -93,6 +93,29 @@ class IOSpec extends SparkSpec {
     assert(back.data.schema(Observations.TsCol).dataType.typeName == "timestamp")
   }
 
+  test("zip export round trip (reference save layout: dataset/signal/series.csv + metadata)") {
+    val ds = fixture()
+    val file = "/tmp/graft_test_rt.zip"
+    SignalIO.saveZip(ds, file)
+    // layout check: reference-style nested paths
+    val zf = new java.util.zip.ZipFile(file)
+    val names = {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala.map(_.getName).toSet
+    }
+    zf.close()
+    assert(names.contains("fixture/metadata.json"))
+    assert(names.contains("fixture/A#1/A#1_RAW#1.csv"))
+    assert(names.contains("fixture/A#1/A#1_LIN-INT#1.csv"))
+    assert(names.contains("fixture/B#1/B#1_RAW#1.csv"))
+    val back = SignalIO.loadZip(spark, file)
+    assert(back.meta == ds.meta)
+    val origSum = ds.data.agg(sum(Observations.ValueCol)).as[Double].head()
+    val gotSum = back.data.agg(sum(Observations.ValueCol)).as[Double].head()
+    assert(math.abs(origSum - gotSum) < 1e-6)
+    assert(back.data.count() == ds.data.count())
+  }
+
   test("loaded dataset keeps processing: resume the pipeline after load") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_resume"
