@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.Observations._
+import graft.model.Parameters
+import graft.ops.{Interpolate, Resample}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesize a large tall observations frame with
+  * `spark.range` (no driver-side data) and time the core operators at two
+  * sizes to confirm near-linear scaling — the local stand-in for the
+  * 100 TB question "does the plan shape survive a scale-up". Not part of
+  * the driver bench; run manually:
+  *   sbt "runMain graft.ScaleSmoke [rowsMillions] [series]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val millions = args.headOption.map(_.toInt).getOrElse(20)
+    val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: Long) = spark.range(n)
+      .select(
+        (col("id") % nSeries).cast("string").as(KeyCol),
+        timestamp_seconds(lit(1704067200L) + (col("id") / nSeries) * 60L +
+          pmod(xxhash64(col("id")), lit(53L))).as(TsCol),
+        // ~10% nulls to give interpolation real gaps
+        when(pmod(xxhash64(col("id"), lit(7)), lit(10L)) === 0L, lit(null))
+          .otherwise((pmod(xxhash64(col("id"), lit(13)), lit(20000L)) / 100.0))
+          .cast("double").as(ValueCol))
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
+    }
+
+    Seq(millions / 4, millions).foreach { m =>
+      val n = m * 1000000L
+      val obs = synth(n)
+      println(s"--- ${m}M rows, $nSeries series ---")
+      time("resample-5min")(
+        Resample.transformFixed(obs, 300, grid = false).count())
+      time("resample+interpolate")(
+        Interpolate.transform(
+          Resample.transformFixed(obs, 300, grid = true), Parameters.empty).count())
+      time("salted-mean")(
+        graft.ext.Skew.saltedMeanByKey(
+          obs.select(col(KeyCol).as("k"), col(ValueCol).as("v")), "k", "v").count())
+    }
+    spark.stop()
+  }
+}

@@ -42,8 +42,11 @@ object Similarity {
   def cosineTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, roundScale: Int = 6): DataFrame = {
     // norms once per vector (not per pair); dot/(nq*nc) is the identical
-    // IEEE op sequence to cosine(q, c), just with the norms hoisted
-    val c = asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol)))
+    // IEEE op sequence to cosine(q, c), just with the norms hoisted.
+    // cache() forces a materialization boundary — otherwise CollapseProject
+    // folds the norm into the post-join projection and recomputes it per
+    // pair (observed 3× dot work in the executed plan)
+    val c = asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol))).cache()
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))
@@ -61,7 +64,9 @@ object Similarity {
   /** Brute-force global top-N most similar pairs (a < b). */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int,
       roundScale: Int = 6): DataFrame = {
-    val d = asDouble(df, vecCol).withColumn("_n", norm(col(vecCol)))
+    // cache: materialization boundary so per-vector norms aren't collapsed
+    // into the per-pair projection (see cosineTopK)
+    val d = asDouble(df, vecCol).withColumn("_n", norm(col(vecCol))).cache()
     val a = d.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("_n").as("_na"))
     val b = d.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("_n").as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
