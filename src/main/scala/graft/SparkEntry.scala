@@ -155,6 +155,54 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // SMOOTHING: centered moving average over the hourly resample
+    "ts_smooth" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+      Smooth.transform(resampled, Parameters.of("window" -> "2"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // FAULT_DETECTION: threshold flags on raw observations
+    "ts_fault_flags" -> ((s, dir) => {
+      DetectOutOfRange.transform(obsEvents(s, dir),
+          Parameters.of("lo" -> "10.0", "hi" -> "150.0"))
+        .groupBy(col(KeyCol).as("series_key"))
+        .agg(count(lit(1)).as("n"), sum(col(ValueCol)).cast("long").as("n_faults"))
+        .orderBy("series_key")
+    }),
+
+    // REMOVE_DUPLICATES: one observation per (series, second)
+    "ts_dedup_ts" -> ((s, dir) => {
+      val secs = obsEvents(s, dir)
+        .select(col(KeyCol), EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol))
+        .select(col(KeyCol), timestamp_seconds(col("ts_s")).as(TsCol), col(ValueCol))
+      DedupTimestamps.transform(secs, Parameters.empty)
+        .select(col(KeyCol).as("series_key"),
+          EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("value"))
+        .orderBy("series_key", "ts_s")
+    }),
+
+    // E2 dataset executor end-to-end: two event-type signals ingested,
+    // resampled through Signal.process, then averaged through
+    // Dataset.process — must equal the pure-SQL alignment+mean
+    "dataset_average" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def sigOf(t: String, name: String) = MeteauSignal.ingest(
+        Observations.from(ev.where(col("event_type") === t),
+          "event_type", "ts", "value").select(col(TsCol), col(ValueCol)),
+        name, "mg/l")
+        .process(Seq(s"$name#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "15min", "grid" -> "false"))
+      val ds = graft.core.MeteauDataset.of("da",
+          Seq(sigOf("click", "C"), sigOf("view", "V")))
+        .process(Seq("C#1_RESAMPLED#1", "V#1_RESAMPLED#1"), AverageSignals)
+      ds.signal("AVERAGE#1").series("AVERAGE#1_RAW#1")
+        .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
+        .orderBy("bucket_ts")
+    }),
+
     // E1/E3/E5 engine executor + versioned naming + dependency graph:
     // run the canonical pipeline through Signal.process and emit the
     // dependency edges of the final series (pinned contract).
@@ -489,6 +537,37 @@ object SparkEntry {
          |  floor(((floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0) * 2.0) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM events GROUP BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
          |ORDER BY 1, 2""".stripMargin,
+
+    "ts_smooth" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor((CAST(SUM(CAST(v AS DECIMAL(27,8))) OVER w AS DOUBLE) / COUNT(v) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM b
+         |WINDOW w AS (PARTITION BY user_id ORDER BY bt ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ts_fault_flags" ->
+      """SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < 10.0 OR value > 150.0 THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_faults
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_dedup_ts" ->
+      """SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, MIN(value) AS value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dataset_average" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+         |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor((CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v)) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM b GROUP BY bt ORDER BY 1""".stripMargin,
 
     "lineage_edges" ->
       """SELECT * FROM (VALUES

@@ -202,6 +202,63 @@ object PredictPrevious extends SeriesTransform {
   }
 }
 
+/** Centered moving-average smoothing over ±k neighbouring points — fills
+  * the reference's declared-but-unshipped SMOOTHING category
+  * (types.py:185). Deterministic-mean discipline over a row window (exact
+  * decimal sum, one division), so results are engine-portable like every
+  * other aggregate. Apply after resampling for a regular grid. */
+object Smooth extends SeriesTransform {
+  val opName = "moving_average"
+  val suffix = "SMOOTH"
+  val ptype = ProcessingType.Smoothing
+  val description = "Centered moving-average smoothing over +/-k points"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val k = params.get("window").map(_.toInt).getOrElse(2)
+    val w = Window.partitionBy(KeyCol).orderBy(TsCol).rowsBetween(-k, k)
+    val v = col(ValueCol)
+    val smoothed =
+      sum(v.cast(DecimalType(27, 8))).over(w).cast("double") /
+        count(v).over(w)
+    series.select(col(KeyCol), col(TsCol), smoothed.as(ValueCol))
+  }
+}
+
+/** Threshold fault detection: flag series 1.0 when the value leaves
+  * [lo, hi], else 0.0 (null stays null) — fills the FAULT_DETECTION
+  * category (types.py:192). Pure projection. */
+object DetectOutOfRange extends SeriesTransform {
+  val opName = "detect_out_of_range"
+  val suffix = "FAULT-FLAG"
+  val ptype = ProcessingType.FaultDetection
+  val description = "Flag values outside [lo, hi] as faults (1.0/0.0)"
+  override val requiresCalibration = true
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val lo = params.get("lo").map(_.toDouble).getOrElse(Double.NegativeInfinity)
+    val hi = params.get("hi").map(_.toDouble).getOrElse(Double.PositiveInfinity)
+    val v = col(ValueCol)
+    series.select(col(KeyCol), col(TsCol),
+      when(v.isNull, lit(null).cast("double"))
+        .when(v < lo || v > hi, 1.0).otherwise(0.0).as(ValueCol))
+  }
+}
+
+/** Duplicate-timestamp removal: one observation per (series, ts), keeping
+  * the minimum value (a deterministic keeper — documented divergence from
+  * pandas' positional "first") — fills the REMOVE_DUPLICATES category
+  * (types.py:184). One hash aggregate. */
+object DedupTimestamps extends SeriesTransform {
+  val opName = "remove_duplicate_timestamps"
+  val suffix = "DEDUP-TS"
+  val ptype = ProcessingType.RemoveDuplicates
+  val description = "Keep one observation per timestamp (min value)"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame =
+    series.groupBy(col(KeyCol), col(TsCol))
+      .agg(min(col(ValueCol)).as(ValueCol))
+}
+
 /** Scalar map `value * k` — the reference's documented custom-transform
   * pattern (snippets/all_together_signal.py:11-44, README.md:239-274:
   * `my_func` doubling values, suffix DBL). Shows the extension surface:

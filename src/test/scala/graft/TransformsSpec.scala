@@ -98,6 +98,37 @@ class TransformsSpec extends SparkSpec {
     assert(out == Seq(("a", 2.0), ("b", 8.0)))
   }
 
+  test("smoothing: centered moving average over +/-k rows, edges use fewer points") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:05:00", 2.0),
+      ("a", "2024-01-01 00:10:00", 6.0))
+    val out = collectSeries(Smooth.transform(in, Parameters.of("window" -> "1")))
+    assert(out == Seq(("00:00", 1.5: java.lang.Double), ("00:05", 3.0: java.lang.Double),
+      ("00:10", 4.0: java.lang.Double)))
+  }
+
+  test("fault detection flags out-of-range values, nulls pass through") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 5.0),
+      ("a", "2024-01-01 00:05:00", 50.0),
+      ("a", "2024-01-01 00:10:00", null),
+      ("a", "2024-01-01 00:15:00", 200.0))
+    val out = collectSeries(DetectOutOfRange.transform(in,
+      Parameters.of("lo" -> "10.0", "hi" -> "150.0")))
+    assert(out == Seq(("00:00", 1.0: java.lang.Double), ("00:05", 0.0: java.lang.Double),
+      ("00:10", null), ("00:15", 1.0: java.lang.Double)))
+  }
+
+  test("duplicate-timestamp removal keeps the min value per (series, ts)") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 3.0),
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:05:00", 2.0))
+    val out = collectSeries(DedupTimestamps.transform(in, Parameters.empty))
+    assert(out == Seq(("00:00", 1.0: java.lang.Double), ("00:05", 2.0: java.lang.Double)))
+  }
+
   test("frequency parsing") {
     assert(Freq.seconds("5min") == 300)
     assert(Freq.seconds("6 min") == 360)
