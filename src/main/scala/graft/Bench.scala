@@ -18,6 +18,9 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+      // drop warmup-scale cached frames (shingles, normed vectors) so the
+      // timed pass measures its own scale factor with a clean store
+      spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

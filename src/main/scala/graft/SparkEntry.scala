@@ -169,7 +169,10 @@ object SparkEntry {
       DetectOutOfRange.transform(obsEvents(s, dir),
           Parameters.of("lo" -> "10.0", "hi" -> "150.0"))
         .groupBy(col(KeyCol).as("series_key"))
-        .agg(count(lit(1)).as("n"), sum(col(ValueCol)).cast("long").as("n_faults"))
+        // coalesce: an all-null series must count 0 faults like the
+        // oracle's CASE ... ELSE 0 (sum over all-null is NULL in Spark)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col(ValueCol)), lit(0.0)).cast("long").as("n_faults"))
         .orderBy("series_key")
     }),
 
@@ -421,7 +424,7 @@ object SparkEntry {
     // engine (file source → windowed agg → memory sink) ≡ batch semantics
     "stream_resample" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val name = "stream_resample_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val name = "stream_resample_result" // stable: replay drops + reuses
       val res = graft.streaming.StreamingOps.replayResample(
         s, s"$dir/events.parquet",
         df => Observations.from(
@@ -727,7 +730,7 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id, source AS modality,
-        |  CAST(length(text) AS BIGINT) AS byte_len, sha256(text) AS sha256
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "event_sessions" ->

@@ -24,17 +24,6 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
-    val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("doc"),
-        explode(array_distinct(
-          transform(idxs, i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
-      .where(col("shingle") =!= "")
-  }
-
   /** Shingles hashed to 64-bit keys: all downstream joins/aggregates run on
     * fixed-width longs instead of strings (cheaper hashing, shuffles, and
     * comparisons at scale; xxhash64 collisions are negligible for dedup).

@@ -56,21 +56,30 @@ object EventOps {
     * gets the latest right row with rightTs <= leftTs. Implemented
     * union-style (tag + single sorted window pass) so it scales like a
     * sort-merge join without materializing the pairwise product. `payload`
-    * columns from the right side are carried through. */
+    * columns from the right side are carried through. `rightIdCol` (a
+    * unique right-side column) breaks ties among right rows sharing
+    * (key, ts) so the joined payload is deterministic under any
+    * partitioning — the highest id wins. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      tsCol: String, payloadCols: Seq[String],
+      rightIdCol: Option[String] = None): DataFrame = {
     val lTag = left.withColumn("_side", lit(1))
       .withColumns(payloadCols.map(c => c -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("_rid", lit(null).cast("long"))
     val rTag = right.select((Seq(keyCol, tsCol).map(col) :+ lit(0).as("_side")) ++
-      payloadCols.map(col): _*)
+      payloadCols.map(col) :+
+      rightIdCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("_rid"): _*)
     val all = lTag.select(lTag.columns.map(col): _*)
       .unionByName(rTag, allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("_side"))
+    // left rows (side 1) sort after all right rows at the same ts; right
+    // rows at the same ts order by _rid, so "last" is the max-id row
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col("_rid"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = payloadCols.foldLeft(all) { (d, c) =>
       d.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
     }
-    filled.where(col("_side") === 1).drop("_side")
+    filled.where(col("_side") === 1).drop("_side", "_rid")
   }
 
   /** Typed JSON property extraction from a string column (the multimodal

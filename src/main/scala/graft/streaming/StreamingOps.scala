@@ -41,6 +41,9 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileName).parquet(dir)
     val agg = resampleStream(toObs(stream), sec)
+    // reuse the sink name across invocations: drop the previous run's
+    // memory table so repeated replays don't accumulate result copies
+    spark.catalog.dropTempView(queryName)
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")

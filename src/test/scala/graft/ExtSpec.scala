@@ -51,6 +51,17 @@ class ExtSpec extends SparkSpec {
           Similarity.dotHof(col("v"), col("w"))).as("d"))
       .agg(max(abs(col("d")))).as[Double].head()
     assert(diff == 0.0)
+    // HOF-equivalent null semantics: ragged lengths or null elements -> NULL
+    val dirty = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val got = dirty.select(
+      VectorFunctions.dotNative(col("a"), col("b")).as("n"),
+      Similarity.dotHof(col("a"), col("b")).as("h")).collect()
+    got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
@@ -130,6 +141,14 @@ class ExtSpec extends SparkSpec {
     val out = EventOps.asOfJoin(left, right, "k", "ts", Seq("tag"))
       .select("id", "tag").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "r0", 2L -> "r1", 3L -> null))
+    // tie-break: two right rows at the same (key, ts) — max rightIdCol wins
+    val rightTie = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1L, "low"),
+      ("u1", ts("2024-01-01 00:00:00"), 9L, "high")).toDF("k", "ts", "rid", "tag")
+    val tied = EventOps.asOfJoin(left, rightTie, "k", "ts", Seq("tag"),
+        rightIdCol = Some("rid"))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(tied(1L) == "high" && tied(2L) == "high")
   }
 
   test("wide-frame ingest unpivots one column per series (reference ctor path)") {
