@@ -232,6 +232,31 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
   }
 }
 
+object DataEquality {
+  import Observations._
+
+  /** Deep value equality for observation frames — the engine's rendering
+    * of the reference's `__eq__` (types.py:302-318: dtype match +
+    * `np.allclose(..., equal_nan=True)` + metadata). Rows align on
+    * (series_key, ts); values compare within `tol` with null==null.
+    * Implemented as an anti-join count (distributed; no collect). */
+  def sameData(a: DataFrame, b: DataFrame, tol: Double = 1e-9): Boolean = {
+    val l = a.select(col(KeyCol).as("k"), col(TsCol).as("t"), col(ValueCol).as("va"))
+    val r = b.select(col(KeyCol).as("k"), col(TsCol).as("t"), col(ValueCol).as("vb"))
+    if (l.count() != r.count()) return false
+    val joined = l.join(r, Seq("k", "t"), "full_outer")
+    val mismatch = joined.where(
+      col("va").isNull =!= col("vb").isNull ||
+        (col("va").isNotNull && abs(col("va") - col("vb")) > tol))
+    mismatch.isEmpty
+  }
+
+  /** Full dataset equality: catalog equality (exact, case classes) plus
+    * data equality within tolerance (types.py:1475-1497). */
+  def sameDataset(a: MeteauDataset, b: MeteauDataset, tol: Double = 1e-9): Boolean =
+    a.meta == b.meta && sameData(a.data, b.data, tol)
+}
+
 object MeteauDataset {
   /** Assemble a dataset from signals, renumbering names dataset-wide
     * (types.py:1213-1231). */

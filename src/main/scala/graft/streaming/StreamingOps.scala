@@ -54,6 +54,47 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming gap-based sessionization with explicit per-key state:
+    * events accumulate into an open session; a session closes (and is
+    * emitted) when a later event arrives more than `gapSeconds` after the
+    * session's end. Open sessions persist in the state store across
+    * micro-batches. The streaming twin of EventOps.sessionStats — the
+    * flatMapGroupsWithState extension point for session-window state.
+    * (Production deployments add an event-time timeout + watermark to
+    * flush idle sessions; omitted here so bounded replays quiesce.) */
+  case class SessionState(startS: Long, endS: Long, n: Long)
+  case class SessionOut(series_key: String, start_s: Long, end_s: Long,
+      n_events: Long)
+
+  def sessionizeStream(stream: DataFrame, gapSeconds: Long)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    stream.as[ObsEvent]
+      .groupByKey(_.series_key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[ObsEvent], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val s = e.ts.getTime / 1000L
+            cur match {
+              case Some(c) if s - c.endS <= gapSeconds =>
+                cur = Some(c.copy(endS = s, n = c.n + 1))
+              case Some(c) =>
+                closed += SessionOut(key, c.startS, c.endS, c.n)
+                cur = Some(SessionState(s, s, 1))
+              case None =>
+                cur = Some(SessionState(s, s, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+      .toDF()
+  }
+
   /** Per-key running statistics via explicit state — the
     * mapGroupsWithState extension point for custom streaming state
     * (count + running mean per series). */

@@ -65,6 +65,7 @@ class IOSpec extends SparkSpec {
     SignalIO.save(ds, path)
     val back = SignalIO.load(spark, path)
     assert(back.meta == ds.meta)
+    assert(graft.core.DataEquality.sameDataset(back, ds))
     val orig = ds.data.orderBy(Observations.KeyCol, Observations.TsCol).collect()
     val got = back.data.select(Observations.KeyCol, Observations.TsCol,
       Observations.ValueCol).orderBy(Observations.KeyCol, Observations.TsCol).collect()

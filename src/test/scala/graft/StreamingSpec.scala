@@ -25,6 +25,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open ones in state") {
+    implicit val s = spark
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(key: String, offS: Long, v: Double) =
+      (key, new java.sql.Timestamp(t0 + offS * 1000), v)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)](spark, 1)
+    val df = input.toDF().toDF("series_key", "ts", "value")
+    val q = StreamingOps.sessionizeStream(df, gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessionize_tbl").start()
+    // batch 1: two events close together, then a far event -> first session closes
+    input.addData(ev("a", 0, 1.0), ev("a", 30, 2.0), ev("a", 500, 3.0))
+    q.processAllAvailable()
+    val closed1 = spark.table("sessionize_tbl")
+      .select("series_key", "start_s", "end_s", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(closed1 == Set(("a", t0 / 1000, t0 / 1000 + 30, 2L)))
+    // batch 2: event near the open session extends it; a far one closes it
+    input.addData(ev("a", 530, 4.0), ev("a", 2000, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val closedAll = spark.table("sessionize_tbl")
+      .select("series_key", "start_s", "end_s", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(closedAll.contains(("a", t0 / 1000 + 500, t0 / 1000 + 530, 2L)),
+      s"open session should have been extended across batches then closed: $closedAll")
+  }
+
   test("mapGroupsWithState running stats accumulate per series") {
     implicit val s = spark
     val events = Seq(
