@@ -206,6 +206,25 @@ object SparkEntry {
         .orderBy("bucket_ts")
     }),
 
+    // order statistics: exact interpolated percentiles per series
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-identical)
+    "ts_percentiles" -> ((s, dir) => {
+      events(s, dir).groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // cross-series Pearson correlation (deterministic decimal accumulators)
+    "ts_correlation" -> ((s, dir) => {
+      val byType = Resample.transformFixed(
+        obsByType(s, dir).where(col(KeyCol).isin("click", "view")), 900, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      graft.ext.CrossStats.correlation(byType, "click", "view")
+        .select(col("n"), round(col("corr"), 6).as("corr"))
+    }),
+
     // E1/E3/E5 engine executor + versioned naming + dependency graph:
     // run the canonical pipeline through Signal.process and emit the
     // dependency edges of the final series (pinned contract).
@@ -571,6 +590,31 @@ object SparkEntry {
          |SELECT strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
          |  floor((CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE)/COUNT(v)) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM b GROUP BY bt ORDER BY 1""".stripMargin,
+
+    "ts_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ts_correlation" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         |j AS (SELECT c.v AS x, w.v AS y FROM b c JOIN b w
+         |      ON c.bt = w.bt AND c.event_type = 'click' AND w.event_type = 'view'),
+         |agg AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |  CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM j)
+         |SELECT n, round((n * sxy - sx * sy) /
+         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+         |FROM agg""".stripMargin,
 
     "lineage_edges" ->
       """SELECT * FROM (VALUES
