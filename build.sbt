@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen'd stages live in one JVM (warmup + timed bench);
+  // the default 240m code cache overflows and drops hot stages back to
+  // the interpreter, causing order-of-magnitude per-query variance
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -10,16 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup on the smallest scale factor: exercises every query's
-    // codegen/JIT paths once so the timed pass measures steady-state
-    // execution, not first-run compilation (observed 2-5x noise otherwise).
+    // Untimed warmup at the TARGET scale factor: AQE picks different
+    // physical plans per data size, so warming at a smaller sf leaves the
+    // timed pass paying first-run codegen+JIT for its own plan shapes
+    // (observed 5-30s first-execution spikes on the heavy queries). One
+    // untimed pass over sfDir compiles exactly the plans the timed pass
+    // runs; caches are cleared so the timed pass still does its own IO.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      val warmDir = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-      // drop warmup-scale cached frames (shingles, normed vectors) so the
-      // timed pass measures its own scale factor with a clean store
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

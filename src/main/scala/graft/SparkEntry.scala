@@ -455,6 +455,17 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // tumbling-window rollup per event type over the JSON-extracted metric
+    "event_window_rollup" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("k", EventOps.jsonLong(col("props"), "$.k"))
+      EventOps.windowRollup(e, "ts", "event_type", col("k"), 21600L)
+        .select(col("event_type"), fmtTs(col("bucket")).as("bucket_ts"),
+          col("n"), col("sum_m").cast("long").as("sum_m"),
+          col("min_m"), col("max_m"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
     // gap-based sessionization (30 min) + per-session rollup
     "event_sessions" -> ((s, dir) => {
       EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
@@ -776,6 +787,15 @@ object SparkEntry {
       """SELECT doc_id, source AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "event_window_rollup" ->
+      """SELECT event_type,
+        |  strftime(time_bucket(INTERVAL '21600 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_m,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_m,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_m
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (

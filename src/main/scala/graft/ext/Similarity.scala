@@ -46,7 +46,10 @@ object Similarity {
     // cache() forces a materialization boundary — otherwise CollapseProject
     // folds the norm into the post-join projection and recomputes it per
     // pair (observed 3× dot work in the executed plan)
-    val c = asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol))).cache()
+    // repartition: a single-file corpus otherwise scans as ONE task and the
+    // whole scoring pass runs on one core
+    val c = asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol)))
+      .repartition(col(idCol)).cache()
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))
@@ -61,16 +64,38 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Brute-force global top-N most similar pairs (a < b). */
+  /** Brute-force global top-N most similar pairs (a < b).
+    *
+    * Pair generation is a block-partitioned EQUI-join, not a θ-join: ids
+    * hash into B blocks, the B(B+1)/2 unordered block pairs drive two hash
+    * joins, and each unordered id pair surfaces exactly once (cross-block
+    * pairs once by construction; same-block pairs deduped by id order).
+    * Unlike `a JOIN b ON id_a < id_b` — a nested-loop join that degrades
+    * to few, uneven tasks — this stays in codegen'd hash-join machinery
+    * with B(B+1)/2-way parallelism and uniform task sizes, which is also
+    * the shape that scales out. Cosine is symmetric bit-exactly (products
+    * commute, summation order equal), so canonicalizing id order after the
+    * join does not change values. */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, topN: Int,
-      roundScale: Int = 6): DataFrame = {
+      roundScale: Int = 6, blocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // cache: materialization boundary so per-vector norms aren't collapsed
-    // into the per-pair projection (see cosineTopK)
+    // into the per-pair projection
     val d = asDouble(df, vecCol).withColumn("_n", norm(col(vecCol))).cache()
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+        .toDF("_ba", "_bb"))
     val a = d.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("_n").as("_na"))
+      .withColumn("_ba", pmod(xxhash64(col("id_a")), lit(blocks.toLong)).cast("int"))
     val b = d.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("_n").as("_nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .withColumn("_bb", pmod(xxhash64(col("id_b")), lit(blocks.toLong)).cast("int"))
+    a.join(blockPairs, Seq("_ba"))
+      .join(b, Seq("_bb"))
+      .where(col("_ba") < col("_bb") || col("id_a") < col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         round(dot(col("va"), col("vb")) / (col("_na") * col("_nb")),
           roundScale).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
