@@ -327,6 +327,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // grouping sets: ROLLUP over (status, priority) with subtotal rows
+    // (labels coalesced so null-ordering semantics never differ)
+    "rel_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
     // time-window rollup on a date column (monthly order stats)
     "rel_orders_monthly" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -692,6 +706,14 @@ object SparkEntry {
     "rel_part_topk" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
         |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
 
     "rel_orders_monthly" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,

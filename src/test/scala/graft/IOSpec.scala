@@ -117,6 +117,20 @@ class IOSpec extends SparkSpec {
     assert(back.data.count() == ds.data.count())
   }
 
+  test("partitioned save prunes partitions for single-series reads") {
+    val ds = fixture()
+    val path = "/tmp/graft_test_rt_prune"
+    SignalIO.save(ds, path)
+    val back = SignalIO.load(spark, path)
+    val plan = back.signal("A#1").series("A#1_RAW#1")
+      .queryExecution.executedPlan.toString
+    // the series_key filter must reach the scan as a partition filter
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("series_key"),
+      s"expected partition pruning on series_key in:\n${plan.take(1500)}")
+  }
+
   test("loaded dataset keeps processing: resume the pipeline after load") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_resume"

@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSpec {
       s"open session should have been extended across batches then closed: $closedAll")
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches") {
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Double)](spark, 1)
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = StreamingOps.dedupStream(df, "event_id", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_tbl").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t, 1.0), (1L, t, 1.0), (2L, t, 2.0))
+    q.processAllAvailable()
+    input.addData((1L, t, 1.0), (3L, t, 3.0)) // dup from an earlier batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream_tbl").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState running stats accumulate per series") {
     implicit val s = spark
     val events = Seq(
