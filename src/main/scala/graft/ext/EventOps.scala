@@ -69,7 +69,7 @@ object EventOps {
     val rTag = right.select((Seq(keyCol, tsCol).map(col) :+ lit(0).as("_side")) ++
       payloadCols.map(col) :+
       rightIdCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("_rid"): _*)
-    val all = lTag.select(lTag.columns.map(col): _*)
+    val all = lTag.select(lTag.columns.toIndexedSeq.map(col): _*)
       .unionByName(rTag, allowMissingColumns = true)
     // left rows (side 1) sort after all right rows at the same ts; right
     // rows at the same ts order by _rid, so "last" is the max-id row
