@@ -404,6 +404,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token counting under whitespace + BPE-ish regex tokenizers
+    "text_token_counts" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // corpus token frequencies (top 50)
     "text_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(t(s, dir, "documents"), "text", 50)
@@ -783,6 +789,13 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> LangIdOracle,
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len([x for x in string_split_regex(lower(text), '[^a-z0-9'']+') if x <> '']) AS BIGINT) AS n_re_tokens,
+        |  CAST(len(list_distinct([x for x in string_split_regex(lower(text), '[^a-z0-9'']+') if x <> ''])) AS BIGINT) AS n_re_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT token, COUNT(*) AS c

@@ -90,6 +90,16 @@ object TextAnalysis {
     df.select(col(idCol), fp.as("fingerprint"))
   }
 
+  /** Per-document token counts under both tokenizers: whitespace and the
+    * BPE-ish regex (lowercase word/number/apostrophe runs) — the pair of
+    * counting modes an LLM-data pipeline budget check needs. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(regexTokens(col(textCol))).cast("long").as("n_re_tokens"),
+      size(array_distinct(regexTokens(col(textCol)))).cast("long")
+        .as("n_re_distinct"))
+
   /** Corpus-level token frequencies: top-N by count (tie-break token). */
   def tokenStats(df: DataFrame, textCol: String, topN: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
