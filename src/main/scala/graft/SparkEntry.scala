@@ -486,6 +486,19 @@ object SparkEntry {
         .orderBy("event_type", "bucket_ts")
     }),
 
+    // bucketed range join: events matched into 2h maintenance windows
+    // (every 13h) via bucket equi-join + containment filter
+    "event_range_join" -> ((s, dir) => {
+      val iv = s.range(50).select(col("id").as("interval_id"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 46800L).as("start_ts"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 46800L + 7200L).as("end_ts"))
+      EventOps.bucketedRangeJoin(events(s, dir), iv, "ts", "start_ts", "end_ts", 3600L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(27, 8))).cast("double").as("sum_v"))
+        .orderBy("interval_id")
+    }),
+
     // gap-based sessionization (30 min) + per-session rollup
     "event_sessions" -> ((s, dir) => {
       EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
@@ -831,6 +844,17 @@ object SparkEntry {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_m,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_m
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_range_join" ->
+      """WITH iv AS (
+        |  SELECT i AS interval_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '46800 seconds' AS s,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '46800 seconds' + INTERVAL '7200 seconds' AS e
+        |  FROM generate_series(0, 49) t(i))
+        |SELECT interval_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_v
+        |FROM iv JOIN events ON ts >= s AND ts <= e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (

@@ -82,6 +82,27 @@ object EventOps {
     filled.where(col("_side") === 1).drop("_side", "_rid")
   }
 
+  /** Bucketed range join: match events to [start, end] intervals without a
+    * nested-loop θ-join. Intervals explode to the fixed-width buckets they
+    * cover, events key into their single bucket, and a plain equi-join on
+    * the bucket plus an exact containment filter does the rest — shuffle
+    * and parallelism behave like any hash join (work ∝ events +
+    * Σ interval spans / bucket width), which is the interval-join shape
+    * that survives a 100 TB scale-up. Each (event, interval) match
+    * surfaces exactly once (the event's bucket is unique). */
+  def bucketedRangeJoin(events: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      bucketSec: Long): DataFrame = {
+    val evB = events.withColumn("_bkt",
+      floor(col(tsCol).cast("double") / bucketSec).cast("long"))
+    val ivB = intervals.withColumn("_bkt", explode(sequence(
+      floor(col(startCol).cast("double") / bucketSec).cast("long"),
+      floor(col(endCol).cast("double") / bucketSec).cast("long"))))
+    evB.join(ivB, Seq("_bkt"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bkt")
+  }
+
   /** Typed JSON property extraction from a string column (the multimodal
     * `props` sidecar): `get_json_object` stays native/codegen'd. */
   def jsonLong(c: Column, path: String): Column =

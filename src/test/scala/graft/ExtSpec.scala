@@ -167,6 +167,24 @@ class ExtSpec extends SparkSpec {
     assert(tied(1L) == "high" && tied(2L) == "high")
   }
 
+  test("bucketed range join: inclusive bounds, overlapping intervals, no duplicate matches") {
+    import graft.ext.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 00:30:00")), (2L, ts("2024-01-01 02:00:00")),
+      (3L, ts("2024-01-01 05:00:00"))).toDF("eid", "ts")
+    val iv = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")), // inclusive end hits eid 2
+      (11L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"))) // overlaps 10
+      .toDF("ivid", "s", "e")
+    val out = EventOps.bucketedRangeJoin(ev, iv, "ts", "s", "e", 1800L)
+      .select("eid", "ivid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L)))
+    // match count equals the θ-join reference
+    val ref = ev.join(iv, col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("eid", "ivid").as[(Long, Long)].collect().toSet
+    assert(out == ref)
+  }
+
   test("wide-frame ingest unpivots one column per series (reference ctor path)") {
     import graft.core.Observations
     val wide = Seq(
