@@ -55,6 +55,28 @@ object ScaleSmoke {
         graft.ext.Skew.saltedMeanByKey(
           obs.select(col(KeyCol).as("k"), col(ValueCol).as("v")), "k", "v").count())
     }
+
+    // near-dup mining at 20x the bench corpus: synthetic 60-word docs over
+    // a 500-word vocabulary, 2% planted near-dups (one word changed)
+    def synthDocs(n: Long) = {
+      val vocab = array((0 until 500).map(i => lit(s"w$i")): _*)
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        // near-dups: doc 50k+1 etc. reuse the word stream of doc 50k...
+        when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1)
+          .otherwise(col("id")).as("seed"),
+        pmod(col("id"), lit(50L)).as("variant"))
+      base.select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          when(i === 0 && col("variant") === 1L, lit("wX"))
+            .otherwise(element_at(vocab,
+              (pmod(xxhash64(col("seed"), i), lit(500L)) + 1).cast("int"))))).as("text"))
+    }
+    Seq(25000L, 100000L).foreach { nd =>
+      println(s"--- $nd synthetic docs ---")
+      val docs = synthDocs(nd)
+      time("minhash-lsh-dedup")(
+        graft.ext.Dedup.minhashDupPairs(docs, "doc_id", "text", 0.5).count())
+    }
     spark.stop()
   }
 }
