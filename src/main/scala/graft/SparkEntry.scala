@@ -376,6 +376,29 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // SimHash near-dup pairs (rows-only check: the 64-bit token-hash
+    // signature is engine-specific, so no portable SQL oracle exists)
+    "doc_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // hyperplane-LSH bucketed similar pairs (rows-only: approximate)
+    "emb_lsh_pairs" -> ((s, dir) => {
+      Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.2, bits = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // learned-centroid IVF top-k (rows-only: approximate, nProbe < nLists)
+    "emb_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKLearned(emb, emb.where(col("vec_id") < 8), "vec_id",
+          "embedding", k = 5, nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
