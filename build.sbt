@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks line-oriented
+// JSON consumers of `runMain graft.Bench` (observed: BENCH_r01.json
+// "parsed": null because the result line arrived as "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

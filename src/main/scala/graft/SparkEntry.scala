@@ -383,10 +383,13 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // hyperplane-LSH bucketed similar pairs (rows-only: approximate)
+    // banded hyperplane-LSH similar pairs (rows-only: approximate).
+    // bits sizes buckets (2^10 per band vs the r1 single 256-bucket
+    // signature — pick ≈ log2(n)+slack so occupancy stays O(1) at scale);
+    // bands buy recall back via OR-amplification.
     "emb_lsh_pairs" -> ((s, dir) => {
       Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.2, bits = 8)
+          "embedding", minCosine = 0.2, bits = 10, bands = 8)
         .orderBy("id_a", "id_b")
     }),
 

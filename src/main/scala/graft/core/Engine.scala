@@ -146,9 +146,13 @@ object MeteauSignal {
     val seriesPart = Naming.ensureNumbered(seriesName)
     val key = s"${signalPart}_$seriesPart"
     val data = df.select(lit(key).as(KeyCol), col(TsCol), col(ValueCol))
+    // values_dtype inferred from the actual frame (the reference stores the
+    // pandas dtype and re-imposes it on load, types.py:264-290, :338-349);
+    // non-double series keep their runtime type on the data path
+    val dtype = df.schema(ValueCol).dataType.simpleString
     MeteauSignal(data,
       SignalMeta(signalPart, units, provenance, createdOn, createdOn,
-        Vector(SeriesMeta(key, Nil, index, "double", createdOn))))
+        Vector(SeriesMeta(key, Nil, index, dtype, createdOn))))
   }
 }
 

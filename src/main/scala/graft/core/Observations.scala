@@ -27,6 +27,16 @@ object Observations {
       col(ts).cast(TimestampType).as(TsCol),
       col(value).cast(DoubleType).as(ValueCol))
 
+  /** Canonical frame that KEEPS the source value dtype (the reference
+    * stores any pandas dtype and restores it on load, types.py:264-290;
+    * string/long state series flow through the type-agnostic operators —
+    * dedup, replace, last-resample — unchanged). */
+  def fromTyped(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    df.select(
+      col(key).cast(StringType).as(KeyCol),
+      col(ts).cast(TimestampType).as(TsCol),
+      col(value).as(ValueCol))
+
   /** Ingest a wide frame (one column per series — the reference's
     * `Signal.__init__` DataFrame path, types.py:547-606) by unpivoting. */
   def fromWide(df: DataFrame, tsCol: String, valueCols: Seq[String]): DataFrame = {

@@ -144,20 +144,14 @@ object Dedup {
     * 16-bit chunk banding (any equal chunk → candidate), same LSH shape as
     * MinHash banding. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize token hashes once; the 64 per-bit folds then read the
-    // attribute instead of re-splitting/re-hashing per bit
+    // token hashes materialized once, then one native codegen'd pass over
+    // them per row (graft.functions.SimHash64: tight token×bit loop; same
+    // sign semantics as the original 64 per-bit HOF folds, which built an
+    // interpreted 64-subtree expression per row)
     val withHashes = df.select(col(idCol).as("doc"),
       transform(split(col(textCol), " "), t => xxhash64(t)).as("_h"))
-    // per bit i: sign of Σ tokens (bit i set ? +1 : -1); bit index is a
-    // compile-time constant, so the 64 folds unroll at plan-build time
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val s = aggregate(col("_h"), lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(s > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    val sim = bits.reduce((a, b) => a.bitwiseOR(b))
-    withHashes.select(col("doc"), sim.as("simhash"))
+    withHashes.select(col("doc"),
+      graft.functions.VectorFunctions.simhash64(col("_h")).as("simhash"))
   }
 
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming

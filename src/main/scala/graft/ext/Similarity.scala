@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search over an `array<float>` column.
   *
@@ -102,106 +103,153 @@ object Similarity {
       .limit(topN)
   }
 
-  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
-    * Hyperplanes are pseudo-random unit-free vectors derived from
-    * xxhash64(bit, dim) — deterministic, no stored model. */
+  /** Random-hyperplane (sign-LSH) signature: `bits` sign bits packed into
+    * a long, computed by the native codegen'd
+    * [[graft.functions.HyperplaneSig]] expression (deterministic
+    * splitmix64-derived hyperplanes, weight table cached per generated
+    * class — replaces the r1 unrolled per-bit HOF projections that fell
+    * back to interpreted evaluation). `seed` varies the hyperplane family
+    * (one seed per band in the banded search). */
   def hyperplaneSignature(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, seed: Long = 0L): DataFrame = {
     val d = asDouble(df, vecCol)
-    val dims = size(col(vecCol))
-    // bit index is a compile-time constant: unroll the projections
-    val sigBits: Seq[Column] = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), dims - 1),
-            i => (pmod(xxhash64(lit(b), i), lit(2001L)) - 1000L).cast("double") / 1000.0),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }
     d.select(col(idCol), col(vecCol),
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("lsh_sig"))
+      graft.functions.VectorFunctions
+        .hyperplaneSig(col(vecCol), bits, seed).as("lsh_sig"))
   }
 
-  /** LSH-bucketed approximate pair search: only pairs sharing a signature
-    * bucket are scored. The scale path for near-dup mining: shuffle is on
-    * 64-bit bucket keys, candidate verification is bucket-local. Recall
-    * depends on `bits` vs the similarity threshold (fewer bits = higher
-    * recall, bigger buckets). */
+  /** Banded sign-LSH pair search (AND-OR amplification): `bands`
+    * independent `bits`-bit signatures per vector; any shared
+    * (band, signature) bucket makes a candidate pair, verified with the
+    * exact cosine. The scale knobs are orthogonal — `bits` bounds bucket
+    * size (choose ≈ log2(n) + slack so expected occupancy stays O(1):
+    * bucket count 2^bits ≫ the r1 single-signature 256), `bands` buys
+    * recall back (P[candidate] = 1 − (1 − p^bits)^bands, p = 1 − θ/π).
+    * Shuffle is on short (band, sig) keys; verification touches only
+    * colliding pairs; multi-band duplicates collapse in the final
+    * distinct. */
   def lshBucketedPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double, bits: Int = 12, roundScale: Int = 6): DataFrame = {
-    val sig = hyperplaneSignature(df, idCol, vecCol, bits)
-    sig.as("a").join(sig.as("b"),
-        col("a.lsh_sig") === col("b.lsh_sig") &&
+      minCosine: Double, bits: Int = 12, bands: Int = 8,
+      roundScale: Int = 6): DataFrame = {
+    val d = asDouble(df, vecCol).withColumn("_n", norm(col(vecCol)))
+    val sigs = d.select(col(idCol), col(vecCol), col("_n"),
+        posexplode(array((0 until bands).map(b =>
+          graft.functions.VectorFunctions
+            .hyperplaneSig(col(vecCol), bits, b.toLong)): _*)))
+      .toDF(idCol, vecCol, "_n", "band", "sig")
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), roundScale).as("cosine"))
+        round(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a._n") * col("b._n")), roundScale).as("cosine"))
       .where(col("cosine") >= minCosine)
+      .distinct()
   }
 
-  /** Mini-batch-free k-means over the embedding column, expressed entirely
-    * in DataFrame ops: deterministic seeding (k vectors in xxhash64(id)
-    * order), then `iters` rounds of assign (broadcast centroids, argmin
-    * squared L2) + recompute (per-dimension mean via posexplode — one hash
-    * aggregate on (list, dim)). Centroid frames are O(k·dims); the per-
-    * iteration cost is one pass over the corpus — the standard IVF
-    * index-build shape. Returns (list, centroid array<double>). */
+  /** Centroids as a broadcast-able plan literal: array of
+    * (c·c, centroid, list id) structs, ordered by list id. O(k·dims)
+    * doubles embedded in the plan — the k-means index is small by
+    * construction; this is what lets assignment be a pure projection. */
+  private def centLiteral(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(selfDot(c)).as("cc"), typedLit(c.toSeq).as("c"),
+        lit(i).as("list"))
+    }: _*)
+
+  private def selfDot(c: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** Per-centroid (score, list) array for one row's vector; score is
+    * squared-L2-equivalent `c·c − 2 v·c` (argmin-preserving, norms of v
+    * cancel). Score is the FIRST struct field so lexicographic struct
+    * ordering = (score asc, list asc); note aliases inside HOF lambdas are
+    * stripped by the analyzer, so downstream access uses only the
+    * auto-named `list` field. */
+  private def centScores(vec: Column, cents: Array[Array[Double]]): Column =
+    transform(centLiteral(cents), s => struct(
+      s.getField("cc") - lit(2.0) * dot(vec, s.getField("c")),
+      s.getField("list")))
+
+  /** Argmin-centroid assignment as a pure projection — no crossJoin, no
+    * window, no shuffle (the r1 formulation shuffled the corpus on its
+    * unique row id for a per-row row_number). array_sort on the (score,
+    * list) struct is lexicographic, so element 1 is the min score with
+    * ties resolved to the lowest list id — the same orderBy(score, list)
+    * semantics. */
+  def nearestList(vec: Column, cents: Array[Array[Double]]): Column =
+    element_at(array_sort(centScores(vec, cents)), 1).getField("list")
+
+  /** The query-side variant: the `nProbe` nearest list ids (ascending
+    * (score, list)). */
+  def nearestLists(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    transform(slice(array_sort(centScores(vec, cents)), 1, nProbe),
+      s => s.getField("list"))
+
+  /** k-means over the embedding column, 100 TB-shaped: deterministic
+    * distributed-TakeOrdered seeding (k rows in xxhash64(id) order via
+    * orderBy+limit — per-partition top-k then a k-row driver merge; the r1
+    * global-window seed funnelled the whole corpus through one task), then
+    * `iters` rounds of shuffle-free argmin assignment ([[nearestList]]
+    * over the broadcast centroid literal) + per-dimension mean recompute
+    * (one hash aggregate on (list, dim) with exact decimal partials, so
+    * centroids are bit-identical under any partitioning). Only k·dims
+    * aggregate rows ever reach the driver per iteration. Lists that lose
+    * all members keep their previous centroid. */
+  private[graft] def learnCentroidArrays(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): Array[Array[Double]] = {
+    val d = asDouble(df, vecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
+    var cents: Array[Array[Double]] = d
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val rows = d
+        .select(nearestList(col("_v"), cents).as("_list"),
+          posexplode(col("_v")))
+        .groupBy(col("_list"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+      cents = next
+      it += 1
+    }
+    d.unpersist()
+    cents
+  }
+
+  /** [[learnCentroidArrays]] as a (list, c) DataFrame. */
   def learnCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3): DataFrame = {
-    val d = asDouble(df, vecCol).select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
-    val seeds = d
-      .withColumn("_rnk", row_number().over(
-        Window.orderBy(xxhash64(col("_id")), col("_id"))))
-      .where(col("_rnk") <= k)
-      .select((col("_rnk") - 1).cast("int").as("list"), col("_v").as("c"))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val assigned = assignToNearest(
-        d.withColumnRenamed("_v", "v"), "_id", "v", cents)
-      assigned.select(col("list"), posexplode(col("v")))
-        .groupBy(col("list"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("list"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("list"),
-          transform(col("pm"), x => x.getField("m")).as("c"))
-    }
-  }
-
-  /** Assign each row's vector to the nearest centroid (argmin squared L2 =
-    * argmin(c·c − 2 v·c); tie-break on list id). Adds a `list` column;
-    * one row per input row (partitioned by the row id). */
-  private def assignToNearest(d: DataFrame, idColName: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val scored = d.crossJoin(broadcast(
-        centroids.select(col("list"), col("c"),
-          dot(col("c"), col("c")).as("_cc"))))
-      .withColumn("_score", col("_cc") - lit(2.0) * dot(col(vecCol), col("c")))
-    val w = Window.partitionBy(col(idColName)).orderBy(col("_score"), col("list"))
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_score", "_cc", "_rn", "c")
+    val spark = df.sparkSession
+    import spark.implicits._
+    learnCentroidArrays(df, idCol, vecCol, k, iters).zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list", "c")
   }
 
   /** IVF top-k with learned centroids: build the k-means index, assign the
-    * corpus once, probe each query's `nProbe` nearest lists. Scan fraction
-    * ≈ nProbe/nLists. */
+    * corpus in one shuffle-free projection pass, probe each query's
+    * `nProbe` nearest lists. Scan fraction ≈ nProbe/nLists; the only
+    * shuffles left are the (broadcast) probe join and the final per-query
+    * top-k. */
   def ivfTopKLearned(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
       iters: Int = 3, roundScale: Int = 6): DataFrame = {
-    val cents = learnCentroids(candidates, idCol, vecCol, nLists, iters).cache()
-    val c = assignToNearest(
-      asDouble(candidates, vecCol).withColumn("_cn", norm(col(vecCol))),
-      idCol, vecCol, cents)
-    val qBase = asDouble(queries, vecCol)
+    val cents = learnCentroidArrays(candidates, idCol, vecCol, nLists, iters)
+    val c = asDouble(candidates, vecCol)
+      .withColumn("_cn", norm(col(vecCol)))
+      .withColumn("list", nearestList(col(vecCol), cents))
+    val qProbes = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        norm(col(vecCol)).as("_qn"))
-    val qProbes = qBase.crossJoin(broadcast(
-        cents.select(col("list"), col("c"), dot(col("c"), col("c")).as("_cc"))))
-      .withColumn("_score", col("_cc") - lit(2.0) * dot(col("qvec"), col("c")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_score"), col("list"))))
-      .where(col("_rn") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("_qn"), col("list"))
+        norm(col(vecCol)).as("_qn"),
+        explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
     val scored = c.join(broadcast(qProbes), Seq("list"))
       .where(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("candidate_id"),

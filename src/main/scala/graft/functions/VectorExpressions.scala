@@ -24,6 +24,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Can yield NULL even from non-null inputs (length mismatch, null
+  // element). Without this override, non-nullable children make codegen
+  // treat ev.isNull as constant-false while doGenCode assigns to it —
+  // invalid generated Java ("isNull_x is not an rvalue") and a silent
+  // whole-stage-codegen fallback (seen in the r1 bench on the k-means
+  // centroid path, where collect_list-derived arrays are non-nullable).
+  override def nullable: Boolean = true
 
   // HOF-equivalent null semantics: length mismatch or any null element
   // yields NULL (zip_with pads ragged arrays with null and null propagates
@@ -115,6 +122,173 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash over an `array<long>` of token hashes: per bit, the sign
+  * of Σ(±1) across tokens (bit set in the token hash → +1, else −1; a null
+  * token contributes −1, matching the HOF fold's `when` null semantics).
+  * One tight two-level loop in codegen — replaces the 64 unrolled
+  * per-bit `aggregate(...)` folds of the original formulation, which built
+  * a 64-subtree interpreted (CodegenFallback) expression per row. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = arr.getLong(t)
+        var b = 0
+        while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      t += 1
+    }
+    // bit set iff Σ(±1) > 0 iff 2·ones > n (null tokens count only in n)
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (2 * ones(b) > n) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val ones = ctx.freshName("ones")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $ones = new int[64];
+         |for (int $t = 0; $t < $n; $t++) {
+         |  if (!$a.isNullAt($t)) {
+         |    long $h = $a.getLong($t);
+         |    for (int $b = 0; $b < 64; $b++) $ones[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) if (2 * $ones[$b] > $n) $sig |= (1L << $b);
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Deterministic pseudo-random hyperplane table for sign-LSH signatures:
+  * `bits × dims` components in [-1, 1], derived from a splitmix64 mix of
+  * (seed, bit, dim). Computed once per (bits, dims, seed) and cached by the
+  * consuming expression, so the per-row cost is pure multiply-adds. */
+object HyperplaneWeights {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def table(bits: Int, dims: Int, seed: Long): Array[Double] = {
+    val w = new Array[Double](bits * dims)
+    var b = 0
+    while (b < bits) {
+      var i = 0
+      while (i < dims) {
+        val h = mix(mix(seed) ^ ((b.toLong << 32) | i.toLong))
+        val m = (((h % 2001L) + 2001L) % 2001L).toInt
+        w(b * dims + i) = (m - 1000) / 1000.0
+        i += 1
+      }
+      b += 1
+    }
+    w
+  }
+}
+
+/** Sign-LSH signature of an `array<double>` vector: `bits` sign bits of
+  * projections onto [[HyperplaneWeights]] hyperplanes, packed into a long.
+  * The weight table is lazily cached (per expression instance in
+  * interpreted mode, per generated class in codegen), so evaluation is a
+  * `bits × dims` multiply-add loop with zero allocation — replaces the
+  * unrolled per-bit HOF projections of the original formulation. */
+case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  // Null on a null vector element even when the array itself is non-null
+  // (same contract note as DotProduct.nullable).
+  override def nullable: Boolean = true
+
+  @transient private var cachedW: Array[Double] = _
+  @transient private var cachedDims: Int = -1
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    if (cachedW == null || cachedDims != n) {
+      cachedW = HyperplaneWeights.table(bits, n, seed)
+      cachedDims = n
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      val off = b * n
+      i = 0
+      while (i < n) { acc += arr.getDouble(i) * cachedW(off + i); i += 1 }
+      if (acc > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addMutableState("double[]", "hpWeights")
+    val wDims = ctx.addMutableState("int", "hpWeightsDims", v => s"$v = -1;")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val sig = ctx.freshName("sig")
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) if ($a.isNullAt($i)) { $hasNull = true; break; }
+         |if ($hasNull) { ${ev.isNull} = true; }
+         |else {
+         |  if ($w == null || $wDims != $n) {
+         |    $w = graft.functions.HyperplaneWeights.table($bits, $n, ${seed}L);
+         |    $wDims = $n;
+         |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $acc = 0.0;
+         |    int $off = $b * $n;
+         |    for (int $j = 0; $j < $n; $j++) $acc += $a.getDouble($j) * $w[$off + $j];
+         |    if ($acc > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two `array<double>` columns as a codegen'd native
     * expression. */
@@ -126,4 +300,12 @@ object VectorFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 64-bit SimHash of an `array<long>` token-hash column. */
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  /** `bits`-bit sign-LSH signature of an `array<double>` vector column. */
+  def hyperplaneSig(vec: Column, bits: Int, seed: Long): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), bits, seed))
 }

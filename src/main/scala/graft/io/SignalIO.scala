@@ -45,11 +45,23 @@ object SignalIO {
     val data = raw.select(
       col(KeyCol).cast("string").as(KeyCol),
       col(TsCol).cast("timestamp").as(TsCol),
-      col(ValueCol).cast("double").as(ValueCol))
+      col(ValueCol).cast(catalogDtype(meta)).as(ValueCol))
     val signals = meta.signals.map { sm =>
       MeteauSignal(data.filter(col(KeyCol).isin(sm.seriesKeys: _*)), sm)
     }
     MeteauDataset(data, meta, signals)
+  }
+
+  /** The dtype re-imposed on the loaded value column (types.py:338-349:
+    * the reference re-applies each stored dtype after a lossy sink). The
+    * tall frame holds ONE runtime value type, so the catalog dtype is
+    * honored when the dataset's series agree on it (the common case — a
+    * dataset of string state series loads back as strings); mixed-dtype
+    * catalogs fall back to double, the numeric operators' input type. */
+  private def catalogDtype(meta: DatasetMeta): String = {
+    val ds = meta.signals.flatMap(_.series).map(_.valuesDtype)
+      .filter(_.nonEmpty).distinct
+    if (ds.size == 1) ds.head else "double"
   }
 
   // ------------------------------------------------------------ zip export
@@ -119,7 +131,7 @@ object SignalIO {
         .select(col(KeyCol),
           to_timestamp(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(TsCol),
           when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
-            .cast("double").as(ValueCol))
+            .cast(catalogDtype(meta)).as(ValueCol))
       val signals = meta.signals.map { sm =>
         MeteauSignal(data.filter(col(KeyCol).isin(sm.seriesKeys: _*)), sm)
       }

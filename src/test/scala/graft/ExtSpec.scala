@@ -124,6 +124,56 @@ class ExtSpec extends SparkSpec {
     assert(dims == Set(64))
   }
 
+  test("native simhash64 is bit-identical to the per-bit HOF fold") {
+    val sample = docs.limit(40).select(col("doc_id"),
+      transform(split(col("text"), " "), t => xxhash64(t)).as("_h"))
+    val bits: Seq[org.apache.spark.sql.Column] = (0 until 64).map { i =>
+      val s = aggregate(col("_h"), lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(s > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    val mismatches = sample.select(
+        VectorFunctions.simhash64(col("_h")).as("nat"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("hof"))
+      .where(col("nat") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("hyperplane signature is deterministic and seed-sensitive") {
+    val v = emb.select(col("embedding").cast("array<double>").as("v"))
+    val twice = v.select(
+      VectorFunctions.hyperplaneSig(col("v"), 12, 0L).as("a"),
+      VectorFunctions.hyperplaneSig(col("v"), 12, 0L).as("b"),
+      VectorFunctions.hyperplaneSig(col("v"), 12, 1L).as("c"))
+    assert(twice.where(col("a") =!= col("b")).count() == 0)
+    // independent hyperplane families: seeds must not produce one global
+    // signature function (some rows may coincide by chance, not all)
+    assert(twice.where(col("a") =!= col("c")).count() > 0)
+    // signatures stay inside the declared bit budget
+    assert(twice.where(col("a") < 0 || col("a") >= (1L << 12)).count() == 0)
+  }
+
+  test("IVF assignment is a shuffle-free projection; seeding is distributed TakeOrdered") {
+    val cents = Similarity.learnCentroidArrays(emb, "vec_id", "embedding", 4, 1)
+    assert(cents.length == 4)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("list", Similarity.nearestList(col("v"), cents))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not use a window:\n$plan")
+    // every row lands in a real list
+    assert(assigned.where(col("list") < 0 || col("list") >= 4).count() == 0)
+    // the seed stage is a TakeOrdered (per-partition top-k + k-row driver
+    // merge), not a global single-task window
+    val seedPlan = emb
+      .select(col("vec_id").as("_id"), col("embedding").cast("array<double>").as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id")).limit(4)
+      .queryExecution.executedPlan.toString
+    assert(seedPlan.contains("TakeOrderedAndProject"), seedPlan)
+  }
+
   test("ivfTopK returns k ranked rows per query") {
     val out = Similarity.ivfTopK(emb, emb.where(col("vec_id") < 2),
       "vec_id", "embedding", k = 3, nLists = 8, nProbe = 8)
