@@ -187,6 +187,52 @@ object SparkEntry {
         .orderBy("series_key", "ts_s")
     }),
 
+    // non-double value dtype on the data path: STRING state series
+    // (user_id → sequence of event_type states) deduped per second with
+    // the type-agnostic REMOVE_DUPLICATES operator (reference stores any
+    // pandas dtype, types.py:264-290)
+    "ts_state_dedup" -> ((s, dir) => {
+      val obs = Observations.fromTyped(events(s, dir), "user_id", "ts", "event_type")
+      val secs = obs.select(col(KeyCol),
+        timestamp_seconds(EventOps.epochS(col(TsCol))).as(TsCol), col(ValueCol))
+      DedupTimestamps.transform(secs, Parameters.empty)
+        .select(col(KeyCol).as("series_key"),
+          EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("state"))
+        .orderBy("series_key", "ts_s")
+    }),
+
+    // string state series resampled-by-last (hourly latest state per user;
+    // type-agnostic max(struct(ts, value)) hash aggregate)
+    "ts_state_last" -> ((s, dir) => {
+      val obs = Observations.fromTyped(events(s, dir), "user_id", "ts", "event_type")
+      ResampleLast.transformFixed(obs, 3600)
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          col(ValueCol).as("state"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // RangeIndex (integer axis) resample: per-user series indexed by the
+    // event_id counter instead of a timestamp (reference RangeIndex
+    // round-trip, tests/test_index_metadata.py:94-211)
+    "ts_int_resample" -> ((s, dir) => {
+      val obs = events(s, dir).select(col("user_id").cast("string").as(KeyCol),
+        col("event_id").as(IntAxis.IdxCol), col("value"))
+      IntAxis.resampleFixed(obs, 1000L, grid = false)
+        .select(col(KeyCol).as("series_key"), col(IntAxis.IdxCol),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", IntAxis.IdxCol)
+    }),
+
+    // RangeIndex gridded resample + linear interpolation over the gaps
+    "ts_int_interpolate" -> ((s, dir) => {
+      val obs = events(s, dir).select(col("user_id").cast("string").as(KeyCol),
+        col("event_id").as(IntAxis.IdxCol), col("value"))
+      IntAxis.interpolate(IntAxis.resampleFixed(obs, 1000L, grid = true))
+        .select(col(KeyCol).as("series_key"), col(IntAxis.IdxCol),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", IntAxis.IdxCol)
+    }),
+
     // E2 dataset executor end-to-end: two event-type signals ingested,
     // resampled through Signal.process, then averaged through
     // Dataset.process — must equal the pure-SQL alignment+mean
@@ -651,6 +697,49 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS series_key,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, MIN(value) AS value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_state_dedup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, MIN(event_type) AS state
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_state_last" ->
+      """WITH w AS (
+        |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt, event_type,
+        |    row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '3600 seconds', ts)
+        |      ORDER BY epoch_us(ts) DESC, event_type DESC) AS rn
+        |  FROM events)
+        |SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts, event_type AS state
+        |FROM w WHERE rn = 1 ORDER BY 1, 2""".stripMargin,
+
+    "ts_int_resample" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  event_id - (event_id % 1000) AS idx,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_int_interpolate" ->
+      s"""WITH b AS (
+         |  SELECT user_id, event_id - (event_id % 1000) AS bi,
+         |         $DetMeanSql AS v
+         |  FROM events GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(bi) mn, max(bi) mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 1000)) AS bi FROM spans),
+         |g AS (SELECT grid.user_id, grid.bi, b.v, CAST(grid.bi AS DOUBLE) AS e
+         |      FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bi = b.bi),
+         |w AS (SELECT user_id, bi, v, e,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+         |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+         |  FROM g)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key, bi AS idx,
+         |  floor((CASE WHEN v IS NOT NULL THEN v
+         |              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+         |                THEN pv + (nv - pv) * (e - pt) / (nt - pt)
+         |              WHEN pv IS NOT NULL THEN pv END) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM w ORDER BY 1, 2""".stripMargin,
 
     "dataset_average" ->
       s"""WITH b AS (

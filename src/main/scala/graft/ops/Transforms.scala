@@ -244,6 +244,35 @@ object DetectOutOfRange extends SeriesTransform {
   }
 }
 
+/** Last-observation resample: one row per (series, bucket) carrying the
+  * bucket's latest observation (timestamp ties resolve to the greatest
+  * value — deterministic under any partitioning). TYPE-AGNOSTIC: works on
+  * string / long / double value columns alike — the non-numeric twin of
+  * [[Resample]]'s mean for the reference's any-dtype series
+  * (types.py:264-290: equipment states, categorical flags).
+  * Spark shape: one hash aggregate of `max(struct(ts, value))` — map-side
+  * partial combine, no window, one shuffle on (key, bucket). */
+object ResampleLast extends SeriesTransform {
+  val opName = "resample_last"
+  val suffix = "LAST"
+  val ptype = ProcessingType.Resampling
+  val description =
+    "Tumbling-window last-observation resample (any value dtype)"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val freq = params.get("frequency").getOrElse(
+      throw new IllegalArgumentException("resample_last requires 'frequency'"))
+    transformFixed(series, Freq.seconds(freq))
+  }
+
+  def transformFixed(series: DataFrame, sec: Long): DataFrame =
+    series
+      .groupBy(col(KeyCol),
+        window(col(TsCol), s"$sec seconds").getField("start").as(TsCol))
+      .agg(max(struct(col(TsCol).as("t"), col(ValueCol).as("v")))
+        .getField("v").as(ValueCol))
+}
+
 /** Duplicate-timestamp removal: one observation per (series, ts), keeping
   * the minimum value (a deterministic keeper — documented divergence from
   * pandas' positional "first") — fills the REMOVE_DUPLICATES category

@@ -117,6 +117,42 @@ class IOSpec extends SparkSpec {
     assert(back.data.count() == ds.data.count())
   }
 
+  test("non-double values_dtype is inferred at ingest and re-imposed on load") {
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(i * 60L))
+    // STRING state series (reference any-dtype, types.py:264-290)
+    val sdf = Seq((ts(0), "on"), (ts(1), "off"), (ts(2), "on"))
+      .toDF(Observations.TsCol, Observations.ValueCol)
+    val ssig = MeteauSignal.ingest(sdf, "ST", "state")
+    assert(ssig.meta.series.head.valuesDtype == "string")
+    // the type-agnostic operators run on it through the engine executor
+    val deduped = ssig.process(Seq("ST#1_RAW#1"), DedupTimestamps)
+    assert(deduped.series("ST#1_DEDUP-TS#1").count() == 3)
+    val sds = MeteauDataset.of("strds", Seq(ssig))
+    val spath = "/tmp/graft_test_rt_dtype_str"
+    SignalIO.save(sds, spath)
+    val sback = SignalIO.load(spark, spath)
+    assert(sback.data.schema(Observations.ValueCol).dataType.typeName == "string")
+    assert(sback.meta.signals.head.series.head.valuesDtype == "string")
+    assert(sback.data.orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[String].collect().toSeq ==
+      Seq("on", "off", "on"))
+    // the CSV degrade path reconstructs the catalog dtype, not double
+    SignalIO.save(sds, spath + "_csv", format = "csv")
+    val scsv = SignalIO.load(spark, spath + "_csv", format = "csv")
+    assert(scsv.data.schema(Observations.ValueCol).dataType.typeName == "string")
+    // LONG-valued series survives parquet and CSV the same way
+    val ldf = Seq((ts(0), 1L), (ts(1), 2L)).toDF(Observations.TsCol, Observations.ValueCol)
+    val lsig = MeteauSignal.ingest(ldf, "CNT", "count")
+    assert(lsig.meta.series.head.valuesDtype == "bigint")
+    val lds = MeteauDataset.of("longds", Seq(lsig))
+    val lpath = "/tmp/graft_test_rt_dtype_long"
+    SignalIO.save(lds, lpath, format = "csv")
+    val lback = SignalIO.load(spark, lpath, format = "csv")
+    assert(lback.data.schema(Observations.ValueCol).dataType.typeName == "long")
+    assert(lback.data.agg(sum(Observations.ValueCol)).as[Long].head() == 3L)
+  }
+
   test("partitioned save prunes partitions for single-series reads") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_prune"

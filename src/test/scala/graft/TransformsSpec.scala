@@ -31,6 +31,41 @@ class TransformsSpec extends SparkSpec {
       ("00:10", 10.0: java.lang.Double)))
   }
 
+  test("integer-axis resample grids buckets and interpolation fills the gaps (RangeIndex)") {
+    val in = Seq(("a", 1L, 1.0), ("a", 4L, 3.0), ("a", 21L, 10.0))
+      .toDF(KeyCol, IntAxis.IdxCol, ValueCol)
+    val grid = IntAxis.resampleFixed(in, 10L, grid = true)
+      .orderBy(IntAxis.IdxCol)
+      .select(col(IntAxis.IdxCol), col(ValueCol))
+      .as[(Long, java.lang.Double)].collect().toSeq
+    assert(grid == Seq((0L, 2.0: java.lang.Double), (10L, null),
+      (20L, 10.0: java.lang.Double)))
+    val interp = IntAxis.interpolate(IntAxis.resampleFixed(in, 10L, grid = true))
+      .orderBy(IntAxis.IdxCol)
+      .select(col(ValueCol)).as[Double].collect().toSeq
+    assert(interp == Seq(2.0, 6.0, 10.0)) // midpoint of 2 and 10
+    // negative axis buckets floor correctly
+    val neg = IntAxis.resampleFixed(
+      Seq(("a", -11L, 4.0)).toDF(KeyCol, IntAxis.IdxCol, ValueCol),
+      10L, grid = false)
+      .select(col(IntAxis.IdxCol)).as[Long].head()
+    assert(neg == -20L)
+  }
+
+  test("resample_last keeps the latest observation per bucket for any dtype") {
+    val in = Seq(
+      ("a", "2024-01-01 00:01:00", "on"),
+      ("a", "2024-01-01 00:04:00", "off"),
+      ("a", "2024-01-01 00:11:00", "on"))
+      .toDF(KeyCol, "ts_s", ValueCol)
+      .select(col(KeyCol), to_timestamp(col("ts_s")).as(TsCol), col(ValueCol))
+    val out = ResampleLast.transformFixed(in, 300)
+      .orderBy(TsCol)
+      .select(date_format(col(TsCol), "HH:mm"), col(ValueCol))
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(("00:00", "off"), ("00:10", "on")))
+  }
+
   test("resample non-grid emits only non-empty buckets") {
     val in = obs(
       ("a", "2024-01-01 00:01:00", 1.0),
