@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object SignalIO {
   import Observations._
+  import java.{util => ju}
+  import scala.jdk.CollectionConverters._
 
   /** Save: observations partitioned by series_key (partition pruning makes
     * single-series reads touch one directory), catalog as one JSON doc. */
@@ -139,6 +141,174 @@ object SignalIO {
     } finally zf.close()
   }
 
+  // ------------------------------------------- reference-format (YAML) zip
+
+  /** Load an archive produced by the REFERENCE implementation itself —
+    * `Dataset.save` (types.py:1293-1313: `{name}_metadata.yaml` at the zip
+    * root + `{name}_data/{signal}_data/{series}.csv`) or `Signal.save`
+    * (types.py:792-808: `{signal}_metadata.yaml` + per-series CSVs under
+    * `{signal}_data`).
+    * Metadata is YAML (types.py:785-790); pydantic enum/datetime fields
+    * are mapped onto the catalog model and numpy dtypes onto Spark types,
+    * so a user's existing metEAUdata archives load directly. */
+  def loadReferenceZip(spark: SparkSession, file: String): MeteauDataset = {
+    val zf = new java.util.zip.ZipFile(file)
+    try {
+      import scala.jdk.CollectionConverters._
+      val entries = zf.entries().asScala.toList
+      def slurp(e: java.util.zip.ZipEntry): String =
+        new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      // the root metadata doc: a dataset archive has exactly one
+      // *_metadata.yaml with no directory component; a signal archive's is
+      // also at the root
+      val metaEntry = entries
+        .filter(e => e.getName.endsWith("_metadata.yaml") && !e.getName.contains("/"))
+        .sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no root *_metadata.yaml in $file — not a reference archive"))
+      val root = yamlMapper.readValue(slurp(metaEntry),
+        classOf[ju.Map[String, Object]])
+      val meta =
+        if (root.containsKey("signals")) refDatasetFromMap(root)
+        else DatasetMeta(str(root, "name"),
+          createdOn = refEpochMillis(root.get("created_on")),
+          lastUpdated = refEpochMillis(root.get("last_updated")),
+          signals = Vector(refSignalFromMap(root)))
+      // data: every {series}.csv (pandas to_csv: unnamed index column +
+      // the series name as the value header)
+      val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
+        val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
+          .stripSuffix(".csv")
+        slurp(e).linesIterator.drop(1).filter(_.nonEmpty).map { line =>
+          val i = line.indexOf(',')
+          (key, line.substring(0, i), line.substring(i + 1))
+        }.toList
+      }
+      import spark.implicits._
+      val data = rows.toDF(KeyCol, TsCol, ValueCol)
+        .select(col(KeyCol),
+          to_timestamp(col(TsCol)).as(TsCol),
+          when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
+            .cast(catalogDtype(meta)).as(ValueCol))
+      val signals = meta.signals.map { sm =>
+        MeteauSignal(data.filter(col(KeyCol).isin(sm.seriesKeys: _*)), sm)
+      }
+      MeteauDataset(data, meta, signals)
+    } finally zf.close()
+  }
+
+  /** YAML via the Jackson dataformat bundled with Spark (snakeyaml-engine
+    * backend) — handles the reference's folded/escaped multi-line
+    * source_code strings that a hand-rolled parser would choke on. */
+  private val yamlMapper = new com.fasterxml.jackson.databind.ObjectMapper(
+    new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+
+  /** pydantic datetimes arrive as "yyyy-MM-dd HH:mm:ss[.SSSSSS]" strings
+    * (or java.util.Date depending on the YAML schema) → epoch millis. */
+  private def refEpochMillis(v: Object): Long = v match {
+    case null => 0L
+    case d: java.util.Date => d.getTime
+    case s =>
+      val txt = s.toString.trim
+      try {
+        val f = new java.time.format.DateTimeFormatterBuilder()
+          .appendPattern("yyyy-MM-dd HH:mm:ss")
+          .optionalStart()
+          .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+          .optionalEnd()
+          .toFormatter()
+        java.time.LocalDateTime.parse(txt, f)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch { case _: Exception => 0L }
+  }
+
+  /** numpy/pandas dtype names → Spark SQL type names (types.py:264-290
+    * stores the pandas dtype; we re-impose the Spark equivalent). */
+  private def npDtypeToSpark(s: String): String = s match {
+    case "float64" | "float32" | "float16" => "double"
+    case "int64" | "int32" | "int16" | "int8" |
+         "uint64" | "uint32" | "uint16" | "uint8" => "bigint"
+    case "bool" | "boolean" => "boolean"
+    case "object" | "string" | "str" => "string"
+    case _ => "double"
+  }
+
+  /** pandas index class names → catalog index kinds (types.py:106-170). */
+  private def refIndexKind(s: String): IndexKind = s match {
+    case "DatetimeIndex" => IndexKind.DatetimeIndex
+    case "TimedeltaIndex" => IndexKind.TimedeltaIndex
+    case "PeriodIndex" => IndexKind.PeriodIndex
+    case "IntervalIndex" => IndexKind.IntervalIndex
+    case "CategoricalIndex" => IndexKind.CategoricalIndex
+    case "RangeIndex" => IndexKind.RangeIndex
+    case _ => IndexKind.PlainIndex
+  }
+
+  private def refDatasetFromMap(m: ju.Map[String, Object]): DatasetMeta = {
+    import scala.jdk.CollectionConverters._
+    val sigs = Option(m.get("signals"))
+      .map(_.asInstanceOf[ju.Map[String, Object]].asScala.toVector)
+      .getOrElse(Vector.empty)
+      .map { case (_, sm) => refSignalFromMap(sm.asInstanceOf[ju.Map[String, Object]]) }
+    DatasetMeta(str(m, "name"), str(m, "description"), str(m, "owner"),
+      str(m, "purpose"), str(m, "project"),
+      refEpochMillis(m.get("created_on")), refEpochMillis(m.get("last_updated")),
+      sigs)
+  }
+
+  private def refSignalFromMap(m: ju.Map[String, Object]): SignalMeta = {
+    import scala.jdk.CollectionConverters._
+    val series = Option(m.get("time_series"))
+      .map(_.asInstanceOf[ju.Map[String, Object]].asScala.toVector)
+      .getOrElse(Vector.empty)
+      .map { case (key, raw) =>
+        val tsm = raw.asInstanceOf[ju.Map[String, Object]]
+        SeriesMeta(key,
+          objs(tsm, "processing_steps").map(refStepFromMap),
+          refIndexFromMap(tsm.get("index_metadata").asInstanceOf[ju.Map[String, Object]]),
+          npDtypeToSpark(str(tsm, "values_dtype")),
+          refEpochMillis(tsm.get("created_on")))
+      }
+    SignalMeta(str(m, "name"), str(m, "units"),
+      provFromMap(m.get("provenance").asInstanceOf[ju.Map[String, Object]]),
+      refEpochMillis(m.get("created_on")), refEpochMillis(m.get("last_updated")),
+      series)
+  }
+
+  private def refIndexFromMap(m: ju.Map[String, Object]): IndexMeta =
+    if (m == null) IndexMeta(IndexKind.DatetimeIndex)
+    else IndexMeta(refIndexKind(str(m, "type")), optStr(m, "name"),
+      str(m, "dtype"), optStr(m, "frequency"), optStr(m, "time_zone"),
+      optStr(m, "closed"),
+      Option(m.get("categories"))
+        .map(_.asInstanceOf[ju.List[Object]].asScala.toSeq.map(_.toString))
+        .getOrElse(Nil),
+      Option(m.get("ordered")).map(_.asInstanceOf[Boolean].booleanValue),
+      Option(m.get("start")).map(_.asInstanceOf[Number].longValue),
+      Option(m.get("end")).map(_.asInstanceOf[Number].longValue),
+      Option(m.get("step")).map(_.asInstanceOf[Number].longValue))
+
+  private def refStepFromMap(m: ju.Map[String, Object]): ProcessingStep = {
+    import scala.jdk.CollectionConverters._
+    val fi = m.get("function_info").asInstanceOf[ju.Map[String, Object]]
+    ProcessingStep(
+      ProcessingType.fromString(str(m, "type")), str(m, "description"),
+      refEpochMillis(m.get("run_datetime")),
+      Option(m.get("requires_calibration"))
+        .exists(_.asInstanceOf[Boolean].booleanValue),
+      FunctionInfo(str(fi, "name"), str(fi, "version"), str(fi, "author"),
+        str(fi, "reference"), optStr(fi, "source_code")),
+      Parameters(Option(m.get("parameters"))
+        .map(_.asInstanceOf[ju.Map[String, Object]].asScala.toMap
+          .map { case (k, v) => k -> Option(v).map(_.toString).getOrElse("") })
+        .getOrElse(Map.empty)),
+      str(m, "suffix"),
+      lng(m, "step_distance").toInt,
+      Option(m.get("input_series_names"))
+        .map(_.asInstanceOf[ju.List[Object]].asScala.toSeq.map(_.toString))
+        .getOrElse(Nil))
+  }
+
   // ---------------------------------------------------------------- JSON
 
   /** Hand-rolled catalog⇔JSON mapping via Jackson's untyped tree (ships
@@ -175,9 +345,6 @@ object SignalIO {
     datasetFromMap(mapper.readValue(json, classOf[java.util.Map[String, Object]]))
 
   // ---- map builders (java collections so Jackson needs no Scala module)
-
-  import java.{util => ju}
-  import scala.jdk.CollectionConverters._
 
   private def jmap(kvs: (String, Object)*): ju.Map[String, Object] = {
     val m = new ju.LinkedHashMap[String, Object]()

@@ -153,6 +153,42 @@ class IOSpec extends SparkSpec {
     assert(lback.data.agg(sum(Observations.ValueCol)).as[Long].head() == 3L)
   }
 
+  test("loads an archive written by the reference implementation (YAML metadata)") {
+    // fixture generated by running the ACTUAL reference package
+    // (meteaudata Dataset.save): 24 hourly points 1..24, resampled to 2h
+    val path = getClass.getResource("/interop_ds.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    assert(ds.meta.name == "interop_ds")
+    assert(ds.meta.description == "reference-format fixture")
+    val sig = ds.signal("A#1")
+    assert(sig.meta.units == "mg/l")
+    assert(sig.meta.provenance.parameter.contains("COD"))
+    assert(sig.seriesKeys.toSet == Set("A#1_RAW#1", "A#1_RESAMPLED#1"))
+    // numpy float64 → Spark double; DatetimeIndex kind mapped
+    val raw = sig.meta.seriesMeta("A#1_RAW#1").get
+    assert(raw.valuesDtype == "double")
+    assert(raw.index.kind == IndexKind.DatetimeIndex)
+    // lineage: the reference's resample step with its captured source
+    val steps = sig.meta.seriesMeta("A#1_RESAMPLED#1").get.steps
+    assert(steps.map(_.functionInfo.name) == Seq("resample"))
+    assert(steps.head.stepType == ProcessingType.Resampling)
+    assert(steps.head.parameters.get("frequency").contains("2h"))
+    assert(steps.head.inputSeriesNames == Seq("A#1_RAW#1"))
+    assert(steps.head.functionInfo.sourceDescription.exists(_.contains("def resample(")))
+    // data fidelity: 24 raw points summing 300; 12 two-hour means summing 150
+    assert(sig.series("A#1_RAW#1").count() == 24)
+    assert(sig.series("A#1_RESAMPLED#1").count() == 12)
+    val sums = ds.data.groupBy(Observations.KeyCol)
+      .agg(sum(Observations.ValueCol).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(sums("A#1_RAW#1") - 300.0) < 1e-9)
+    assert(math.abs(sums("A#1_RESAMPLED#1") - 150.0) < 1e-9)
+    // the loaded dataset keeps processing through the engine
+    val resumed = ds.signal("A#1")
+      .process(Seq("A#1_RESAMPLED#1"), ScaleValues, Parameters.of("factor" -> "2.0"))
+    assert(resumed.series("A#1_DBL#1").count() == 12)
+  }
+
   test("partitioned save prunes partitions for single-series reads") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_prune"
