@@ -309,6 +309,26 @@ object SparkEntry {
         .orderBy("series_key", "ts_str", "value")
     }),
 
+    // dataset-level plot frame: stacked per-signal subplot rows over two
+    // engine-built signals (reference Dataset.plot, types.py:1431-1473)
+    "dataset_plot_frame" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def sigOf(t: String, name: String) = MeteauSignal.ingest(
+        Observations.from(ev.where(col("event_type") === t),
+          "event_type", "ts", "value").select(col(TsCol), col(ValueCol)),
+        name, "mg/l")
+        .process(Seq(s"$name#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "15min", "grid" -> "false"))
+      val ds = graft.core.MeteauDataset.of("dp",
+        Seq(sigOf("click", "C"), sigOf("view", "V")))
+      ds.plotFrame(Seq("C#1_RAW#1", "C#1_RESAMPLED#1",
+          "V#1_RAW#1", "V#1_RESAMPLED#1"), 900L)
+        .select(col(KeyCol).as("series_key"), col("subplot_row"),
+          fmtTs(col(TsCol)).as("ts_str"), r6(col(ValueCol)).as("value"),
+          col("mode"))
+        .orderBy("series_key", "ts_str", "value")
+    }),
+
     // ------------------------------------------------- relational coverage
 
     // scan + hash aggregate with exact decimal sums (TPC-H Q1 shape)
@@ -801,6 +821,33 @@ object SparkEntry {
          |  FROM events WHERE user_id = 1
          |  GROUP BY time_bucket(INTERVAL '3600 seconds', ts))
          |SELECT * FROM (SELECT * FROM raw UNION ALL SELECT * FROM res UNION ALL SELECT * FROM pred)
+         |ORDER BY series_key, ts_str, value""".stripMargin,
+
+    "dataset_plot_frame" ->
+      s"""WITH craw AS (
+         |  SELECT 'C#1_RAW#1' AS series_key, 1 AS subplot_row,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
+         |  FROM events WHERE event_type = 'click'),
+         |cres AS (
+         |  SELECT 'C#1_RESAMPLED#1' AS series_key, 1 AS subplot_row,
+         |    strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
+         |  FROM events WHERE event_type = 'click'
+         |  GROUP BY time_bucket(INTERVAL '900 seconds', ts)),
+         |vraw AS (
+         |  SELECT 'V#1_RAW#1' AS series_key, 2 AS subplot_row,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    floor((value) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
+         |  FROM events WHERE event_type = 'view'),
+         |vres AS (
+         |  SELECT 'V#1_RESAMPLED#1' AS series_key, 2 AS subplot_row,
+         |    strftime(time_bucket(INTERVAL '900 seconds', ts), '%Y-%m-%d %H:%M:%S') AS ts_str,
+         |    floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value, 'lines' AS mode
+         |  FROM events WHERE event_type = 'view'
+         |  GROUP BY time_bucket(INTERVAL '900 seconds', ts))
+         |SELECT * FROM (SELECT * FROM craw UNION ALL SELECT * FROM cres
+         |  UNION ALL SELECT * FROM vraw UNION ALL SELECT * FROM vres)
          |ORDER BY series_key, ts_str, value""".stripMargin,
 
     "rel_distinct_users" ->

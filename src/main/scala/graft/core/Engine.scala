@@ -217,6 +217,27 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
       signals :+ newSignal)
   }
 
+  /** Dataset-level plot frame — the data side of the reference's stacked
+    * per-signal subplots (`Dataset.plot`, types.py:1431-1473): every
+    * requested series' trace (ts/value/mode, with the display-time shift
+    * rules of [[MeteauSignal.plotFrame]]) plus `subplot_row`, the 1-based
+    * row of its owning signal in first-appearance order — exactly the
+    * frame a subplot renderer consumes. */
+  def plotFrame(keys: Seq[String], freqSeconds: Long,
+      materializedShift: Boolean = true): DataFrame = {
+    val owner: Map[String, MeteauSignal] = keys.map { k =>
+      k -> signals.find(_.meta.seriesKeys.contains(k)).getOrElse(
+        throw new NoSuchElementException(s"no series '$k' in dataset '${meta.name}'"))
+    }.toMap
+    val rowOf: Map[String, Int] = keys.map(owner(_).meta.name).distinct
+      .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    keys.map { k =>
+      val sig = owner(k)
+      sig.plotFrame(Seq(k), freqSeconds, materializedShift)
+        .withColumn("subplot_row", lit(rowOf(sig.meta.name)))
+    }.reduce(_ unionByName _)
+  }
+
   def dependencyEdges(fqName: String): Seq[DependencyEdge] = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[DependencyEdge]
     def lookup(name: String): Option[SeriesMeta] =

@@ -57,40 +57,61 @@ object StreamingOps {
   /** Streaming gap-based sessionization with explicit per-key state:
     * events accumulate into an open session; a session closes (and is
     * emitted) when a later event arrives more than `gapSeconds` after the
-    * session's end. Open sessions persist in the state store across
-    * micro-batches. The streaming twin of EventOps.sessionStats — the
+    * session's end — OR when the event-time watermark passes the
+    * session's end + gap (idle sessions flush via
+    * `GroupStateTimeout.EventTimeTimeout`, so state is bounded: a key
+    * that stops sending holds state only until the watermark catches up,
+    * not forever). The streaming twin of EventOps.sessionStats — the
     * flatMapGroupsWithState extension point for session-window state.
-    * (Production deployments add an event-time timeout + watermark to
-    * flush idle sessions; omitted here so bounded replays quiesce.) */
+    * `watermark` is the late-arrival tolerance; it also bounds the state
+    * store size at scale (keys × open-session window). */
   case class SessionState(startS: Long, endS: Long, n: Long)
   case class SessionOut(series_key: String, start_s: Long, end_s: Long,
       n_events: Long)
 
-  def sessionizeStream(stream: DataFrame, gapSeconds: Long)
+  def sessionizeStream(stream: DataFrame, gapSeconds: Long,
+      watermark: String = "1 hour")
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    stream.as[ObsEvent]
+    stream
+      .withWatermark(TsCol, watermark)
+      .as[ObsEvent]
       .groupByKey(_.series_key)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, events: Iterator[ObsEvent], state: GroupState[SessionState]) =>
-          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val s = e.ts.getTime / 1000L
-            cur match {
-              case Some(c) if s - c.endS <= gapSeconds =>
-                cur = Some(c.copy(endS = s, n = c.n + 1))
-              case Some(c) =>
-                closed += SessionOut(key, c.startS, c.endS, c.n)
-                cur = Some(SessionState(s, s, 1))
-              case None =>
-                cur = Some(SessionState(s, s, 1))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no new events: nothing can
+            // extend this session any more — flush and drop the state
+            val out = state.getOption
+              .map(c => SessionOut(key, c.startS, c.endS, c.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val s = e.ts.getTime / 1000L
+              cur match {
+                case Some(c) if s - c.endS <= gapSeconds =>
+                  cur = Some(c.copy(endS = s, n = c.n + 1))
+                case Some(c) =>
+                  closed += SessionOut(key, c.startS, c.endS, c.n)
+                  cur = Some(SessionState(s, s, 1))
+                case None =>
+                  cur = Some(SessionState(s, s, 1))
+              }
             }
+            cur.foreach { c =>
+              state.update(c)
+              // flush once the watermark passes the session-extension
+              // horizon (timeout timestamps may not trail the watermark)
+              state.setTimeoutTimestamp(math.max((c.endS + gapSeconds) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
       .toDF()
   }

@@ -21,6 +21,27 @@ class EngineSpec extends SparkSpec {
       DataProvenance(parameter = Some("COD"), metadataId = Some("1")))
   }
 
+  test("dataset plotFrame stacks one subplot row per signal, trace modes per last step") {
+    val a = fixtureSignal("A")
+      .process(Seq("A#1_RAW#1"), Resample, Parameters.of("frequency" -> "30min"))
+      .process(Seq("A#1_RESAMPLED#1"), PredictPrevious,
+        Parameters.of("frequency" -> "30min"))
+    val b = fixtureSignal("B")
+    val ds = MeteauDataset.of("pf", Seq(a, b))
+    val frame = ds.plotFrame(
+      Seq("A#1_RAW#1", "A#1_PREV-PRED#1", "B#1_RAW#1"), 1800L)
+    val rows = frame.select("series_key", "subplot_row", "mode").distinct()
+      .as[(String, Int, String)].collect().toSet
+    assert(rows == Set(
+      ("A#1_RAW#1", 1, "lines"),
+      ("A#1_PREV-PRED#1", 1, "lines+markers"),
+      ("B#1_RAW#1", 2, "lines")))
+    // every requested series contributes its rows
+    assert(frame.where(col("series_key") === "B#1_RAW#1").count() == 100)
+    // unknown keys are rejected like the signal-level operator
+    intercept[NoSuchElementException] { ds.plotFrame(Seq("Z#1_RAW#1"), 60L) }
+  }
+
   test("ingest normalizes names to SIG#1_RAW#1") {
     val sig = fixtureSignal()
     assert(sig.meta.name == "A#1")

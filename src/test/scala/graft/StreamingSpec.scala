@@ -54,6 +54,36 @@ class StreamingSpec extends SparkSpec {
       s"open session should have been extended across batches then closed: $closedAll")
   }
 
+  test("idle session flushes via event-time timeout once the watermark passes") {
+    implicit val s = spark
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(key: String, offS: Long, v: Double) =
+      (key, new java.sql.Timestamp(t0 + offS * 1000), v)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)](spark, 1)
+    val df = input.toDF().toDF("series_key", "ts", "value")
+    val q = StreamingOps.sessionizeStream(df, gapSeconds = 60,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessionize_timeout_tbl").start()
+    // the session for "a" ends at t0+30 and no event for "a" ever follows
+    input.addData(ev("a", 0, 1.0), ev("a", 30, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessionize_timeout_tbl").isEmpty) // still open
+    // advance event time via another key; the watermark (computed from the
+    // previous batch's max event time) passes t0+30+60 on the next batch
+    input.addData(ev("b", 5000, 1.0))
+    q.processAllAvailable()
+    input.addData(ev("b", 5010, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = spark.table("sessionize_timeout_tbl")
+      .select("series_key", "start_s", "end_s", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(flushed.contains(("a", t0 / 1000, t0 / 1000 + 30, 2L)),
+      s"idle session must flush via timeout, got: $flushed")
+  }
+
   test("streaming dedup drops duplicate ids across micro-batches") {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
       (Long, java.sql.Timestamp, Double)](spark, 1)
