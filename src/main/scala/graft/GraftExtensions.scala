@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, HyperplaneSig, SimHash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("SELECT
@@ -22,5 +22,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    // graft_hyperplane_sig(vec, bits, seed) — bits/seed must be literals
+    // (they parameterize the generated code / cached weight table)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Long = e match {
+          case Literal(v: Number, _) => v.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_sig: $what must be a literal, got $other")
+        }
+        HyperplaneSig(children.head, lit(children(1), "bits").toInt,
+          lit(children(2), "seed"))
+      }))
   }
 }

@@ -6,10 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video payloads are opaque
   * `binary` columns with a typed metadata struct travelling alongside.
   * The Spark-side plumbing (schema, batch shape, partition-local decode,
-  * feature extraction signature) is real and tested; the actual
-  * codec work is STUBBED with a deterministic fake because no image/audio
-  * libraries ship in this environment — swap [[MultimodalStubs.decodeStub]]
-  * for a real decoder (JNI/javacpp) without touching the dataflow.
+  * feature extraction signature) is the `mapInPandas`-style batch shape a
+  * real pipeline uses.
+  *
+  * Codecs: REAL for the formats the JVM can decode without external
+  * libraries — PNG/JPEG/BMP/GIF through `javax.imageio`, WAV/PCM through
+  * `javax.sound.sampled` ([[MultimodalCodecs]]); payloads in formats with
+  * no in-JVM codec (video, mp3, …) fall back to the clearly-marked
+  * deterministic stand-ins in [[MultimodalStubs]] so the dataflow is
+  * total. Swapping in further codecs (JNI/javacpp) touches only
+  * [[MultimodalCodecs]], not the dataflow.
   */
 object Multimodal {
 
@@ -26,60 +32,218 @@ object Multimodal {
     * expressions (encode/sha2/length) — this is the ingest path a real
     * pipeline uses before handing batches to a decoder. */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String,
-      modalityCol: String): DataFrame = {
-    val payload = encode(col(bytesCol), "UTF-8")
+      modalityCol: String): DataFrame =
+    mediaFrame(df, idCol, encode(col(bytesCol), "UTF-8"), col(modalityCol))
+
+  /** Binary-column ingest (actual media payloads, e.g. a parquet `binary`
+    * column of PNG/WAV blobs). */
+  def asMediaBinary(df: DataFrame, idCol: String, binCol: String,
+      modalityCol: String): DataFrame =
+    mediaFrame(df, idCol, col(binCol), col(modalityCol))
+
+  private def mediaFrame(df: DataFrame, idCol: String,
+      payload: org.apache.spark.sql.Column,
+      modality: org.apache.spark.sql.Column): DataFrame =
     df.select(
       col(idCol).cast("long").as("doc_id"),
       payload.as("payload"),
       struct(
-        col(modalityCol).as("modality"),
+        modality.as("modality"),
         octet_length(payload).cast("long").as("byteLen"),
         sha2(payload, 256).as("sha256"),
         lit(0).as("width"), lit(0).as("height"),
         lit(0).as("sampleRateHz")).as("meta"))
-  }
 
-  /** Partition-local decode: batches stream through `mapPartitions` so a
-    * real decoder amortizes codec init per partition (the Scala analogue
-    * of `mapInPandas` batch shape). Decode itself is a stub. */
+  /** Partition-local decode: batches stream through `mapPartitions` so
+    * codec state amortizes per partition. Image payloads get their REAL
+    * pixel dimensions, WAV payloads their real sample rate; undecodable
+    * formats fall back to the deterministic stub. */
   def decode(ds: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     ds.mapPartitions { it =>
-      // real impl: init codec once per partition here
-      it.map(MultimodalStubs.decodeStub)
+      it.map { r =>
+        MultimodalCodecs.decodeMeta(r.payload) match {
+          case Some((modality, w, h, rate)) =>
+            r.copy(meta = r.meta.copy(modality = modality, width = w,
+              height = h, sampleRateHz = rate))
+          case None => MultimodalStubs.decodeStub(r)
+        }
+      }
     }
   }
 
   /** Feature extraction: fixed-width float vector per payload,
-    * partition-local. Stubbed deterministically from payload bytes. */
+    * partition-local. Images: grid mean-pooled luminance; WAV: per-window
+    * RMS energy; undecodable payloads: deterministic byte-hash stub. */
   def extractFeatures(ds: Dataset[MediaRow], dims: Int = 16)
       (implicit spark: SparkSession): Dataset[FeatureRow] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        FeatureRow(r.doc_id, r.meta.modality,
-          MultimodalStubs.featureStub(r.payload, dims))
+        val feats = MultimodalCodecs.features(r.payload, dims)
+          .getOrElse(MultimodalStubs.featureStub(r.payload, dims))
+        FeatureRow(r.doc_id, r.meta.modality, feats)
       }
     }
   }
 
-  /** "Resize"/re-sample: metadata transform only in the stub (a real
-    * impl rewrites the payload). Keeps the contract: payload + meta in,
-    * payload + meta out, row count preserved. */
+  /** Resize: image payloads are ACTUALLY re-encoded at (w, h) (bilinear
+    * scale + PNG re-encode); non-image payloads keep their bytes and only
+    * the target metadata is recorded (the stub contract). Row count and
+    * schema preserved either way. */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int)
       (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    ds.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    ds.mapPartitions { it =>
+      it.map { r =>
+        MultimodalCodecs.resizeImage(r.payload, w, h) match {
+          case Some(bytes) =>
+            r.copy(payload = bytes,
+              meta = r.meta.copy(width = w, height = h,
+                byteLen = bytes.length.toLong))
+          case None => r.copy(meta = r.meta.copy(width = w, height = h))
+        }
+      }
+    }
   }
 }
 
-/** Clearly-marked deterministic stand-ins for codec work (no media
-  * libraries in this container). Deterministic so tests are stable. */
+/** Real in-JVM codecs: `javax.imageio` (PNG/JPEG/BMP/GIF) and
+  * `javax.sound.sampled` (WAV/PCM). Format sniffing is magic-byte based so
+  * undecodable payloads cost one header check, not a thrown exception. */
+object MultimodalCodecs {
+
+  /** Magic-byte sniff → media kind, or None for unknown formats. */
+  def sniff(b: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int) = i < b.length && (b(i) & 0xff) == v
+    if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("image/png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("image/jpeg")
+    else if (at(0, 'B') && at(1, 'M')) Some("image/bmp")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) Some("image/gif")
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) Some("audio/wav")
+    else None
+  }
+
+  private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
+
+  /** (modality, width, height, sampleRateHz) for decodable payloads. */
+  def decodeMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
+    sniff(b).flatMap {
+      case m if m.startsWith("image/") =>
+        readImage(b).map(img => (m, img.getWidth, img.getHeight, 0))
+      case m @ "audio/wav" =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b))
+          val rate = in.getFormat.getSampleRate.toInt
+          in.close()
+          Some((m, 0, 0, rate))
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** Bilinear-scaled PNG re-encode for image payloads. */
+  def resizeImage(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    sniff(b).filter(_.startsWith("image/")).flatMap(_ => readImage(b)).map { img =>
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Real features: images → `dims` grid-mean-pooled luminance cells
+    * (row-major over a near-square grid); WAV → per-window RMS energy of
+    * the PCM samples. None for undecodable payloads. */
+  def features(b: Array[Byte], dims: Int): Option[Array[Float]] =
+    sniff(b).flatMap {
+      case m if m.startsWith("image/") => readImage(b).map(imageFeatures(_, dims))
+      case "audio/wav" => wavSamples(b).map(rmsWindows(_, dims))
+      case _ => None
+    }
+
+  private def imageFeatures(img: java.awt.image.BufferedImage,
+      dims: Int): Array[Float] = {
+    val gx = math.max(1, math.sqrt(dims.toDouble).toInt)
+    val gy = math.max(1, (dims + gx - 1) / gx)
+    val out = new Array[Float](dims)
+    val counts = new Array[Int](dims)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gy - 1, y * gy / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gx - 1, x * gx / w)
+        val cell = cy * gx + cx
+        if (cell < dims) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000.0f
+          out(cell) += lum
+          counts(cell) += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dims) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+    out
+  }
+
+  private def wavSamples(b: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+        val out = new Array[Float](sb.remaining())
+        var i = 0
+        while (sb.hasRemaining) { out(i) = sb.get() / 32768.0f; i += 1 }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  private def rmsWindows(samples: Array[Float], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    if (samples.isEmpty) return out
+    val win = math.max(1, samples.length / dims)
+    var d = 0
+    while (d < dims) {
+      val from = d * win
+      val to = if (d == dims - 1) samples.length else math.min(samples.length, from + win)
+      var acc = 0.0
+      var i = from
+      while (i < to) { acc += samples(i) * samples(i); i += 1 }
+      out(d) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0.0f
+      d += 1
+    }
+    out
+  }
+}
+
+/** Clearly-marked deterministic stand-ins for formats with no in-JVM
+  * codec (video, compressed audio). Deterministic so tests are stable. */
 object MultimodalStubs {
   import Multimodal._
 
   /** STUB: pretends to decode a payload; derives fake dimensions from a
-    * byte checksum. Replace with a real image/audio decoder. */
+    * byte checksum. Replace with a real decoder via [[MultimodalCodecs]]. */
   def decodeStub(r: MediaRow): MediaRow = {
     var acc = 0L
     var i = 0

@@ -45,16 +45,19 @@ object IntAxis {
     * trailing nulls forward-fill), with the interpolation ratio computed
     * on the axis cast to double (exact for |idx| < 2^53). */
   def interpolate(series: DataFrame): DataFrame = {
-    val wAll = Window.partitionBy(KeyCol).orderBy(IdxCol)
-    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(KeyCol).orderBy(IdxCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // reversed running frame instead of (0, unboundedFollowing) — see
+    // the O(partition²) note in [[Interpolate.transform]]
+    val wNextRev = Window.partitionBy(KeyCol).orderBy(col(IdxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val v = col(ValueCol)
     val axis = col(IdxCol).cast("double")
     val staged = series
       .withColumn("_pv", last(v, ignoreNulls = true).over(wPrev))
       .withColumn("_pt", last(when(v.isNotNull, axis), ignoreNulls = true).over(wPrev))
-      .withColumn("_nv", first(v, ignoreNulls = true).over(wNext))
-      .withColumn("_nt", first(when(v.isNotNull, axis), ignoreNulls = true).over(wNext))
+      .withColumn("_nv", last(v, ignoreNulls = true).over(wNextRev))
+      .withColumn("_nt", last(when(v.isNotNull, axis), ignoreNulls = true).over(wNextRev))
     val (pv, pt, nv, nt) = (col("_pv"), col("_pt"), col("_nv"), col("_nt"))
     val interp =
       when(v.isNotNull, v)

@@ -119,9 +119,16 @@ object Interpolate extends SeriesTransform {
     "Linear interpolation of null gaps between nearest non-null neighbours"
 
   def transform(series: DataFrame, params: Parameters): DataFrame = {
-    val wAll = Window.partitionBy(KeyCol).orderBy(TsCol)
-    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(KeyCol).orderBy(TsCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // next-non-null via a REVERSED running frame, not a
+    // (0, unboundedFollowing) frame: Spark's unbounded-following frame
+    // (UnboundedFollowingWindowFunctionFrame) recomputes the aggregate
+    // from scratch for every row — O(partition²); measured 20 s for 1 M
+    // rows vs ~1 s for the running frames. The descending sort shares the
+    // same hash exchange, so the cost is one extra O(n log n) sort.
+    val wNextRev = Window.partitionBy(KeyCol).orderBy(col(TsCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val v = col(ValueCol)
     val tsS = col(TsCol).cast("double") // epoch seconds
     // stage the four neighbour values as columns: each window expression
@@ -131,8 +138,8 @@ object Interpolate extends SeriesTransform {
     val staged = series
       .withColumn("_pv", last(v, ignoreNulls = true).over(wPrev))
       .withColumn("_pt", last(when(v.isNotNull, tsS), ignoreNulls = true).over(wPrev))
-      .withColumn("_nv", first(v, ignoreNulls = true).over(wNext))
-      .withColumn("_nt", first(when(v.isNotNull, tsS), ignoreNulls = true).over(wNext))
+      .withColumn("_nv", last(v, ignoreNulls = true).over(wNextRev))
+      .withColumn("_nt", last(when(v.isNotNull, tsS), ignoreNulls = true).over(wNextRev))
     val (pv, pt, nv, nt) = (col("_pv"), col("_pt"), col("_nv"), col("_nt"))
     val interp =
       when(v.isNotNull, v)

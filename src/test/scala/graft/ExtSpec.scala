@@ -191,6 +191,12 @@ class ExtSpec extends SparkSpec {
       "SELECT graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L))")
       .head().getLong(0)
     assert(n == 2L)
+    // all-ones token hashes set every bit; signature arity checks
+    val sh = spark.sql("SELECT graft_simhash64(array(-1L, -1L))").head().getLong(0)
+    assert(sh == -1L)
+    val hp = spark.sql(
+      "SELECT graft_hyperplane_sig(array(1.0d, -2.0d, 0.5d), 12, 7L)").head().getLong(0)
+    assert(hp >= 0 && hp < (1L << 12))
   }
 
   test("two-frame as-of join picks the latest right row at or before each left ts") {
