@@ -54,6 +54,16 @@ object SparkEntry {
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Total order for SMALL results (pair mining, top-k: tens-to-hundreds
+    * of rows by construction) without a range-partitioning sample pass: a
+    * global `orderBy` executes the child TWICE (once to sample range
+    * bounds, once for the shuffle), which doubles the expensive candidate
+    * pipelines upstream. One shuffle to a single partition + a local sort
+    * runs the child once; with a single partition the order is total. Not
+    * for large results — those keep the real global sort. */
+  private def sortSmall(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   /** Portable round-half-up at 6 places via explicit float arithmetic —
     * used where interpolation's dyadic time fractions can land values
     * exactly on x.xxxxxx5 halfway points (native round() semantics differ
@@ -429,24 +439,24 @@ object SparkEntry {
     // exact n-gram Jaccard near-dup pairs
     "doc_jaccard_pairs" -> ((s, dir) => {
       val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
-      Dedup.jaccardPairs(sh, 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      sortSmall(Dedup.jaccardPairs(sh, 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+        "doc_a", "doc_b")
     }),
 
     // MinHash-LSH near-dup pairs with exact verification (same oracle as
     // exact Jaccard — recall at the planted-dup level is ~1)
     "doc_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      sortSmall(Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+        "doc_a", "doc_b")
     }),
 
     // SimHash near-dup pairs (rows-only check: the 64-bit token-hash
     // signature is engine-specific, so no portable SQL oracle exists)
     "doc_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")
+      sortSmall(Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_a", "doc_b")
     }),
 
     // banded hyperplane-LSH similar pairs (rows-only: approximate).
@@ -454,27 +464,27 @@ object SparkEntry {
     // signature — pick ≈ log2(n)+slack so occupancy stays O(1) at scale);
     // bands buy recall back via OR-amplification.
     "emb_lsh_pairs" -> ((s, dir) => {
-      Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", minCosine = 0.2, bits = 10, bands = 8)
-        .orderBy("id_a", "id_b")
+      sortSmall(Similarity.lshBucketedPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", minCosine = 0.2, bits = 10, bands = 8),
+        "id_a", "id_b")
     }),
 
     // learned-centroid IVF top-k (rows-only: approximate, nProbe < nLists)
     "emb_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopKLearned(emb, emb.where(col("vec_id") < 8), "vec_id",
+      sortSmall(Similarity.ivfTopKLearned(emb, emb.where(col("vec_id") < 8), "vec_id",
           "embedding", k = 5, nLists = 16, nProbe = 4)
-        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
-        .orderBy("query_id", "rank")
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
+      sortSmall(Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), "vec_id",
           "embedding", k = 5)
-        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
-        .orderBy("query_id", "rank")
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // global most-similar pairs (near-dup mining baseline)
