@@ -106,6 +106,15 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // calendar-frequency resample: monthly mean per user (pandas
+    // resample("MS") semantics — month bins aren't fixed-duration)
+    "ts_resample_month" -> ((s, dir) => {
+      ResampleCalendar.transformUnit(obsEvents(s, dir), "month")
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
     // T2 linear interpolation over the gridded resample
     "ts_interpolate" -> ((s, dir) => {
       val grid = Resample.transformFixed(obsEvents(s, dir), 3600, grid = true)
@@ -727,6 +736,12 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS series_key,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, MIN(value) AS value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_resample_month" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_state_dedup" ->
       """SELECT CAST(user_id AS VARCHAR) AS series_key,

@@ -251,6 +251,39 @@ object DetectOutOfRange extends SeriesTransform {
   }
 }
 
+/** Calendar-frequency resample: month/quarter/year/week buckets via
+  * `date_trunc` — the pandas `resample("MS"/"QS"/"YS"/"W")` bins the
+  * fixed-duration [[Resample]] can't express (months are not a fixed
+  * number of seconds). Same deterministic-mean discipline; one hash
+  * aggregate on (key, truncated ts). */
+object ResampleCalendar extends SeriesTransform {
+  val opName = "resample_calendar"
+  val suffix = "RESAMPLED-CAL"
+  val ptype = ProcessingType.Resampling
+  val description =
+    "Resample to a calendar frequency (week/month/quarter/year) by mean"
+
+  private val Units = Set("week", "month", "quarter", "year")
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val unit = params.get("frequency").map(_.toLowerCase).map {
+      case "m" | "ms" | "month" => "month"
+      case "q" | "qs" | "quarter" => "quarter"
+      case "y" | "ys" | "a" | "year" => "year"
+      case "w" | "week" => "week"
+      case other => other
+    }.getOrElse(throw new IllegalArgumentException(
+      "resample_calendar requires 'frequency'"))
+    require(Units(unit), s"unsupported calendar frequency '$unit'")
+    transformUnit(series, unit)
+  }
+
+  def transformUnit(series: DataFrame, unit: String): DataFrame =
+    series
+      .groupBy(col(KeyCol), date_trunc(unit, col(TsCol)).as(TsCol))
+      .agg(Resample.detMean(col(ValueCol)).as(ValueCol))
+}
+
 /** Last-observation resample: one row per (series, bucket) carrying the
   * bucket's latest observation (timestamp ties resolve to the greatest
   * value — deterministic under any partitioning). TYPE-AGNOSTIC: works on

@@ -52,6 +52,22 @@ class TransformsSpec extends SparkSpec {
     assert(neg == -20L)
   }
 
+  test("calendar resample bins by month with the deterministic mean") {
+    val in = obs(
+      ("a", "2024-01-05 10:00:00", 1.0),
+      ("a", "2024-01-20 00:00:00", 3.0),
+      ("a", "2024-02-01 00:00:00", 10.0), // month boundary is inclusive-left
+      ("a", "2024-03-31 23:59:59", 7.0))
+    val out = ResampleCalendar.transform(in, Parameters.of("frequency" -> "MS"))
+      .orderBy(TsCol)
+      .select(date_format(col(TsCol), "yyyy-MM-dd"), col(ValueCol))
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(("2024-01-01", 2.0), ("2024-02-01", 10.0), ("2024-03-01", 7.0)))
+    intercept[IllegalArgumentException] {
+      ResampleCalendar.transform(in, Parameters.of("frequency" -> "5min"))
+    }
+  }
+
   test("resample_last keeps the latest observation per bucket for any dtype") {
     val in = Seq(
       ("a", "2024-01-01 00:01:00", "on"),
