@@ -41,6 +41,13 @@ object ScaleSmoke {
       val rows = f
       println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($rows rows)")
     }
+    // full materialization through a noop sink: count() lets Catalyst
+    // elide row-preserving windows/projections entirely (the r1 trap), so
+    // every timing below that cares about compute writes, then counts
+    def exec(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save()
+      -1L // rows not recounted; the write IS the measurement
+    }
 
     Seq(millions / 4, millions).foreach { m =>
       val n = m * 1000000L
@@ -48,12 +55,35 @@ object ScaleSmoke {
       println(s"--- ${m}M rows, $nSeries series ---")
       time("resample-5min")(
         Resample.transformFixed(obs, 300, grid = false).count())
-      time("resample+interpolate")(
+      time("resample+interpolate")(exec(
         Interpolate.transform(
-          Resample.transformFixed(obs, 300, grid = true), Parameters.empty).count())
+          Resample.transformFixed(obs, 300, grid = true), Parameters.empty)))
       time("salted-mean")(
         graft.ext.Skew.saltedMeanByKey(
           obs.select(col(KeyCol).as("k"), col(ValueCol).as("v")), "k", "v").count())
+    }
+
+    // embedding ANN at 40-400x the bench corpus: synthetic 64-dim vectors
+    // with planted near-dup pairs (id 100k+1 = slightly perturbed id 100k)
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding"))
+    Seq(200000L).foreach { nv =>
+      println(s"--- $nv synthetic vectors (64-dim) ---")
+      val vecs = synthVecs(nv).cache()
+      vecs.count()
+      time("banded-hyperplane-lsh-pairs")(
+        graft.ext.Similarity.lshBucketedPairs(vecs, "vec_id", "embedding",
+          minCosine = 0.9, bits = 18, bands = 8).count())
+      time("ivf-learned-topk")(
+        graft.ext.Similarity.ivfTopKLearned(vecs,
+          vecs.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nLists = 64, nProbe = 8).count())
+      vecs.unpersist()
     }
 
     // near-dup mining at 20x the bench corpus: synthetic 60-word docs over
