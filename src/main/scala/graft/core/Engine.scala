@@ -53,9 +53,9 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
 
       val outRows = t.transform(cur.series(input), params)
         .select(lit(outKey).as(KeyCol), col(TsCol), col(ValueCol))
-      val sm = cur.meta.seriesMeta(input)
-        .getOrElse(SeriesMeta(input))
-        .copy(seriesKey = outKey, steps = lineage, createdOn = runAt)
+      val inputMeta = cur.meta.seriesMeta(input).getOrElse(SeriesMeta(input))
+      val sm = inputMeta.copy(seriesKey = outKey, steps = lineage,
+        index = t.updatedIndex(inputMeta.index, params), createdOn = runAt)
       cur = MeteauSignal(
         cur.data.unionByName(outRows),
         cur.meta.copy(series = cur.meta.series :+ sm, lastUpdated = runAt))

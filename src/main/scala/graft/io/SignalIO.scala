@@ -197,6 +197,139 @@ object SignalIO {
     } finally zf.close()
   }
 
+  /** Write an archive the REFERENCE implementation can load back
+    * (`Dataset.load`, types.py:1319-1364): `{name}_metadata.yaml` at the
+    * zip root, `{name}_data/{signal}_metadata.yaml` +
+    * `{name}_data/{signal}_data/{series}.csv` below it — the exact layout
+    * `Dataset.save` produces. Catalog fields map back to pydantic shape
+    * (epoch millis → datetime strings, Spark dtypes → numpy names, index
+    * kinds → pandas class names). A SMALL-EXPORT path like [[saveZip]]
+    * (drives per-series collects), guarded by `maxRows`. */
+  def saveReferenceZip(ds: MeteauDataset, file: String,
+      maxRows: Long = 1000000L): Unit = {
+    val n = ds.data.count()
+    require(n <= maxRows,
+      s"reference-zip export is a small-export path: $n rows > $maxRows; use save()")
+    val dsName = ds.meta.name
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(file))
+    def entry(name: String, body: Array[Byte]): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(body)
+      out.closeEntry()
+    }
+    try {
+      entry(s"${dsName}_metadata.yaml",
+        yamlMapper.writeValueAsBytes(refDatasetToMap(ds.meta)))
+      ds.signals.foreach { sig =>
+        val sigName = sig.meta.name
+        entry(s"${dsName}_data/${sigName}_metadata.yaml",
+          yamlMapper.writeValueAsBytes(refSignalToMap(sig.meta)))
+        sig.meta.seriesKeys.foreach { key =>
+          val rows = sig.series(key)
+            .orderBy(col(TsCol))
+            .select(date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss"),
+              col(ValueCol).cast("string"))
+            .collect()
+          val sb = new StringBuilder(s",$key\n") // pandas to_csv header
+          rows.foreach { r =>
+            sb.append(r.getString(0)).append(',')
+              .append(Option(r.getString(1)).getOrElse("")).append('\n')
+          }
+          entry(s"${dsName}_data/${sigName}_data/$key.csv",
+            sb.toString.getBytes("UTF-8"))
+        }
+      }
+    } finally out.close()
+  }
+
+  private def refDatetime(epochMillis: Long): String =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(epochMillis), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+
+  private def sparkDtypeToNp(s: String): String = s match {
+    case "double" | "float" => "float64"
+    case "bigint" | "long" | "int" => "int64"
+    case "boolean" => "bool"
+    case "string" => "object"
+    case _ => "float64"
+  }
+
+  private def refKindName(k: IndexKind): String = k match {
+    case IndexKind.DatetimeIndex => "DatetimeIndex"
+    case IndexKind.TimedeltaIndex => "TimedeltaIndex"
+    case IndexKind.PeriodIndex => "PeriodIndex"
+    case IndexKind.IntervalIndex => "IntervalIndex"
+    case IndexKind.CategoricalIndex => "CategoricalIndex"
+    case IndexKind.RangeIndex => "RangeIndex"
+    case IndexKind.PlainIndex => "Index"
+  }
+
+  private def refDatasetToMap(d: DatasetMeta): ju.Map[String, Object] = {
+    val sigs = new ju.LinkedHashMap[String, Object]()
+    d.signals.foreach(sm => sigs.put(sm.name, refSignalToMap(sm)))
+    jmapN(
+      "name" -> d.name, "description" -> d.description, "owner" -> d.owner,
+      "purpose" -> d.purpose, "project" -> d.project,
+      "created_on" -> refDatetime(d.createdOn),
+      "last_updated" -> refDatetime(d.lastUpdated),
+      "signals" -> sigs)
+  }
+
+  private def refSignalToMap(s: SignalMeta): ju.Map[String, Object] = {
+    val series = new ju.LinkedHashMap[String, Object]()
+    s.series.foreach { sm =>
+      series.put(sm.seriesKey, jmapN(
+        "processing_steps" -> sm.steps.map(refStepToMap).asJava,
+        "index_metadata" -> jmapN(
+          "type" -> refKindName(sm.index.kind),
+          "name" -> sm.index.name.orNull,
+          "dtype" -> (if (sm.index.kind == IndexKind.DatetimeIndex &&
+            sm.index.dtype == "timestamp") "datetime64[ns]" else sm.index.dtype),
+          "frequency" -> sm.index.frequency.orNull,
+          "time_zone" -> sm.index.timeZone.orNull,
+          "closed" -> sm.index.closed.orNull,
+          "categories" -> (if (sm.index.categories.isEmpty) null
+            else sm.index.categories.asJava),
+          "ordered" -> sm.index.ordered.map(Boolean.box).orNull,
+          "start" -> sm.index.start.map(Long.box).orNull,
+          "end" -> sm.index.end.map(Long.box).orNull,
+          "step" -> sm.index.step.map(Long.box).orNull),
+        "values_dtype" -> sparkDtypeToNp(sm.valuesDtype),
+        "created_on" -> refDatetime(sm.createdOn)))
+    }
+    jmapN(
+      "name" -> s.name, "units" -> s.units,
+      "provenance" -> jmapN(
+        "source_repository" -> s.provenance.sourceRepository.orNull,
+        "project" -> s.provenance.project.orNull,
+        "location" -> s.provenance.location.orNull,
+        "equipment" -> s.provenance.equipment.orNull,
+        "parameter" -> s.provenance.parameter.orNull,
+        "purpose" -> s.provenance.purpose.orNull,
+        "metadata_id" -> s.provenance.metadataId.orNull),
+      "created_on" -> refDatetime(s.createdOn),
+      "last_updated" -> refDatetime(s.lastUpdated),
+      "time_series" -> series)
+  }
+
+  private def refStepToMap(st: ProcessingStep): ju.Map[String, Object] = jmapN(
+    "type" -> st.stepType.value,
+    "description" -> st.description,
+    "run_datetime" -> refDatetime(st.runDatetime),
+    "requires_calibration" -> Boolean.box(st.requiresCalibration),
+    "function_info" -> jmapN(
+      "name" -> st.functionInfo.name, "version" -> st.functionInfo.version,
+      "author" -> st.functionInfo.author,
+      "reference" -> st.functionInfo.reference,
+      "source_code" -> st.functionInfo.sourceDescription.orNull),
+    "parameters" -> st.parameters.entries.asJava,
+    "suffix" -> st.suffix,
+    "step_distance" -> Int.box(st.stepDistance),
+    "input_series_names" -> st.inputSeriesNames.asJava)
+
   /** YAML via the Jackson dataformat bundled with Spark (snakeyaml-engine
     * backend) — handles the reference's folded/escaped multi-line
     * source_code strings that a hand-rolled parser would choke on. */
@@ -209,7 +342,7 @@ object SignalIO {
     case null => 0L
     case d: java.util.Date => d.getTime
     case s =>
-      val txt = s.toString.trim
+      val txt = s.toString.trim.replace('T', ' ')
       try {
         val f = new java.time.format.DateTimeFormatterBuilder()
           .appendPattern("yyyy-MM-dd HH:mm:ss")
@@ -349,6 +482,15 @@ object SignalIO {
   private def jmap(kvs: (String, Object)*): ju.Map[String, Object] = {
     val m = new ju.LinkedHashMap[String, Object]()
     kvs.foreach { case (k, v) => if (v != null) m.put(k, v) }
+    m
+  }
+
+  /** Like [[jmap]] but KEEPS null values: the reference's pydantic models
+    * declare Optional fields without defaults, so reference-format YAML
+    * must carry every key explicitly (null included). */
+  private def jmapN(kvs: (String, Object)*): ju.Map[String, Object] = {
+    val m = new ju.LinkedHashMap[String, Object]()
+    kvs.foreach { case (k, v) => m.put(k, v) }
     m
   }
 

@@ -48,6 +48,15 @@ trait SeriesTransform {
     * `series_key` values are preserved (renamed by the caller). */
   def transform(series: DataFrame, params: Parameters): DataFrame
 
+  /** Index metadata of the OUTPUT series given the input's — the catalog
+    * twin of the reference re-extracting index metadata from the actual
+    * series at save time (types.py:82-123): a resample changes the index
+    * frequency, so carrying the input's would make the reference's
+    * `asfreq(frequency)` reconstruction (types.py:143-145) reindex the
+    * data wrongly on reload. Default: unchanged. */
+  def updatedIndex(index: graft.model.IndexMeta, params: Parameters): graft.model.IndexMeta =
+    index
+
   def step(params: Parameters, inputNames: Seq[String], runAt: Long): ProcessingStep =
     ProcessingStep(ptype, description, runAt, requiresCalibration, info,
       params, suffix, stepDistance, inputNames)
@@ -75,6 +84,15 @@ object Resample extends SeriesTransform {
     val grid = params.get("grid").forall(_.toBoolean)
     val sec = Freq.seconds(freq)
     transformFixed(series, sec, grid)
+  }
+
+  /** Gridded output is exactly `frequency`-spaced → record it; non-grid
+    * output has holes (documented pandas divergence), so a declared
+    * frequency would make the reference's asfreq reconstruction expand
+    * the grid — record none. */
+  override def updatedIndex(index: IndexMeta, params: Parameters): IndexMeta = {
+    val grid = params.get("grid").forall(_.toBoolean)
+    index.copy(frequency = if (grid) params.get("frequency") else None)
   }
 
   def transformFixed(series: DataFrame, sec: Long, grid: Boolean): DataFrame = {
@@ -282,6 +300,11 @@ object ResampleCalendar extends SeriesTransform {
     series
       .groupBy(col(KeyCol), date_trunc(unit, col(TsCol)).as(TsCol))
       .agg(Resample.detMean(col(ValueCol)).as(ValueCol))
+
+  /** Calendar buckets emit only non-empty periods (no grid guarantee), so
+    * no frequency is declared for index reconstruction. */
+  override def updatedIndex(index: IndexMeta, params: Parameters): IndexMeta =
+    index.copy(frequency = None)
 }
 
 /** Last-observation resample: one row per (series, bucket) carrying the
@@ -311,6 +334,11 @@ object ResampleLast extends SeriesTransform {
         window(col(TsCol), s"$sec seconds").getField("start").as(TsCol))
       .agg(max(struct(col(TsCol).as("t"), col(ValueCol).as("v")))
         .getField("v").as(ValueCol))
+
+  /** Emits only non-empty buckets — no declared frequency (see
+    * [[Resample.updatedIndex]]). */
+  override def updatedIndex(index: IndexMeta, params: Parameters): IndexMeta =
+    index.copy(frequency = None)
 }
 
 /** Duplicate-timestamp removal: one observation per (series, ts), keeping

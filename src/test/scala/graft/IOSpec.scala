@@ -189,6 +189,36 @@ class IOSpec extends SparkSpec {
     assert(resumed.series("A#1_DBL#1").count() == 12)
   }
 
+  test("reference-format export round-trips through our own loader") {
+    val ds = fixture()
+    val file = "/tmp/graft_ref_export.zip"
+    SignalIO.saveReferenceZip(ds, file)
+    // layout is the reference's Dataset.save shape
+    val zf = new java.util.zip.ZipFile(file)
+    val names = {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala.map(_.getName).toSet
+    }
+    zf.close()
+    assert(names.contains("fixture_metadata.yaml"))
+    assert(names.contains("fixture_data/A#1_metadata.yaml"))
+    assert(names.contains("fixture_data/A#1_data/A#1_RAW#1.csv"))
+    assert(names.contains("fixture_data/B#1_data/B#1_RAW#1.csv"))
+    val back = SignalIO.loadReferenceZip(spark, file)
+    assert(back.meta.name == ds.meta.name)
+    assert(back.signals.map(_.meta.name) == ds.signals.map(_.meta.name))
+    val sigA = back.signal("A#1")
+    assert(sigA.seriesKeys.toSet == ds.signal("A#1").seriesKeys.toSet)
+    assert(sigA.meta.seriesMeta("A#1_LIN-INT#1").get.steps
+      .map(_.functionInfo.name) == Seq("resample", "linear_interpolation"))
+    assert(sigA.meta.seriesMeta("A#1_RAW#1").get.valuesDtype == "double")
+    // data fidelity through the pandas-CSV degrade
+    val origSum = ds.data.agg(sum(Observations.ValueCol)).as[Double].head()
+    val gotSum = back.data.agg(sum(Observations.ValueCol)).as[Double].head()
+    assert(math.abs(origSum - gotSum) < 1e-6)
+    assert(back.data.count() == ds.data.count())
+  }
+
   test("partitioned save prunes partitions for single-series reads") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_prune"
