@@ -185,9 +185,18 @@ object SignalIO {
         }.toList
       }
       import spark.implicits._
+      // pandas to_csv index strings vary by index kind: full timestamps
+      // (DatetimeIndex), "2024-01" periods (PeriodIndex freq=M), bare
+      // years (freq=Y) — try from most to least specific (the reference
+      // re-imposes exact index semantics from metadata afterwards, as do
+      // we via the catalog's IndexMeta)
+      val parsedTs = coalesce(
+        to_timestamp(col(TsCol)),
+        to_timestamp(col(TsCol), "yyyy-MM"),
+        to_timestamp(col(TsCol), "yyyy"))
       val data = rows.toDF(KeyCol, TsCol, ValueCol)
         .select(col(KeyCol),
-          to_timestamp(col(TsCol)).as(TsCol),
+          parsedTs.as(TsCol),
           when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
             .cast(catalogDtype(meta)).as(ValueCol))
       val signals = meta.signals.map { sm =>

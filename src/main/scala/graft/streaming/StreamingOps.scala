@@ -23,9 +23,12 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame =
     stream
       .withWatermark(TsCol, watermark)
-      .groupBy(col(KeyCol),
-        window(col(TsCol), s"$sec seconds").getField("start").as(TsCol))
+      // group on the window column ITSELF: extracting .start before the
+      // groupBy severs the event-time column from the grouping keys and
+      // the analyzer rejects append mode ("aggregation without watermark")
+      .groupBy(col(KeyCol), window(col(TsCol), s"$sec seconds").as("_w"))
       .agg(Resample.detMean(col(ValueCol)).as(ValueCol))
+      .select(col(KeyCol), col("_w").getField("start").as(TsCol), col(ValueCol))
 
   /** Replay a bounded parquet table through the streaming engine and
     * return the materialized result (memory sink, available-now trigger).

@@ -189,6 +189,32 @@ class IOSpec extends SparkSpec {
     assert(resumed.series("A#1_DBL#1").count() == 12)
   }
 
+  test("loads a reference SIGNAL archive with a PeriodIndex series") {
+    // signal-only zip written by the actual reference package: 12 monthly
+    // periods ("2024-01".."2024-12"), values 5..16
+    val path = getClass.getResource("/interop_signal_period.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    val sig = ds.signal("P#1")
+    assert(sig.meta.units == "kg")
+    val sm = sig.meta.seriesMeta("P#1_RAW#1").get
+    assert(sm.index.kind == IndexKind.PeriodIndex)
+    assert(sm.index.frequency.contains("M"))
+    assert(sm.index.dtype == "period[M]")
+    // period labels land on month starts on the timestamp axis
+    val rows = sig.series("P#1_RAW#1")
+      .orderBy(Observations.TsCol)
+      .select(date_format(col(Observations.TsCol), "yyyy-MM-dd"),
+        col(Observations.ValueCol))
+      .as[(String, Double)].collect().toSeq
+    assert(rows.length == 12)
+    assert(rows.head == (("2024-01-01", 5.0)))
+    assert(rows.last == (("2024-12-01", 16.0)))
+    // and the calendar-frequency operator runs on it directly
+    val monthly = sig.process(Seq("P#1_RAW#1"), ResampleCalendar,
+      Parameters.of("frequency" -> "MS"))
+    assert(monthly.series("P#1_RESAMPLED-CAL#1").count() == 12)
+  }
+
   test("reference-format export round-trips through our own loader") {
     val ds = fixture()
     val file = "/tmp/graft_ref_export.zip"

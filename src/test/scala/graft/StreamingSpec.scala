@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
       s"open session should have been extended across batches then closed: $closedAll")
   }
 
+  test("append-mode resample emits a window only after the watermark closes it") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(offS: Long, v: Double) =
+      ("a", new java.sql.Timestamp(t0 + offS * 1000), v)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, java.sql.Timestamp, Double)](spark, 1)
+    val df = input.toDF().toDF("series_key", "ts", "value")
+    val q = StreamingOps.resampleStream(df, 900, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("resample_append_tbl").start()
+    // two events in the first 15-min window, one far ahead
+    input.addData(ev(60, 1.0), ev(120, 3.0), ev(3000, 9.0))
+    q.processAllAvailable()
+    // watermark (previous batch max) hasn't closed anything yet in batch 1;
+    // a later batch advances it past the first window's end
+    input.addData(ev(4000, 5.0))
+    q.processAllAvailable()
+    input.addData(ev(5000, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("resample_append_tbl")
+      .select(col("ts").cast("long"), round(col("value"), 6))
+      .as[(Long, Double)].collect().toMap
+    // first window [00:00, 00:15) finalized with the deterministic mean;
+    // the still-open last window must NOT be in append output
+    assert(got.contains(t0 / 1000) && got(t0 / 1000) == 2.0, got.toString)
+    assert(!got.contains(t0 / 1000 + 4500), "open window must not be emitted")
+  }
+
   test("idle session flushes via event-time timeout once the watermark passes") {
     implicit val s = spark
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
