@@ -187,13 +187,24 @@ object SignalIO {
       import spark.implicits._
       // pandas to_csv index strings vary by index kind: full timestamps
       // (DatetimeIndex), "2024-01" periods (PeriodIndex freq=M), bare
-      // years (freq=Y) — try from most to least specific (the reference
-      // re-imposes exact index semantics from metadata afterwards, as do
-      // we via the catalog's IndexMeta)
+      // years (freq=Y), "N days HH:MM:SS[.ffffff]" timedeltas — try from
+      // most to least specific (the reference re-imposes exact index
+      // semantics from metadata afterwards, as do we via the catalog's
+      // IndexMeta; timedeltas land as offsets from the epoch, kind
+      // `timedelta` + dtype preserved)
+      val TdPat = "^(\\d+) days? (\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d+))?$"
+      val tdSeconds =
+        regexp_extract(col(TsCol), TdPat, 1).cast("long") * 86400L +
+          regexp_extract(col(TsCol), TdPat, 2).cast("long") * 3600L +
+          regexp_extract(col(TsCol), TdPat, 3).cast("long") * 60L +
+          regexp_extract(col(TsCol), TdPat, 4).cast("long")
+      // try_* variants: ANSI mode (Spark 4 default) makes to_timestamp
+      // THROW on the first non-matching format instead of yielding null
       val parsedTs = coalesce(
-        to_timestamp(col(TsCol)),
-        to_timestamp(col(TsCol), "yyyy-MM"),
-        to_timestamp(col(TsCol), "yyyy"))
+        try_to_timestamp(col(TsCol)),
+        when(col(TsCol).rlike(TdPat), timestamp_seconds(tdSeconds)),
+        try_to_timestamp(col(TsCol), lit("yyyy-MM")),
+        try_to_timestamp(col(TsCol), lit("yyyy")))
       val data = rows.toDF(KeyCol, TsCol, ValueCol)
         .select(col(KeyCol),
           parsedTs.as(TsCol),

@@ -215,6 +215,30 @@ class IOSpec extends SparkSpec {
     assert(monthly.series("P#1_RESAMPLED-CAL#1").count() == 12)
   }
 
+  test("loads a reference SIGNAL archive with a TimedeltaIndex series") {
+    // reference-written zip: 10 points on a 6-min timedelta axis
+    val path = getClass.getResource("/interop_signal_timedelta.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    val sig = ds.signal("TD#1")
+    val sm = sig.meta.seriesMeta("TD#1_RAW#1").get
+    assert(sm.index.kind == IndexKind.TimedeltaIndex)
+    assert(sm.index.dtype == "timedelta64[ns]")
+    assert(sm.index.frequency.contains("6min"))
+    // timedeltas land as offsets from the epoch on the ts axis
+    val rows = sig.series("TD#1_RAW#1")
+      .orderBy(Observations.TsCol)
+      .select(col(Observations.TsCol).cast("long"), col(Observations.ValueCol))
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.length == 10)
+    assert(rows.head == ((0L, 1.0)))
+    assert(rows(1) == ((360L, 2.0)))
+    assert(rows.last == ((9L * 360L, 10.0)))
+    // the reference's own resample supports Timedelta indexes — ours too
+    val res = sig.process(Seq("TD#1_RAW#1"), Resample,
+      Parameters.of("frequency" -> "12min", "grid" -> "false"))
+    assert(res.series("TD#1_RESAMPLED#1").count() == 5)
+  }
+
   test("reference-format export round-trips through our own loader") {
     val ds = fixture()
     val file = "/tmp/graft_ref_export.zip"
