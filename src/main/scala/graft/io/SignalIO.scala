@@ -175,39 +175,26 @@ object SignalIO {
           lastUpdated = refEpochMillis(root.get("last_updated")),
           signals = Vector(refSignalFromMap(root)))
       // data: every {series}.csv (pandas to_csv: unnamed index column +
-      // the series name as the value header)
+      // the series name as the value header). Axis labels are parsed
+      // DRIVER-side with the series' own IndexMeta in hand — pandas
+      // writes a different label grammar per index kind (timestamps,
+      // "2024-01" periods, "N days HH:MM:SS" timedeltas, quoted
+      // "(0.0, 1.5]" intervals, bare category strings, integers), and
+      // interval/categorical labels only make sense with the metadata.
+      val indexByKey: Map[String, IndexMeta] =
+        meta.signals.flatMap(_.series).map(sm => sm.seriesKey -> sm.index).toMap
       val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
         val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
           .stripSuffix(".csv")
+        val ix = indexByKey.getOrElse(key, IndexMeta(IndexKind.DatetimeIndex))
         slurp(e).linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-          val i = line.indexOf(',')
-          (key, line.substring(0, i), line.substring(i + 1))
+          val (label, value) = splitCsvLine(line)
+          (key, parseAxisLabel(label, ix), value)
         }.toList
       }
       import spark.implicits._
-      // pandas to_csv index strings vary by index kind: full timestamps
-      // (DatetimeIndex), "2024-01" periods (PeriodIndex freq=M), bare
-      // years (freq=Y), "N days HH:MM:SS[.ffffff]" timedeltas — try from
-      // most to least specific (the reference re-imposes exact index
-      // semantics from metadata afterwards, as do we via the catalog's
-      // IndexMeta; timedeltas land as offsets from the epoch, kind
-      // `timedelta` + dtype preserved)
-      val TdPat = "^(\\d+) days? (\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d+))?$"
-      val tdSeconds =
-        regexp_extract(col(TsCol), TdPat, 1).cast("long") * 86400L +
-          regexp_extract(col(TsCol), TdPat, 2).cast("long") * 3600L +
-          regexp_extract(col(TsCol), TdPat, 3).cast("long") * 60L +
-          regexp_extract(col(TsCol), TdPat, 4).cast("long")
-      // try_* variants: ANSI mode (Spark 4 default) makes to_timestamp
-      // THROW on the first non-matching format instead of yielding null
-      val parsedTs = coalesce(
-        try_to_timestamp(col(TsCol)),
-        when(col(TsCol).rlike(TdPat), timestamp_seconds(tdSeconds)),
-        try_to_timestamp(col(TsCol), lit("yyyy-MM")),
-        try_to_timestamp(col(TsCol), lit("yyyy")))
       val data = rows.toDF(KeyCol, TsCol, ValueCol)
-        .select(col(KeyCol),
-          parsedTs.as(TsCol),
+        .select(col(KeyCol), col(TsCol),
           when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
             .cast(catalogDtype(meta)).as(ValueCol))
       val signals = meta.signals.map { sm =>
@@ -349,6 +336,77 @@ object SignalIO {
     "suffix" -> st.suffix,
     "step_distance" -> Int.box(st.stepDistance),
     "input_series_names" -> st.inputSeriesNames.asJava)
+
+  /** pandas to_csv line "label,value"; labels containing commas (interval
+    * bounds) arrive double-quoted. */
+  private def splitCsvLine(line: String): (String, String) =
+    if (line.startsWith("\"")) {
+      val close = line.indexOf('"', 1) // pandas labels carry no inner quotes
+      (line.substring(1, close), line.substring(close + 2))
+    } else {
+      val i = line.indexOf(',')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+
+  /** One pandas index label → a point on the engine's timestamp axis,
+    * using the series' IndexMeta to pick the grammar. Non-time kinds are
+    * embedded order-faithfully (timedeltas/numerics as epoch offsets in
+    * their own unit, interval labels at their left bound, categorical
+    * labels at their ordinal in the declared category order); the catalog
+    * keeps kind/dtype/categories, so the original index is recoverable —
+    * the engine analogue of the reference's reconstruct_index
+    * (types.py:125-173). */
+  private def parseAxisLabel(label: String, ix: IndexMeta): java.sql.Timestamp = {
+    val TdPat = """^(\d+) days? (\d{2}):(\d{2}):(\d{2})(?:\.(\d+))?$""".r
+    def fromMicros(micros: Long): java.sql.Timestamp = {
+      val secs = java.lang.Math.floorDiv(micros, 1000000L)
+      val frac = java.lang.Math.floorMod(micros, 1000000L)
+      val ts = new java.sql.Timestamp(secs * 1000L)
+      ts.setNanos((frac * 1000L).toInt)
+      ts
+    }
+    def fromSecondsDouble(s: Double): java.sql.Timestamp =
+      fromMicros(math.round(s * 1e6))
+    val trimmed = label.trim
+    ix.kind match {
+      case IndexKind.CategoricalIndex =>
+        val ord = ix.categories.indexOf(trimmed)
+        fromMicros((if (ord >= 0) ord else ix.categories.size).toLong * 1000000L)
+      case IndexKind.IntervalIndex =>
+        fromSecondsDouble(
+          trimmed.substring(1, trimmed.indexOf(',')).trim.toDouble)
+      case IndexKind.TimedeltaIndex => trimmed match {
+        case TdPat(d, h, m, s, frac) =>
+          val micros = (d.toLong * 86400L + h.toLong * 3600L +
+            m.toLong * 60L + s.toLong) * 1000000L +
+            Option(frac).map(f => (f + "000000").take(6).toLong).getOrElse(0L)
+          fromMicros(micros)
+        case other => fromSecondsDouble(other.toDouble)
+      }
+      case IndexKind.RangeIndex | IndexKind.PlainIndex
+          if trimmed.matches("""-?\d+(\.\d+)?""") =>
+        fromSecondsDouble(trimmed.toDouble)
+      case _ =>
+        // datetime-ish: full timestamp with optional fraction / T
+        // separator, else date / month / year starts
+        val dt = trimmed.replace('T', ' ')
+        val full = new java.time.format.DateTimeFormatterBuilder()
+          .appendPattern("yyyy-MM-dd HH:mm:ss")
+          .optionalStart()
+          .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+          .optionalEnd()
+          .toFormatter()
+        val parsed: java.time.LocalDateTime =
+          try java.time.LocalDateTime.parse(dt, full)
+          catch { case _: Exception =>
+            try java.time.LocalDate.parse(dt).atStartOfDay()
+            catch { case _: Exception =>
+              try java.time.YearMonth.parse(dt).atDay(1).atStartOfDay()
+              catch { case _: Exception =>
+                java.time.Year.parse(dt).atMonth(1).atDay(1).atStartOfDay() } } }
+        java.sql.Timestamp.from(parsed.toInstant(java.time.ZoneOffset.UTC))
+    }
+  }
 
   /** YAML via the Jackson dataformat bundled with Spark (snakeyaml-engine
     * backend) — handles the reference's folded/escaped multi-line

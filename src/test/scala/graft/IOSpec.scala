@@ -239,6 +239,33 @@ class IOSpec extends SparkSpec {
     assert(res.series("TD#1_RESAMPLED#1").count() == 5)
   }
 
+  test("loads reference SIGNAL archives with Interval and Categorical indexes") {
+    // interval index (0,1.5](1.5,3](3,4.5](4.5,6], values 10..40: axis =
+    // left bounds; kind/closed preserved for reconstruction
+    val ivPath = getClass.getResource("/interop_signal_interval.zip").getPath
+    val iv = SignalIO.loadReferenceZip(spark, ivPath).signal("IV#1")
+    val ivm = iv.meta.seriesMeta("IV#1_RAW#1").get
+    assert(ivm.index.kind == IndexKind.IntervalIndex)
+    assert(ivm.index.closed.contains("right"))
+    val ivRows = iv.series("IV#1_RAW#1").orderBy(Observations.TsCol)
+      .select(col(Observations.TsCol).cast("double"), col(Observations.ValueCol))
+      .as[(Double, Double)].collect().toSeq
+    assert(ivRows == Seq((0.0, 10.0), (1.5, 20.0), (3.0, 30.0), (4.5, 40.0)))
+    // categorical index low/mid/high (ordered, "mid" repeated): axis =
+    // ordinal in the declared category order; categories preserved
+    val catPath = getClass.getResource("/interop_signal_categorical.zip").getPath
+    val cat = SignalIO.loadReferenceZip(spark, catPath).signal("CAT#1")
+    val cm = cat.meta.seriesMeta("CAT#1_RAW#1").get
+    assert(cm.index.kind == IndexKind.CategoricalIndex)
+    assert(cm.index.categories == Seq("low", "mid", "high"))
+    assert(cm.index.ordered.contains(true))
+    val catRows = cat.series("CAT#1_RAW#1")
+      .orderBy(Observations.TsCol, Observations.ValueCol)
+      .select(col(Observations.TsCol).cast("long"), col(Observations.ValueCol))
+      .as[(Long, Double)].collect().toSeq
+    assert(catRows == Seq((0L, 1.0), (1L, 2.0), (1L, 4.0), (2L, 3.0)))
+  }
+
   test("reference-format export round-trips through our own loader") {
     val ds = fixture()
     val file = "/tmp/graft_ref_export.zip"
