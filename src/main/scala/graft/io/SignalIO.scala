@@ -233,21 +233,59 @@ object SignalIO {
         entry(s"${dsName}_data/${sigName}_metadata.yaml",
           yamlMapper.writeValueAsBytes(refSignalToMap(sig.meta)))
         sig.meta.seriesKeys.foreach { key =>
+          val ix = sig.meta.seriesMeta(key).map(_.index)
+            .getOrElse(IndexMeta(IndexKind.DatetimeIndex))
           val rows = sig.series(key)
             .orderBy(col(TsCol))
-            .select(date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss"),
+            .select(col(TsCol).cast("double"), // epoch seconds w/ fraction
+              date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss"),
               col(ValueCol).cast("string"))
             .collect()
           val sb = new StringBuilder(s",$key\n") // pandas to_csv header
           rows.foreach { r =>
-            sb.append(r.getString(0)).append(',')
-              .append(Option(r.getString(1)).getOrElse("")).append('\n')
+            sb.append(axisLabel(r.getDouble(0), r.getString(1), ix)).append(',')
+              .append(Option(r.getString(2)).getOrElse("")).append('\n')
           }
           entry(s"${dsName}_data/${sigName}_data/$key.csv",
             sb.toString.getBytes("UTF-8"))
         }
       }
     } finally out.close()
+  }
+
+  /** The inverse of [[parseAxisLabel]]: the pandas label a series point
+    * must carry in a reference-format CSV, per index kind, so the
+    * reference's reconstruct_index rebuilds the original index. Interval
+    * indexes aren't exportable (only left bounds survive on the axis) —
+    * their points fall back to the numeric label. */
+  private def axisLabel(epochSecs: Double, datetime: String,
+      ix: IndexMeta): String = ix.kind match {
+    case IndexKind.CategoricalIndex =>
+      val ord = math.round(epochSecs).toInt
+      if (ord >= 0 && ord < ix.categories.size) ix.categories(ord)
+      else ord.toString
+    case IndexKind.TimedeltaIndex =>
+      val totalMicros = math.round(epochSecs * 1e6)
+      val d = totalMicros / 86400000000L
+      val rem = totalMicros % 86400000000L
+      val h = rem / 3600000000L; val m = (rem / 60000000L) % 60
+      val sWhole = (rem / 1000000L) % 60; val frac = rem % 1000000L
+      val base = f"$d days $h%02d:$m%02d:$sWhole%02d"
+      if (frac == 0) base else f"$base.$frac%06d"
+    case IndexKind.PeriodIndex =>
+      ix.frequency match {
+        case Some(f) if f.startsWith("M") => datetime.substring(0, 7) // yyyy-MM
+        case Some(f) if f.startsWith("Y") || f.startsWith("A") =>
+          datetime.substring(0, 4)
+        case _ => datetime
+      }
+    case IndexKind.RangeIndex | IndexKind.PlainIndex =>
+      val r = math.round(epochSecs)
+      if (r.toDouble == epochSecs) r.toString else epochSecs.toString
+    case IndexKind.IntervalIndex =>
+      if (epochSecs == math.floor(epochSecs)) math.round(epochSecs).toString
+      else epochSecs.toString
+    case _ => datetime
   }
 
   private def refDatetime(epochMillis: Long): String =

@@ -296,6 +296,39 @@ class IOSpec extends SparkSpec {
     assert(back.data.count() == ds.data.count())
   }
 
+  test("non-datetime index labels survive an export/import cycle") {
+    // categorical: ordinal axis back to category strings in the CSV
+    val catPath = getClass.getResource("/interop_signal_categorical.zip").getPath
+    val cat = SignalIO.loadReferenceZip(spark, catPath)
+    val out = "/tmp/graft_ref_export_cat.zip"
+    SignalIO.saveReferenceZip(cat, out)
+    val zf = new java.util.zip.ZipFile(out)
+    val csv = {
+      import scala.jdk.CollectionConverters._
+      val e = zf.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf.close()
+    assert(csv.contains("low,1.0") && csv.contains("high,3.0"), csv)
+    val back = SignalIO.loadReferenceZip(spark, out)
+    assert(back.data.count() == cat.data.count())
+    // timedelta: epoch offsets back to "N days HH:MM:SS" labels
+    val tdPath = getClass.getResource("/interop_signal_timedelta.zip").getPath
+    val td = SignalIO.loadReferenceZip(spark, tdPath)
+    val out2 = "/tmp/graft_ref_export_td.zip"
+    SignalIO.saveReferenceZip(td, out2)
+    val zf2 = new java.util.zip.ZipFile(out2)
+    val csv2 = {
+      import scala.jdk.CollectionConverters._
+      val e = zf2.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf2.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf2.close()
+    assert(csv2.contains("0 days 00:06:00,2.0"), csv2)
+    val back2 = SignalIO.loadReferenceZip(spark, out2)
+    assert(back2.data.count() == td.data.count())
+  }
+
   test("partitioned save prunes partitions for single-series reads") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_prune"
