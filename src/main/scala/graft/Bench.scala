@@ -18,22 +18,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Best-of-N timing (default 2): the first execution of each plan pays
-    // codegen+JIT compile at the TARGET sf (AQE picks different physical
-    // plans per data size), and this host shows 10-30 s noisy-neighbor
-    // stalls — the min over reps reports the query's real cost. Replaces
-    // the earlier untimed-warmup + single-timed-pass scheme at the same
-    // total wall time, with the first rep acting as the warmup.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
+    // Best-of-N timing (default 3), reps INTERLEAVED round-robin: rep 1 of
+    // every query completes before rep 2 of any query starts. This host
+    // shows multi-minute noisy-neighbor stall windows; back-to-back reps of
+    // the same query both land inside one window, so min-over-reps didn't
+    // escape it (r2's record overstated the slow queries up to 20×).
+    // Interleaving spaces a query's reps minutes apart, so the min spans
+    // different noise windows. Rep 1 doubles as the codegen+JIT warmup at
+    // the TARGET sf (AQE picks different physical plans per data size).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (rep <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      try exec(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> times.min
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val results = best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -157,10 +157,21 @@ object Dedup {
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming
     * distance <= maxDist verification. With `nChunks` bands a pair within
     * Hamming distance d is guaranteed to collide on some chunk iff
-    * d < nChunks (pigeonhole) — the default 8×8-bit banding is exact for
-    * maxDist <= 7. */
+    * d < nChunks (pigeonhole).
+    *
+    * Bucket-occupancy math (same form as Similarity.lshBucketedPairs):
+    * each band has 2^(64/nChunks) buckets, and the in-bucket self-join
+    * does ~n²/2^(64/nChunks) comparisons per band on a hash-uniform
+    * corpus. The old 8×8-bit default gave only 256 buckets/band —
+    * ~n²/256 pairs per band, quadratic at corpus scale. The default is
+    * now 4×16-bit chunks: 65 536 buckets/band, so candidate work stays
+    * ~n²/65 536 + true near-dup collisions — linear-ish out to ~10⁸ docs
+    * per band bucket-balance — at the cost of guaranteed recall only for
+    * maxDist <= 3 (which is the standard near-dup threshold, cf. Manku
+    * et al., WWW'07). Pass maxDist=7, nChunks=8 explicitly to recover the
+    * wider-radius exact banding on small corpora. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 7, nChunks: Int = 8): DataFrame = {
+      maxDist: Int = 3, nChunks: Int = 4): DataFrame = {
     require(maxDist < nChunks,
       s"banding with $nChunks chunks only guarantees recall for distance < $nChunks")
     val bitsPer = 64 / nChunks

@@ -27,11 +27,46 @@ class ExtSpec extends SparkSpec {
     val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3)
     val planted = Dedup.jaccardPairs(sh, 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val sim = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 7)
+    val sim = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        maxDist = 7, nChunks = 8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     // every planted textual near-dup is a simhash near-dup (banding is
     // exact for hamming <= 7; planted pairs measure <= 7 on this fixture)
     assert(planted.nonEmpty && planted.subsetOf(sim))
+  }
+
+  test("default 4x16-bit simhash banding is exact for hamming <= 3") {
+    // pigeonhole: with 4 chunks, every pair within distance 3 collides on
+    // some chunk — so the default banding must equal the wide 8-chunk
+    // result filtered to hamming <= 3 (both verify exactly post-collision)
+    val wide = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        maxDist = 7, nChunks = 8)
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val dflt = Dedup.simhashDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dflt == wide)
+    assert(dflt.nonEmpty, "fixture should contain hamming<=3 near-dups")
+  }
+
+  test("rows-only queries carry in-engine recall evidence above floors") {
+    val dir = "/root/testdata/sf0.001"
+    def recallOf(q: String, c: String): Double =
+      SparkEntry.queries(q)(spark, dir).select(c).as[Double].head()
+    // simhash floor is 0.75, not ~1: the scale-safe default radius
+    // (hamming <= 3, Manku-style) is a stricter duplicate notion than the
+    // jaccard >= 0.9 planted reference — a few planted pairs measure
+    // hamming 4-7 and are out of radius by design (sf0.001: 7/9 = 0.778)
+    assert(recallOf("doc_simhash_pairs", "recall_planted") >= 0.75)
+    assert(recallOf("emb_ivf_topk", "recall_at_k") >= 0.5)
+    // LSH on a near-dup-free corpus: absolute recall is low by design
+    // (top-20 cosines ~0.45 ⇒ banding predicts ~0.1); the contract is
+    // measured recall ≈ the formula's expectation, within binomial slack
+    val lsh = SparkEntry.queries("emb_lsh_pairs")(spark, dir)
+      .select("recall_top20", "expected_recall_top20")
+      .as[(Double, Double)].head()
+    assert(lsh._1 >= 0.5 * lsh._2,
+      s"measured recall ${lsh._1} far below expected ${lsh._2}")
   }
 
   test("exact dedup keeps deterministic keeper with count") {
