@@ -21,8 +21,27 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
 
   def seriesKeys: Seq[String] = meta.seriesKeys
 
-  /** Rows of one series. */
-  def series(key: String): DataFrame = data.filter(col(KeyCol) === key)
+  /** Rows of one series, with the series' CATALOG dtype re-imposed on the
+    * value column (types.py:338-349: the reference re-applies each stored
+    * dtype on access after a lossy sink). The tall frame holds one runtime
+    * value type; a mixed-dtype dataset is carried as lossless strings
+    * (see SignalIO.catalogDtype), so the per-series cast here is what
+    * restores each signal's true type — without it, mixed datasets would
+    * silently lose their non-majority-typed values. No-op (same type)
+    * for single-dtype datasets, so plans are unchanged there. */
+  def series(key: String): DataFrame = {
+    val df = data.filter(col(KeyCol) === key)
+    meta.seriesMeta(key).map(_.valuesDtype).filter(_.nonEmpty) match {
+      case Some(dt) if dt != df.schema(ValueCol).dataType.simpleString =>
+        // the cast rides inside a CASE on the same predicate as the filter:
+        // branches evaluate lazily, so ANSI cast errors can't fire on other
+        // series' rows if the optimizer folds the projection before the
+        // filter (ConvertToLocalRelation does, on driver-built frames)
+        df.withColumn(ValueCol,
+          when(col(KeyCol) === key, col(ValueCol).cast(dt)))
+      case _ => df
+    }
+  }
 
   /** Univariate executor. For each input series: run the transform, merge
     * lineage (all input steps + the new step, order-preserving dedup),
@@ -57,7 +76,7 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
       val sm = inputMeta.copy(seriesKey = outKey, steps = lineage,
         index = t.updatedIndex(inputMeta.index, params), createdOn = runAt)
       cur = MeteauSignal(
-        cur.data.unionByName(outRows),
+        Observations.union(cur.data, outRows),
         cur.meta.copy(series = cur.meta.series :+ sm, lastUpdated = runAt))
     }
     cur
@@ -108,7 +127,7 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
         (col(TsCol) + expr(s"interval ${dist * freqSeconds} seconds")).as(TsCol),
         col(ValueCol),
         lit(mode).as("mode"))
-    }.reduce(_ unionByName _)
+    }.reduce(Observations.union)
   }
 
   /** Retrospective dependency-graph walk: last step of a series → its
@@ -212,7 +231,7 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
           IndexMeta(IndexKind.DatetimeIndex), "double", runAt))))
 
     MeteauDataset(
-      data.unionByName(outRows),
+      Observations.union(data, outRows),
       meta.copy(signals = meta.signals :+ newSignal.meta, lastUpdated = runAt),
       signals :+ newSignal)
   }
@@ -235,7 +254,7 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
       val sig = owner(k)
       sig.plotFrame(Seq(k), freqSeconds, materializedShift)
         .withColumn("subplot_row", lit(rowOf(sig.meta.name)))
-    }.reduce(_ unionByName _)
+    }.reduce(Observations.union)
   }
 
   def dependencyEdges(fqName: String): Seq[DependencyEdge] = {
@@ -294,7 +313,7 @@ object MeteauDataset {
       names :+= v
       if (v == s.meta.name) s else s.rename(v)
     }.toVector
-    val data = renamed.map(_.data).reduce(_ unionByName _)
+    val data = renamed.map(_.data).reduce(Observations.union)
     MeteauDataset(data,
       DatasetMeta(name, description, owner, purpose, project, createdOn,
         createdOn, renamed.map(_.meta)),

@@ -48,6 +48,19 @@ object Observations {
       col(ValueCol).cast(DoubleType).as(ValueCol))
   }
 
+  /** Union two observation frames, tolerating differing value dtypes:
+    * mixed unions are carried as LOSSLESS STRINGS (mirroring
+    * SignalIO.catalogDtype; `MeteauSignal.series` re-imposes each series'
+    * catalog dtype on access). Spark's own set-operation coercion widens
+    * string+double to DOUBLE, which throws under ANSI (or silently nulls
+    * under legacy) on every non-numeric value. */
+  def union(a: DataFrame, b: DataFrame): DataFrame = {
+    val (ta, tb) = (a.schema(ValueCol).dataType, b.schema(ValueCol).dataType)
+    if (ta == tb) a.unionByName(b)
+    else a.withColumn(ValueCol, col(ValueCol).cast(StringType))
+      .unionByName(b.withColumn(ValueCol, col(ValueCol).cast(StringType)))
+  }
+
   /** Empty observations frame. */
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -59,11 +59,14 @@ object SignalIO {
     * tall frame holds ONE runtime value type, so the catalog dtype is
     * honored when the dataset's series agree on it (the common case — a
     * dataset of string state series loads back as strings); mixed-dtype
-    * catalogs fall back to double, the numeric operators' input type. */
+    * catalogs are carried as LOSSLESS STRINGS (never a numeric cast, which
+    * would silently null every non-numeric value), and
+    * [[graft.core.MeteauSignal.series]] re-imposes each series' own catalog
+    * dtype at access time. */
   private def catalogDtype(meta: DatasetMeta): String = {
     val ds = meta.signals.flatMap(_.series).map(_.valuesDtype)
       .filter(_.nonEmpty).distinct
-    if (ds.size == 1) ds.head else "double"
+    if (ds.size == 1) ds.head else "string"
   }
 
   // ------------------------------------------------------------ zip export
@@ -96,7 +99,7 @@ object SignalIO {
           val sb = new StringBuilder("ts,value\n")
           rows.foreach { r =>
             sb.append(r.getString(0)).append(',')
-              .append(Option(r.getString(1)).getOrElse("")).append('\n')
+              .append(csvField(r.getString(1))).append('\n')
           }
           out.putNextEntry(new java.util.zip.ZipEntry(
             s"${ds.meta.name}/${sig.meta.name}/$key.csv"))
@@ -110,11 +113,13 @@ object SignalIO {
   /** Load a [[saveZip]] archive back into a dataset (driver-side parse,
     * parallelized frame). Values/timestamps are re-imposed from the
     * catalog, mirroring the reference's CSV-degrade-then-reconstruct. */
-  def loadZip(spark: SparkSession, file: String): MeteauDataset = {
+  def loadZip(spark: SparkSession, file: String,
+      maxBytes: Long = 256L << 20): MeteauDataset = {
     val zf = new java.util.zip.ZipFile(file)
     try {
       import scala.jdk.CollectionConverters._
       val entries = zf.entries().asScala.toList
+      guardCsvBytes(entries, maxBytes)
       val metaEntry = entries.find(_.getName.endsWith("/metadata.json"))
         .getOrElse(throw new IllegalArgumentException("no metadata.json in zip"))
       val meta = fromJson(new String(
@@ -122,11 +127,8 @@ object SignalIO {
       val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
         val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
           .stripSuffix(".csv")
-        scala.io.Source.fromInputStream(zf.getInputStream(e), "UTF-8")
-          .getLines().drop(1).map { line =>
-            val i = line.indexOf(',')
-            (key, line.substring(0, i), line.substring(i + 1))
-          }.toList
+        csvDataRecords(new String(zf.getInputStream(e).readAllBytes(), "UTF-8"))
+          .map { case (ts, v) => (key, ts, v) }
       }
       import spark.implicits._
       val data = rows.toDF(KeyCol, TsCol, ValueCol)
@@ -151,11 +153,13 @@ object SignalIO {
     * Metadata is YAML (types.py:785-790); pydantic enum/datetime fields
     * are mapped onto the catalog model and numpy dtypes onto Spark types,
     * so a user's existing metEAUdata archives load directly. */
-  def loadReferenceZip(spark: SparkSession, file: String): MeteauDataset = {
+  def loadReferenceZip(spark: SparkSession, file: String,
+      maxBytes: Long = 256L << 20): MeteauDataset = {
     val zf = new java.util.zip.ZipFile(file)
     try {
       import scala.jdk.CollectionConverters._
       val entries = zf.entries().asScala.toList
+      guardCsvBytes(entries, maxBytes)
       def slurp(e: java.util.zip.ZipEntry): String =
         new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
       // the root metadata doc: a dataset archive has exactly one
@@ -183,24 +187,43 @@ object SignalIO {
       // interval/categorical labels only make sense with the metadata.
       val indexByKey: Map[String, IndexMeta] =
         meta.signals.flatMap(_.series).map(sm => sm.seriesKey -> sm.index).toMap
+      // interval-kind series: keep the original pandas "(a, b]" labels (in
+      // axis order) so saveReferenceZip can emit them back verbatim — the
+      // axis point itself only carries the left bound (r3 exported
+      // degraded numeric labels; see axisLabels)
+      val intervalLabels =
+        scala.collection.mutable.Map.empty[String, Vector[String]]
       val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
         val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
           .stripSuffix(".csv")
         val ix = indexByKey.getOrElse(key, IndexMeta(IndexKind.DatetimeIndex))
-        slurp(e).linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-          val (label, value) = splitCsvLine(line)
-          (key, parseAxisLabel(label, ix), value)
-        }.toList
+        val recs = csvDataRecords(slurp(e)).map { case (label, value) =>
+          (key, parseAxisLabel(label, ix), label, value)
+        }
+        if (ix.kind == IndexKind.IntervalIndex)
+          intervalLabels(key) = recs
+            .sortBy(r => (r._2.getTime, r._2.getNanos)).map(_._3).toVector
+        recs.map(r => (r._1, r._2, r._4))
       }
+      val metaL =
+        if (intervalLabels.isEmpty) meta
+        else meta.copy(signals = meta.signals.map(sg =>
+          sg.copy(series = sg.series.map { sm =>
+            intervalLabels.get(sm.seriesKey) match {
+              case Some(labs) if sm.index.kind == IndexKind.IntervalIndex =>
+                sm.copy(index = sm.index.copy(categories = labs))
+              case _ => sm
+            }
+          })))
       import spark.implicits._
       val data = rows.toDF(KeyCol, TsCol, ValueCol)
         .select(col(KeyCol), col(TsCol),
           when(col(ValueCol) === "", lit(null)).otherwise(col(ValueCol))
-            .cast(catalogDtype(meta)).as(ValueCol))
-      val signals = meta.signals.map { sm =>
+            .cast(catalogDtype(metaL)).as(ValueCol))
+      val signals = metaL.signals.map { sm =>
         MeteauSignal(data.filter(col(KeyCol).isin(sm.seriesKeys: _*)), sm)
       }
-      MeteauDataset(data, meta, signals)
+      MeteauDataset(data, metaL, signals)
     } finally zf.close()
   }
 
@@ -238,13 +261,24 @@ object SignalIO {
           val rows = sig.series(key)
             .orderBy(col(TsCol))
             .select(col(TsCol).cast("double"), // epoch seconds w/ fraction
-              date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss"),
+              date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
               col(ValueCol).cast("string"))
             .collect()
+          // pandas writes whole-second labels when the column has no
+          // sub-second point, µs labels otherwise (column-uniform); r3
+          // always wrote seconds, collapsing sub-second data onto
+          // duplicate labels
+          val subSec = rows.exists(r =>
+            !r.isNullAt(1) && !r.getString(1).endsWith(".000000"))
+          val points = rows.map { r =>
+            val dt = r.getString(1)
+            (r.getDouble(0), if (subSec) dt else dt.stripSuffix(".000000"))
+          }
+          val labels = axisLabels(points, ix)
           val sb = new StringBuilder(s",$key\n") // pandas to_csv header
-          rows.foreach { r =>
-            sb.append(axisLabel(r.getDouble(0), r.getString(1), ix)).append(',')
-              .append(Option(r.getString(2)).getOrElse("")).append('\n')
+          rows.zip(labels).foreach { case (r, lab) =>
+            sb.append(csvField(lab)).append(',')
+              .append(csvField(r.getString(2))).append('\n')
           }
           entry(s"${dsName}_data/${sigName}_data/$key.csv",
             sb.toString.getBytes("UTF-8"))
@@ -253,11 +287,55 @@ object SignalIO {
     } finally out.close()
   }
 
-  /** The inverse of [[parseAxisLabel]]: the pandas label a series point
-    * must carry in a reference-format CSV, per index kind, so the
-    * reference's reconstruct_index rebuilds the original index. Interval
-    * indexes aren't exportable (only left bounds survive on the axis) —
-    * their points fall back to the numeric label. */
+  /** Whole-series label rendering — the inverse of [[parseAxisLabel]].
+    * Interval indexes need series-level context: the axis point only
+    * carries the LEFT bound, so right bounds come from the labels captured
+    * at load time ([[loadReferenceZip]] stores them in the categories
+    * slot) or, for engine-built contiguous indexes, from the successor's
+    * left bound (pd.interval_range shape; the last interval repeats the
+    * previous width). Every other kind renders point-locally via
+    * [[axisLabel]]. */
+  private def axisLabels(points: Array[(Double, String)],
+      ix: IndexMeta): Array[String] = ix.kind match {
+    case IndexKind.IntervalIndex =>
+      val stored: Map[Double, String] = ix.categories.iterator
+        .flatMap(lab => intervalLeft(lab).map(_ -> lab)).toMap
+      val lefts = points.map(_._1)
+      val isInt = ix.dtype.contains("int64") || ix.dtype.contains("int32")
+      def fmtNum(x: Double): String =
+        if (isInt) math.round(x).toString
+        else if (x == math.rint(x) && math.abs(x) < 1e15) s"${x.toLong}.0"
+        else x.toString
+      val (lo, hi) = ix.closed match {
+        case Some("left") => ("[", ")")
+        case Some("both") => ("[", "]")
+        case Some("neither") => ("(", ")")
+        case _ => ("(", "]")
+      }
+      lefts.zipWithIndex.map { case (l, i) =>
+        stored.getOrElse(l, {
+          val width =
+            if (i + 1 < lefts.length) lefts(i + 1) - l
+            else if (i > 0) l - lefts(i - 1)
+            else 1.0
+          s"$lo${fmtNum(l)}, ${fmtNum(l + width)}$hi"
+        })
+      }
+    case _ => points.map { case (e, d) => axisLabel(e, d, ix) }
+  }
+
+  /** Left bound of a pandas interval label "(a, b]" (any closure). */
+  private def intervalLeft(label: String): Option[Double] = {
+    val t = label.trim
+    val c = t.indexOf(',')
+    if (t.length > 2 && c > 1)
+      scala.util.Try(t.substring(1, c).trim.toDouble).toOption
+    else None
+  }
+
+  /** One point's pandas label in a reference-format CSV, per index kind,
+    * so the reference's reconstruct_index rebuilds the original index.
+    * IntervalIndex is handled series-level in [[axisLabels]]. */
   private def axisLabel(epochSecs: Double, datetime: String,
       ix: IndexMeta): String = ix.kind match {
     case IndexKind.CategoricalIndex =>
@@ -277,14 +355,16 @@ object SignalIO {
         case Some(f) if f.startsWith("M") => datetime.substring(0, 7) // yyyy-MM
         case Some(f) if f.startsWith("Y") || f.startsWith("A") =>
           datetime.substring(0, 4)
+        case Some(f) if f.startsWith("W") =>
+          // pandas W-frequency Period labels are start/end date ranges
+          // ('2023-12-25/2023-12-31'); the axis point is the period start
+          val start = java.time.LocalDate.parse(datetime.substring(0, 10))
+          s"$start/${start.plusDays(6)}"
         case _ => datetime
       }
     case IndexKind.RangeIndex | IndexKind.PlainIndex =>
       val r = math.round(epochSecs)
       if (r.toDouble == epochSecs) r.toString else epochSecs.toString
-    case IndexKind.IntervalIndex =>
-      if (epochSecs == math.floor(epochSecs)) math.round(epochSecs).toString
-      else epochSecs.toString
     case _ => datetime
   }
 
@@ -375,16 +455,73 @@ object SignalIO {
     "step_distance" -> Int.box(st.stepDistance),
     "input_series_names" -> st.inputSeriesNames.asJava)
 
-  /** pandas to_csv line "label,value"; labels containing commas (interval
-    * bounds) arrive double-quoted. */
-  private def splitCsvLine(line: String): (String, String) =
-    if (line.startsWith("\"")) {
-      val close = line.indexOf('"', 1) // pandas labels carry no inner quotes
-      (line.substring(1, close), line.substring(close + 2))
-    } else {
-      val i = line.indexOf(',')
-      (line.substring(0, i), line.substring(i + 1))
+  /** pandas-style minimal CSV quoting (csv.QUOTE_MINIMAL, what the
+    * reference's to_csv emits): a field is quoted iff it contains a comma,
+    * quote, CR, or LF; inner quotes are doubled. */
+  private def csvField(s: String): String =
+    if (s == null) ""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  /** Streaming CSV record parser (the RFC-4180 subset pandas emits):
+    * quoted fields with doubled inner quotes and embedded commas/CR/LF —
+    * the inverse of [[csvField]]. Replaces the r3 line-splitter that
+    * corrupted quoted VALUES in both directions (and broke on values with
+    * embedded newlines, which a line iterator splits mid-record). */
+  private def csvRecords(text: String): Iterator[Vector[String]] =
+    new Iterator[Vector[String]] {
+      private var i = 0
+      def hasNext: Boolean = i < text.length
+      def next(): Vector[String] = {
+        val fields = Vector.newBuilder[String]
+        val sb = new StringBuilder
+        var inQ = false
+        var done = false
+        while (!done && i < text.length) {
+          val c = text.charAt(i)
+          if (inQ) {
+            if (c == '"') {
+              if (i + 1 < text.length && text.charAt(i + 1) == '"') {
+                sb.append('"'); i += 2
+              } else { inQ = false; i += 1 }
+            } else { sb.append(c); i += 1 }
+          } else c match {
+            case '"' => inQ = true; i += 1
+            case ',' => fields += sb.toString; sb.clear(); i += 1
+            case '\r' =>
+              i += 1
+              if (i < text.length && text.charAt(i) == '\n') i += 1
+              done = true
+            case '\n' => i += 1; done = true
+            case other => sb.append(other); i += 1
+          }
+        }
+        fields += sb.toString
+        fields.result()
+      }
     }
+
+  /** Driver-OOM guard for the zip load paths (they slurp + parse every CSV
+    * on the driver, the mirror of the save paths' maxRows guard): refuse
+    * archives whose declared uncompressed CSV payload exceeds `maxBytes`.
+    * Entries with unknown size (-1) count as 0 — the zip central directory
+    * normally carries sizes, and the guard is a backstop, not a sandbox. */
+  private def guardCsvBytes(entries: List[java.util.zip.ZipEntry],
+      maxBytes: Long): Unit = {
+    val total = entries.filter(_.getName.endsWith(".csv"))
+      .map(e => math.max(e.getSize, 0L)).sum
+    require(total <= maxBytes,
+      s"archive CSV payload $total bytes > $maxBytes (driver-side parse); " +
+        "use the distributed save()/load() for large datasets")
+  }
+
+  /** Non-blank data records of a two-column pandas CSV (header dropped). */
+  private def csvDataRecords(text: String): List[(String, String)] =
+    csvRecords(text).drop(1)
+      .filter(r => r.length > 1 || r.headOption.exists(_.nonEmpty))
+      .map(r => (r.head, if (r.length > 1) r(1) else ""))
+      .toList
 
   /** One pandas index label → a point on the engine's timestamp axis,
     * using the series' IndexMeta to pick the grammar. Non-time kinds are
@@ -411,8 +548,15 @@ object SignalIO {
         val ord = ix.categories.indexOf(trimmed)
         fromMicros((if (ord >= 0) ord else ix.categories.size).toLong * 1000000L)
       case IndexKind.IntervalIndex =>
-        fromSecondsDouble(
-          trimmed.substring(1, trimmed.indexOf(',')).trim.toDouble)
+        fromSecondsDouble(intervalLeft(trimmed).getOrElse(
+          throw new IllegalArgumentException(s"bad interval label: $label")))
+      case IndexKind.PeriodIndex if trimmed.contains("/") =>
+        // pandas W-frequency Period labels ('2023-12-25/2023-12-31'): the
+        // period START anchors the axis point (r3 fell through to a
+        // throwing datetime chain)
+        java.sql.Timestamp.from(java.time.LocalDate.parse(
+            trimmed.substring(0, trimmed.indexOf('/'))).atStartOfDay()
+          .toInstant(java.time.ZoneOffset.UTC))
       case IndexKind.TimedeltaIndex => trimmed match {
         case TdPat(d, h, m, s, frac) =>
           val micros = (d.toLong * 86400L + h.toLong * 3600L +

@@ -329,6 +329,191 @@ class IOSpec extends SparkSpec {
     assert(back2.data.count() == td.data.count())
   }
 
+  test("mixed-dtype dataset round-trips without data loss (string + double)") {
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(i * 60L))
+    val num = MeteauSignal.ingest(
+      Seq((ts(0), 1.5), (ts(1), 2.5), (ts(2), 3.25))
+        .toDF(Observations.TsCol, Observations.ValueCol), "NUM", "mg/l")
+    val st = MeteauSignal.ingest(
+      Seq((ts(0), "on"), (ts(1), "off"), (ts(2), "on"))
+        .toDF(Observations.TsCol, Observations.ValueCol), "ST", "state")
+    val ds = MeteauDataset.of("mixed", Seq(num, st))
+    for (fmt <- Seq("parquet", "csv")) {
+      val path = s"/tmp/graft_test_rt_mixed_$fmt"
+      SignalIO.save(ds, path, format = fmt)
+      val back = SignalIO.load(spark, path, format = fmt)
+      // the carrier frame is lossless strings, never a nulling double cast
+      assert(back.data.schema(Observations.ValueCol).dataType.typeName == "string")
+      assert(back.data.filter(col(Observations.ValueCol).isNull).count() == 0,
+        s"$fmt: mixed-dtype load nulled values")
+      // series() re-imposes each series' catalog dtype
+      val numSeries = back.signal("NUM#1").series("NUM#1_RAW#1")
+      assert(numSeries.schema(Observations.ValueCol).dataType.typeName == "double")
+      assert(numSeries.agg(sum(Observations.ValueCol)).as[Double].head() == 7.25)
+      val stSeries = back.signal("ST#1").series("ST#1_RAW#1")
+      assert(stSeries.schema(Observations.ValueCol).dataType.typeName == "string")
+      assert(stSeries.orderBy(Observations.TsCol)
+        .select(Observations.ValueCol).as[String].collect().toSeq ==
+        Seq("on", "off", "on"))
+    }
+    // the engine-format zip path carries the same guarantees
+    val file = "/tmp/graft_test_rt_mixed.zip"
+    SignalIO.saveZip(ds, file)
+    val back = SignalIO.loadZip(spark, file)
+    assert(back.signal("NUM#1").series("NUM#1_RAW#1")
+      .agg(sum(Observations.ValueCol)).as[Double].head() == 7.25)
+    assert(back.signal("ST#1").series("ST#1_RAW#1")
+      .select(Observations.ValueCol).as[String].collect().toSet == Set("on", "off"))
+  }
+
+  test("string values with commas/quotes/newlines survive both zip formats") {
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(i * 3600L))
+    val tricky = Seq("plain", "a,b \"quoted\"", "line1\nline2", "trail,")
+    val sig = MeteauSignal.ingest(
+      tricky.zipWithIndex.map { case (v, i) => (ts(i), v) }
+        .toDF(Observations.TsCol, Observations.ValueCol), "QT", "state")
+    val ds = MeteauDataset.of("quoted", Seq(sig))
+    SignalIO.saveZip(ds, "/tmp/graft_test_quoted.zip")
+    val back = SignalIO.loadZip(spark, "/tmp/graft_test_quoted.zip")
+    assert(back.data.orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[String].collect().toSeq == tricky)
+    SignalIO.saveReferenceZip(ds, "/tmp/graft_test_quoted_ref.zip")
+    val backRef = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_quoted_ref.zip")
+    assert(backRef.data.orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[String].collect().toSeq == tricky)
+    // and pandas' own quoting (fixture written by the reference package)
+    val path = getClass.getResource("/interop_signal_quoted.zip").getPath
+    val ref = SignalIO.loadReferenceZip(spark, path)
+    assert(ref.data.orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[String].collect().toSeq ==
+      Seq("plain", "a,b \"quoted\"", "line1\nline2"))
+  }
+
+  test("sub-second timestamps keep µs labels in reference-format exports") {
+    // reference-written µs fixture loads with full precision
+    val path = getClass.getResource("/interop_signal_subsec.zip").getPath
+    val ref = SignalIO.loadReferenceZip(spark, path)
+    val micros = ref.data.orderBy(Observations.TsCol)
+      .select(unix_micros(col(Observations.TsCol)))
+      .as[Long].collect().toSeq
+    assert(micros.map(_ % 1000000L) == Seq(250000L, 500000L, 750123L, 0L))
+    // engine export writes µs labels — no duplicate-label collapse (r3 bug)
+    SignalIO.saveReferenceZip(ref, "/tmp/graft_test_subsec_ref.zip")
+    val zf = new java.util.zip.ZipFile("/tmp/graft_test_subsec_ref.zip")
+    val csv = {
+      import scala.jdk.CollectionConverters._
+      val e = zf.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf.close()
+    assert(csv.contains("2024-01-01 00:00:00.750123,3.0"), csv)
+    val back = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_subsec_ref.zip")
+    assert(back.data.orderBy(Observations.TsCol)
+      .select(unix_micros(col(Observations.TsCol)))
+      .as[Long].collect().toSeq == micros)
+    // whole-second data still gets pandas' second-precision labels
+    val ds2 = fixture()
+    SignalIO.saveReferenceZip(ds2, "/tmp/graft_test_wholesec_ref.zip")
+    val zf2 = new java.util.zip.ZipFile("/tmp/graft_test_wholesec_ref.zip")
+    val csv2 = {
+      import scala.jdk.CollectionConverters._
+      val e = zf2.entries().asScala.find(_.getName.endsWith("A#1_RAW#1.csv")).get
+      new String(zf2.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf2.close()
+    assert(csv2.contains("2020-01-01 00:06:00,1.5"), csv2)
+  }
+
+  test("weekly-period reference archives load and export the range labels") {
+    val path = getClass.getResource("/interop_signal_weekly.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    val sm = ds.signal("WK#1").meta.seriesMeta("WK#1_RAW#1").get
+    assert(sm.index.kind == IndexKind.PeriodIndex)
+    assert(sm.index.frequency.contains("W-SUN"))
+    // the period START anchors the axis point
+    val rows = ds.data.orderBy(Observations.TsCol)
+      .select(date_format(col(Observations.TsCol), "yyyy-MM-dd"),
+        col(Observations.ValueCol))
+      .as[(String, Double)].collect().toSeq
+    assert(rows.head == (("2024-01-01", 1.0)))
+    assert(rows.last == (("2024-02-05", 6.0)))
+    // export reproduces pandas' 'start/end' range labels
+    SignalIO.saveReferenceZip(ds, "/tmp/graft_test_weekly_ref.zip")
+    val zf = new java.util.zip.ZipFile("/tmp/graft_test_weekly_ref.zip")
+    val csv = {
+      import scala.jdk.CollectionConverters._
+      val e = zf.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf.close()
+    assert(csv.contains("2024-01-01/2024-01-07,1.0"), csv)
+    assert(csv.contains("2024-02-05/2024-02-11,6.0"), csv)
+    val back = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_weekly_ref.zip")
+    assert(back.data.count() == 6)
+  }
+
+  // Export parity bar is BYTE FORMAT (identical labels to the reference's
+  // own Signal.save output): the reference package cannot load interval
+  // archives at all — its reconstruct_index calls pd.IntervalIndex(...) on
+  // the CSV's string labels and pandas raises TypeError, an upstream bug
+  // reproduced against /root/reference on its own export (types.py:146-147).
+  test("interval index exports pandas '(a, b]' labels (r3 degraded to left bounds)") {
+    val path = getClass.getResource("/interop_signal_interval.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    SignalIO.saveReferenceZip(ds, "/tmp/graft_test_interval_ref.zip")
+    val zf = new java.util.zip.ZipFile("/tmp/graft_test_interval_ref.zip")
+    val csv = {
+      import scala.jdk.CollectionConverters._
+      val e = zf.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf.close()
+    // the exact labels pandas wrote, re-quoted (commas inside)
+    assert(csv.contains("\"(0.0, 1.5]\",10.0"), csv)
+    assert(csv.contains("\"(4.5, 6.0]\",40.0"), csv)
+    val back = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_interval_ref.zip")
+    assert(back.data.orderBy(Observations.TsCol)
+      .select(col(Observations.TsCol).cast("double"), col(Observations.ValueCol))
+      .as[(Double, Double)].collect().toSeq ==
+      Seq((0.0, 10.0), (1.5, 20.0), (3.0, 30.0), (4.5, 40.0)))
+    // engine-built contiguous interval series (no stored labels) exports
+    // successor-left bounds
+    val eng = MeteauSignal.ingest(
+      Seq((new java.sql.Timestamp(0L), 1.0),
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2L)), 2.0),
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(4L)), 3.0))
+        .toDF(Observations.TsCol, Observations.ValueCol), "EI", "u",
+      index = IndexMeta(IndexKind.IntervalIndex, dtype = "interval[float64, right]",
+        closed = Some("right")))
+    SignalIO.saveReferenceZip(MeteauDataset.of("ei", Seq(eng)),
+      "/tmp/graft_test_interval_eng.zip")
+    val zf2 = new java.util.zip.ZipFile("/tmp/graft_test_interval_eng.zip")
+    val csv2 = {
+      import scala.jdk.CollectionConverters._
+      val e = zf2.entries().asScala.find(_.getName.endsWith(".csv")).get
+      new String(zf2.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf2.close()
+    assert(csv2.contains("\"(0.0, 2.0]\",1.0"), csv2)
+    assert(csv2.contains("\"(4.0, 6.0]\",3.0"), csv2)
+  }
+
+  test("zip load paths refuse archives larger than the driver guard") {
+    val ds = fixture()
+    SignalIO.saveZip(ds, "/tmp/graft_test_guard.zip")
+    val e1 = intercept[IllegalArgumentException] {
+      SignalIO.loadZip(spark, "/tmp/graft_test_guard.zip", maxBytes = 10L)
+    }
+    assert(e1.getMessage.contains("CSV payload"))
+    SignalIO.saveReferenceZip(ds, "/tmp/graft_test_guard_ref.zip")
+    val e2 = intercept[IllegalArgumentException] {
+      SignalIO.loadReferenceZip(spark, "/tmp/graft_test_guard_ref.zip", maxBytes = 10L)
+    }
+    assert(e2.getMessage.contains("CSV payload"))
+  }
+
   test("partitioned save prunes partitions for single-series reads") {
     val ds = fixture()
     val path = "/tmp/graft_test_rt_prune"
