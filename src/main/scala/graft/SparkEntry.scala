@@ -313,6 +313,67 @@ object SparkEntry {
         .orderBy("bucket_ts")
     }),
 
+    // SORTING: ascending-value rank re-index (RangeIndex output) over the
+    // hourly resample — closes the declared-but-unshipped enum category
+    "ts_sort" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      SortValues.transform(resampled, Parameters.empty)
+        .select(col(KeyCol).as("series_key"),
+          col(TsCol).cast("long").as("rank"), col(ValueCol).as("value"))
+        .orderBy("series_key", "rank")
+    }),
+
+    // FAULT_IDENTIFICATION: per-point class labels over the hourly
+    // resample (unique buckets make the lag deterministic)
+    "ts_fault_identify" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      FaultIdentify.transform(resampled,
+          Parameters.of("lo" -> "20.0", "hi" -> "140.0", "jump" -> "40.0"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          col(ValueCol).as("fault_class"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
+    // FAULT_DIAGNOSIS: one per-series verdict over the fault classes
+    // (integer-percent thresholds — no float division in the rules)
+    "ts_fault_diagnosis" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      val classes = FaultIdentify.transform(resampled,
+        Parameters.of("lo" -> "20.0", "hi" -> "140.0", "jump" -> "40.0"))
+      FaultDiagnose.transform(classes,
+          Parameters.of("high_pct" -> "7", "jump_pct" -> "30", "low_pct" -> "35"))
+        .select(col(KeyCol).as("series_key"),
+          fmtTs(col(TsCol)).as("last_bucket_ts"), col(ValueCol).as("diagnosis"))
+        .orderBy("series_key")
+    }),
+
+    // DIMENSIONALITY_REDUCTION: PCA over the click/view aligned series.
+    // The distributed part (exact-decimal scatter accumulation, ops/Pca
+    // .fit) is the scale path; the d=2 eigensolve here uses the closed
+    // form in a PINNED float shape both engines share (the general-d
+    // Jacobi solver is exercised against it in TransformsSpec).
+    "ts_pca" -> ((s, dir) => {
+      import s.implicits._
+      val byType = Resample.transformFixed(
+        obsByType(s, dir).where(col(KeyCol).isin("click", "view")), 900, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      val m = Pca.fit(byType, Seq("click", "view"))
+      val (cxx, cyy, cxy) = (m.cov(0)(0), m.cov(1)(1), m.cov(0)(1))
+      val disc = math.sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)
+      val lam1 = ((cxx + cyy) + disc) / 2
+      val lam2 = ((cxx + cyy) - disc) / 2
+      val nrm = math.sqrt(cxy * cxy + (lam1 - cxx) * (lam1 - cxx))
+      val ex = cxy / nrm
+      val ey = (lam1 - cxx) / nrm
+      def r6d(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+      Seq((m.n, r6d(lam1), r6d(lam2), r6d(lam1 / (lam1 + lam2)),
+          r6d(if (ex < 0) -ex else ex), r6d(if (ex < 0) -ey else ey)))
+        .toDF("n", "lam1", "lam2", "var_explained", "pc1_x", "pc1_y")
+    }),
+
     // order statistics: exact interpolated percentiles per series
     // (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-identical)
     "ts_percentiles" -> ((s, dir) => {
@@ -957,6 +1018,97 @@ object SparkEntry {
          |SELECT n, round((n * sxy - sx * sy) /
          |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
          |FROM agg""".stripMargin,
+
+    "ts_sort" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY v, bt) - 1 AS rank,
+         |  v AS value
+         |FROM b ORDER BY 1, 2""".stripMargin,
+
+    "ts_fault_identify" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, bt, v,
+         |        lag(v) OVER (PARTITION BY user_id ORDER BY bt) AS pv FROM b)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  CASE WHEN v IS NULL THEN 'missing'
+         |       WHEN v < 20.0 THEN 'low'
+         |       WHEN v > 140.0 THEN 'high'
+         |       WHEN pv IS NOT NULL AND abs(v - pv) > 40.0 THEN 'jump'
+         |       ELSE 'ok' END AS fault_class
+         |FROM l ORDER BY 1, 2""".stripMargin,
+
+    "ts_fault_diagnosis" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, bt, v,
+         |        lag(v) OVER (PARTITION BY user_id ORDER BY bt) AS pv FROM b),
+         |cls AS (SELECT user_id, bt,
+         |  CASE WHEN v IS NULL THEN 'missing'
+         |       WHEN v < 20.0 THEN 'low'
+         |       WHEN v > 140.0 THEN 'high'
+         |       WHEN pv IS NOT NULL AND abs(v - pv) > 40.0 THEN 'jump'
+         |       ELSE 'ok' END AS fc
+         |  FROM l),
+         |c AS (SELECT user_id, max(bt) AS mbt, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN fc = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS miss,
+         |  CAST(SUM(CASE WHEN fc = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+         |  CAST(SUM(CASE WHEN fc = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS low,
+         |  CAST(SUM(CASE WHEN fc = 'jump' THEN 1 ELSE 0 END) AS BIGINT) AS jmp
+         |  FROM cls GROUP BY 1)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(mbt, '%Y-%m-%d %H:%M:%S') AS last_bucket_ts,
+         |  CASE WHEN miss * 2 >= n THEN 'insufficient_data'
+         |       WHEN high * 100 >= n * 7 THEN 'over_range'
+         |       WHEN jmp * 100 >= n * 30 THEN 'unstable'
+         |       WHEN low * 100 >= n * 35 THEN 'under_range'
+         |       ELSE 'healthy' END AS diagnosis
+         |FROM c ORDER BY 1""".stripMargin,
+
+    "ts_pca" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         |j AS (SELECT c.v AS x, w.v AS y FROM b c JOIN b w
+         |      ON c.bt = w.bt AND c.event_type = 'click' AND w.event_type = 'view'),
+         |agg AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |  CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM j),
+         |cov AS (SELECT n,
+         |  (sxx - sx * sx / n) / (n - 1) AS cxx,
+         |  (syy - sy * sy / n) / (n - 1) AS cyy,
+         |  (sxy - sx * sy / n) / (n - 1) AS cxy
+         |  FROM agg),
+         |eig AS (SELECT n, cxx, cyy, cxy,
+         |  sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy) AS disc FROM cov),
+         |lam AS (SELECT n, cxx, cxy,
+         |  ((cxx + cyy) + disc) / 2 AS lam1,
+         |  ((cxx + cyy) - disc) / 2 AS lam2 FROM eig),
+         |vec AS (SELECT n, lam1, lam2,
+         |  cxy / sqrt(cxy * cxy + (lam1 - cxx) * (lam1 - cxx)) AS ex,
+         |  (lam1 - cxx) / sqrt(cxy * cxy + (lam1 - cxx) * (lam1 - cxx)) AS ey
+         |  FROM lam)
+         |SELECT n,
+         |  floor(lam1 * 1000000.0 + 0.5) / 1000000.0 AS lam1,
+         |  floor(lam2 * 1000000.0 + 0.5) / 1000000.0 AS lam2,
+         |  floor((lam1 / (lam1 + lam2)) * 1000000.0 + 0.5) / 1000000.0 AS var_explained,
+         |  floor((CASE WHEN ex < 0 THEN -ex ELSE ex END) * 1000000.0 + 0.5) / 1000000.0 AS pc1_x,
+         |  floor((CASE WHEN ex < 0 THEN -ey ELSE ey END) * 1000000.0 + 0.5) / 1000000.0 AS pc1_y
+         |FROM vec""".stripMargin,
 
     "lineage_edges" ->
       """SELECT * FROM (VALUES

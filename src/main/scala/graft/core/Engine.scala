@@ -74,7 +74,9 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
         .select(lit(outKey).as(KeyCol), col(TsCol), col(ValueCol))
       val inputMeta = cur.meta.seriesMeta(input).getOrElse(SeriesMeta(input))
       val sm = inputMeta.copy(seriesKey = outKey, steps = lineage,
-        index = t.updatedIndex(inputMeta.index, params), createdOn = runAt)
+        index = t.updatedIndex(inputMeta.index, params),
+        valuesDtype = t.updatedDtype(inputMeta.valuesDtype),
+        createdOn = runAt)
       cur = MeteauSignal(
         Observations.union(cur.data, outRows),
         cur.meta.copy(series = cur.meta.series :+ sm, lastUpdated = runAt))

@@ -57,6 +57,13 @@ trait SeriesTransform {
   def updatedIndex(index: graft.model.IndexMeta, params: Parameters): graft.model.IndexMeta =
     index
 
+  /** Value dtype of the OUTPUT series given the input's — the catalog twin
+    * of the reference re-extracting the pandas dtype from the produced
+    * series (types.py:264-290). Identity for most transforms; classifiers
+    * that emit string labels override it so `series()` re-imposes the
+    * right type after a reload. */
+  def updatedDtype(inputDtype: String): String = inputDtype
+
   def step(params: Parameters, inputNames: Seq[String], runAt: Long): ProcessingStep =
     ProcessingStep(ptype, description, runAt, requiresCalibration, info,
       params, suffix, stepDistance, inputNames)
@@ -354,6 +361,107 @@ object DedupTimestamps extends SeriesTransform {
   def transform(series: DataFrame, params: Parameters): DataFrame =
     series.groupBy(col(KeyCol), col(TsCol))
       .agg(min(col(ValueCol)).as(ValueCol))
+}
+
+/** Ascending-value rank re-index: order each series' observations by value
+  * (timestamp tie-break) and re-index them onto a RangeIndex of ranks —
+  * fills the SORTING category (types.py:183, declared-but-unshipped like
+  * SMOOTHING was). The pandas analogue is `sort_values` followed by
+  * `reset_index`; here the rank is materialized on the axis since frames
+  * are unordered sets. One window pass (row_number) per series — the same
+  * shuffle shape as every other keyed window. */
+object SortValues extends SeriesTransform {
+  val opName = "sort_values"
+  val suffix = "SORTED"
+  val ptype = ProcessingType.Sorting
+  val description =
+    "Re-index observations by ascending value rank (RangeIndex output)"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val w = Window.partitionBy(KeyCol)
+      .orderBy(col(ValueCol).asc_nulls_last, col(TsCol))
+    series.select(col(KeyCol),
+      timestamp_seconds(row_number().over(w) - 1).as(TsCol), col(ValueCol))
+  }
+
+  /** The output axis is the 0..n-1 rank counter, not time. */
+  override def updatedIndex(index: IndexMeta, params: Parameters): IndexMeta =
+    IndexMeta(IndexKind.RangeIndex, dtype = "int64",
+      start = Some(0L), step = Some(1L))
+}
+
+/** Per-point fault classification over a regular series — fills the
+  * FAULT_IDENTIFICATION category (types.py:194): each observation becomes
+  * a STRING class ('missing' | 'low' | 'high' | 'jump' | 'ok') by
+  * range-violation and rate-of-change rules. Run it on a resampled series
+  * (unique bucket per row) so the lag is deterministic. One keyed window
+  * (lag) + a projection — no extra shuffle after the resample. */
+object FaultIdentify extends SeriesTransform {
+  val opName = "identify_faults"
+  val suffix = "FAULT-ID"
+  val ptype = ProcessingType.FaultIdentification
+  val description =
+    "Classify each point: missing/low/high/jump/ok by range and rate-of-change rules"
+  override val requiresCalibration = true
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val lo = params.get("lo").map(_.toDouble).getOrElse(Double.NegativeInfinity)
+    val hi = params.get("hi").map(_.toDouble).getOrElse(Double.PositiveInfinity)
+    val jump = params.get("jump").map(_.toDouble).getOrElse(Double.PositiveInfinity)
+    val w = Window.partitionBy(KeyCol).orderBy(TsCol)
+    val v = col(ValueCol)
+    val prev = lag(v, 1).over(w)
+    val cls =
+      when(v.isNull, "missing")
+        .when(v < lo, "low")
+        .when(v > hi, "high")
+        .when(prev.isNotNull && abs(v - prev) > jump, "jump")
+        .otherwise("ok")
+    series.select(col(KeyCol), col(TsCol), cls.as(ValueCol))
+  }
+
+  override def updatedDtype(inputDtype: String): String = "string"
+}
+
+/** Per-series diagnosis over a fault-class series — fills the
+  * FAULT_DIAGNOSIS category (types.py:195): aggregate the class counts of
+  * a [[FaultIdentify]] output into one labelled verdict row per series.
+  * Thresholds are INTEGER percents compared with integer cross-products
+  * (n_class*100 >= n*pct) — no float division, so the verdict is
+  * bit-portable by construction. One hash aggregate. */
+object FaultDiagnose extends SeriesTransform {
+  val opName = "diagnose_faults"
+  val suffix = "FAULT-DIAG"
+  val ptype = ProcessingType.FaultDiagnosis
+  val description =
+    "Aggregate fault classes into one per-series diagnosis verdict"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val highPct = params.get("high_pct").map(_.toInt).getOrElse(5)
+    val lowPct = params.get("low_pct").map(_.toInt).getOrElse(5)
+    val jumpPct = params.get("jump_pct").map(_.toInt).getOrElse(5)
+    val v = col(ValueCol)
+    def cnt(c: String) = sum(when(v === c, 1L).otherwise(0L))
+    val agg = series.groupBy(col(KeyCol)).agg(
+      max(col(TsCol)).as(TsCol), // diagnosis timestamped at the last point
+      count(lit(1)).as("_n"), cnt("missing").as("_miss"),
+      cnt("high").as("_high"), cnt("low").as("_low"), cnt("jump").as("_jump"))
+    val n = col("_n")
+    // severity-ordered rules: saturation > instability > dropout
+    val diag =
+      when(col("_miss") * 2L >= n, "insufficient_data")
+        .when(col("_high") * 100L >= n * highPct, "over_range")
+        .when(col("_jump") * 100L >= n * jumpPct, "unstable")
+        .when(col("_low") * 100L >= n * lowPct, "under_range")
+        .otherwise("healthy")
+    agg.select(col(KeyCol), col(TsCol), diag.as(ValueCol))
+  }
+
+  override def updatedDtype(inputDtype: String): String = "string"
+
+  /** One verdict row per series — no meaningful frequency. */
+  override def updatedIndex(index: IndexMeta, params: Parameters): IndexMeta =
+    index.copy(frequency = None)
 }
 
 /** Scalar map `value * k` — the reference's documented custom-transform

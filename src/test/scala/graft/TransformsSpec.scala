@@ -180,6 +180,122 @@ class TransformsSpec extends SparkSpec {
     assert(out == Seq(("00:00", 1.0: java.lang.Double), ("00:05", 2.0: java.lang.Double)))
   }
 
+  test("sort_values re-indexes by ascending value rank (nulls last, ts tie-break)") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 5.0),
+      ("a", "2024-01-01 00:01:00", 1.0),
+      ("a", "2024-01-01 00:02:00", null),
+      ("a", "2024-01-01 00:03:00", 3.0),
+      ("b", "2024-01-01 00:00:00", 2.0))
+    val out = SortValues.transform(in, Parameters.empty)
+      .orderBy(KeyCol, TsCol)
+      .select(col(KeyCol), col(TsCol).cast("long"), col(ValueCol))
+      .as[(String, Long, java.lang.Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 1.0: java.lang.Double), ("a", 1L, 3.0: java.lang.Double),
+      ("a", 2L, 5.0: java.lang.Double), ("a", 3L, null),
+      ("b", 0L, 2.0: java.lang.Double)))
+    // the catalog axis becomes a RangeIndex of ranks
+    val ix = SortValues.updatedIndex(
+      graft.model.IndexMeta(graft.model.IndexKind.DatetimeIndex), Parameters.empty)
+    assert(ix.kind == graft.model.IndexKind.RangeIndex && ix.start.contains(0L))
+  }
+
+  test("fault identification classifies range violations and jumps") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 50.0),
+      ("a", "2024-01-01 01:00:00", 5.0),    // < lo
+      ("a", "2024-01-01 02:00:00", 200.0),  // > hi
+      ("a", "2024-01-01 03:00:00", 60.0),   // |60-200|>40 jump
+      ("a", "2024-01-01 04:00:00", 65.0),   // ok
+      ("a", "2024-01-01 05:00:00", null))   // missing
+    val out = FaultIdentify.transform(in,
+        Parameters.of("lo" -> "10.0", "hi" -> "150.0", "jump" -> "40.0"))
+      .orderBy(TsCol).select(col(ValueCol)).as[String].collect().toSeq
+    assert(out == Seq("ok", "low", "high", "jump", "ok", "missing"))
+    assert(FaultIdentify.updatedDtype("double") == "string")
+  }
+
+  test("fault diagnosis aggregates classes into one severity-ordered verdict") {
+    def cls(key: String, cs: Seq[String]): Seq[(String, String, String)] =
+      cs.zipWithIndex.map { case (c, i) =>
+        (key, f"2024-01-01 ${i}%02d:00:00", c)
+      }
+    val in = (cls("over", Seq("high", "ok", "ok", "ok", "ok")) ++
+      cls("unst", Seq("jump", "jump", "ok", "ok", "ok")) ++
+      cls("under", Seq("low", "low", "low", "ok", "ok")) ++
+      cls("fine", Seq("ok", "ok", "ok", "ok", "ok")) ++
+      cls("gone", Seq("missing", "missing", "missing", "ok", "ok")))
+      .toDF(KeyCol, "ts_s", ValueCol)
+      .select(col(KeyCol), to_timestamp(col("ts_s")).as(TsCol), col(ValueCol))
+    val out = FaultDiagnose.transform(in,
+        Parameters.of("high_pct" -> "20", "jump_pct" -> "40", "low_pct" -> "60"))
+      .orderBy(KeyCol).select(col(KeyCol), col(ValueCol))
+      .as[(String, String)].collect().toMap
+    assert(out == Map("over" -> "over_range", "unst" -> "unstable",
+      "under" -> "under_range", "fine" -> "healthy",
+      "gone" -> "insufficient_data"))
+    // engine executor records the string dtype in the catalog so a
+    // reloaded verdict series is not cast back to double
+    val sig = graft.core.MeteauSignal.ingest(
+      in.where(col(KeyCol) === "over").select(col(TsCol), col(ValueCol)),
+      "F", "class")
+      .process(Seq("F#1_RAW#1"), FaultDiagnose, Parameters.empty)
+    assert(sig.meta.seriesMeta("F#1_FAULT-DIAG#1").get.valuesDtype == "string")
+  }
+
+  test("PCA: Jacobi eigensolve matches the 2x2 closed form and is orthonormal at d=3") {
+    val cov2 = Array(Array(4.0, 1.2), Array(1.2, 2.0))
+    val (lam, vec) = Pca.eigenSym(cov2)
+    val disc = math.sqrt((4.0 - 2.0) * (4.0 - 2.0) + 4 * 1.2 * 1.2)
+    assert(math.abs(lam(0) - (6.0 + disc) / 2) < 1e-12)
+    assert(math.abs(lam(1) - (6.0 - disc) / 2) < 1e-12)
+    val nrm = math.sqrt(1.2 * 1.2 + (lam(0) - 4.0) * (lam(0) - 4.0))
+    assert(math.abs(vec(0)(0) - 1.2 / nrm) < 1e-12)
+    assert(math.abs(vec(0)(1) - (lam(0) - 4.0) / nrm) < 1e-12)
+    // d=3: eigenvectors orthonormal, A v = lambda v
+    val cov3 = Array(
+      Array(3.0, 0.5, 0.2), Array(0.5, 2.0, 0.1), Array(0.2, 0.1, 1.0))
+    val (l3, v3) = Pca.eigenSym(cov3)
+    assert(l3(0) >= l3(1) && l3(1) >= l3(2))
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val dot = (0 until 3).map(k => v3(i)(k) * v3(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"v$i . v$j = $dot")
+      val av = (0 until 3).map(k => cov3(i)(k) * v3(j)(k)).sum
+      // (A v_j)_i == lambda_j * v_j(i)
+      assert(math.abs(av - l3(j) * v3(j)(i)) < 1e-9)
+    }
+  }
+
+  test("PCA fit + project through the dataset executor (PC1 score signal)") {
+    // two correlated series: y = 2x + small noise-free offset
+    val rows = (0 until 20).flatMap { i =>
+      Seq(("X", f"2024-01-01 ${i}%02d:00:00", i.toDouble),
+        ("Y", f"2024-01-01 ${i}%02d:00:00", 2.0 * i + 1.0))
+    }
+    val in = rows.toDF(KeyCol, "ts_s", ValueCol)
+      .select(col(KeyCol), to_timestamp(col("ts_s")).as(TsCol), col(ValueCol))
+    val m = Pca.fit(in, Seq("X", "Y"))
+    assert(m.n == 20)
+    // perfectly correlated: second eigenvalue ~0, PC1 along (1,2)/sqrt(5)
+    assert(m.eigenValues(1) < 1e-9 * m.eigenValues(0))
+    assert(math.abs(m.eigenVectors(0)(0) - 1.0 / math.sqrt(5)) < 1e-9)
+    assert(math.abs(m.eigenVectors(0)(1) - 2.0 / math.sqrt(5)) < 1e-9)
+    val scores = Pca.project(in, m, 1)
+    assert(scores.count() == 20)
+    // score variance equals lambda1 (PCA invariant)
+    val varS = scores.agg(var_samp(col(ValueCol))).as[Double].head()
+    assert(math.abs(varS - m.eigenValues(0)) < 1e-6 * m.eigenValues(0))
+    // and the dataset-level transform registers the category in lineage
+    def sigOf(k: String, name: String) = graft.core.MeteauSignal.ingest(
+      in.where(col(KeyCol) === k).select(col(TsCol), col(ValueCol)), name, "u")
+    val ds = graft.core.MeteauDataset.of("p", Seq(sigOf("X", "X"), sigOf("Y", "Y")))
+      .process(Seq("X#1_RAW#1", "Y#1_RAW#1"), PcaSignal)
+    val steps = ds.signal("PCA#1").meta.series.head.steps
+    assert(steps.last.stepType == graft.model.ProcessingType.DimensionalityReduction)
+    assert(ds.signal("PCA#1").series("PCA#1_RAW#1").count() == 20)
+  }
+
   test("frequency parsing") {
     assert(Freq.seconds("5min") == 300)
     assert(Freq.seconds("6 min") == 360)
