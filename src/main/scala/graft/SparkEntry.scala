@@ -313,6 +313,24 @@ object SparkEntry {
         .orderBy("bucket_ts")
     }),
 
+    // TimedeltaIndex compute path: per-user ELAPSED-TIME series (µs since
+    // the user's first event) resampled into exact integer-µs buckets via
+    // the long axis — the reference's resample-on-TimedeltaIndex contract
+    // (processing_steps/univariate/resample.py:43-46)
+    "ts_td_resample" -> ((s, dir) => {
+      val base = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val w = Window.partitionBy("user_id")
+      val td = base
+        .withColumn("_m", min(unix_micros(col("ts"))).over(w))
+        .select(col("user_id").cast("string").as(KeyCol),
+          timestamp_micros(unix_micros(col("ts")) - col("_m")).as(TsCol),
+          col("value").as(ValueCol))
+      TimedeltaAxis.resample(td, "15min", grid = false)
+        .select(col(KeyCol).as("series_key"),
+          unix_micros(col(TsCol)).as("td_us"), r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "td_us")
+    }),
+
     // SORTING: ascending-value rank re-index (RangeIndex output) over the
     // hourly resample — closes the declared-but-unshipped enum category
     "ts_sort" -> ((s, dir) => {
@@ -1018,6 +1036,17 @@ object SparkEntry {
          |SELECT n, round((n * sxy - sx * sy) /
          |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
          |FROM agg""".stripMargin,
+
+    "ts_td_resample" ->
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS td,
+         |    value
+         |  FROM events)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  td - td % 900000000 AS td_us,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_sort" ->
       s"""WITH b AS (

@@ -26,6 +26,26 @@ object Freq {
       k * mult
     case _ => throw new IllegalArgumentException(s"cannot parse frequency '$freq'")
   }
+
+  /** Frequency → microseconds. Sub-second units are valid here — the
+    * timedelta axis ([[TimedeltaAxis]]) buckets in exact integer µs,
+    * where the timestamp-window path bottoms out at whole seconds. */
+  def micros(freq: String): Long = freq.trim.toLowerCase match {
+    case Pat(n, unit) =>
+      val k = if (n.isEmpty) 1L else n.toLong
+      unit match {
+        case "ns" =>
+          require(k % 1000L == 0, s"'$freq' is below the µs axis resolution")
+          k / 1000L
+        case "us" => k
+        case "ms" => k * 1000L
+        case "s" | "sec" => k * 1000000L
+        case "min" | "t" => k * 60000000L
+        case "h" | "hr" => k * 3600000000L
+        case "d" | "day" => k * 86400000000L
+      }
+    case _ => throw new IllegalArgumentException(s"cannot parse frequency '$freq'")
+  }
 }
 
 /** A univariate series transform — the Spark rendering of the reference's

@@ -500,6 +500,43 @@ class IOSpec extends SparkSpec {
     assert(csv2.contains("\"(4.0, 6.0]\",3.0"), csv2)
   }
 
+  test("timedelta archive: load, process on the µs axis, export round trip") {
+    val path = getClass.getResource("/interop_signal_timedelta.zip").getPath
+    val ds = SignalIO.loadReferenceZip(spark, path)
+    // resample through the ENGINE EXECUTOR with a timedelta frequency —
+    // the reference's resample-on-TimedeltaIndex contract, no manual
+    // axis conversion by the caller
+    val sig = ds.signal("TD#1").process(Seq("TD#1_RAW#1"), ResampleTimedelta,
+      Parameters.of("frequency" -> "12min", "grid" -> "true"))
+    val out = sig.series("TD#1_RESAMPLED#1")
+      .orderBy(Observations.TsCol)
+      .select(col(Observations.TsCol).cast("long"), col(Observations.ValueCol))
+      .as[(Long, Double)].collect().toSeq
+    // 10 points 1..10 at 6-min spacing -> 5 12-min buckets of pair means
+    assert(out == Seq((0L, 1.5), (720L, 3.5), (1440L, 5.5),
+      (2160L, 7.5), (2880L, 9.5)))
+    assert(sig.meta.seriesMeta("TD#1_RESAMPLED#1").get
+      .index.frequency.contains("12min"))
+    // export: processed series keeps "N days HH:MM:SS" timedelta labels
+    val processed = graft.core.MeteauDataset(sig.data,
+      ds.meta.copy(signals = Vector(sig.meta)), Vector(sig))
+    SignalIO.saveReferenceZip(processed, "/tmp/graft_test_td_rt.zip")
+    val zf = new java.util.zip.ZipFile("/tmp/graft_test_td_rt.zip")
+    val csv = {
+      import scala.jdk.CollectionConverters._
+      val e = zf.entries().asScala
+        .find(_.getName.endsWith("TD#1_RESAMPLED#1.csv")).get
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    }
+    zf.close()
+    assert(csv.contains("0 days 00:12:00,3.5"), csv)
+    val back = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_td_rt.zip")
+    assert(back.signal("TD#1").series("TD#1_RESAMPLED#1")
+      .orderBy(Observations.TsCol)
+      .select(col(Observations.TsCol).cast("long"), col(Observations.ValueCol))
+      .as[(Long, Double)].collect().toSeq == out)
+  }
+
   test("zip load paths refuse archives larger than the driver guard") {
     val ds = fixture()
     SignalIO.saveZip(ds, "/tmp/graft_test_guard.zip")

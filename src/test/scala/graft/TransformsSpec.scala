@@ -296,6 +296,35 @@ class TransformsSpec extends SparkSpec {
     assert(ds.signal("PCA#1").series("PCA#1_RAW#1").count() == 20)
   }
 
+  test("timedelta axis: sub-second µs buckets, exact interpolation ratios") {
+    // offsets 0 / 250ms / 600ms / 1.2s as epoch-offset timestamps
+    val in = Seq(("a", 0L, 1.0), ("a", 250000L, 2.0),
+      ("a", 600000L, 3.0), ("a", 1200000L, 9.0))
+      .toDF(KeyCol, "us", ValueCol)
+      .select(col(KeyCol), timestamp_micros(col("us")).as(TsCol), col(ValueCol))
+    // 500ms buckets: [0,0.5)->mean(1,2)=1.5, [0.5,1)->3, [1,1.5)->9
+    val out = TimedeltaAxis.resample(in, "500ms", grid = false)
+      .orderBy(TsCol)
+      .select(unix_micros(col(TsCol)), col(ValueCol))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1.5), (500000L, 3.0), (1000000L, 9.0)))
+    // gridded + interpolated: the empty 1.5s bucket between 9 and a
+    // point at 2s fills linearly on the exact µs axis
+    val in2 = Seq(("a", 0L, 1.0), ("a", 1000000L, 5.0))
+      .toDF(KeyCol, "us", ValueCol)
+      .select(col(KeyCol), timestamp_micros(col("us")).as(TsCol), col(ValueCol))
+    val interp = TimedeltaAxis.interpolate(
+        TimedeltaAxis.resample(in2, "250ms", grid = true))
+      .orderBy(TsCol).select(col(ValueCol)).as[Double].collect().toSeq
+    assert(interp == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // sub-second frequency parsing lands on exact µs
+    assert(Freq.micros("250ms") == 250000L)
+    assert(Freq.micros("500us") == 500L)
+    assert(Freq.micros("2000ns") == 2L)
+    assert(Freq.micros("15min") == 900000000L)
+    intercept[IllegalArgumentException](Freq.micros("500ns"))
+  }
+
   test("frequency parsing") {
     assert(Freq.seconds("5min") == 300)
     assert(Freq.seconds("6 min") == 360)
