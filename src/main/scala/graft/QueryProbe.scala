@@ -4,28 +4,31 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Ad-hoc per-query timing probe: `runMain graft.QueryProbe <sfDir> <name>
-  * [reps]` times one declared query repeatedly (noop sink) and once with
-  * any final global Sort stripped, to expose range-partitioning
-  * sample-pass re-execution. */
+/** Ad-hoc per-query timing probe and bench-contract guard.
+  *
+  *  - `runMain graft.QueryProbe <sfDir> <name> [reps]` times one declared
+  *    query repeatedly (noop sink) and once with any final global Sort
+  *    stripped, to expose range-partitioning sample-pass re-execution.
+  *  - `runMain graft.QueryProbe <sfDir> --guard <benchJson> [reps]` times
+  *    EVERY query recorded in a bench JSON (`BENCH_r03.json` shape:
+  *    `{"queries":{name:sec,...}}`) under bench conditions (recall
+  *    instrumentation off, min over interleaved reps) and FAILS (exit 1)
+  *    if any query exceeds `max(2x recorded, 1s)` — so a regression is a
+  *    red build, not a next-round forensic exercise. Documented in
+  *    README §bench.
+  */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    if (args.length > 1 && args(1) == "--guard") {
+      val baseline = if (args.length > 2) args(2) else "BENCH_r03.json"
+      val reps = if (args.length > 3) args(3).toInt else 2
+      sys.exit(guard(sfDir, baseline, reps))
+    }
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = session()
     val fn = SparkEntry.queries(name)
-    def time(tag: String)(thunk: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      thunk
-      println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
     (1 to reps).foreach { i =>
       time(s"$name#$i") {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -42,5 +45,61 @@ object QueryProbe {
       }
     }
     spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  private def time(tag: String)(thunk: => Unit): Double = {
+    val t0 = System.nanoTime()
+    thunk
+    val t = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $tag%-28s $t%8.2f s")
+    t
+  }
+
+  /** Bench-contract guard (see object doc). Returns the exit code. */
+  private def guard(sfDir: String, baselineJson: String, reps: Int): Int = {
+    import scala.jdk.CollectionConverters._
+    sys.props("graft.recall") = "off" // match Bench conditions
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readValue(new java.io.File(baselineJson),
+      classOf[java.util.Map[String, Object]])
+    val recorded = root.get("queries").asInstanceOf[java.util.Map[String, Object]]
+      .asScala.toMap.map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
+    val spark = session()
+    val names = SparkEntry.queries.keys.toSeq.filter(recorded.contains)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    // interleave reps like Bench: min spans different host-noise windows
+    for (rep <- 1 to reps; name <- names) {
+      val t = time(s"$name#$rep") {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    }
+    spark.stop()
+    val failures = names.flatMap { n =>
+      // 2x relative + 1.5 s absolute slack: sub-second queries jitter by
+      // whole seconds on this host (noisy-neighbor stalls), and a real
+      // regression on a query that cheap is invisible in the round total
+      val limit = math.max(2.0 * recorded(n), recorded(n) + 1.5)
+      if (best(n) > limit)
+        Some(f"$n: ${best(n)}%.2f s > limit $limit%.2f s (recorded ${recorded(n)}%.2f s)")
+      else None
+    }
+    println(f"[guard] ${names.size - failures.size}/${names.size} queries within " +
+      "2x of the recorded bench")
+    failures.foreach(f => println(s"[guard] REGRESSION $f"))
+    if (failures.isEmpty) 0 else 1
   }
 }
