@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup1m")) { dedup1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -108,5 +109,112 @@ object ScaleSmoke {
         graft.ext.Dedup.minhashDupPairs(docs, "doc_id", "text", 0.5).count())
     }
     spark.stop()
+  }
+
+  /** 1M-tier candidate-growth measurement (`runMain graft.ScaleSmoke
+    * dedup1m`): for each near-dup operator, count CANDIDATE COMPARISONS
+    * as banding-bucket occupancy Σ k·(k−1)/2 — the work the verify stage
+    * would do — at 250k and 1M docs/vectors, and assert the growth is
+    * near-linear (4× rows → <6× candidates; a quadratic operator shows
+    * 16×). Occupancy is an O(n) aggregate, so the measurement itself
+    * never materializes a pair join. Measured slopes are recorded in
+    * README §scale. */
+  private def dedup1m(): Unit = {
+    import graft.ext.{Dedup, Similarity}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // bucket occupancy Σ k·(k−1)/2 over the banding key
+    def occupancy(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(col("k") * (col("k") - 1)), lit(0L)).as("c2"))
+        .as[Long].head() / 2
+
+    // synthetic docs: 60 words over a 5000-word vocab, 2% planted near-dups
+    def synthDocs(n: Long) = {
+      val vocab = array((0 until 5000).map(i => lit(s"w$i")): _*)
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1)
+          .otherwise(col("id")).as("seed"),
+        pmod(col("id"), lit(50L)).as("variant"))
+      base.select(col("doc_id"), concat_ws(" ",
+        transform(sequence(lit(0), lit(59)), i =>
+          when(i === 0 && col("variant") === 1L, lit("wX"))
+            .otherwise(element_at(vocab,
+              (pmod(xxhash64(col("seed"), i), lit(5000L)) + 1).cast("int"))))).as("text"))
+    }
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding"))
+
+    val sizes = Seq(250000L, 1000000L)
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    def record(op: String, n: Long, c: Long): Unit = {
+      println(f"SCALE1M $op%-24s n=$n%8d candidates=$c%12d")
+      results(op) = results.getOrElse(op, Nil) :+ c
+    }
+
+    sizes.foreach { n =>
+      val docs = synthDocs(n)
+      val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3).cache()
+      record("jaccard-prefix", n,
+        occupancy(Dedup.jaccardPrefixes(sh, 0.5), Seq("sh")))
+      record("minhash-bands", n,
+        occupancy(Dedup.minhashBands(
+          Dedup.minhashSignatures(sh, 64), 16, 4), Seq("band", "bandhash")))
+      sh.unpersist()
+      val sim = Dedup.simhash64(docs, "doc_id", "text").cache()
+      record("simhash-manku-bands", n,
+        occupancy(Dedup.simhashBands(sim, 3, 6), Seq("band", "bandkey")))
+      record("simhash-chunk-bands", n,
+        occupancy(Dedup.simhashChunks(sim, 4), Seq("chunk", "chunkval")))
+      sim.unpersist()
+      // hyperplane LSH with the bits ≈ log2(n)+2 sizing rule
+      val bits = (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 2).toInt
+      val vecs = synthVecs(n)
+      val sigs = (0 until 8).map(b =>
+        Similarity.hyperplaneSignature(vecs, "vec_id", "embedding", bits, b.toLong)
+          .select(lit(b).as("band"), col("lsh_sig")))
+        .reduce(_ unionByName _)
+      record(s"hyperplane-lsh-b$bits", n,
+        occupancy(sigs, Seq("band", "lsh_sig")))
+    }
+
+    println("--- growth (4x rows), near-linear target < 6x ---")
+    var failed = false
+    results.foreach { case (op, cs) =>
+      // the sizing rule changes the op label per size for hyperplane —
+      // handled below by prefix grouping
+      if (cs.size == 2) {
+        val ratio = cs(1).toDouble / math.max(cs(0), 1L)
+        val linear = ratio < 6.0
+        // the chunk banding is DOCUMENTED quadratic — report, don't fail
+        val waived = op.startsWith("simhash-chunk")
+        if (!linear && !waived) failed = true
+        println(f"SCALE1M $op%-24s growth=${ratio}%.2fx " +
+          (if (linear) "NEAR-LINEAR" else if (waived) "quadratic (documented; use simhashDupPairsAtScale)" else "NOT LINEAR"))
+      }
+    }
+    val hp = results.filter(_._1.startsWith("hyperplane"))
+    if (hp.size == 2) {
+      val ratio = hp.values.last.head.toDouble / math.max(hp.values.head.head, 1L)
+      val linear = ratio < 6.0
+      if (!linear) failed = true
+      println(f"SCALE1M hyperplane-sized        growth=${ratio}%.2fx " +
+        (if (linear) "NEAR-LINEAR" else "NOT LINEAR"))
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
   }
 }

@@ -55,20 +55,28 @@ object Dedup {
     * proportional to candidate pairs, not Σ k² over shingle buckets. */
   def jaccardPairs(shIn: DataFrame, minJ: Double): DataFrame = {
     val sh = shIn.cache() // reused for frequencies, prefixes, verification
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    // global order: frequency ascending (rarest first), hash tie-break
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
-    val wDoc = Window.partitionBy(col("doc")).orderBy(col("f"), col("sh"))
-    val pref = sh.join(freq, "sh")
-      .withColumn("rnk", row_number().over(wDoc))
-      .join(counts, "doc")
-      .where(col("rnk") <= col("n") - ceil(col("n") * minJ) + 1)
-      .select(col("doc"), col("sh"))
+    val pref = jaccardPrefixes(sh, minJ)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     verifyPairs(cand, sh, minJ)
+  }
+
+  /** The PPJoin prefix frame (doc, sh): the shingles on which any
+    * qualifying pair must collide. Public so scale diagnostics
+    * (ScaleSmoke) can measure candidate work as bucket occupancy
+    * Σ k·(k−1)/2 without materializing the join. */
+  def jaccardPrefixes(sh: DataFrame, minJ: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    // global order: frequency ascending (rarest first), hash tie-break
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("f"), col("sh"))
+    sh.join(freq, "sh")
+      .withColumn("rnk", row_number().over(wDoc))
+      .join(counts, "doc")
+      .where(col("rnk") <= col("n") - ceil(col("n") * minJ) + 1)
+      .select(col("doc"), col("sh"))
   }
 
   /** Exact-Jaccard verification of candidate pairs: each doc's shingle set
@@ -113,11 +121,16 @@ object Dedup {
     * `rowsPerBand`; documents colliding on any full band become candidate
     * pairs. Join key is (band_id, band_hash) — short and uniformly
     * distributed, so the shuffle is balanced. */
-  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sig.select(col("doc"),
+  /** The banded signature frame (doc, band, bandhash) behind
+    * [[lshCandidates]] — public for occupancy diagnostics. */
+  def minhashBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc", "band", "bandhash")
+
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = minhashBands(sig, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
@@ -174,13 +187,8 @@ object Dedup {
       maxDist: Int = 3, nChunks: Int = 4): DataFrame = {
     require(maxDist < nChunks,
       s"banding with $nChunks chunks only guarantees recall for distance < $nChunks")
-    val bitsPer = 64 / nChunks
-    val mask = (1L << bitsPer) - 1
     val sim = simhash64(df, idCol, textCol).cache()
-    val chunked = sim.select(col("doc"), col("simhash"),
-      posexplode(array((0 until nChunks).map(i =>
-        shiftright(col("simhash"), i * bitsPer).bitwiseAND(mask)): _*)))
-      .toDF("doc", "simhash", "chunk", "chunkval")
+    val chunked = simhashChunks(sim, nChunks)
     val cand = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunkval") === col("b.chunkval") &&
@@ -191,5 +199,71 @@ object Dedup {
     cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Manku-style COMBINATION banding frame (doc, simhash, band, bandkey)
+    * for [[simhashDupPairsAtScale]]: the 64 bits split into `nBlocks`
+    * near-equal blocks; one table (band) per (nBlocks − maxDist)-block
+    * combination, keyed by the hash of those blocks' values. A pair
+    * within Hamming distance `maxDist` differs in at most `maxDist`
+    * blocks, so some combination avoids every differing block and the
+    * pair collides there — the same exact-recall pigeonhole as the chunk
+    * banding, but each table key now carries ≈ 64·(nBlocks−maxDist)/
+    * nBlocks bits: with the 6-block/d=3 default that is C(6,3)=20 tables
+    * of 32-bit keys → 2³² buckets/table, vs 2¹⁶ for the 4×16 chunking.
+    * Ref: Manku, Jain, Sarma — "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 §3 (public algorithm). */
+  def simhashBands(sim: DataFrame, maxDist: Int = 3,
+      nBlocks: Int = 6): DataFrame = {
+    require(maxDist < nBlocks, "need nBlocks > maxDist for the pigeonhole")
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    // block i: width base(+1 for the first `extra`), little-endian offsets
+    val widths = (0 until nBlocks).map(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockVal(i: Int) =
+      shiftright(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until nBlocks).combinations(nBlocks - maxDist).toSeq
+    val keys = combos.zipWithIndex.map { case (blocks, b) =>
+      xxhash64(lit(b) +: blocks.map(blockVal): _*)
+    }
+    sim.select(col("doc"), col("simhash"),
+        posexplode(array(keys: _*)))
+      .toDF("doc", "simhash", "band", "bandkey")
+  }
+
+  /** SimHash near-dup pairs with combination banding — the CORPUS-SCALE
+    * path. [[simhashDupPairs]]'s 4×16 chunking carries a ~n²/2¹⁶ random-
+    * collision term per band (fine to ~10⁶ docs, quadratic beyond);
+    * combination banding pays C(nBlocks, nBlocks−maxDist)× the shuffle
+    * volume to push bucket count to ~2³², making random collisions
+    * negligible out to ~10⁹ docs. Identical output (exact Hamming
+    * verification of candidates; recall guaranteed by the pigeonhole). */
+  def simhashDupPairsAtScale(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, nBlocks: Int = 6): DataFrame = {
+    val sim = simhash64(df, idCol, textCol).cache()
+    val banded = simhashBands(sim, maxDist, nBlocks)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandkey") === col("b.bandkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The chunk-banding frame behind [[simhashDupPairs]] — public for
+    * occupancy diagnostics. */
+  def simhashChunks(sim: DataFrame, nChunks: Int): DataFrame = {
+    val bitsPer = 64 / nChunks
+    val mask = (1L << bitsPer) - 1
+    sim.select(col("doc"), col("simhash"),
+        posexplode(array((0 until nChunks).map(i =>
+          shiftright(col("simhash"), i * bitsPer).bitwiseAND(mask)): _*)))
+      .toDF("doc", "simhash", "chunk", "chunkval")
   }
 }

@@ -256,35 +256,69 @@ object SignalIO {
         entry(s"${dsName}_data/${sigName}_metadata.yaml",
           yamlMapper.writeValueAsBytes(refSignalToMap(sig.meta)))
         sig.meta.seriesKeys.foreach { key =>
-          val ix = sig.meta.seriesMeta(key).map(_.index)
-            .getOrElse(IndexMeta(IndexKind.DatetimeIndex))
-          val rows = sig.series(key)
-            .orderBy(col(TsCol))
-            .select(col(TsCol).cast("double"), // epoch seconds w/ fraction
-              date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-              col(ValueCol).cast("string"))
-            .collect()
-          // pandas writes whole-second labels when the column has no
-          // sub-second point, µs labels otherwise (column-uniform); r3
-          // always wrote seconds, collapsing sub-second data onto
-          // duplicate labels
-          val subSec = rows.exists(r =>
-            !r.isNullAt(1) && !r.getString(1).endsWith(".000000"))
-          val points = rows.map { r =>
-            val dt = r.getString(1)
-            (r.getDouble(0), if (subSec) dt else dt.stripSuffix(".000000"))
-          }
-          val labels = axisLabels(points, ix)
-          val sb = new StringBuilder(s",$key\n") // pandas to_csv header
-          rows.zip(labels).foreach { case (r, lab) =>
-            sb.append(csvField(lab)).append(',')
-              .append(csvField(r.getString(2))).append('\n')
-          }
           entry(s"${dsName}_data/${sigName}_data/$key.csv",
-            sb.toString.getBytes("UTF-8"))
+            seriesCsvBytes(sig, key))
         }
       }
     } finally out.close()
+  }
+
+  /** Write a SIGNAL-level archive the reference's `Signal.load_from_
+    * directory` reads back — the layout of `Signal.save`
+    * (types.py:792-808: `{signal}_metadata.yaml` at the zip root +
+    * `{signal}_data/{series}.csv`). The signal twin of
+    * [[saveReferenceZip]] (whose loader side, [[loadReferenceZip]],
+    * already accepts both layouts). Small-export path, `maxRows`-guarded
+    * like the dataset export. */
+  def saveReferenceSignalZip(sig: MeteauSignal, file: String,
+      maxRows: Long = 1000000L): Unit = {
+    val n = sig.data.count()
+    require(n <= maxRows,
+      s"reference-zip export is a small-export path: $n rows > $maxRows; use save()")
+    val name = sig.meta.name
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(file))
+    def entry(e: String, body: Array[Byte]): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(e))
+      out.write(body)
+      out.closeEntry()
+    }
+    try {
+      entry(s"${name}_metadata.yaml",
+        yamlMapper.writeValueAsBytes(refSignalToMap(sig.meta)))
+      sig.meta.seriesKeys.foreach { key =>
+        entry(s"${name}_data/$key.csv", seriesCsvBytes(sig, key))
+      }
+    } finally out.close()
+  }
+
+  /** One series as a pandas-parity CSV body (shared by the dataset- and
+    * signal-level reference exports). */
+  private def seriesCsvBytes(sig: MeteauSignal, key: String): Array[Byte] = {
+    val ix = sig.meta.seriesMeta(key).map(_.index)
+      .getOrElse(IndexMeta(IndexKind.DatetimeIndex))
+    val rows = sig.series(key)
+      .orderBy(col(TsCol))
+      .select(col(TsCol).cast("double"), // epoch seconds w/ fraction
+        date_format(col(TsCol), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col(ValueCol).cast("string"))
+      .collect()
+    // pandas writes whole-second labels when the column has no sub-second
+    // point, µs labels otherwise (column-uniform); r3 always wrote
+    // seconds, collapsing sub-second data onto duplicate labels
+    val subSec = rows.exists(r =>
+      !r.isNullAt(1) && !r.getString(1).endsWith(".000000"))
+    val points = rows.map { r =>
+      val dt = r.getString(1)
+      (r.getDouble(0), if (subSec) dt else dt.stripSuffix(".000000"))
+    }
+    val labels = axisLabels(points, ix)
+    val sb = new StringBuilder(s",$key\n") // pandas to_csv header
+    rows.zip(labels).foreach { case (r, lab) =>
+      sb.append(csvField(lab)).append(',')
+        .append(csvField(r.getString(2))).append('\n')
+    }
+    sb.toString.getBytes("UTF-8")
   }
 
   /** Whole-series label rendering — the inverse of [[parseAxisLabel]].

@@ -49,6 +49,19 @@ class ExtSpec extends SparkSpec {
     assert(dflt.nonEmpty, "fixture should contain hamming<=3 near-dups")
   }
 
+  test("Manku combination banding is exact for hamming <= 3 (scale path)") {
+    // same pigeonhole, bigger buckets: differences within distance 3 touch
+    // at most 3 of the 6 blocks, so some C(6,3) combination is untouched
+    // and the pair collides in that table — output must equal the chunked
+    // default (both verify exact Hamming post-collision)
+    val dflt = Dedup.simhashDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val manku = Dedup.simhashDupPairsAtScale(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(manku == dflt)
+    assert(manku.nonEmpty, "fixture should contain hamming<=3 near-dups")
+  }
+
   test("rows-only queries carry in-engine recall evidence above floors") {
     val dir = "/root/testdata/sf0.001"
     def recallOf(q: String, c: String): Double =

@@ -537,6 +537,24 @@ class IOSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == out)
   }
 
+  test("signal-level reference export round-trips (Signal.save layout)") {
+    val path = getClass.getResource("/interop_signal_period.zip").getPath
+    val sig = SignalIO.loadReferenceZip(spark, path).signal("P#1")
+    SignalIO.saveReferenceSignalZip(sig, "/tmp/graft_test_signal_ref.zip")
+    val zf = new java.util.zip.ZipFile("/tmp/graft_test_signal_ref.zip")
+    val names = {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala.map(_.getName).toSet
+    }
+    zf.close()
+    assert(names == Set("P#1_metadata.yaml", "P#1_data/P#1_RAW#1.csv"))
+    val back = SignalIO.loadReferenceZip(spark, "/tmp/graft_test_signal_ref.zip")
+    val bsig = back.signal("P#1")
+    assert(bsig.meta.units == sig.meta.units)
+    assert(bsig.meta.seriesMeta("P#1_RAW#1").get.index.frequency.contains("M"))
+    assert(bsig.series("P#1_RAW#1").count() == 12)
+  }
+
   test("zip load paths refuse archives larger than the driver guard") {
     val ds = fixture()
     SignalIO.saveZip(ds, "/tmp/graft_test_guard.zip")
