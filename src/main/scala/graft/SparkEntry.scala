@@ -588,10 +588,12 @@ object SparkEntry {
     // measure recovery of the exact-Jaccard >= 0.9 planted-dup pairs.
     "doc_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // banding params pinned at the call site (library defaults changed
-      // once in r3 and silently changed this query's rows)
-      val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
-        maxDist = 3, nChunks = 4)
+      // the Manku combination-banding SCALE path (params pinned at the
+      // call site); ExtSpec proves it row-identical to the 4x16 chunk
+      // banding, so the declared query benches the shape you'd run at
+      // corpus scale
+      val pairs = Dedup.simhashDupPairsAtScale(docs, "doc_id", "text",
+        maxDist = 3, nBlocks = 6)
       if (!recallOn) sortSmall(pairs, "doc_a", "doc_b")
       else {
         // recall evidence on a BOUNDED id slice: the exact PPJoin
