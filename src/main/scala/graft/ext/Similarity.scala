@@ -315,6 +315,69 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Persist a trained IVF index: `<path>/centroids.json` (nLists×dims
+    * doubles) + `<path>/corpus/` parquet PARTITIONED BY list, norms
+    * precomputed. Train once, probe many — the index build amortizes the
+    * k-means cost, and the partitioned layout is what makes the index
+    * real at 100 TB: a probe reads only the probed lists' directories
+    * (static partition pruning), i.e. ~nProbe/nLists of the BYTES on
+    * disk, not just of the in-memory comparisons. */
+  def buildIvfIndex(candidates: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, iters: Int = 3): Unit = {
+    val spark = candidates.sparkSession
+    val cents = learnCentroidArrays(candidates, idCol, vecCol, nLists, iters)
+    asDouble(candidates, vecCol)
+      .withColumn("_n", norm(col(vecCol)))
+      .withColumn("list", nearestList(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus")
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Centroids of a persisted index. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readValue(new String(bytes, "UTF-8"), classOf[Array[Array[Double]]])
+  }
+
+  /** Probe a persisted IVF index. The probed list ids are collected
+    * first (≤ nLists values — bounded by the index, never by the data)
+    * and applied as an `isin` filter, so the parquet scan statically
+    * prunes to the probed partitions; the probe join and per-query top-k
+    * are the only shuffles. Same scoring/tie-break semantics as
+    * [[ivfTopKLearned]] — identical results for identical centroids. */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, roundScale: Int = 6): DataFrame = {
+    val cents = loadIvfCentroids(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val qProbes = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("_qn"),
+        explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
+    val probedLists = qProbes.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = corpus.where(col("list").isin(probedLists: _*))
+      .join(broadcast(qProbes), Seq("list"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("candidate_id"),
+        round(dot(col("qvec"), col(vecCol)) / (col("_qn") * col("_n")),
+          roundScale).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF-style two-stage search: partition vectors into `nLists` buckets by
     * nearest pseudo-random centroid (deterministic, derived like the LSH
     * hyperplanes), then search only the query's `nProbe` nearest lists.

@@ -62,6 +62,32 @@ class ExtSpec extends SparkSpec {
     assert(manku.nonEmpty, "fixture should contain hamming<=3 near-dups")
   }
 
+  test("persisted IVF index: probe equals in-memory search and prunes partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val path = "/tmp/graft_test_ivf_index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", path,
+      nLists = 16, iters = 3)
+    val probed = Similarity.ivfProbeIndex(spark, path, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    // identical centroids (partitioning-independent training) => the
+    // index probe must return exactly the in-memory learned search
+    val mem = Similarity.ivfTopKLearned(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 16, nProbe = 4, iters = 3)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    assert(probed.select(cols.map(col): _*).exceptAll(
+      mem.select(cols.map(col): _*)).isEmpty)
+    assert(mem.select(cols.map(col): _*).exceptAll(
+      probed.select(cols.map(col): _*)).isEmpty)
+    // the probe scans only the probed lists' directories: the corpus scan
+    // carries a partition filter on `list`
+    val plan = probed.queryExecution.executedPlan.toString
+    val partitionFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(partitionFilters.exists(_.contains("list")),
+      s"expected partition pruning on list in:\n${plan.take(1500)}")
+  }
+
   test("rows-only queries carry in-engine recall evidence above floors") {
     val dir = "/root/testdata/sf0.001"
     def recallOf(q: String, c: String): Double =
