@@ -84,6 +84,27 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
     cur
   }
 
+  /** Register an externally-built series under this signal, auto-versioned
+    * to the next free name — `Signal.add` (types.py:622-628: rename via
+    * `new_ts_name`, register in the ordered dict), immutably. `rows` is a
+    * (ts, value) frame; the value dtype is recorded from the frame like
+    * [[MeteauSignal.ingest]]. */
+  def addSeries(rows: DataFrame, seriesName: String = "RAW",
+      index: IndexMeta = IndexMeta(IndexKind.DatetimeIndex),
+      createdOn: Long = 0L): MeteauSignal = {
+    val seriesPart = Naming.ensureNumbered(seriesName)
+    val versioned = Naming.nextVersioned(
+      meta.seriesKeys.map(k => Naming.splitKey(k)._2), seriesPart)
+    val key = s"${meta.name}_$versioned"
+    val dtype = rows.schema(ValueCol).dataType.simpleString
+    val newRows = rows.select(lit(key).as(KeyCol), col(TsCol), col(ValueCol))
+    MeteauSignal(
+      Observations.union(data, newRows),
+      meta.copy(series = meta.series :+
+        SeriesMeta(key, Nil, index, dtype, createdOn),
+        lastUpdated = createdOn))
+  }
+
   /** Versioned rename of the whole signal (re-keys every series).
     * Ref: types.py:753-764 (`Signal.rename`). */
   def rename(newName: String): MeteauSignal = {
@@ -187,6 +208,18 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
       throw new NoSuchElementException(s"no signal '$name'"))
 
   def allSeriesKeys: Seq[String] = signals.flatMap(_.meta.seriesKeys)
+
+  /** Register another signal in this dataset, renumbered dataset-wide —
+    * `Dataset.add` (types.py:1262-1270), immutably. */
+  def add(sig: MeteauSignal): MeteauDataset = {
+    val v = Naming.nextVersioned(meta.signalNames,
+      Naming.ensureNumbered(sig.meta.name))
+    val s2 = if (v == sig.meta.name) sig else sig.rename(v)
+    MeteauDataset(
+      Observations.union(data, s2.data),
+      meta.copy(signals = meta.signals :+ s2.meta),
+      signals :+ s2)
+  }
 
   /** Multivariate executor: validate fully-qualified input names across all
     * signals, run the transform over their unioned rows, version the new

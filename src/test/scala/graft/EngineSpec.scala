@@ -141,6 +141,36 @@ class EngineSpec extends SparkSpec {
     avgVals.zip(aVals).foreach { case (x, y) => assert(math.abs(x - y) < 1e-7) }
   }
 
+  test("Signal.addSeries registers an external series auto-versioned") {
+    val sig = fixtureSignal("A")
+    val extra = (0 until 5).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2021-01-01T00:00:00Z")
+        .plusSeconds(i * 60L)), i * 1.0)
+    }.toDF(Observations.TsCol, Observations.ValueCol)
+    val s2 = sig.addSeries(extra) // RAW -> RAW#2 (RAW#1 exists)
+    assert(s2.seriesKeys == Seq("A#1_RAW#1", "A#1_RAW#2"))
+    assert(s2.series("A#1_RAW#2").count() == 5)
+    assert(s2.series("A#1_RAW#1").count() == 100) // original untouched
+    val s3 = s2.addSeries(extra, seriesName = "CAL")
+    assert(s3.seriesKeys.last == "A#1_CAL#1")
+    // a string-valued external series records its dtype and coexists
+    val states = Seq((new java.sql.Timestamp(0L), "on"))
+      .toDF(Observations.TsCol, Observations.ValueCol)
+    val s4 = s3.addSeries(states, seriesName = "STATE")
+    assert(s4.meta.seriesMeta("A#1_STATE#1").get.valuesDtype == "string")
+    assert(s4.series("A#1_STATE#1").select(Observations.ValueCol)
+      .as[String].head() == "on")
+  }
+
+  test("Dataset.add registers a signal renumbered dataset-wide") {
+    val ds = MeteauDataset.of("d", Seq(fixtureSignal("A")))
+    val added = ds.add(fixtureSignal("B")).add(fixtureSignal("A"))
+    assert(added.meta.signalNames == Seq("A#1", "B#1", "A#2"))
+    assert(added.signal("A#2").seriesKeys == Seq("A#2_RAW#1"))
+    assert(added.signal("A#2").series("A#2_RAW#1").count() == 100)
+    assert(added.data.count() == 300)
+  }
+
   test("dataset renumbers same-base signals on assembly") {
     val ds = MeteauDataset.of("fix", Seq(fixtureSignal("A"), fixtureSignal("A")))
     assert(ds.meta.signalNames == Seq("A#1", "A#2"))
