@@ -71,8 +71,13 @@ object QueryProbe {
     import scala.jdk.CollectionConverters._
     sys.props("graft.recall") = "off" // match Bench conditions
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readValue(new java.io.File(baselineJson),
+    val top = mapper.readValue(new java.io.File(baselineJson),
       classOf[java.util.Map[String, Object]])
+    // accept both the raw Bench line and the driver's BENCH_rN.json
+    // wrapper (bench record nested under "parsed")
+    val root =
+      if (top.containsKey("queries")) top
+      else top.get("parsed").asInstanceOf[java.util.Map[String, Object]]
     val recorded = root.get("queries").asInstanceOf[java.util.Map[String, Object]]
       .asScala.toMap.map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
     val spark = session()
