@@ -82,6 +82,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PCA scatter accumulation is partition-count invariant (bit-exact)") {
+    // two correlated series over the same axis; decimal accumulators must
+    // make every model field identical under any partitioning
+    forAll(seriesGen.map(_.collect { case (i, Some(v)) => (i, v) })
+        .suchThat(_.size >= 3), cases = 4) { rows =>
+      val in = rows.flatMap { case (i, v) =>
+        val ts = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 60L))
+        Seq(("x", ts, math.rint(v * 100) / 100),
+          ("y", ts, math.rint(v * 37) / 100 + 1.0))
+      }.toDF(KeyCol, TsCol, ValueCol)
+      val m1 = graft.ops.Pca.fit(in.repartition(1), Seq("x", "y"))
+      val m7 = graft.ops.Pca.fit(in.repartition(7), Seq("x", "y"))
+      assert(m1.n == m7.n)
+      assert(m1.mean.toSeq == m7.mean.toSeq)
+      assert(m1.cov.map(_.toSeq).toSeq == m7.cov.map(_.toSeq).toSeq)
+      assert(m1.eigenValues.toSeq == m7.eigenValues.toSeq)
+      assert(m1.eigenVectors.map(_.toSeq).toSeq ==
+        m7.eigenVectors.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("sort/fault operators are partition-count invariant") {
+    forAll(seriesGen, cases = 4) { rows =>
+      val in = toDf(rows)
+      def run(df: DataFrame): Seq[String] = {
+        val sorted = graft.ops.SortValues.transform(df, Parameters.empty)
+          .orderBy(TsCol).select(col(ValueCol).cast("string"))
+          .as[String].collect().toSeq
+        val classes = graft.ops.FaultIdentify.transform(df,
+            Parameters.of("lo" -> "-50.0", "hi" -> "50.0", "jump" -> "30.0"))
+        val diag = graft.ops.FaultDiagnose.transform(classes,
+            Parameters.of("high_pct" -> "10", "jump_pct" -> "20", "low_pct" -> "10"))
+          .select(col(ValueCol)).as[String].collect().toSeq
+        sorted ++ diag
+      }
+      assert(run(in.repartition(1)) == run(in.repartition(7)))
+    }
+  }
+
   test("exact dedup is idempotent and keeps one row per key") {
     val docs = spark.read.parquet(sf("documents"))
     val withDups = docs.unionByName(docs.limit(100)) // plant exact dups
