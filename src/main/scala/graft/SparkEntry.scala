@@ -547,6 +547,45 @@ object SparkEntry {
         .orderBy("status", "priority")
     }),
 
+    // left-semi join (TPC-H Q4 shape): orders with at least one
+    // late-shipped lineitem, counted per priority — the EXISTS plan
+    "rel_semi_join" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-06-01").cast("date"))
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // left-anti join (TPC-H Q22 flavor): customers with no orders at all,
+    // rolled up per nation — the NOT IN-subquery plan
+    "rel_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total_acctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // set operations: customers ordering in 1994 EXCEPT 1995, and the
+    // INTERSECT of both years, tagged and unioned
+    "rel_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(y: Int) = o.where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      val only94 = custs(1994).except(custs(1995))
+        .select(lit("only_1994").as("tag"), col("o_custkey"))
+      val both = custs(1994).intersect(custs(1995))
+        .select(lit("both_years").as("tag"), col("o_custkey"))
+      only94.unionByName(both).orderBy("tag", "o_custkey")
+    }),
+
     // time-window rollup on a date column (monthly order stats)
     "rel_orders_monthly" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1240,6 +1279,33 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rel_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > DATE '1995-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_set_ops" ->
+      """SELECT 'only_1994' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |UNION ALL
+        |SELECT 'both_years' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
         |ORDER BY 1, 2""".stripMargin,
 
     "rel_orders_monthly" ->
