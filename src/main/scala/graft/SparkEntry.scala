@@ -524,6 +524,25 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // sketch aggregates (the 100 TB staples): HyperLogLog++ distinct and
+    // quantile-sketch median, each pinned against its exact twin IN the
+    // query — the emitted flags hash-match an all-TRUE oracle, so the
+    // driver gate enforces the sketches' error bounds
+    "rel_sketches" -> ((s, dir) => {
+      val e = events(s, dir)
+      e.groupBy(col("event_type")).agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("_apx"),
+          expr("percentile(value, 0.5)").as("_p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("_ap50"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("_apx") - col("n_users")) <= col("n_users") * 0.05)
+            .as("hll_within_5pct"),
+          (abs(col("_ap50") - col("_p50")) <= abs(col("_p50")) * 0.05 + 1.0)
+            .as("quantile_within_5pct"))
+        .orderBy("event_type")
+    }),
+
     // salted two-stage aggregation (skew-resistant; exact decimal partials
     // make the result independent of the salt distribution)
     "skew_salted_mean" -> ((s, dir) => {
@@ -1237,6 +1256,11 @@ object SparkEntry {
 
     "rel_distinct_users" ->
       """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_sketches" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  TRUE AS hll_within_5pct, TRUE AS quantile_within_5pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "skew_salted_mean" ->
