@@ -294,6 +294,24 @@ object SparkEntry {
         "series_key", IntAxis.IdxCol)
     }),
 
+    // E12 wide-frame ingest: one column per series (the reference's
+    // Signal DataFrame ctor path, types.py:547-606) unpivoted back to the
+    // tall schema via Observations.fromWide — round trip through a pivot
+    // must equal the direct tall computation, nulls preserved for
+    // timestamps where a series has no bucket
+    "ts_wide_ingest" -> ((s, dir) => {
+      val byType = Resample.transformFixed(
+        obsByType(s, dir).where(col(KeyCol).isin("click", "view")), 900, grid = false)
+        .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
+      val wide = byType.groupBy(col(TsCol))
+        .pivot(KeyCol, Seq("click", "view"))
+        .agg(first(col(ValueCol)))
+      Observations.fromWide(wide, TsCol, Seq("click", "view"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          col(ValueCol).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
     // E2 dataset executor end-to-end: two event-type signals ingested,
     // resampled through Signal.process, then averaged through
     // Dataset.process — must equal the pure-SQL alignment+mean
@@ -1062,6 +1080,19 @@ object SparkEntry {
          |                THEN pv + (nv - pv) * (e - pt) / (nt - pt)
          |              WHEN pv IS NOT NULL THEN pv END) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM w ORDER BY 1, 2""".stripMargin,
+
+    "ts_wide_ingest" ->
+      s"""WITH b AS (
+         |  SELECT event_type, time_bucket(INTERVAL '900 seconds', ts) AS bt,
+         |         floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT bt FROM b),
+         |t AS (SELECT * FROM (VALUES ('click'), ('view')) x(typ))
+         |SELECT t.typ AS series_key,
+         |  strftime(g.bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts, b.v AS value
+         |FROM g CROSS JOIN t
+         |LEFT JOIN b ON b.event_type = t.typ AND b.bt = g.bt
+         |ORDER BY 1, 2""".stripMargin,
 
     "dataset_average" ->
       s"""WITH b AS (
