@@ -106,6 +106,37 @@ object Multimodal {
       }
     }
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long,
+      frame: Array[Byte], meta: MediaMeta)
+
+  /** Video frame sampling: one payload row explodes to its sampled
+    * frames — one every `everyMs` milliseconds of the (stub-derived)
+    * duration, capped at `maxFrames`. The Spark-side shape is the real
+    * contract: a partition-local flatMap with CONSTANT memory per input
+    * row (frames stream out of the iterator — the whole video is never
+    * held decoded), each frame keyed (doc_id, frame_idx, offset_ms) so
+    * the downstream image ops (decode/resize/extractFeatures) apply to
+    * frames unchanged. No JVM video codec exists in this container, so
+    * duration and frame EXTRACTION are the clearly-marked deterministic
+    * stand-ins in [[MultimodalStubs]]; an ffmpeg/JavaCV binding slots
+    * into [[MultimodalCodecs]] without touching this dataflow. */
+  def sampleFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L,
+      maxFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(everyMs > 0 && maxFrames > 0, "everyMs and maxFrames must be positive")
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val durMs = MultimodalStubs.durationMsStub(r)
+        val n = math.min(maxFrames.toLong,
+          math.max(1L, durMs / everyMs)).toInt
+        (0 until n).iterator.map { i =>
+          FrameRow(r.doc_id, i, i * everyMs,
+            MultimodalStubs.frameStub(r.payload, i), r.meta)
+        }
+      }
+    }
+  }
 }
 
 /** Real in-JVM codecs: `javax.imageio` (PNG/JPEG/BMP/GIF) and
@@ -252,6 +283,21 @@ object MultimodalStubs {
     val h = 64 + math.floorMod(acc / 193L, 157L).toInt
     r.copy(meta = r.meta.copy(width = w, height = h,
       sampleRateHz = 8000 + math.floorMod(acc, 8L).toInt * 1000))
+  }
+
+  /** STUB: pseudo-duration (ms) from the payload size — stands in for
+    * container-header parsing (a real binding reads the header). */
+  def durationMsStub(r: MediaRow): Long = math.max(1L, r.meta.byteLen * 4L)
+
+  /** STUB: deterministic pseudo-frame bytes for (payload, frameIdx) —
+    * stands in for an actual decoded frame. */
+  def frameStub(payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(payload)
+    md.update(Array[Byte](
+      (frameIdx >> 24).toByte, (frameIdx >> 16).toByte,
+      (frameIdx >> 8).toByte, frameIdx.toByte))
+    md.digest()
   }
 
   /** STUB: deterministic fake feature vector from payload bytes. */

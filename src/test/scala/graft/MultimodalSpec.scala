@@ -87,4 +87,33 @@ class MultimodalSpec extends SparkSpec {
     val mixed = media((1L, pngBytes(8, 8, 0xffffff), "image"), (2L, junk, "video"))
     assert(Multimodal.decode(mixed).collect().length == 2)
   }
+
+  test("frame sampling explodes a video payload into capped, keyed frames") {
+    val payload = Array.tabulate[Byte](400)(i => (i % 97).toByte) // dur stub 1600ms
+    val m = media((5L, payload, "video"))
+    val frames = Multimodal.sampleFrames(m, everyMs = 500L, maxFrames = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3) // 1600ms / 500ms
+    assert(frames.map(_.offset_ms).toSeq == Seq(0L, 500L, 1000L))
+    assert(frames.forall(_.doc_id == 5L))
+    // frames are distinct per index but deterministic per (payload, idx)
+    assert(frames.map(_.frame.toSeq).distinct.length == 3)
+    val again = Multimodal.sampleFrames(m, everyMs = 500L, maxFrames = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame.toSeq) sameElements again.map(_.frame.toSeq))
+    // maxFrames caps long payloads; every payload yields at least 1 frame
+    assert(Multimodal.sampleFrames(m, everyMs = 100L, maxFrames = 4)
+      .collect().length == 4)
+    assert(Multimodal.sampleFrames(media((6L, Array[Byte](1), "video")),
+      everyMs = 60000L, maxFrames = 8).collect().length == 1)
+    // partition-count invariance of the exploded frame set
+    val many = media((0 until 20).map(i =>
+      (i.toLong, Array.tabulate[Byte](300)(j => ((i + j) % 83).toByte),
+        "video")): _*)
+    val a = Multimodal.sampleFrames(many.repartition(1), 250L, 5)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet
+    val b = Multimodal.sampleFrames(many.repartition(7), 250L, 5)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet
+    assert(a == b)
+  }
 }
