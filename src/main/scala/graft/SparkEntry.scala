@@ -349,6 +349,24 @@ object SparkEntry {
         .orderBy("series_key", "td_us")
     }),
 
+    // timedelta gridded resample + interpolation: exact integer-µs grid,
+    // gaps filled with exact µs ratios
+    "ts_td_interpolate" -> ((s, dir) => {
+      val base = events(s, dir).where(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("value"))
+      val w = Window.partitionBy("user_id")
+      val td = base
+        .withColumn("_m", min(unix_micros(col("ts"))).over(w))
+        .select(col("user_id").cast("string").as(KeyCol),
+          timestamp_micros(unix_micros(col("ts")) - col("_m")).as(TsCol),
+          col("value").as(ValueCol))
+      TimedeltaAxis.interpolate(
+          TimedeltaAxis.resample(td, "1h", grid = true))
+        .select(col(KeyCol).as("series_key"),
+          unix_micros(col(TsCol)).as("td_us"), r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "td_us")
+    }),
+
     // SORTING: ascending-value rank re-index (RangeIndex output) over the
     // hourly resample — closes the declared-but-unshipped enum category
     "ts_sort" -> ((s, dir) => {
@@ -1138,6 +1156,32 @@ object SparkEntry {
          |  td - td % 900000000 AS td_us,
          |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_td_interpolate" ->
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id) AS td,
+         |    value
+         |  FROM events WHERE user_id < 20),
+         |b AS (
+         |  SELECT user_id, td - td % 3600000000 AS bi, $DetMeanSql AS v
+         |  FROM t GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(bi) mn, max(bi) mx FROM b GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600000000)) AS bi FROM spans),
+         |g AS (SELECT grid.user_id, grid.bi, b.v, CAST(grid.bi AS DOUBLE) AS e
+         |      FROM grid LEFT JOIN b ON grid.user_id = b.user_id AND grid.bi = b.bi),
+         |w AS (SELECT user_id, bi, v, e,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pt,
+         |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nt
+         |  FROM g)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key, bi AS td_us,
+         |  floor((CASE WHEN v IS NOT NULL THEN v
+         |              WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+         |                THEN pv + (nv - pv) * (e - pt) / (nt - pt)
+         |              WHEN pv IS NOT NULL THEN pv END) * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM w ORDER BY 1, 2""".stripMargin,
 
     "ts_sort" ->
       s"""WITH b AS (
