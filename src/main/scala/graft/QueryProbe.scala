@@ -13,8 +13,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *    EVERY query recorded in a bench JSON (`BENCH_r03.json` shape:
   *    `{"queries":{name:sec,...}}`) under bench conditions (recall
   *    instrumentation off, min over interleaved reps) and FAILS (exit 1)
-  *    if any query exceeds `max(2x recorded, 1s)` — so a regression is a
-  *    red build, not a next-round forensic exercise. Documented in
+  *    if any query exceeds `max(2x recorded, recorded + 1.5s)` — 2×
+  *    relative plus 1.5 s absolute slack, so sub-second queries don't
+  *    red-flag on whole-second host jitter — making a regression a red
+  *    build, not a next-round forensic exercise. Documented in
   *    README §bench.
   */
 object QueryProbe {

@@ -561,22 +561,33 @@ object SparkEntry {
     }),
 
     // sketch aggregates (the 100 TB staples): HyperLogLog++ distinct and
-    // quantile-sketch median, each pinned against its exact twin IN the
-    // query — the emitted flags hash-match an all-TRUE oracle, so the
-    // driver gate enforces the sketches' error bounds
+    // quantile-sketch median. Verify pins each sketch against its exact
+    // twin IN the query (the emitted flags hash-match an all-TRUE oracle,
+    // so the driver gate enforces the error bounds); Bench (graft.recall
+    // =off) times the sketch-only plan — the exact twins are Verify-time
+    // evidence, not workload: exact percentile buffers every group's
+    // values in the agg buffer (executor-OOM at 100×) and dual
+    // exact+approx countDistinct forces an Expand that doubles scan input
+    // (r4 VERDICT wrong-item 1).
     "rel_sketches" -> ((s, dir) => {
       val e = events(s, dir)
-      e.groupBy(col("event_type")).agg(
-          countDistinct(col("user_id")).as("n_users"),
-          approx_count_distinct(col("user_id"), 0.02).as("_apx"),
-          expr("percentile(value, 0.5)").as("_p50"),
-          expr("approx_percentile(value, 0.5, 1000)").as("_ap50"))
-        .select(col("event_type"), col("n_users"),
-          (abs(col("_apx") - col("n_users")) <= col("n_users") * 0.05)
-            .as("hll_within_5pct"),
-          (abs(col("_ap50") - col("_p50")) <= abs(col("_p50")) * 0.05 + 1.0)
-            .as("quantile_within_5pct"))
-        .orderBy("event_type")
+      if (recallOn)
+        e.groupBy(col("event_type")).agg(
+            countDistinct(col("user_id")).as("n_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("_apx"),
+            expr("percentile(value, 0.5)").as("_p50"),
+            expr("approx_percentile(value, 0.5, 1000)").as("_ap50"))
+          .select(col("event_type"), col("n_users"),
+            (abs(col("_apx") - col("n_users")) <= col("n_users") * 0.05)
+              .as("hll_within_5pct"),
+            (abs(col("_ap50") - col("_p50")) <= abs(col("_p50")) * 0.05 + 1.0)
+              .as("quantile_within_5pct"))
+          .orderBy("event_type")
+      else
+        e.groupBy(col("event_type")).agg(
+            approx_count_distinct(col("user_id"), 0.02).as("n_users"),
+            expr("approx_percentile(value, 0.5, 1000)").as("p50"))
+          .orderBy("event_type")
     }),
 
     // salted two-stage aggregation (skew-resistant; exact decimal partials
