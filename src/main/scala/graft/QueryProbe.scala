@@ -23,7 +23,7 @@ object QueryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     if (args.length > 1 && args(1) == "--guard") {
-      val baseline = if (args.length > 2) args(2) else "BENCH_r03.json"
+      val baseline = if (args.length > 2) args(2) else "bench_out.json"
       val reps = if (args.length > 3) args(3).toInt else 2
       sys.exit(guard(sfDir, baseline, reps))
     }
