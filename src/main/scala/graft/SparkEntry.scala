@@ -92,7 +92,7 @@ object SparkEntry {
     * expensive candidate pipelines. Reference keys are deduped so an
     * accidental duplicate can't fan out the join or double-count a hit;
     * an EMPTY reference defines recall as 1.0 (nothing to recover). */
-  private def withRecall(res: DataFrame, ref: DataFrame, keys: Seq[String],
+  private[graft] def withRecall(res: DataFrame, ref: DataFrame, keys: Seq[String],
       hitCol: String, recallCol: String): DataFrame = {
     val refK = ref.select(keys.map(col): _*).distinct().persist()
     val joined = res.join(refK.withColumn(hitCol, lit(1)), keys, "left")

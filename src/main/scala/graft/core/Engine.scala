@@ -4,6 +4,7 @@ import graft.model._
 import graft.ops.{DatasetTransform, SeriesTransform}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType}
 
 /** The two engine executors, mirroring `Signal.process`
   * (/root/reference/src/meteaudata/types.py:678-740) and `Dataset.process`
@@ -102,7 +103,9 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
       Observations.union(data, newRows),
       meta.copy(series = meta.series :+
         SeriesMeta(key, Nil, index, dtype, createdOn),
-        lastUpdated = createdOn))
+        // never rewind: registering with the default epoch timestamp must
+        // not pull an existing signal's lastUpdated back to 0
+        lastUpdated = math.max(meta.lastUpdated, createdOn)))
   }
 
   /** Versioned rename of the whole signal (re-keys every series).
@@ -244,7 +247,29 @@ final case class MeteauDataset(data: DataFrame, meta: DatasetMeta,
         s"input series must share units, got: ${units.mkString(", ")}")
     }
 
-    val inputRows = data.filter(col(KeyCol).isin(inputNames: _*))
+    // Inputs flow through each owner's series(k), which re-imposes the
+    // series' CATALOG dtype (types.py:338-349) — a mixed-dtype dataset is
+    // carried as lossless strings, so filtering the raw carrier frame
+    // would feed string values to numeric transforms (lexicographic max
+    // in Pca.aligned, ANSI string→number casts downstream). Non-double
+    // numeric inputs widen to double like a pandas concat would
+    // (float64 coercion); the single-dtype fast path keeps the one
+    // isin-filter scan so unmixed plans are unchanged.
+    val carrierDt = data.schema(ValueCol).dataType.simpleString
+    val needsCast = owners.zip(inputNames).exists { case (sig, k) =>
+      sig.meta.seriesMeta(k).map(_.valuesDtype).filter(_.nonEmpty)
+        .exists(_ != carrierDt)
+    }
+    val inputRows =
+      if (!needsCast) data.filter(col(KeyCol).isin(inputNames: _*))
+      else owners.zip(inputNames).map { case (sig, k) =>
+        val df = sig.series(k)
+        df.schema(ValueCol).dataType match {
+          case dt: NumericType if dt != DoubleType =>
+            df.withColumn(ValueCol, col(ValueCol).cast(DoubleType))
+          case _ => df
+        }
+      }.reduce(Observations.union)
     val versioned = Naming.nextVersioned(meta.signalNames, t.signalBaseName)
     val outKey = s"${versioned}_${Naming.ensureNumbered(t.suffix)}"
 

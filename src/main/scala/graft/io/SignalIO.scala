@@ -120,14 +120,14 @@ object SignalIO {
       import scala.jdk.CollectionConverters._
       val entries = zf.entries().asScala.toList
       guardCsvBytes(entries, maxBytes)
+      val budget = new ByteBudget(maxBytes)
       val metaEntry = entries.find(_.getName.endsWith("/metadata.json"))
         .getOrElse(throw new IllegalArgumentException("no metadata.json in zip"))
-      val meta = fromJson(new String(
-        zf.getInputStream(metaEntry).readAllBytes(), "UTF-8"))
+      val meta = fromJson(budget.read(zf, metaEntry))
       val rows = entries.filter(_.getName.endsWith(".csv")).flatMap { e =>
         val key = e.getName.substring(e.getName.lastIndexOf('/') + 1)
           .stripSuffix(".csv")
-        csvDataRecords(new String(zf.getInputStream(e).readAllBytes(), "UTF-8"))
+        csvDataRecords(budget.read(zf, e))
           .map { case (ts, v) => (key, ts, v) }
       }
       import spark.implicits._
@@ -160,8 +160,8 @@ object SignalIO {
       import scala.jdk.CollectionConverters._
       val entries = zf.entries().asScala.toList
       guardCsvBytes(entries, maxBytes)
-      def slurp(e: java.util.zip.ZipEntry): String =
-        new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+      val budget = new ByteBudget(maxBytes)
+      def slurp(e: java.util.zip.ZipEntry): String = budget.read(zf, e)
       // the root metadata doc: a dataset archive has exactly one
       // *_metadata.yaml with no directory component; a signal archive's is
       // also at the root
@@ -332,8 +332,15 @@ object SignalIO {
   private def axisLabels(points: Array[(Double, String)],
       ix: IndexMeta): Array[String] = ix.kind match {
     case IndexKind.IntervalIndex =>
-      val stored: Map[Double, String] = ix.categories.iterator
-        .flatMap(lab => intervalLeft(lab).map(_ -> lab)).toMap
+      // key by Long µs — the SAME quantization fromSecondsDouble applied
+      // to the axis at load (round(left*1e6)); exact-Double keying missed
+      // any left bound that doesn't round-trip the µs timestamp axis and
+      // silently fabricated a guessed-width label in its place. The
+      // round(axis*1e6) lookup recovers the stored micros exactly: two
+      // roundings at epoch-µs magnitude (~2^51) err < 0.25 < 0.5.
+      val stored: Map[Long, String] = ix.categories.iterator
+        .flatMap(lab => intervalLeft(lab).map(l =>
+          math.round(l * 1e6) -> lab)).toMap
       val lefts = points.map(_._1)
       val isInt = ix.dtype.contains("int64") || ix.dtype.contains("int32")
       def fmtNum(x: Double): String =
@@ -347,7 +354,7 @@ object SignalIO {
         case _ => ("(", "]")
       }
       lefts.zipWithIndex.map { case (l, i) =>
-        stored.getOrElse(l, {
+        stored.getOrElse(math.round(l * 1e6), {
           val width =
             if (i + 1 < lefts.length) lefts(i + 1) - l
             else if (i > 0) l - lefts(i - 1)
@@ -536,11 +543,37 @@ object SignalIO {
       }
     }
 
-  /** Driver-OOM guard for the zip load paths (they slurp + parse every CSV
-    * on the driver, the mirror of the save paths' maxRows guard): refuse
-    * archives whose declared uncompressed CSV payload exceeds `maxBytes`.
-    * Entries with unknown size (-1) count as 0 — the zip central directory
-    * normally carries sizes, and the guard is a backstop, not a sandbox. */
+  /** Streaming byte-budget for the zip load paths: counts ACTUAL bytes as
+    * entries decompress and aborts once the cumulative total exceeds the
+    * budget — declared central-directory sizes can lie or be missing, so
+    * the [[guardCsvBytes]] pre-check alone is a false bound (a readAllBytes
+    * slurp after it would still OOM the driver on a hostile archive). */
+  private final class ByteBudget(maxBytes: Long) {
+    private var used = 0L
+    def read(zf: java.util.zip.ZipFile, e: java.util.zip.ZipEntry): String = {
+      val in = zf.getInputStream(e)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          used += n
+          require(used <= maxBytes,
+            s"archive payload exceeds $maxBytes bytes while reading " +
+              s"${e.getName} (driver-side parse); use the distributed " +
+              "save()/load() for large datasets")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+  }
+
+  /** Fast-fail pre-check on DECLARED uncompressed CSV sizes (honest
+    * archives fail before any decompression); the enforced bound is
+    * [[ByteBudget]], which meters actual bytes while streaming. Entries
+    * with unknown size (-1) count as 0 here — the budget catches them. */
   private def guardCsvBytes(entries: List[java.util.zip.ZipEntry],
       maxBytes: Long): Unit = {
     val total = entries.filter(_.getName.endsWith(".csv"))

@@ -175,4 +175,58 @@ class EngineSpec extends SparkSpec {
     val ds = MeteauDataset.of("fix", Seq(fixtureSignal("A"), fixtureSignal("A")))
     assert(ds.meta.signalNames == Seq("A#1", "A#2"))
   }
+
+  test("addSeries with the default timestamp never rewinds lastUpdated") {
+    val sig = fixtureSignal("A")
+      .process(Seq("A#1_RAW#1"), Resample,
+        Parameters.of("frequency" -> "30min"), runAt = 1700000000L)
+    assert(sig.meta.lastUpdated == 1700000000L)
+    val extra = Seq((new java.sql.Timestamp(0L), 1.0))
+      .toDF(Observations.TsCol, Observations.ValueCol)
+    val s2 = sig.addSeries(extra) // default createdOn = 0L
+    assert(s2.meta.lastUpdated == 1700000000L,
+      "epoch-default registration rewound lastUpdated")
+    val s3 = s2.addSeries(extra, createdOn = 1800000000L)
+    assert(s3.meta.lastUpdated == 1800000000L)
+  }
+
+  test("Dataset.process re-imposes catalog dtypes on a mixed-dtype carrier") {
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(i * 60L))
+    val n1 = MeteauSignal.ingest(
+      Seq((ts(0), 1.0), (ts(1), 3.0)).toDF(Observations.TsCol, Observations.ValueCol),
+      "N1", "mg/l")
+    val n2 = MeteauSignal.ingest(
+      Seq((ts(0), 5.0), (ts(1), 7.0)).toDF(Observations.TsCol, Observations.ValueCol),
+      "N2", "mg/l")
+    val st = MeteauSignal.ingest(
+      Seq((ts(0), "on"), (ts(1), "off")).toDF(Observations.TsCol, Observations.ValueCol),
+      "ST", "state")
+    // the three-signal union carries values as lossless strings
+    val ds = MeteauDataset.of("mix", Seq(n1, n2, st))
+    assert(ds.data.schema(Observations.ValueCol).dataType.typeName == "string")
+    // numeric dataset transforms must still see typed doubles, not strings
+    val out = ds.process(Seq("N1#1_RAW#1", "N2#1_RAW#1"), AverageSignals)
+    val avg = out.signal("AVERAGE#1").series("AVERAGE#1_RAW#1")
+      .orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[Double].collect().toSeq
+    assert(avg == Seq(3.0, 5.0), s"expected typed means, got $avg")
+  }
+
+  test("Dataset.process widens mixed numeric inputs (long + double) like concat") {
+    def ts(i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(i * 60L))
+    val d = MeteauSignal.ingest(
+      Seq((ts(0), 1.5), (ts(1), 2.5)).toDF(Observations.TsCol, Observations.ValueCol),
+      "D", "mg/l")
+    val l = MeteauSignal.ingest(
+      Seq((ts(0), 2L), (ts(1), 4L)).toDF(Observations.TsCol, Observations.ValueCol),
+      "L", "mg/l")
+    val out = MeteauDataset.of("numix", Seq(d, l))
+      .process(Seq("D#1_RAW#1", "L#1_RAW#1"), SumSignals)
+    val sums = out.signal("SUM#1").series("SUM#1_RAW#1")
+      .orderBy(Observations.TsCol)
+      .select(Observations.ValueCol).as[Double].collect().toSeq
+    assert(sums == Seq(3.5, 6.5), s"expected widened sums, got $sums")
+  }
 }

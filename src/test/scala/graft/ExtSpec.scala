@@ -345,4 +345,27 @@ class ExtSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
+
+  test("withRecall: duplicated reference keys neither fan out nor overcount") {
+    import spark.implicits._
+    val res = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val ref = Seq("a", "a", "a", "b").toDF("k") // dup'd reference slice
+    val out = SparkEntry.withRecall(res, ref, Seq("k"), "hit", "recall")
+      .orderBy("k").collect()
+    assert(out.length == 3, "duplicated reference keys fanned out the join")
+    val hits = out.map(r => r.getAs[String]("k") -> r.getAs[Int]("hit")).toSeq
+    assert(hits == Seq("a" -> 1, "b" -> 1, "c" -> 0))
+    // recall = |res ∩ ref| / |distinct ref| = 2/2
+    assert(out.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
+  test("withRecall: empty reference slice defines recall as 1.0, not null") {
+    import spark.implicits._
+    val res = Seq(("a", 1)).toDF("k", "v")
+    val ref = Seq.empty[String].toDF("k")
+    val out = SparkEntry.withRecall(res, ref, Seq("k"), "hit", "recall").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("hit") == 0)
+    assert(out.head.getAs[Double]("recall") == 1.0)
+  }
 }

@@ -596,4 +596,28 @@ class IOSpec extends SparkSpec {
     assert(steps.map(_.functionInfo.name) ==
       Seq("resample", "linear_interpolation", "scale_values"))
   }
+
+  test("zip byte budget meters actual streamed bytes, not declared sizes") {
+    val ds = fixture()
+    val file = "/tmp/graft_test_budget.zip"
+    SignalIO.saveZip(ds, file)
+    // declared CSV payload (what the fast-fail pre-check sums)
+    val zf = new java.util.zip.ZipFile(file)
+    val csvDeclared = {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala.filter(_.getName.endsWith(".csv"))
+        .map(e => math.max(e.getSize, 0L)).sum
+    }
+    zf.close()
+    assert(csvDeclared > 0)
+    // a budget the CSV pre-check passes but the total stream (metadata
+    // included) exceeds: the streaming ByteBudget must abort mid-read
+    // where the old declared-size-only guard would have slurped on
+    val ex = intercept[IllegalArgumentException] {
+      SignalIO.loadZip(spark, file, maxBytes = csvDeclared + 8)
+    }
+    assert(ex.getMessage.contains("exceeds"), ex.getMessage)
+    // generous budget loads fine
+    assert(SignalIO.loadZip(spark, file, maxBytes = 1L << 20).data.count() > 0)
+  }
 }
