@@ -468,6 +468,55 @@ object SparkEntry {
         .orderBy("destination")
     }),
 
+    // E4 lineage dedup: two inputs sharing an identical upstream step
+    // (the SAME resample of the SAME raw series) merge into ONE lineage
+    // with first-occurrence order preserved — resample appears once,
+    // before the interpolation that only one branch carries
+    // (types.py:466-473 remove_duplicated_steps)
+    "lineage_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 1),
+        "user_id", "ts", "value")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "A", "mg/l")
+        .process(Seq("A#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "false"))
+        .process(Seq("A#1_RAW#1"), Resample, // identical step → RESAMPLED#2
+          Parameters.of("frequency" -> "1h", "grid" -> "false"))
+        .process(Seq("A#1_RESAMPLED#1"), Interpolate)
+      val ds = graft.core.MeteauDataset.of("ld", Seq(sig))
+        .process(Seq("A#1_LIN-INT#1", "A#1_RESAMPLED#2"), AverageSignals)
+      val steps = ds.signal("AVERAGE#1").meta
+        .seriesMeta("AVERAGE#1_RAW#1").get.steps
+      steps.zipWithIndex.map { case (st, i) =>
+        (i + 1, st.functionInfo.name, st.stepType.value)
+      }.toDF("step_idx", "step", "step_type").orderBy("step_idx")
+    }),
+
+    // E9 JSON serde: the full catalog (8 index kinds' worth of fields,
+    // lineage, provenance) survives toJson→fromJson losslessly; the
+    // emitted per-series rows come from the REPARSED catalog and the
+    // round_trip flag pins deep equality with the original
+    "json_serde" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 1),
+        "user_id", "ts", "value")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "A", "mg/l",
+          DataProvenance(parameter = Some("COD")))
+        .process(Seq("A#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "false"))
+        .process(Seq("A#1_RESAMPLED#1"), Interpolate)
+      val meta = graft.core.MeteauDataset.of("js", Seq(sig)).meta
+      val back = graft.io.SignalIO.fromJson(graft.io.SignalIO.toJson(meta))
+      back.signals.flatMap(sm => sm.series.map { se =>
+        (se.seriesKey, se.valuesDtype, se.index.kind.value, se.steps.size,
+          se.steps.lastOption.map(_.functionInfo.name).getOrElse(""),
+          back == meta)
+      }).toDF("series_key", "dtype", "index_kind", "n_steps",
+        "last_step", "round_trip").orderBy("series_key")
+    }),
+
     // E11 plot-data operator: the canonical pipeline's series with
     // display mode per trace (prediction rendered lines+markers)
     "plot_frame" -> ((s, dir) => {
@@ -1291,6 +1340,21 @@ object SparkEntry {
         |  ('replace_ranges', 'filtering', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
         |  ('resample', 'resampling', 'A#1_RAW#1', 'A#1_RESAMPLED#1')
         |) t(step, step_type, origin, destination) ORDER BY destination""".stripMargin,
+
+    "lineage_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'resample', 'resampling'),
+        |  (2, 'linear_interpolation', 'gap_filling'),
+        |  (3, 'average_signals', 'dimensionality_reduction')
+        |) t(step_idx, step, step_type) ORDER BY step_idx""".stripMargin,
+
+    "json_serde" ->
+      """SELECT * FROM (VALUES
+        |  ('A#1_LIN-INT#1', 'double', 'datetime', 2, 'linear_interpolation', TRUE),
+        |  ('A#1_RAW#1', 'double', 'datetime', 0, '', TRUE),
+        |  ('A#1_RESAMPLED#1', 'double', 'datetime', 1, 'resample', TRUE)
+        |) t(series_key, dtype, index_kind, n_steps, last_step, round_trip)
+        |ORDER BY series_key""".stripMargin,
 
     "plot_frame" ->
       s"""WITH raw AS (
