@@ -959,6 +959,26 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // streaming near-dup dedup against a persisted MinHash band index:
+    // the corpus (doc_id % 5 != 0) is indexed once in batch; the rest of
+    // the documents REPLAY as a stream probing it — band row-locally
+    // (stateless), equi-join the static band table, verify exact Jaccard.
+    // The oracle computes the same new-vs-corpus exact-Jaccard pairs
+    // directly, so the driver gate pins streaming ≡ batch semantics.
+    "stream_minhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = "/tmp/graft_stream_minhash_idx"
+      graft.streaming.StreamingDedup.buildMinhashIndex(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", idx)
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_minhash_dedup_result") { st =>
+        graft.streaming.StreamingDedup.minhashDupStream(
+          s, st.where(col("doc_id") % 5 === 0), "doc_id", "text", idx, 0.5)
+      }
+      sortSmall(res.select(col("doc_new"), col("doc_corpus"),
+        round(col("jaccard"), 6).as("jaccard")), "doc_new", "doc_corpus")
+    }),
+
     // tumbling-window rollup per event type over the JSON-extracted metric
     "event_window_rollup" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1519,6 +1539,24 @@ object SparkEntry {
 
     "doc_jaccard_pairs" -> JaccardOracle,
     "doc_minhash_lsh" -> JaccardOracle,
+
+    // same shingle/Jaccard math as JaccardOracle, restricted to pairs
+    // crossing the stream/corpus split (new = doc_id % 5 == 0)
+    "stream_minhash_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 GROUP BY 1, 2)
+        |SELECT doc_new, doc_corpus,
+        |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON doc_new = ca.doc_id
+        |           JOIN cnt cb ON doc_corpus = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY doc_new, doc_corpus""".stripMargin,
 
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

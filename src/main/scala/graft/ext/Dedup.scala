@@ -30,18 +30,29 @@ object Dedup {
     * Hashes the n words directly (multi-arg xxhash64) — no intermediate
     * shingle strings are materialized. */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    // materialize the word array first: lambda bodies must reference an
-    // attribute, not an expression, or Catalyst re-evaluates the split
-    // once per shingle index
-    val words = col("_w")
+      n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_w"))
+      .select(col("doc"), explode(shingleArray(col("_w"), n)).as("sh"))
+
+  /** Row-local distinct hashed-shingle ARRAY — the un-exploded form of
+    * [[hashedShingles]] (identical hash values), for stateless per-row
+    * pipelines like the streaming probes. `words` MUST be a materialized
+    * attribute (lambda bodies re-evaluate outer expressions per element,
+    * so an inline split would re-split once per shingle index). */
+  def shingleArray(words: Column, n: Int): Column = {
     val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
       .otherwise(array().cast("array<int>"))
-    val hashed = transform(idxs, i =>
-      xxhash64((1 to n).map(k => element_at(words, i + k)): _*))
-    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_w"))
-      .select(col("doc"), explode(array_distinct(hashed)).as("sh"))
+    array_distinct(transform(idxs, i =>
+      xxhash64((1 to n).map(k => element_at(words, i + k)): _*)))
   }
+
+  /** Row-local MinHash signature from a hashed-shingle array — the same
+    * per-permutation minima [[minhashSignatures]] computes as an
+    * aggregate, without the explode/groupBy, so a streaming (stateless)
+    * stage can compute it. `shs` must be a materialized attribute. */
+  def minhashSignature(shs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shs, s => xxhash64(lit(i), s)))): _*)
 
   /** Exact pairwise n-gram Jaccard over a hashed-shingle frame (columns
     * doc, sh); emits pairs with similarity >= minJ (doc_a < doc_b).
@@ -125,9 +136,15 @@ object Dedup {
     * [[lshCandidates]] — public for occupancy diagnostics. */
   def minhashBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        posexplode(minhashBandKeys(col("sig"), bands, rowsPerBand)))
       .toDF("doc", "band", "bandhash")
+
+  /** The per-band hash keys of one signature array — shared by
+    * [[minhashBands]] and the streaming probe so batch index and stream
+    * side band identically. */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
 
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = minhashBands(sig, bands, rowsPerBand)

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming near-duplicate detection against a PERSISTED corpus index —
+  * the streaming face of the batch dedup operators (the same move
+  * `Similarity.buildIvfIndex` makes for ANN: pay the corpus pass once,
+  * then probe incrementally). Batch builds the band tables; new documents
+  * stream in, band row-locally (no streaming aggregation — the signature
+  * is computed per row, so every stage before the join is stateless),
+  * equi-join the static band table for candidates, and verify exactly.
+  *
+  * Scale shape: the stream side carries only (doc, bands, shingle-hash
+  * array) — fixed-width keys plus one array per NEW doc; the corpus side
+  * is a static parquet equi-joined on (band, bandhash), which Spark plans
+  * as a broadcast or shuffled hash join per micro-batch. Candidate work is
+  * proportional to band collisions (true near-dups + negligible random
+  * collisions at the banded key widths), never new×corpus. The one
+  * stateful op is the candidate-pair dedup, whose state is bounded by the
+  * number of distinct near-dup pairs seen; production deployments with
+  * unbounded streams should add an ingest-time watermark column and
+  * `dropDuplicatesWithinWatermark` to bound it in time as well.
+  */
+object StreamingDedup {
+
+  /** Row-local per-document profile: sorted distinct shingle hashes, set
+    * size, and MinHash signature — everything the probe needs, computed
+    * without explode/groupBy so it runs as a stateless streaming stage.
+    * Hash-identical to the batch path (shared column builders in
+    * [[graft.ext.Dedup]]). Documents with fewer than `n` words have no
+    * shingles and are dropped, matching the batch operators. */
+  def docProfiles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol).as("doc"), split(col(textCol), " ").as("_w"))
+      .select(col("doc"), Dedup.shingleArray(col("_w"), n).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc"), sort_array(col("shs")).as("shs"),
+        size(col("shs")).as("n"),
+        Dedup.minhashSignature(col("shs"), numHashes).as("sig"))
+
+  /** Build the persisted MinHash index of a corpus: `<path>/bands` — one
+    * (doc, band, bandhash) row per document band, the candidate-join side —
+    * and `<path>/docs` — (doc, shs, n), the exact-verification side. Both
+    * written sorted by their join key so the static scans cluster. */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    val prof = docProfiles(df, idCol, textCol, n, numHashes).cache()
+    try {
+      Dedup.minhashBands(prof.select(col("doc"), col("sig")),
+          bands, numHashes / bands)
+        .sortWithinPartitions("band", "bandhash")
+        .write.mode("overwrite").parquet(s"$path/bands")
+      prof.select(col("doc"), col("shs"), col("n"))
+        .sortWithinPartitions("doc")
+        .write.mode("overwrite").parquet(s"$path/docs")
+    } finally prof.unpersist()
+  }
+
+  /** Probe a stream of new documents against a [[buildMinhashIndex]]
+    * index: emits exactly-verified near-dup pairs
+    * (doc_new, doc_corpus, jaccard >= minJ), each pair once. Candidate
+    * pairs are deduped BEFORE verification (multi-band collisions would
+    * otherwise re-verify the same pair), which also makes emission
+    * exactly-once across micro-batches. */
+  def minhashDupStream(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String, minJ: Double,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+    val corpusDocs = spark.read.parquet(s"$indexPath/docs")
+    // band the new docs, carrying each one's shingle set on the row (a
+    // later join back to the stream would be a stream-stream self join)
+    val q = docProfiles(stream, idCol, textCol, n, numHashes)
+      .select(col("doc"), col("shs"), col("n"),
+        posexplode(Dedup.minhashBandKeys(col("sig"), bands, numHashes / bands)))
+      .toDF("doc", "shs", "n", "band", "bandhash")
+    val cand = q.as("q").join(corpusBands.as("c"),
+        col("q.band") === col("c.band") && col("q.bandhash") === col("c.bandhash"))
+      .where(col("q.doc") =!= col("c.doc"))
+      .select(col("q.doc").as("doc_new"), col("q.shs").as("sha"),
+        col("q.n").as("na"), col("c.doc").as("doc_corpus"))
+      .dropDuplicates("doc_new", "doc_corpus")
+    cand.join(corpusDocs.select(col("doc").as("doc_corpus"),
+        col("shs").as("shb"), col("n").as("nb")), "doc_corpus")
+      .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
+      .withColumn("i", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= minJ)
+      .select(col("doc_new"), col("doc_corpus"), col("jaccard"))
+  }
+
+  /** Build the persisted SimHash index: the Manku combination-banding
+    * table (doc, simhash, band, bandkey). The fingerprint rides on every
+    * band row, so the probe verifies hamming distance row-locally — no
+    * second corpus table needed. */
+  def buildSimhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, maxDist: Int = 3, nBlocks: Int = 6): Unit =
+    Dedup.simhashBands(Dedup.simhash64(df, idCol, textCol), maxDist, nBlocks)
+      .sortWithinPartitions("band", "bandkey")
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a stream of new documents against a [[buildSimhashIndex]]
+    * index: emits (doc_new, doc_corpus, hamming <= maxDist) pairs, each
+    * once. Same recall guarantee as the batch operator (the pigeonhole
+    * over combination bands). */
+  def simhashDupStream(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      maxDist: Int = 3, nBlocks: Int = 6): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val q = Dedup.simhashBands(
+      Dedup.simhash64(stream, idCol, textCol), maxDist, nBlocks)
+    q.as("q").join(index.as("c"),
+        col("q.band") === col("c.band") && col("q.bandkey") === col("c.bandkey"))
+      .where(col("q.doc") =!= col("c.doc"))
+      .select(col("q.doc").as("doc_new"), col("c.doc").as("doc_corpus"),
+        col("q.simhash").as("sim_q"), col("c.simhash").as("sim_c"))
+      .dropDuplicates("doc_new", "doc_corpus")
+      .withColumn("hamming", bit_count(col("sim_q").bitwiseXOR(col("sim_c"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_new"), col("doc_corpus"), col("hamming"))
+  }
+
+  /** Replay a bounded parquet table of documents through a streaming
+    * probe and return the materialized result (memory sink, available-now
+    * trigger) — how the oracle checks the streaming dedup path, mirroring
+    * [[StreamingOps.replayResample]]. */
+  def replayDocs(spark: SparkSession, parquetPath: String, queryName: String)
+      (probe: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
+    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+    spark.catalog.dropTempView(queryName)
+    val qr = probe(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qr.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -131,6 +131,77 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming minhash probe equals batch near-dup pairs on a planted set") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedup
+    def text(i: Int) = (1 to 20).map(w => s"w${i}_$w").mkString(" ")
+    val corpus = (1 to 20).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    // 101 ~ corpus doc 1 (one word changed), 102 == corpus doc 2 exactly,
+    // 103 unique, 104 ~ 103 (new-vs-new: must NOT be emitted)
+    val newDocs = Seq(
+      (101L, text(1).replace("w1_20", "changed")),
+      (102L, text(2)),
+      (103L, text(103)),
+      (104L, text(103).replace("w103_20", "changed")))
+    val idx = "/tmp/graft_test_minhash_idx"
+    StreamingDedup.buildMinhashIndex(corpus, "doc_id", "text", idx)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.minhashDupStream(spark, df, "doc_id", "text", idx, 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("minhash_stream_tbl").start()
+    input.addData(newDocs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(newDocs.drop(2): _*)
+    input.addData(newDocs.head) // re-sent in a later batch: emitted once
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("minhash_stream_tbl")
+      .select("doc_new", "doc_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toList
+    assert(streamed.size == streamed.toSet.size, "duplicate pair emitted")
+    // batch reference: exact-Jaccard pairs over the union, restricted to
+    // new-vs-corpus (the probe's contract)
+    val union = corpus.union(newDocs.toDF("doc_id", "text"))
+    val batch = Dedup.jaccardPairs(
+        Dedup.hashedShingles(union, "doc_id", "text"), 0.5)
+      .where(col("doc_a") <= 20 && col("doc_b") >= 100)
+      .select(col("doc_b"), col("doc_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.toSet == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.map(_._1).toSet == Set(101L, 102L))
+  }
+
+  test("streaming simhash probe equals batch pairs, hamming verified row-locally") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedup
+    def text(i: Int) = (1 to 20).map(w => s"w${i}_$w").mkString(" ")
+    val corpus = (1 to 20).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val newDocs = Seq((201L, text(5)), (202L, text(202)))
+    val idx = "/tmp/graft_test_simhash_idx"
+    StreamingDedup.buildSimhashIndex(corpus, "doc_id", "text", idx)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.simhashDupStream(spark, df, "doc_id", "text", idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream_tbl").start()
+    input.addData(newDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("simhash_stream_tbl")
+      .select("doc_new", "doc_corpus", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val union = corpus.union(newDocs.toDF("doc_id", "text"))
+    val batch = Dedup.simhashDupPairsAtScale(union, "doc_id", "text")
+      .where(col("doc_a") <= 20 && col("doc_b") >= 200)
+      .select(col("doc_b"), col("doc_a"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.contains((201L, 5L, 0))) // exact dup: hamming 0
+  }
+
   test("mapGroupsWithState running stats accumulate per series") {
     implicit val s = spark
     val events = Seq(
