@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup1m")) { dedup1m(); return }
+    if (args.headOption.contains("ann1m")) { ann1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -213,6 +214,100 @@ object ScaleSmoke {
       if (!linear) failed = true
       println(f"SCALE1M hyperplane-sized        growth=${ratio}%.2fx " +
         (if (linear) "NEAR-LINEAR" else "NOT LINEAR"))
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** 1M-tier ANN recall/probe-fraction measurement (`runMain
+    * graft.ScaleSmoke ann1m`): synthetic 64-dim vectors with planted
+    * near-neighbors (id ≡ 1 mod 100 is a perturbed copy of id−1,
+    * cosine ≈ 0.999), at 250k and 1M vectors. For IVF (one shared k-means
+    * training per tier): recall@10 of the planted neighbor over 500
+    * planted queries, plus the MEASURED scan fraction — mean over queries
+    * of Σ probed-list sizes / n, the number that says what fraction of a
+    * 100 TB corpus a probe actually touches. For banded hyperplane LSH
+    * (bits ≈ log2 n + 2 sizing rule): recall of the planted pairs.
+    * Asserts recall floors (0.9) and scan fraction < 0.15; measured
+    * output is recorded in README §scale. */
+  private def ann1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding"))
+
+    val nLists = 256; val nProbe = 8; val k = 10; val nQueries = 500L
+    var failed = false
+    Seq(250000L, 1000000L).foreach { n =>
+      println(s"--- ann1m: $n vectors (64-dim), nLists=$nLists nProbe=$nProbe ---")
+      val vecs = synthVecs(n).cache(); vecs.count()
+      // ---- IVF: one training shared by the recall and fraction probes
+      var t0 = System.nanoTime()
+      val cents = Similarity.learnCentroidArrays(
+        vecs, "vec_id", "embedding", nLists, 2)
+      println(f"SCALEANN train-kmeans            ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val assigned = vecs
+        .withColumn("list", Similarity.nearestList(col("embedding"), cents))
+        .cache()
+      val listSizes = assigned.groupBy("list").agg(count(lit(1)).as("sz"))
+      // planted queries: the perturbed copies; expected neighbor = id − 1
+      val queries = vecs.where(pmod(col("vec_id"), lit(100L)) === 1L &&
+        col("vec_id") < lit(100L * nQueries))
+      val qProbes = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec"),
+          explode(Similarity.nearestLists(col("embedding"), cents, nProbe))
+            .as("list"))
+        .cache()
+      // measured scan fraction: what a probe actually reads of the corpus
+      val scanFrac = qProbes.join(listSizes, "list")
+        .groupBy("query_id").agg(sum(col("sz")).as("scanned"))
+        .agg(avg(col("scanned"))).as[Double].head() / n
+      t0 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("candidate_id"))
+      val topk = assigned.join(broadcast(qProbes), Seq("list"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("candidate_id"),
+          (Similarity.dot(col("qvec"), col("embedding")) /
+            (Similarity.norm(col("qvec")) * Similarity.norm(col("embedding"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      val hits = topk.where(col("candidate_id") === col("query_id") - 1)
+        .select(countDistinct(col("query_id"))).as[Long].head()
+      val ivfRecall = hits.toDouble / nQueries
+      println(f"SCALEANN ivf-probe               ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"SCALEANN ivf-recall@$k           $ivfRecall%.3f (scan fraction $scanFrac%.4f)")
+      if (ivfRecall < 0.9 || scanFrac > 0.15) failed = true
+      qProbes.unpersist(); assigned.unpersist()
+      // ---- banded hyperplane LSH with the sized-bits rule
+      val bits = (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 2).toInt
+      t0 = System.nanoTime()
+      val planted = Similarity.lshBucketedPairs(vecs, "vec_id", "embedding",
+          minCosine = 0.9, bits = bits, bands = 8)
+        .where(col("id_b") === col("id_a") + 1 &&
+          pmod(col("id_a"), lit(100L)) === 0L)
+        .count()
+      val nPlanted = n / 100
+      val lshRecall = planted.toDouble / nPlanted
+      println(f"SCALEANN lsh-pairs-b$bits         ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"SCALEANN lsh-recall              $lshRecall%.3f ($planted of $nPlanted planted)")
+      if (lshRecall < 0.9) failed = true
+      vecs.unpersist()
     }
     spark.stop()
     if (failed) sys.exit(1)

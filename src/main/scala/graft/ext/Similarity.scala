@@ -338,6 +338,58 @@ object Similarity {
     out.close()
   }
 
+  /** Distance of a vector to its assigned list's centroid (row-local:
+    * the centroid matrix rides as a literal, ≤ nLists·dims doubles). */
+  private def distToCentroid(v: Column, list: Column,
+      cents: Array[Array[Double]]): Column = {
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val c = element_at(centArr, list + 1)
+    sqrt(aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x))
+  }
+
+  /** Index-lifecycle stats returned by [[ivfAppend]]: the centroid-drift
+    * signal a growing corpus needs. `meanDistAfter` creeping above
+    * `meanDistBefore` means the appended data no longer matches the
+    * trained centroids — time to retrain (rebuild) the index. */
+  final case class IvfAppendStats(nBefore: Long, nAppended: Long,
+      meanDistBefore: Double, meanDistAfter: Double) {
+    def driftRatio: Double =
+      if (meanDistBefore == 0.0) Double.PositiveInfinity
+      else meanDistAfter / meanDistBefore
+  }
+
+  /** Append vectors to a persisted IVF index WITHOUT retraining: assign
+    * them with the stored centroids (so probe semantics are unchanged —
+    * probing after append ≡ probing an index whose corpus always
+    * contained the rows, bit-exactly) and write into the existing list
+    * partitions (`mode=append` adds files inside each `list=` directory;
+    * static partition pruning keeps working). Returns before/after
+    * mean-distance-to-centroid as the drift signal; distances aggregate
+    * through exact decimal sums so the stat is partition-count invariant.
+    *
+    * At 100 TB this is the operation that makes the index an INDEX: the
+    * corpus pass and k-means training are paid once; growth costs one
+    * assignment projection over the new rows only. */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
+    val cents = loadIvfCentroids(spark, path)
+    def meanDist(corpus: DataFrame): (Long, Double) = {
+      val r = corpus
+        .select(distToCentroid(col(vecCol), col("list"), cents).as("_d"))
+        .agg(count(lit(1)).as("n"), graft.ops.Resample.detMean(col("_d")).as("m"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+    val (nBefore, distBefore) = meanDist(spark.read.parquet(s"$path/corpus"))
+    val assigned = asDouble(newVectors, vecCol)
+      .withColumn("_n", norm(col(vecCol)))
+      .withColumn("list", nearestList(col(vecCol), cents))
+    assigned.write.mode("append").partitionBy("list").parquet(s"$path/corpus")
+    val (nAfter, distAfter) = meanDist(spark.read.parquet(s"$path/corpus"))
+    IvfAppendStats(nBefore, nAfter - nBefore, distBefore, distAfter)
+  }
+
   /** Centroids of a persisted index. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Double]] = {

@@ -88,6 +88,63 @@ class ExtSpec extends SparkSpec {
       s"expected partition pruning on list in:\n${plan.take(1500)}")
   }
 
+  test("ivfAppend grows the index without retraining: probe parity + drift stat") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 150)
+    val batchB = emb.where(col("vec_id") >= 150 && col("vec_id") < 180)
+    val batchC = emb.where(col("vec_id") >= 180)
+    val queries = emb.where(col("vec_id") < 8)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    // one append vs two appends of the same rows: bit-identical probes
+    // (assignment uses the stored centroids either way)
+    val p1 = "/tmp/graft_test_ivf_append1"
+    val p2 = "/tmp/graft_test_ivf_append2"
+    for (p <- Seq(p1, p2)) {
+      val d = new java.io.File(p)
+      if (d.exists()) { // clean stale corpus from previous runs
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", p,
+        nLists = 8, iters = 2)
+    }
+    val s1 = Similarity.ivfAppend(spark, p1, batchB.union(batchC),
+      "vec_id", "embedding")
+    val s2a = Similarity.ivfAppend(spark, p2, batchB, "vec_id", "embedding")
+    val s2b = Similarity.ivfAppend(spark, p2, batchC, "vec_id", "embedding")
+    assert(s1.nAppended == s2a.nAppended + s2b.nAppended)
+    assert(s1.nBefore == 150 && s2a.nBefore == 150)
+    val q1 = Similarity.ivfProbeIndex(spark, p1, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    val q2 = Similarity.ivfProbeIndex(spark, p2, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    assert(q1.select(cols.map(col): _*).exceptAll(
+      q2.select(cols.map(col): _*)).isEmpty)
+    assert(q2.select(cols.map(col): _*).exceptAll(
+      q1.select(cols.map(col): _*)).isEmpty)
+    // appended vectors are discoverable: probing with an appended
+    // vector's copy (fresh id) returns the appended row at cosine 1
+    val twin = batchB.limit(1)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val twinId = batchB.limit(1).select("vec_id").as[Long].head()
+    val found = Similarity.ivfProbeIndex(spark, p1, twin,
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      .select("candidate_id").as[Long].head()
+    assert(found == twinId, "appended vector not discoverable after append")
+    // drift stat: same-distribution appends barely move the mean distance;
+    // far outliers must raise it
+    assert(s1.meanDistBefore > 0 && s1.driftRatio < 1.5, s1.toString)
+    val dims = emb.select(size(col("embedding"))).as[Int].head()
+    val outliers = spark.range(5).select(
+      (col("id") + 900000).as("vec_id"),
+      transform(sequence(lit(1), lit(dims)), _ => lit(1000.0)).as("embedding"))
+    val s3 = Similarity.ivfAppend(spark, p1, outliers, "vec_id", "embedding")
+    assert(s3.meanDistAfter > s3.meanDistBefore,
+      s"outlier append must raise the drift stat: $s3")
+  }
+
   test("rows-only queries carry in-engine recall evidence above floors") {
     val dir = "/root/testdata/sf0.001"
     def recallOf(q: String, c: String): Double =
