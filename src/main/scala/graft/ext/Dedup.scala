@@ -273,6 +273,69 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Resolve near-dup pairs into CLUSTERS (connected components): every
+    * doc maps to the minimum id reachable through the pair graph — the
+    * keep-one-per-cluster decision a dedup pipeline actually ships
+    * (keeper = root; drop rows where doc != root). Iterative min-label
+    * propagation: each round, a doc's label becomes the min of its own
+    * and its neighbors' labels — one equi-join + one aggregate per round,
+    * converging in O(component diameter) rounds. Near-dup components are
+    * tiny (pair chains within a duplicated document family), so rounds
+    * stay single-digit; the label frame holds only docs that appear in a
+    * pair, not the corpus. The fixpoint test is a distributed count of
+    * changed labels — nothing data-sized reaches the driver. For graphs
+    * with adversarially long chains, swap the propagation step for
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce", SoCC'14) — same outer loop shape. */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // cache the pair frame FIRST: the two union branches below would
+    // otherwise each re-run the (expensive) pair-mining child
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
+      .distinct().localCheckpoint()
+    p.unpersist() // the mining pipeline ran once, into the checkpoint
+    // localCheckpoint severs the logical lineage (the iterative-algorithm
+    // discipline): without it every round's plan re-embeds the whole
+    // pair-mining subtree — analysis alone of the final tree costs
+    // seconds, and lineage doubles per round
+    var labels = edges.select(col("x").as("doc")).distinct()
+      .withColumn("root", col("doc")).localCheckpoint()
+    val nLabels = labels.count()
+    // the label table is sized by docs-in-pairs; when it is broadcastable
+    // the loop's joins run map-side (no per-round shuffle of edges) —
+    // the adaptive choice a 100 TB run makes too (huge pair graphs keep
+    // the shuffled path)
+    val bc: DataFrame => DataFrame =
+      if (nLabels <= 5000000L) broadcast else identity
+    // the label frame is sized by docs-in-pairs, far smaller than the
+    // corpus — run the loop's shuffles narrow (restored after; the
+    // result is partitioning-independent: min propagation is order-free)
+    val spark = pairs.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var changed = 1L
+    var rounds = 0
+    try {
+      while (changed > 0 && rounds < 50) {
+        val nbMin = edges.join(bc(labels), col("y") === col("doc"))
+          .groupBy(col("x")).agg(min(col("root")).as("nbRoot"))
+        // carry the previous root so the fixpoint test reads the SAME
+        // cached frame instead of re-joining next against labels
+        val next = labels.as("l")
+          .join(bc(nbMin), col("l.doc") === nbMin("x"), "left")
+          .select(col("l.doc").as("doc"), col("l.root").as("_old"),
+            least(col("l.root"), coalesce(col("nbRoot"), col("l.root")))
+              .as("root"))
+          .localCheckpoint()
+        changed = next.where(col("root") =!= col("_old")).count()
+        labels = next.select(col("doc"), col("root"))
+        rounds += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    labels
+  }
+
   /** The chunk-banding frame behind [[simhashDupPairs]] — public for
     * occupancy diagnostics. */
   def simhashChunks(sim: DataFrame, nChunks: Int): DataFrame = {

@@ -136,13 +136,21 @@ object StreamingDedup {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileName).parquet(dir)
     spark.catalog.dropTempView(queryName)
-    val qr = probe(stream).writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    qr.awaitTermination()
+    // a bounded replay's stateful ops (candidate-pair dedup) commit one
+    // state-store partition per shuffle partition per micro-batch; at the
+    // session default (32) that fixed commit overhead dominates the tiny
+    // replay, so the stream runs at 8 and the session value is restored
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qr = probe(stream).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }

@@ -403,6 +403,22 @@ class ExtSpec extends SparkSpec {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("dedupClusters resolves chains, cycles, and isolated pairs to min roots") {
+    import spark.implicits._
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),               // component {1,2,3}
+      (10L, 11L),                       // isolated pair
+      (5L, 6L), (6L, 7L), (7L, 5L),     // cycle
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L) // 5-chain (multi-round)
+    ).toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("withRecall: duplicated reference keys neither fan out nor overcount") {
     import spark.implicits._
     val res = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
