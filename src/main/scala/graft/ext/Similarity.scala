@@ -402,6 +402,28 @@ object Similarity {
     mapper.readValue(new String(bytes, "UTF-8"), classOf[Array[Array[Double]]])
   }
 
+  /** Rewrite a persisted index's corpus into one file per list partition.
+    * Every [[ivfAppend]] adds files inside the `list=` directories; after
+    * many small appends the probe pays per-file open cost. Compaction is
+    * a pure rewrite — assignments, values, and probe results are
+    * unchanged (row order within a list is irrelevant: scoring is
+    * row-local and the top-k sort is total). */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val tmp = s"$path/corpus_compacting"
+    // hash-repartition on list: each list lands in exactly one task, so
+    // each `list=` directory is rewritten as one file
+    corpus.repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+
   /** Probe a persisted IVF index. The probed list ids are collected
     * first (≤ nLists values — bounded by the index, never by the data)
     * and applied as an `isin` filter, so the parquet scan statically

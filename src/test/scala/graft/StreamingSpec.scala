@@ -202,6 +202,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((201L, 5L, 0))) // exact dup: hamming 0
   }
 
+  test("streaming IVF probe equals the batch index probe") {
+    import graft.ext.Similarity
+    import graft.streaming.StreamingAnn
+    val emb = spark.read.parquet(sf("embeddings"))
+    val idx = "/tmp/graft_test_stream_ivf_idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+      nLists = 8, iters = 2)
+    val queries = emb.where(col("vec_id") < 6)
+    val batch = Similarity.ivfProbeIndex(spark, idx, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("query_id", "rank", "candidate_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val qRows = queries.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Seq[Double])](spark, 1)
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingAnn.ivfProbeStream(spark, df, "vec_id", "embedding",
+        idx, k = 5, nProbe = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ivf_stream_tbl").start()
+    input.addData(qRows.take(3): _*)
+    q.processAllAvailable()
+    input.addData(qRows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_stream_tbl")
+      .select("query_id", "rank", "candidate_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"streamed-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
+  test("ivfCompact rewrites each list as one file; probes unchanged") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(sf("embeddings"))
+    val idx = "/tmp/graft_test_compact_idx"
+    val d = new java.io.File(idx)
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    }
+    Similarity.buildIvfIndex(emb.where(col("vec_id") < 150),
+      "vec_id", "embedding", idx, nLists = 4, iters = 2)
+    Similarity.ivfAppend(spark, idx,
+      emb.where(col("vec_id") >= 150 && col("vec_id") < 170), "vec_id", "embedding")
+    Similarity.ivfAppend(spark, idx,
+      emb.where(col("vec_id") >= 170), "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 4)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    val before = Similarity.ivfProbeIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val beforeRows = before.select(cols.map(col): _*)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    def filesPerList(): Map[String, Int] =
+      new java.io.File(s"$idx/corpus").listFiles().toSeq
+        .filter(_.getName.startsWith("list="))
+        .map(dir => dir.getName ->
+          dir.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerList().values.exists(_ > 1),
+      "appends should have produced multiple files in some list")
+    Similarity.ivfCompact(spark, idx)
+    assert(filesPerList().values.forall(_ == 1),
+      s"compaction must leave one file per list: ${filesPerList()}")
+    val after = Similarity.ivfProbeIndex(spark, idx, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .select(cols.map(col): _*)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(after == beforeRows)
+  }
+
   test("mapGroupsWithState running stats accumulate per series") {
     implicit val s = spark
     val events = Seq(
