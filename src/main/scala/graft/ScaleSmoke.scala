@@ -17,6 +17,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup1m")) { dedup1m(); return }
     if (args.headOption.contains("ann1m")) { ann1m(); return }
+    if (args.headOption.contains("clusters1m")) { clusters1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -215,6 +216,52 @@ object ScaleSmoke {
       println(f"SCALE1M hyperplane-sized        growth=${ratio}%.2fx " +
         (if (linear) "NEAR-LINEAR" else "NOT LINEAR"))
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** 1M-tier cluster-resolution measurement (`runMain graft.ScaleSmoke
+    * clusters1m`): synthesize pair graphs of chain-shaped components
+    * (family size 5 → diameter 4, the worst realistic near-dup family
+    * shape) at 250k and 1M pairs and run [[graft.ext.Dedup.dedupClusters]]
+    * end to end. Verifies the two claims the operator makes at scale:
+    * round count is bounded by component diameter (not data size — the
+    * SAME rounds at 4× pairs), and wall time grows near-linearly. Roots
+    * are verified exactly (every doc's keeper must be its family head). */
+  private def clusters1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val fam = 5L // docs per chain family; 4 pairs each
+    var failed = false
+    val times = Seq(250000L, 1000000L).map { nPairs =>
+      val nDocs = nPairs / (fam - 1) * fam
+      // chain pairs (i, i+1) within each family of `fam` consecutive ids
+      val pairs = spark.range(nDocs)
+        .where(pmod(col("id"), lit(fam)) =!= (fam - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val t0 = System.nanoTime()
+      val labels = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      val wrong = labels
+        .where(col("root") =!= (col("doc") - pmod(col("doc"), lit(fam))))
+        .count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALECL pairs=$nPairs%8d docs=$nDocs%8d wrong=$wrong $t%.1f s")
+      if (wrong > 0) failed = true
+      t
+    }
+    val growth = times(1) / math.max(times.head, 0.001)
+    println(f"SCALECL growth (4x pairs) = $growth%.2fx " +
+      (if (growth < 8.0) "NEAR-LINEAR" else "NOT LINEAR"))
+    if (growth >= 8.0) failed = true
     spark.stop()
     if (failed) sys.exit(1)
   }
