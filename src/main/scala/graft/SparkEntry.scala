@@ -88,6 +88,10 @@ object SparkEntry {
   private val streamDedupIndex =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of IVF-PQ indexes (emb_ivfpq_topk), same contract. */
+  private val pqIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** In-engine quality evidence for the approximate (rows-only-checked)
     * queries: marks each result row present in the exact reference with
     * `hitCol`=1 and attaches a constant `recallCol` =
@@ -821,6 +825,35 @@ object SparkEntry {
           .crossJoin(broadcast(expected))
           .withColumn("expected_recall_top20", r6(col("_exp"))).drop("_exp"),
           "id_a", "id_b")
+      }
+    }),
+
+    // IVF-PQ probe over a persisted compressed index (rows-only:
+    // quantization is approximate by construction). The probe scans
+    // codes (+_rn), never float vectors — 1/16 of the corpus bytes —
+    // and statically prunes to the probed lists. Index built once per
+    // (JVM, sf dir) like the stream-dedup band index; quality pinned
+    // in-engine by overlap with the exact cosine top-k.
+    "emb_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+      val idx = pqIndexPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+          nLists = 8, m = 16, pqK = 64, iters = 2)
+        p
+      })
+      val pq = Similarity.ivfPqProbeIndex(s, idx, queries, "vec_id",
+          "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
+      if (!recallOn) sortSmall(pq, "query_id", "rank")
+      else {
+        val exact = Similarity.cosineTopK(emb, queries, "vec_id",
+            "embedding", k = 5)
+          .select(col("query_id"), col("candidate_id"))
+        sortSmall(withRecall(pq, exact,
+            Seq("query_id", "candidate_id"), "exact_hit", "recall_at_k"),
+          "query_id", "rank")
       }
     }),
 

@@ -145,6 +145,49 @@ class ExtSpec extends SparkSpec {
       s"outlier append must raise the drift stat: $s3")
   }
 
+  test("IVF-PQ index: scans codes not vectors, prunes partitions, ranks usefully") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val path = "/tmp/graft_test_ivfpq_index"
+    // 4-dim subspaces with 64 codes: uniform random vectors (this
+    // fixture) are PQ's hardest case — fine granularity keeps ADC
+    // ranking faithful; still 16 bytes of codes vs 256 of floats
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      nLists = 8, m = 16, pqK = 64, iters = 2)
+    val probed = Similarity.ivfPqProbeIndex(spark, path, queries,
+      "vec_id", "embedding", k = 10, nProbe = 4)
+    // deterministic: same index, same probe, bit-identical result
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    val r1 = probed.select(cols.map(col): _*)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val r2 = Similarity.ivfPqProbeIndex(spark, path, queries,
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    assert(r1 == r2)
+    // the corpus scan must read codes/_rn, never the float vector, and
+    // must keep the static partition pruning on list
+    val plan = probed.queryExecution.executedPlan.toString
+    val pqScan = plan.linesIterator.find(_.contains("corpus_pq"))
+      .getOrElse(plan)
+    assert(!plan.contains("ReadSchema: struct<embedding"),
+      s"PQ probe must not read float vectors:\n${pqScan.take(800)}")
+    assert("PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .exists(_.group(1).contains("list")),
+      s"expected partition pruning on list in:\n${plan.take(1500)}")
+    // ADC ranking is useful: with exhaustive routing (nProbe = nLists,
+    // isolating pure quantization error from IVF routing) the exact
+    // cosine top-1 lands in the PQ top-10 for most queries
+    val full = Similarity.ivfPqProbeIndex(spark, path, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("candidate_id"))
+      .as[(Long, Long)].collect().toMap
+    val pqTop = full.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val hits = exact.count { case (q, c) => pqTop.getOrElse(q, Set.empty[Long]).contains(c) }
+    assert(hits >= 6, s"exact top-1 in PQ top-10 for only $hits/8 queries")
+  }
+
   test("rows-only queries carry in-engine recall evidence above floors") {
     val dir = "/root/testdata/sf0.001"
     def recallOf(q: String, c: String): Double =
@@ -155,6 +198,9 @@ class ExtSpec extends SparkSpec {
     // hamming 4-7 and are out of radius by design (sf0.001: 7/9 = 0.778)
     assert(recallOf("doc_simhash_pairs", "recall_planted") >= 0.75)
     assert(recallOf("emb_ivf_topk", "recall_at_k") >= 0.5)
+    // PQ adds quantization error on top of IVF routing; uniform random
+    // vectors (this fixture) are its hardest case — floor accordingly
+    assert(recallOf("emb_ivfpq_topk", "recall_at_k") >= 0.3)
     // LSH on a near-dup-free corpus: absolute recall is low by design
     // (top-20 cosines ~0.45 ⇒ banding predicts ~0.1); the contract is
     // measured recall ≈ the formula's expectation, within binomial slack
