@@ -330,12 +330,8 @@ object Similarity {
       .withColumn("_n", norm(col(vecCol)))
       .withColumn("list", nearestList(col(vecCol), cents))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus")
-    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    writeJson(spark, s"$path/centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
   }
 
   /** Distance of a vector to its assigned list's centroid (row-local:
