@@ -101,10 +101,16 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def clustersFor(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(dir, {
+    // validate the cached frame's session: its localCheckpoint RDDs are
+    // bound to the SparkContext that built it, so an entry from an earlier
+    // (stopped) session in the same JVM — e.g. sequential Verify-then-
+    // guard runs — would fail at runtime. Rebuild on session mismatch.
+    clusterCache.get(dir).filter(_.sparkSession eq s).getOrElse {
       val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
-      Dedup.dedupClusters(Dedup.jaccardPairs(sh, 0.5), "doc_a", "doc_b")
-    })
+      val cl = Dedup.dedupClusters(Dedup.jaccardPairs(sh, 0.5), "doc_a", "doc_b")
+      clusterCache.put(dir, cl)
+      cl
+    }
 
   /** In-engine quality evidence for the approximate (rows-only-checked)
     * queries: marks each result row present in the exact reference with
@@ -1059,10 +1065,15 @@ object SparkEntry {
           "doc_id", "text", p)
         p
       })
+      // minJ = 0.9 keeps the hash-equal gate off the banding-recall
+      // cliff: 16 bands × 4 rows misses a true pair with probability
+      // (1 − J⁴)¹⁶ — ≈ 36% at J = 0.5 (a data-dependent flake if the
+      // fixture ever gained near-threshold pairs) but < 4e-8 at J ≥ 0.9.
+      // The fixture's cross-split pairs all sit at J ≥ 0.90.
       val res = graft.streaming.StreamingDedup.replayDocs(
         s, s"$dir/documents.parquet", "stream_minhash_dedup_result") { st =>
         graft.streaming.StreamingDedup.minhashDupStream(
-          s, st.where(col("doc_id") % 5 === 0), "doc_id", "text", idx, 0.5)
+          s, st.where(col("doc_id") % 5 === 0), "doc_id", "text", idx, 0.9)
       }
       sortSmall(res.select(col("doc_new"), col("doc_corpus"),
         round(col("jaccard"), 6).as("jaccard")), "doc_new", "doc_corpus")
@@ -1693,7 +1704,7 @@ object SparkEntry {
         |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
         |FROM inter JOIN cnt ca ON doc_new = ca.doc_id
         |           JOIN cnt cb ON doc_corpus = cb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.9
         |ORDER BY doc_new, doc_corpus""".stripMargin,
 
     "emb_cosine_topk" ->

@@ -277,16 +277,17 @@ object Dedup {
     * doc maps to the minimum id reachable through the pair graph — the
     * keep-one-per-cluster decision a dedup pipeline actually ships
     * (keeper = root; drop rows where doc != root). Iterative min-label
-    * propagation: each round, a doc's label becomes the min of its own
-    * and its neighbors' labels — one equi-join + one aggregate per round,
-    * converging in O(component diameter) rounds. Near-dup components are
-    * tiny (pair chains within a duplicated document family), so rounds
-    * stay single-digit; the label frame holds only docs that appear in a
-    * pair, not the corpus. The fixpoint test is a distributed count of
-    * changed labels — nothing data-sized reaches the driver. For graphs
-    * with adversarially long chains, swap the propagation step for
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce", SoCC'14) — same outer loop shape. */
+    * propagation: each round, a doc's label becomes the min of its own,
+    * its neighbors', and its current root's label — the last term is
+    * pointer doubling (Shiloach–Vishkin pointer jumping; same effect as
+    * large-star/small-star, Kiveris et al. SoCC'14), which makes rounds
+    * O(log diameter) instead of O(diameter), so adversarially long chains
+    * converge too (ScaleSmoke chain tier measures it). Two equi-joins +
+    * one aggregate per round. Near-dup components are tiny (pair chains
+    * within a duplicated document family), so rounds stay single-digit;
+    * the label frame holds only docs that appear in a pair, not the
+    * corpus. The fixpoint test is a distributed count of changed labels —
+    * nothing data-sized reaches the driver. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // cache the pair frame FIRST: the two union branches below would
     // otherwise each re-run the (expensive) pair-mining child
@@ -320,12 +321,23 @@ object Dedup {
       while (changed > 0 && rounds < 50) {
         val nbMin = edges.join(bc(labels), col("y") === col("doc"))
           .groupBy(col("x")).agg(min(col("root")).as("nbRoot"))
+        // pointer doubling (Shiloach–Vishkin-style pointer jumping): each
+        // round a doc also adopts its root's root. Every root is the id of
+        // a same-component doc, so the jump stays in-component; the radius
+        // a label has propagated over DOUBLES per round instead of
+        // growing by one, making rounds O(log diameter) — a diameter-10³
+        // chain converges in ~11 rounds, not 10³ (measured in
+        // ScaleSmoke's chain tier).
+        val rootRoot = labels
+          .select(col("doc").as("_rd"), col("root").as("_rr"))
         // carry the previous root so the fixpoint test reads the SAME
         // cached frame instead of re-joining next against labels
         val next = labels.as("l")
           .join(bc(nbMin), col("l.doc") === nbMin("x"), "left")
+          .join(bc(rootRoot), col("l.root") === col("_rd"), "left")
           .select(col("l.doc").as("doc"), col("l.root").as("_old"),
-            least(col("l.root"), coalesce(col("nbRoot"), col("l.root")))
+            least(col("l.root"), coalesce(col("nbRoot"), col("l.root")),
+              coalesce(col("_rr"), col("l.root")))
               .as("root"))
           .localCheckpoint()
         changed = next.where(col("root") =!= col("_old")).count()
@@ -333,6 +345,12 @@ object Dedup {
         rounds += 1
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // never return silently-wrong labels: a non-converged exit would hand
+    // downstream keep/drop decisions wrong roots with no error signal.
+    // With pointer doubling the cap corresponds to diameter ~2^49, so
+    // tripping this means a bug, not a big graph.
+    require(changed == 0,
+      s"dedupClusters did not converge in $rounds rounds ($changed labels still changing)")
     labels
   }
 

@@ -415,9 +415,18 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
+    // rename the live corpus ASIDE before promoting the rewrite: a crash
+    // between the two renames leaves either the old or the new corpus
+    // intact under some name — never a window with no corpus at all
+    // (delete-then-rename had one). Concurrent probes during compaction
+    // still race the swap; single-writer, no-concurrent-probe is the
+    // documented contract (same as any parquet overwrite).
+    fs.delete(old, true) // leftover from a prior crashed compaction
+    fs.rename(dst, old)
     fs.rename(src, dst)
+    fs.delete(old, true)
   }
 
   /** Probe a persisted IVF index. The probed list ids are collected

@@ -332,15 +332,25 @@ object SignalIO {
   private def axisLabels(points: Array[(Double, String)],
       ix: IndexMeta): Array[String] = ix.kind match {
     case IndexKind.IntervalIndex =>
-      // key by Long µs — the SAME quantization fromSecondsDouble applied
-      // to the axis at load (round(left*1e6)); exact-Double keying missed
-      // any left bound that doesn't round-trip the µs timestamp axis and
-      // silently fabricated a guessed-width label in its place. The
-      // round(axis*1e6) lookup recovers the stored micros exactly: two
-      // roundings at epoch-µs magnitude (~2^51) err < 0.25 < 0.5.
+      // Datetime interval axes key by Long µs — the SAME quantization
+      // fromSecondsDouble applied to the axis at load (round(left*1e6));
+      // exact-Double keying missed any left bound that doesn't round-trip
+      // the µs timestamp axis and silently fabricated a guessed-width
+      // label in its place. The round(axis*1e6) lookup recovers the
+      // stored micros exactly: two roundings at epoch-µs magnitude
+      // (~2^51) err < 0.25 < 0.5. That quantization is ONLY justified at
+      // µs-timestamp magnitudes: a plain numeric interval axis with
+      // |left| > ~9.2e12 would saturate Long.MaxValue (all lefts
+      // colliding onto one stored label) and distinct lefts within 5e-7
+      // would collide — so numeric axes key by exact Double bits instead
+      // (both sides parse the same decimal text, so bits match).
+      val isDatetime =
+        ix.dtype.startsWith("datetime") || ix.dtype.startsWith("timestamp")
+      val keyOf: Double => Long =
+        if (isDatetime) l => math.round(l * 1e6)
+        else l => java.lang.Double.doubleToLongBits(l)
       val stored: Map[Long, String] = ix.categories.iterator
-        .flatMap(lab => intervalLeft(lab).map(l =>
-          math.round(l * 1e6) -> lab)).toMap
+        .flatMap(lab => intervalLeft(lab).map(l => keyOf(l) -> lab)).toMap
       val lefts = points.map(_._1)
       val isInt = ix.dtype.contains("int64") || ix.dtype.contains("int32")
       def fmtNum(x: Double): String =
@@ -354,7 +364,7 @@ object SignalIO {
         case _ => ("(", "]")
       }
       lefts.zipWithIndex.map { case (l, i) =>
-        stored.getOrElse(math.round(l * 1e6), {
+        stored.getOrElse(keyOf(l), {
           val width =
             if (i + 1 < lefts.length) lefts(i + 1) - l
             else if (i > 0) l - lefts(i - 1)
