@@ -861,23 +861,32 @@ object SparkEntry {
       }
     }),
 
-    // IVF-PQ probe over a persisted compressed index (rows-only:
-    // quantization is approximate by construction). The probe scans
-    // codes (+_rn), never float vectors — 1/16 of the corpus bytes —
-    // and statically prunes to the probed lists. Index built once per
-    // (JVM, sf dir) like the stream-dedup band index; quality pinned
-    // in-engine by overlap with the exact cosine top-k.
+    // IVFADC+R probe over a persisted compressed index (rows-only:
+    // IVF routing is approximate by construction). The ADC long-list
+    // scans codes (+_rn), never float vectors — 1/16 of the corpus
+    // bytes — statically pruned to the probed lists; the top-R
+    // short-list is then re-ranked with the exact cosine against the
+    // <= R·|queries| full-vector rows it names (id-pushdown read), so
+    // quantization error no longer bounds recall (measured: re-rank
+    // recall == the IVF routing ceiling at every setting). The residual
+    // loss is ROUTING on this fixture's uniform-random near-orthogonal
+    // vectors — ANN's statistically hardest case, where any sublinear
+    // scan must trade recall — hence the honest 12/16 probed fraction
+    // here (recall 0.975 at sf0.01); real clustered corpora route at
+    // small fractions (ScaleSmoke ann1m: recall 1.0 at 3.1% scan).
+    // Index built once per (JVM, sf dir) like the stream-dedup band
+    // index; quality pinned in-engine by overlap with exact top-k.
     "emb_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 8)
       val idx = pqIndexPath.getOrElseUpdate(dir, {
         val p = "/tmp/graft_ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
         Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
-          nLists = 8, m = 16, pqK = 64, iters = 2)
+          nLists = 16, m = 16, pqK = 64, iters = 2)
         p
       })
-      val pq = Similarity.ivfPqProbeIndex(s, idx, queries, "vec_id",
-          "embedding", k = 5, nProbe = 4)
+      val pq = Similarity.ivfPqProbeRerank(s, idx, queries, "vec_id",
+          "embedding", k = 5, nProbe = 12, rerankR = 100)
         .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
       if (!recallOn) sortSmall(pq, "query_id", "rank")
       else {

@@ -367,16 +367,24 @@ object Similarity {
     * At 100 TB this is the operation that makes the index an INDEX: the
     * corpus pass and k-means training are paid once; growth costs one
     * assignment projection over the new rows only. */
+  /** (row count, mean distance-to-assigned-centroid) of a corpus frame —
+    * the drift stat shared by [[ivfAppend]] and [[ivfPqAppend]].
+    * Distances aggregate through exact decimal sums, so the stat is
+    * partition-count invariant. */
+  private def corpusDistStats(corpus: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): (Long, Double) = {
+    val r = corpus
+      .select(distToCentroid(col(vecCol), col("list"), cents).as("_d"))
+      .agg(count(lit(1)).as("n"), graft.ops.Resample.detMean(col("_d")).as("m"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
     val cents = loadIvfCentroids(spark, path)
-    def meanDist(corpus: DataFrame): (Long, Double) = {
-      val r = corpus
-        .select(distToCentroid(col(vecCol), col("list"), cents).as("_d"))
-        .agg(count(lit(1)).as("n"), graft.ops.Resample.detMean(col("_d")).as("m"))
-        .head()
-      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
-    }
+    def meanDist(corpus: DataFrame): (Long, Double) =
+      corpusDistStats(corpus, vecCol, cents)
     val (nBefore, distBefore) = meanDist(spark.read.parquet(s"$path/corpus"))
     val assigned = asDouble(newVectors, vecCol)
       .withColumn("_n", norm(col(vecCol)))
@@ -492,24 +500,77 @@ object Similarity {
           d.select(col(idCol), slice(col(vecCol), i * w + 1, w).as(vecCol)),
           idCol, vecCol, pqK, iters)
       }.toArray
-      // per-subspace squared centroid norms, for the reconstruction norm
-      val sqn = codebooks.map(_.map(c => c.map(x => x * x).sum))
-      val sqnLit = array(sqn.map(s => array(s.map(lit): _*)): _*)
-      val codesCol = array((0 until m).map(i =>
-        nearestList(slice(col(vecCol), i * w + 1, w), codebooks(i))): _*)
-      d.withColumn("list", nearestList(col(vecCol), cents))
-        .withColumn("codes", codesCol)
-        .withColumn("_rn", sqrt(aggregate(sequence(lit(0), lit(m - 1)),
-          lit(0.0), (acc, i) => acc + element_at(
-            element_at(sqnLit, i + 1), element_at(col("codes"), i + 1) + 1))))
+      val assigned = d.withColumn("list", nearestList(col(vecCol), cents)).cache()
+      withPqCodes(assigned, vecCol, codebooks)
         .select(col(idCol), col("codes"), col("_rn"), col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus_pq")
+      // the full-vector corpus rides next to the codes (same layout as
+      // buildIvfIndex) for the IVFADC+R re-rank stage: the ADC long-list
+      // scan stays codes-only; only the R short-listed rows per query are
+      // ever re-read here, pruned by list partition + id predicate
+      // pushdown, so the full vectors cost ~R·|queries| row-group reads,
+      // not a corpus scan.
+      assigned.withColumn("_n", norm(col(vecCol)))
+        .select(col(idCol), col(vecCol), col("_n"), col("list"))
+        .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus")
+      assigned.unpersist()
       writeJson(spark, s"$path/centroids.json",
         cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
       writeJson(spark, s"$path/codebooks.json",
         codebooks.map(_.map(_.mkString("[", ",", "]"))
           .mkString("[", ",", "]")).mkString("[", ",", "]"))
     } finally d.unpersist()
+  }
+
+  /** Attach `codes` (per-subspace argmin codebook ids) and `_rn` (the
+    * reconstruction norm) for the given codebooks — the encode step,
+    * shared by the index build and [[ivfPqAppend]] so appended rows are
+    * encoded bit-identically to built rows. */
+  private def withPqCodes(d: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val w = codebooks.head.head.length
+    // per-subspace squared centroid norms, for the reconstruction norm
+    val sqn = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val sqnLit = array(sqn.map(s => array(s.map(lit): _*)): _*)
+    val codesCol = array((0 until m).map(i =>
+      nearestList(slice(col(vecCol), i * w + 1, w), codebooks(i))): _*)
+    d.withColumn("codes", codesCol)
+      .withColumn("_rn", sqrt(aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, i) => acc + element_at(
+          element_at(sqnLit, i + 1), element_at(col("codes"), i + 1) + 1))))
+  }
+
+  /** Append vectors to a persisted IVF-PQ index WITHOUT retraining:
+    * assign with the stored centroids, ENCODE with the stored codebooks
+    * (via the same [[withPqCodes]] the build uses, so probing after
+    * append ≡ probing a rebuild that was handed the same centroids and
+    * codebooks, bit-exactly), and append into both the codes corpus and
+    * the full-vector re-rank corpus's `list=` partitions. Returns the
+    * same centroid-drift stat as [[ivfAppend]] — appended data that no
+    * longer matches the trained centroids is also drifting away from the
+    * subspace codebooks trained on the same distribution, so one signal
+    * covers both retrain triggers. Growth costs one assignment+encode
+    * projection over the new rows only; k-means never re-runs. */
+  def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
+    val cents = loadIvfCentroids(spark, path)
+    val codebooks = loadPqCodebooks(spark, path)
+    def meanDist(): (Long, Double) =
+      corpusDistStats(spark.read.parquet(s"$path/corpus"), vecCol, cents)
+    val (nBefore, distBefore) = meanDist()
+    val assigned = asDouble(newVectors, vecCol)
+      .withColumn("list", nearestList(col(vecCol), cents))
+      .cache()
+    withPqCodes(assigned, vecCol, codebooks)
+      .select(col(idCol), col("codes"), col("_rn"), col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$path/corpus_pq")
+    assigned.withColumn("_n", norm(col(vecCol)))
+      .select(col(idCol), col(vecCol), col("_n"), col("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
+    assigned.unpersist()
+    val (nAfter, distAfter) = meanDist()
+    IvfAppendStats(nBefore, nAfter - nBefore, distBefore, distAfter)
   }
 
   private def writeJson(spark: org.apache.spark.sql.SparkSession,
@@ -570,6 +631,52 @@ object Similarity {
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("candidate_id"))
     scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+  }
+
+  /** IVFADC+R probe: ADC short-list + exact re-rank (the "+R" refinement
+    * from the same Jégou et al. TPAMI'11 line [[buildIvfPqIndex]] cites).
+    * Stage 1 probes the compressed codes exactly like [[ivfPqProbeIndex]]
+    * but keeps the top `rerankR` candidates per query (R ≈ 4–10×k);
+    * stage 2 re-reads ONLY those rows from the full-vector corpus the
+    * index build wrote next to the codes and rescores with the exact
+    * cosine, emitting the true top-k among the short-list.
+    *
+    * Scale shape: the long-list scan still reads codes-only bytes over
+    * nProbe/nLists partitions; the refinement reads ≤ R·|queries| rows
+    * (both bounded by the probe batch, never the corpus) through a
+    * collected id list applied as a pushed-down `isin` — the same
+    * bounded-driver-state move as the probed-list pruning. Recall becomes
+    * IVF-routing-limited instead of quantization-limited: any true
+    * neighbor inside the probed lists and the ADC top-R is returned at
+    * its exact rank. */
+  def ivfPqProbeRerank(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, rerankR: Int = 40, roundScale: Int = 6): DataFrame = {
+    val shortlist = ivfPqProbeIndex(spark, path, queries, idCol, vecCol,
+        rerankR, nProbe, roundScale)
+      .select(col("query_id"), col("candidate_id")).persist()
+    // ≤ |queries|·R ids — bounded by the probe batch, like probedLists
+    val candIds = shortlist.select(col("candidate_id")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cents = loadIvfCentroids(spark, path)
+    val probedLists = asDouble(queries, vecCol)
+      .select(explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val q = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("_qn"))
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .where(col("list").isin(probedLists: _*) &&
+        col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("candidate_id"), col(vecCol), col("_n"))
+    val rescored = corpus.join(broadcast(shortlist), Seq("candidate_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round(dot(col("qvec"), col(vecCol)) / (col("_qn") * col("_n")),
+          roundScale).as("cosine"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    rescored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
   }
 
   /** IVF-style two-stage search: partition vectors into `nLists` buckets by

@@ -145,6 +145,58 @@ class ExtSpec extends SparkSpec {
       s"outlier append must raise the drift stat: $s3")
   }
 
+  test("ivfPqAppend: encode-on-append keeps probe parity, exact rerank, drift stat") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 150)
+    val batchB = emb.where(col("vec_id") >= 150 && col("vec_id") < 180)
+    val batchC = emb.where(col("vec_id") >= 180)
+    val queries = emb.where(col("vec_id") < 8)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    val p1 = "/tmp/graft_test_ivfpq_append1"
+    val p2 = "/tmp/graft_test_ivfpq_append2"
+    for (p <- Seq(p1, p2)) {
+      val d = new java.io.File(p)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+      }
+      Similarity.buildIvfPqIndex(base, "vec_id", "embedding", p,
+        nLists = 8, m = 16, pqK = 64, iters = 2)
+    }
+    // one append vs two appends of the same rows: bit-identical ADC
+    // probes (assignment + encoding use the STORED centroids/codebooks
+    // either way — appended rows are encoded exactly as a rebuild handed
+    // the same codebooks would encode them)
+    val s1 = Similarity.ivfPqAppend(spark, p1, batchB.union(batchC),
+      "vec_id", "embedding")
+    val s2a = Similarity.ivfPqAppend(spark, p2, batchB, "vec_id", "embedding")
+    val s2b = Similarity.ivfPqAppend(spark, p2, batchC, "vec_id", "embedding")
+    assert(s1.nAppended == s2a.nAppended + s2b.nAppended)
+    assert(s1.nBefore == 150 && s2a.nBefore == 150)
+    val q1 = Similarity.ivfPqProbeIndex(spark, p1, queries,
+      "vec_id", "embedding", k = 10, nProbe = 3)
+    val q2 = Similarity.ivfPqProbeIndex(spark, p2, queries,
+      "vec_id", "embedding", k = 10, nProbe = 3)
+    assert(q1.select(cols.map(col): _*).exceptAll(
+      q2.select(cols.map(col): _*)).isEmpty)
+    assert(q2.select(cols.map(col): _*).exceptAll(
+      q1.select(cols.map(col): _*)).isEmpty)
+    // the appended rows joined the re-rank corpus too: exhaustive-routing
+    // IVFADC+R over the grown index reproduces brute-force exact top-k
+    // over the grown corpus bit-for-bit
+    val rr = Similarity.ivfPqProbeRerank(spark, p1, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8, rerankR = 100000)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    val exact = Similarity.cosineTopK(base.union(batchB).union(batchC),
+        queries, "vec_id", "embedding", 5)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    assert(rr == exact, "post-append exhaustive IVFADC+R != exact top-k")
+    // same drift signal as the uncompressed index
+    assert(s1.meanDistBefore > 0 && s1.driftRatio < 1.5, s1.toString)
+  }
+
   test("IVF-PQ index: scans codes not vectors, prunes partitions, ranks usefully") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 8)
@@ -186,6 +238,16 @@ class ExtSpec extends SparkSpec {
     val pqTop = full.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
     val hits = exact.count { case (q, c) => pqTop.getOrElse(q, Set.empty[Long]).contains(c) }
     assert(hits >= 6, s"exact top-1 in PQ top-10 for only $hits/8 queries")
+    // IVFADC+R: exhaustive routing + a short-list covering the corpus
+    // must reproduce the brute-force exact top-k bit-for-bit — the
+    // re-rank stage's scoring is the same IEEE op sequence as cosineTopK
+    val rr = Similarity.ivfPqProbeRerank(spark, path, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8, rerankR = 100000)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    val exactTopK = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    assert(rr == exactTopK,
+      s"exhaustive IVFADC+R != exact top-k (${rr.size} vs ${exactTopK.size} rows)")
   }
 
   test("rows-only queries carry in-engine recall evidence above floors") {
@@ -198,9 +260,10 @@ class ExtSpec extends SparkSpec {
     // hamming 4-7 and are out of radius by design (sf0.001: 7/9 = 0.778)
     assert(recallOf("doc_simhash_pairs", "recall_planted") >= 0.75)
     assert(recallOf("emb_ivf_topk", "recall_at_k") >= 0.5)
-    // PQ adds quantization error on top of IVF routing; uniform random
-    // vectors (this fixture) are its hardest case — floor accordingly
-    assert(recallOf("emb_ivfpq_topk", "recall_at_k") >= 0.3)
+    // IVFADC+R re-rank makes PQ recall IVF-routing-limited, not
+    // quantization-limited: the short-list (R = 8×k over ~4 probed
+    // lists) recovers what routing admits
+    assert(recallOf("emb_ivfpq_topk", "recall_at_k") >= 0.9)
     // LSH on a near-dup-free corpus: absolute recall is low by design
     // (top-20 cosines ~0.45 ⇒ banding predicts ~0.1); the contract is
     // measured recall ≈ the formula's expectation, within binomial slack
