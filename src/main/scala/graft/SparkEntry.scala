@@ -92,6 +92,13 @@ object SparkEntry {
   private val pqIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of materialized dedup-sink corpora (doc_dedup_sink):
+    * the filtered corpus is written once per (JVM, sf dir) and the
+    * declared query audits the files on disk — the artifact shape an LLM
+    * data pipeline actually ships. */
+  private val dedupSinkPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Near-dup cluster labels per sf dir, shared by doc_dedup_clusters and
     * doc_dedup_keep. The returned frame is localCheckpointed inside
     * dedupClusters (RDD-backed, survives catalog clearCache), so the
@@ -792,6 +799,36 @@ object SparkEntry {
       sortSmall(kept, "doc_id")
     }),
 
+    // the MATERIALIZED dedup decision: join the keep-list back to the
+    // documents table, write the deduped corpus as lang-partitioned
+    // parquet (the artifact an LLM training-data pipeline ships), then
+    // audit the files on disk — per-lang count, id/char sums, and an
+    // md5-derived content checksum over the text actually written. The
+    // oracle recomputes the same keep-join + checksums from the source
+    // table, so a green row proves the end-to-end
+    // mine→cluster→keep→write→read-back path, not just the plan.
+    "doc_dedup_sink" -> ((s, dir) => {
+      val path = dedupSinkPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_dedup_corpus_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val cl = clustersFor(s, dir)
+        val docs = t(s, dir, "documents")
+        docs.join(cl, docs("doc_id") === cl("doc"), "left")
+          .where(col("root").isNull || col("root") === col("doc_id"))
+          .select(docs("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+        p
+      })
+      val sink = s.read.parquet(path)
+      sortSmall(sink.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long"), lit(1000003L))).as("checksum")),
+        "lang")
+    }),
+
     // SimHash near-dup pairs (rows-only check: the 64-bit token-hash
     // signature is engine-specific, so no portable SQL oracle exists).
     // Quality is pinned in-engine instead: `is_planted`/`recall_planted`
@@ -1086,6 +1123,32 @@ object SparkEntry {
       }
       sortSmall(res.select(col("doc_new"), col("doc_corpus"),
         round(col("jaccard"), 6).as("jaccard")), "doc_new", "doc_corpus")
+    }),
+
+    // streaming SimHash near-dup probe against a persisted combination-
+    // band index — the second streaming dedup family, and unlike MinHash
+    // it is oracle-pinned EXACTLY: the Manku pigeonhole guarantees every
+    // hamming<=3 pair collides on some band (no banding-recall margin),
+    // and the fingerprint is the PORTABLE md5-derived simhash, so DuckDB
+    // recomputes the identical 60-bit values from the raw text and the
+    // hash-equal gate pins streaming ≡ batch ≡ oracle.
+    "stream_simhash_dedup" -> ((s, dir) => {
+      val idx = streamDedupIndex.getOrElseUpdate("simhash:" + dir, {
+        val p = "/tmp/graft_stream_simhash_idx_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.streaming.StreamingDedup.buildSimhashIndex(
+          t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", p, portable = true)
+        p
+      })
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_simhash_dedup_result") { st =>
+        graft.streaming.StreamingDedup.simhashDupStream(
+          s, st.where(col("doc_id") % 5 === 0), "doc_id", "text", idx,
+          maxDist = 3, portable = true)
+      }
+      sortSmall(res.select(col("doc_new"), col("doc_corpus"),
+        col("hamming").cast("long").as("hamming")), "doc_new", "doc_corpus")
     }),
 
     // tumbling-window rollup per event type over the JSON-extracted metric
@@ -1698,6 +1761,34 @@ object SparkEntry {
         |WHERE c.doc_id IS NULL OR c.keeper = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same recursive-CTE keep-join as doc_dedup_keep, then the identical
+    // per-lang audit aggregates the engine computes over the files it
+    // wrote (md5-prefix checksum is the cross-engine text fingerprint)
+    "doc_dedup_sink" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs
+        |          UNION SELECT doc_a, doc_a FROM pairs
+        |          UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS keeper FROM reach GROUP BY x),
+        |kept AS (SELECT d.* FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |         WHERE c.doc_id IS NULL OR c.keeper = d.doc_id)
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(doc_id)::BIGINT AS sum_doc_id,
+        |  SUM(n_chars)::BIGINT AS sum_n_chars,
+        |  SUM(('0x' || substring(md5(text),1,15))::BIGINT % 1000003)::BIGINT AS checksum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     // same shingle/Jaccard math as JaccardOracle, restricted to pairs
     // crossing the stream/corpus split (new = doc_id % 5 == 0)
     "stream_minhash_dedup" ->
@@ -1714,6 +1805,28 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON doc_new = ca.doc_id
         |           JOIN cnt cb ON doc_corpus = cb.doc_id
         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.9
+        |ORDER BY doc_new, doc_corpus""".stripMargin,
+
+    // independent recomputation of the portable md5-derived 60-bit
+    // simhash (same construction as Dedup.portableSimhash64: token hash
+    // = first 15 md5 hex chars, per-bit ±1 sums, bit = sum >= 0, packed
+    // MSB-first) + exact hamming over the stream/corpus split
+    "stream_simhash_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t),1,15))::BIGINT AS v FROM toks),
+        |contrib AS (
+        |  SELECT doc_id, b.b AS b,
+        |    SUM(CASE WHEN ((v >> (59 - b.b)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0,59)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sim AS (SELECT doc_id,
+        |          SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (59 - b)) ELSE 0 END)::BIGINT AS simhash
+        |        FROM contrib GROUP BY doc_id)
+        |SELECT n.doc_id AS doc_new, c.doc_id AS doc_corpus,
+        |       bit_count(xor(n.simhash, c.simhash))::BIGINT AS hamming
+        |FROM sim n JOIN sim c ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |WHERE bit_count(xor(n.simhash, c.simhash)) <= 3
         |ORDER BY doc_new, doc_corpus""".stripMargin,
 
     "emb_cosine_topk" ->

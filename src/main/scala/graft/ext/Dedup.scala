@@ -184,6 +184,36 @@ object Dedup {
       graft.functions.VectorFunctions.simhash64(col("_h")).as("simhash"))
   }
 
+  /** Cross-engine-reproducible 60-bit SimHash: the token hash is the
+    * first 15 hex chars of md5(token) parsed as an integer — a
+    * construction any SQL engine with md5() replicates exactly (15
+    * nibbles = 60 bits keeps the packed value non-negative in
+    * signed-64-only engines) — sign-summed per bit over all tokens
+    * (multiplicity-weighted), bit set iff the sum >= 0, packed
+    * MSB-first. Slower than [[simhash64]] (one md5 + a 60-wide
+    * interpreted fold per token vs one codegen'd xxhash64 pass), so it
+    * exists for one purpose: letting simhash dedup be pinned against an
+    * independent SQL oracle (`stream_simhash_dedup`) instead of a
+    * rows-only check. Row-local — safe as a stateless streaming stage;
+    * works unchanged with [[simhashBands]] (the zero top 4 bits sit in
+    * one block and never differ). */
+  def portableSimhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one md5 per token (the transform), then the 60 bit-contributions
+    // read the bound lambda variable — never recompute the hash
+    val hashes = transform(split(col(textCol), " "),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val sums = aggregate(hashes, array_repeat(lit(0), 60), (acc, h) =>
+      zip_with(acc,
+        array((0 until 60).map(b =>
+          when(shiftright(h, 59 - b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+            .otherwise(lit(-1))): _*),
+        (a, c) => a + c))
+    val bits = transform(sums, s => when(s >= 0, lit(1L)).otherwise(lit(0L)))
+    df.select(col(idCol).as("doc"),
+      aggregate(bits, lit(0L),
+        (acc, b) => shiftleft(acc, 1).bitwiseOR(b)).as("simhash"))
+  }
+
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming
     * distance <= maxDist verification. With `nChunks` bands a pair within
     * Hamming distance d is guaranteed to collide on some chunk iff

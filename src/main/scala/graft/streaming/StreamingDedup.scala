@@ -96,23 +96,33 @@ object StreamingDedup {
   /** Build the persisted SimHash index: the Manku combination-banding
     * table (doc, simhash, band, bandkey). The fingerprint rides on every
     * band row, so the probe verifies hamming distance row-locally — no
-    * second corpus table needed. */
+    * second corpus table needed. `portable = true` fingerprints with
+    * [[Dedup.portableSimhash64]] (md5-derived, oracle-reproducible)
+    * instead of the faster engine-hash [[Dedup.simhash64]]; index and
+    * probe must agree on the flag. */
   def buildSimhashIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, maxDist: Int = 3, nBlocks: Int = 6): Unit =
-    Dedup.simhashBands(Dedup.simhash64(df, idCol, textCol), maxDist, nBlocks)
+      path: String, maxDist: Int = 3, nBlocks: Int = 6,
+      portable: Boolean = false): Unit = {
+    val sim = if (portable) Dedup.portableSimhash64(df, idCol, textCol)
+              else Dedup.simhash64(df, idCol, textCol)
+    Dedup.simhashBands(sim, maxDist, nBlocks)
       .sortWithinPartitions("band", "bandkey")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Probe a stream of new documents against a [[buildSimhashIndex]]
     * index: emits (doc_new, doc_corpus, hamming <= maxDist) pairs, each
     * once. Same recall guarantee as the batch operator (the pigeonhole
-    * over combination bands). */
+    * over combination bands — EXACT for hamming <= maxDist, so unlike
+    * the MinHash probe there is no banding-recall margin to mind). */
   def simhashDupStream(spark: SparkSession, stream: DataFrame,
       idCol: String, textCol: String, indexPath: String,
-      maxDist: Int = 3, nBlocks: Int = 6): DataFrame = {
+      maxDist: Int = 3, nBlocks: Int = 6,
+      portable: Boolean = false): DataFrame = {
     val index = spark.read.parquet(indexPath)
-    val q = Dedup.simhashBands(
-      Dedup.simhash64(stream, idCol, textCol), maxDist, nBlocks)
+    val sim = if (portable) Dedup.portableSimhash64(stream, idCol, textCol)
+              else Dedup.simhash64(stream, idCol, textCol)
+    val q = Dedup.simhashBands(sim, maxDist, nBlocks)
     q.as("q").join(index.as("c"),
         col("q.band") === col("c.band") && col("q.bandkey") === col("c.bandkey"))
       .where(col("q.doc") =!= col("c.doc"))

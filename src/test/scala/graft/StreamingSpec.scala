@@ -202,6 +202,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((201L, 5L, 0))) // exact dup: hamming 0
   }
 
+  test("portable simhash: pinned cross-engine values, streaming probe exact") {
+    import graft.ext.Dedup
+    import graft.streaming.StreamingDedup
+    // values recomputed independently from the construction's definition
+    // (python hashlib md5 and DuckDB agree on both)
+    val pinned = Seq((1L, "hello world"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = Dedup.portableSimhash64(pinned, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 565086321623167679L, s"got ${got(1L)}")
+    assert(got(2L) == 71287727808099948L, s"got ${got(2L)}")
+    // streaming probe over a portable index == brute-force hamming over
+    // the portable fingerprints (the exact contract the DuckDB oracle of
+    // stream_simhash_dedup recomputes from raw text)
+    def text(i: Int) = (1 to 20).map(w => s"w${i}_$w").mkString(" ")
+    val corpus = (1 to 20).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val newDocs = Seq((201L, text(5)), (202L, text(202)))
+    val idx = "/tmp/graft_test_simhash_portable_idx"
+    StreamingDedup.buildSimhashIndex(corpus, "doc_id", "text", idx,
+      portable = true)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String)](spark, 1)
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.simhashDupStream(spark, df, "doc_id", "text", idx,
+        portable = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_portable_stream_tbl").start()
+    input.addData(newDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("simhash_portable_stream_tbl")
+      .select("doc_new", "doc_corpus", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val union = corpus.union(newDocs.toDF("doc_id", "text"))
+    val sims = Dedup.portableSimhash64(union, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      (n, _) <- newDocs
+      c <- 1L to 20L
+      d = java.lang.Long.bitCount(sims(n) ^ sims(c))
+      if d <= 3
+    } yield (n, c, d)).toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+    assert(streamed.contains((201L, 5L, 0)))
+  }
+
   test("streaming IVF probe equals the batch index probe") {
     import graft.ext.Similarity
     import graft.streaming.StreamingAnn
