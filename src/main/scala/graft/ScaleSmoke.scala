@@ -18,6 +18,9 @@ object ScaleSmoke {
     if (args.headOption.contains("dedup1m")) { dedup1m(); return }
     if (args.headOption.contains("ann1m")) { ann1m(); return }
     if (args.headOption.contains("clusters1m")) { clusters1m(); return }
+    if (args.headOption.contains("chains1m")) { chains1m(); return }
+    if (args.headOption.contains("pq1m")) { pq1m(); return }
+    if (args.headOption.contains("toppairs1m")) { toppairs1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -262,6 +265,177 @@ object ScaleSmoke {
     println(f"SCALECL growth (4x pairs) = $growth%.2fx " +
       (if (growth < 8.0) "NEAR-LINEAR" else "NOT LINEAR"))
     if (growth >= 8.0) failed = true
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Adversarial long-chain cluster measurement (`runMain graft.ScaleSmoke
+    * chains1m`): pair graphs that are single chains of diameter ~10³ —
+    * the shape plain min-label propagation needs ~10³ rounds for. Pins
+    * the pointer-doubling claim: rounds must stay ≈ log₂(diameter) + a
+    * small constant (< 20), roots exact, and 4× pairs must not change
+    * the round count. */
+  private def chains1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fam = 1024L // docs per chain family → diameter 1023
+    var failed = false
+    val stats = Seq(250000L, 1000000L).map { nPairs =>
+      val nDocs = nPairs / (fam - 1) * fam
+      val pairs = spark.range(nDocs)
+        .where(pmod(col("id"), lit(fam)) =!= (fam - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val t0 = System.nanoTime()
+      val labels = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      val wrong = labels
+        .where(col("root") =!= (col("doc") - pmod(col("doc"), lit(fam))))
+        .count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val rounds = Dedup.lastClusterRounds
+      println(f"SCALECHAIN pairs=$nPairs%8d diameter=${fam - 1} rounds=$rounds wrong=$wrong $t%.1f s")
+      if (wrong > 0 || rounds >= 20) failed = true
+      (rounds, t)
+    }
+    if (stats(0)._1 != stats(1)._1)
+      println(s"SCALECHAIN note: round count varied with size (${stats.map(_._1)})")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** 1M-tier IVF-PQ measurement (`runMain graft.ScaleSmoke pq1m`):
+    * builds the persisted compressed index at 250k and 1M vectors
+    * (same planted-neighbor fixture as ann1m) and measures what
+    * justifies PQ's existence at 100 TB: recall@10 WITH the IVFADC+R
+    * exact re-rank, the probed-partition scan fraction, and the
+    * on-disk BYTES of the ADC long-list corpus (codes + recon norm)
+    * vs the full-vector corpus — the factor by which the dominant
+    * scan shrinks. Asserts recall ≥ 0.9, scan fraction < 0.15, byte
+    * reduction ≥ 4×. */
+  private def pq1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding"))
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    val nLists = 128; val nProbe = 8; val k = 10; val nQueries = 100L
+    var failed = false
+    Seq(250000L, 1000000L).foreach { n =>
+      println(s"--- pq1m: $n vectors (64-dim), nLists=$nLists nProbe=$nProbe m=8 ---")
+      val vecs = synthVecs(n).cache(); vecs.count()
+      val idx = s"/tmp/graft_scale_pq_idx_$n"
+      var t0 = System.nanoTime()
+      Similarity.buildIvfPqIndex(vecs, "vec_id", "embedding", idx,
+        nLists = nLists, m = 8, pqK = 256, iters = 2)
+      println(f"SCALEPQ build-index              ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val pqBytes = dirBytes(s"$idx/corpus_pq")
+      val fullBytes = dirBytes(s"$idx/corpus")
+      val ratio = fullBytes.toDouble / pqBytes
+      println(f"SCALEPQ scan-bytes               codes=$pqBytes%12d full=$fullBytes%12d reduction=${ratio}%.1fx")
+      // measured scan fraction over the probed lists
+      val cents = Similarity.loadIvfCentroids(spark, idx)
+      val queries = vecs.where(pmod(col("vec_id"), lit(100L)) === 1L &&
+        col("vec_id") < lit(100L * nQueries)).cache()
+      val listSizes = spark.read.parquet(s"$idx/corpus_pq")
+        .groupBy("list").agg(count(lit(1)).as("sz"))
+      val scanFrac = queries
+        .select(col("vec_id").as("query_id"),
+          explode(Similarity.nearestLists(col("embedding"), cents, nProbe)).as("list"))
+        .join(listSizes, "list")
+        .groupBy("query_id").agg(sum(col("sz")).as("scanned"))
+        .agg(avg(col("scanned"))).as[Double].head() / n
+      t0 = System.nanoTime()
+      val topk = Similarity.ivfPqProbeRerank(spark, idx, queries,
+        "vec_id", "embedding", k = k, nProbe = nProbe, rerankR = 40)
+      val hits = topk.where(col("candidate_id") === col("query_id") - 1)
+        .select(countDistinct(col("query_id"))).as[Long].head()
+      val recall = hits.toDouble / nQueries
+      println(f"SCALEPQ adc-rerank-probe         ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      println(f"SCALEPQ recall@$k with rerank    $recall%.3f (scan fraction $scanFrac%.4f)")
+      if (recall < 0.9 || scanFrac > 0.15 || ratio < 4.0) failed = true
+      queries.unpersist(); vecs.unpersist()
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Planted-duplicate global top-N measurement (`runMain
+    * graft.ScaleSmoke toppairs1m`): 250k/1M vectors with 1%-planted
+    * near-duplicate pairs (cosine ≈ 0.999). [[graft.ext.Similarity
+    * .topPairsLsh]] must recover the planted set through banded-LSH
+    * candidates + exact verify — the declared emb_lsh_top_pairs plan
+    * shape — while generating orders of magnitude fewer candidate
+    * pairs than the n²/2 a brute-force top-N would score. Asserts
+    * recall ≥ 0.999 and zero non-planted emissions. */
+  private def toppairs1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding"))
+    var failed = false
+    Seq(250000L, 1000000L).foreach { n =>
+      val nPlanted = n / 100
+      val bits = (math.ceil(math.log(n.toDouble) / math.log(2.0)) + 2).toInt
+      println(s"--- toppairs1m: $n vectors, $nPlanted planted pairs, bits=$bits bands=16 ---")
+      val vecs = synthVecs(n).cache(); vecs.count()
+      // candidate volume: banding-bucket occupancy Σ k(k−1)/2 — the pair
+      // count the verify stage scores, vs n²/2 for brute force
+      val sigs = (0 until 16).map(b =>
+        Similarity.hyperplaneSignature(vecs, "vec_id", "embedding", bits, b.toLong)
+          .select(lit(b).as("band"), col("lsh_sig")))
+        .reduce(_ unionByName _)
+      val cand = sigs.groupBy("band", "lsh_sig").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L))).as[Long].head() / 2
+      val bruteForce = n * (n - 1) / 2
+      println(f"SCALETOP candidates=$cand%12d vs brute=$bruteForce%15d (${bruteForce.toDouble / math.max(cand, 1)}%.0fx fewer)")
+      val t0 = System.nanoTime()
+      val got = Similarity.topPairsLsh(vecs, "vec_id", "embedding",
+          topN = nPlanted.toInt, minCosine = 0.9, bits = bits, bands = 16)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val t = (System.nanoTime() - t0) / 1e9
+      val planted = (0L until n by 100L).map(i => (i, i + 1)).toSet
+      val recall = got.intersect(planted).size.toDouble / planted.size
+      val falsePos = (got -- planted).size
+      println(f"SCALETOP top-$nPlanted recovered  recall=$recall%.4f falsePos=$falsePos $t%.1f s")
+      if (recall < 0.999 || falsePos > 0) failed = true
+      vecs.unpersist()
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -381,8 +381,14 @@ object Dedup {
     // tripping this means a bug, not a big graph.
     require(changed == 0,
       s"dedupClusters did not converge in $rounds rounds ($changed labels still changing)")
+    lastClusterRounds = rounds
     labels
   }
+
+  /** Round count of the most recent [[dedupClusters]] call in this JVM —
+    * diagnostic only (ScaleSmoke's chain tier pins the O(log diameter)
+    * claim with it). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
 
   /** The chunk-banding frame behind [[simhashDupPairs]] — public for
     * occupancy diagnostics. */

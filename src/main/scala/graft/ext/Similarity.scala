@@ -103,6 +103,37 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Global top-N most-similar pairs via LSH candidates + exact verify —
+    * the SCALE path for near-dup pair mining, replacing [[topPairs]]'
+    * all-pairs work with banded sign-LSH candidate generation
+    * ([[lshBucketedPairs]]), exact cosine verification of candidates
+    * only, and a global top-N cut.
+    *
+    * Contract: complete for pairs with cosine >= `minCosine` when
+    * (bits, bands) are sized for that threshold — near-dup pairs
+    * (cosine >= 0.9, collision prob per band p^bits with
+    * p = 1 − θ/π >= 0.9) are recovered with probability
+    * 1 − (1 − p^bits)^bands, driven to ~1 with tens of bands at
+    * per-band bucket occupancy O(1); exact duplicates collide in EVERY
+    * band (identical signatures), so duplicate recovery is
+    * deterministic. Pairs below the threshold are out of scope BY
+    * DEFINITION, and that is not a parameter-tuning gap but information
+    * theory: on near-orthogonal corpora (this repo's embeddings fixture:
+    * top-20 pair cosines 0.44–0.51) recovering the global top-N needs
+    * more LSH candidate work than the all-pairs scan — measured: the
+    * fixture's 20th pair at cosine 0.443 gives p = 0.646, so even
+    * 4-bit/52-band amplification (miss < 5e-5) generates ~3.3× MORE
+    * candidate pairs than brute force at n = 500, and the ratio worsens
+    * with n. Global top-N at unrestricted similarity is inherently
+    * quadratic; above a duplicate-like threshold this path is the one
+    * that survives 100×. */
+  def topPairsLsh(df: DataFrame, idCol: String, vecCol: String, topN: Int,
+      minCosine: Double, bits: Int = 16, bands: Int = 32,
+      roundScale: Int = 6): DataFrame =
+    lshBucketedPairs(df, idCol, vecCol, minCosine, bits, bands, roundScale)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+
   /** Random-hyperplane (sign-LSH) signature: `bits` sign bits packed into
     * a long, computed by the native codegen'd
     * [[graft.functions.HyperplaneSig]] expression (deterministic
@@ -655,9 +686,6 @@ object Similarity {
     val shortlist = ivfPqProbeIndex(spark, path, queries, idCol, vecCol,
         rerankR, nProbe, roundScale)
       .select(col("query_id"), col("candidate_id")).persist()
-    // ≤ |queries|·R ids — bounded by the probe batch, like probedLists
-    val candIds = shortlist.select(col("candidate_id")).distinct()
-      .collect().map(_.get(0)).toSeq
     val cents = loadIvfCentroids(spark, path)
     val probedLists = asDouble(queries, vecCol)
       .select(explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
@@ -665,9 +693,22 @@ object Similarity {
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))
-    val corpus = spark.read.parquet(s"$path/corpus")
-      .where(col("list").isin(probedLists: _*) &&
-        col(idCol).isin(candIds: _*))
+    // adaptive refinement read: an ONLINE probe (few queries → ≤ ~1k
+    // short-listed ids) collects the ids and pushes them into the
+    // parquet scan, so row-group stats skip nearly all full-vector
+    // bytes; a BATCH probe (many queries) skips the driver-side id
+    // list — a bounded isin no longer exists — and instead reads the
+    // probed `list=` partitions once, semi-joined against the
+    // broadcast short-list, amortizing the partition read across the
+    // whole query batch. Both paths keep static list pruning.
+    val distinctIds = shortlist.select(col("candidate_id")).distinct()
+    val candIds =
+      if (distinctIds.count() <= 1024L) distinctIds.collect().map(_.get(0)).toSeq
+      else Seq.empty
+    val pruned = spark.read.parquet(s"$path/corpus")
+      .where(col("list").isin(probedLists: _*))
+    val corpus = (if (candIds.nonEmpty)
+        pruned.where(col(idCol).isin(candIds: _*)) else pruned)
       .select(col(idCol).as("candidate_id"), col(vecCol), col("_n"))
     val rescored = corpus.join(broadcast(shortlist), Seq("candidate_id"))
       .join(broadcast(q), Seq("query_id"))

@@ -145,6 +145,27 @@ class ExtSpec extends SparkSpec {
       s"outlier append must raise the drift stat: $s3")
   }
 
+  test("topPairsLsh recovers planted duplicates deterministically, no all-pairs stage") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact duplicates have identical sign-LSH signatures in every band,
+    // so candidate generation is deterministic (p = 1), independent of
+    // the hyperplane draw; background pairs at this n stay below ~0.6
+    val dups = emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(dups)
+    val q = Similarity.topPairsLsh(corpus, "vec_id", "embedding",
+      topN = 5, minCosine = 0.9, bits = 12, bands = 16)
+    val got = q.select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = (0L until 5L).map(i => (i, i + 10000L, 1.0)).toSet
+    assert(got == expected, s"got=$got")
+    // the executed plan is hash/sort-merge equi-join machinery only —
+    // the whole point vs topPairs is that no all-pairs stage exists
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+  }
+
   test("ivfPqAppend: encode-on-append keeps probe parity, exact rerank, drift stat") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val base = emb.where(col("vec_id") < 150)
