@@ -36,23 +36,23 @@ object Dedup {
 
   /** Row-local distinct hashed-shingle ARRAY — the un-exploded form of
     * [[hashedShingles]] (identical hash values), for stateless per-row
-    * pipelines like the streaming probes. `words` MUST be a materialized
-    * attribute (lambda bodies re-evaluate outer expressions per element,
-    * so an inline split would re-split once per shingle index). */
-  def shingleArray(words: Column, n: Int): Column = {
-    val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idxs, i =>
-      xxhash64((1 to n).map(k => element_at(words, i + k)): _*)))
-  }
+    * pipelines like the streaming probes. Native codegen'd expression;
+    * bit-identical to the HOF formulation
+    * `array_distinct(transform(sequence, i -> xxhash64(w_{i+1}..w_{i+n})))`
+    * it replaced (ExtSpec pins the equality), which evaluated interpreted
+    * per element — ~0.65 s for 52 k shingles at sf0.1. */
+  def shingleArray(words: Column, n: Int): Column =
+    graft.functions.MinHashFunctions.shingleHashes(words, n)
 
   /** Row-local MinHash signature from a hashed-shingle array — the same
     * per-permutation minima [[minhashSignatures]] computes as an
     * aggregate, without the explode/groupBy, so a streaming (stateless)
-    * stage can compute it. `shs` must be a materialized attribute. */
+    * stage can compute it. Native codegen'd expression; bit-identical to
+    * `array((0 until k).map(i => array_min(transform(shs, s ->
+    * xxhash64(lit(i), s)))))` (ExtSpec pins the equality) — the HOF form
+    * re-walked the shingle array through 64 interpreted lambda passes. */
   def minhashSignature(shs: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shs, s => xxhash64(lit(i), s)))): _*)
+    graft.functions.MinHashFunctions.minhashSig(shs, numHashes)
 
   /** Exact pairwise n-gram Jaccard over a hashed-shingle frame (columns
     * doc, sh); emits pairs with similarity >= minJ (doc_a < doc_b).
@@ -141,10 +141,11 @@ object Dedup {
 
   /** The per-band hash keys of one signature array — shared by
     * [[minhashBands]] and the streaming probe so batch index and stream
-    * side band identically. */
+    * side band identically. Native codegen'd expression; bit-identical to
+    * `transform(sequence(0, bands-1), b -> xxhash64(b, slice(sig,
+    * b·r+1, r)))` (ExtSpec pins the equality). */
   def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+    graft.functions.MinHashFunctions.bandKeys(sig, bands, rowsPerBand)
 
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = minhashBands(sig, bands, rowsPerBand)
@@ -190,29 +191,21 @@ object Dedup {
     * nibbles = 60 bits keeps the packed value non-negative in
     * signed-64-only engines) — sign-summed per bit over all tokens
     * (multiplicity-weighted), bit set iff the sum >= 0, packed
-    * MSB-first. Slower than [[simhash64]] (one md5 + a 60-wide
-    * interpreted fold per token vs one codegen'd xxhash64 pass), so it
-    * exists for one purpose: letting simhash dedup be pinned against an
-    * independent SQL oracle (`stream_simhash_dedup`) instead of a
-    * rows-only check. Row-local — safe as a stateless streaming stage;
-    * works unchanged with [[simhashBands]] (the zero top 4 bits sit in
-    * one block and never differ). */
-  def portableSimhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one md5 per token (the transform), then the 60 bit-contributions
-    // read the bound lambda variable — never recompute the hash
-    val hashes = transform(split(col(textCol), " "),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val sums = aggregate(hashes, array_repeat(lit(0), 60), (acc, h) =>
-      zip_with(acc,
-        array((0 until 60).map(b =>
-          when(shiftright(h, 59 - b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-            .otherwise(lit(-1))): _*),
-        (a, c) => a + c))
-    val bits = transform(sums, s => when(s >= 0, lit(1L)).otherwise(lit(0L)))
+    * MSB-first. It exists for one purpose: letting simhash dedup be
+    * pinned against an independent SQL oracle (`stream_simhash_dedup`)
+    * instead of a rows-only check. Row-local — safe as a stateless
+    * streaming stage; works unchanged with [[simhashBands]] (the zero top
+    * 4 bits sit in one block and never differ). Native codegen'd
+    * expressions; bit-identical to the original HOF formulation
+    * (`transform(split, t -> conv(substring(md5(t),1,15),16,10))` folded
+    * through a 60-wide interpreted sign-sum — StreamingSpec pins the
+    * fingerprint values, and the DuckDB oracle recomputes them from raw
+    * text), which cost ~1.4 s per 1 000 docs at sf0.1. */
+  def portableSimhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
-      aggregate(bits, lit(0L),
-        (acc, b) => shiftleft(acc, 1).bitwiseOR(b)).as("simhash"))
-  }
+      graft.functions.VectorFunctions.simhash60(
+        graft.functions.VectorFunctions.md5Hash60Tokens(
+          split(col(textCol), " "))).as("simhash"))
 
   /** Candidate near-dup pairs by SimHash chunk collision + Hamming
     * distance <= maxDist verification. With `nChunks` bands a pair within

@@ -181,6 +181,109 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Helpers for the portable (md5-derived) 60-bit SimHash — shared by the
+  * interpreted and generated paths of [[Md5Hash60Tokens]]/[[SimHash60]]. */
+object SimHash60Helpers {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(token) as a non-negative long — the value
+    * `conv(substring(md5(t), 1, 15), 16, 10)` produces: the first 15 hex
+    * chars are the first 7.5 digest bytes, i.e. the big-endian first-8-
+    * bytes long shifted right by one nibble. */
+  def md5Hash60(token: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(token.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def md5Tokens(words: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = words.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i))
+        out(i) = md5Hash60(words.get(i, org.apache.spark.sql.types.StringType)
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** 60-bit sign-sum fingerprint over 60-bit token hashes. Matches the
+    * original HOF fold exactly: a null token hash contributes −1 to every
+    * bit (counted in n, not in ones), and the tie rule is `sum >= 0`
+    * (bit set iff 2·ones >= n) — note `>=`, unlike [[SimHash64]]'s `>`. */
+  def simhash60(hashes: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = hashes.numElements()
+    val ones = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      if (!hashes.isNullAt(t)) {
+        val h = hashes.getLong(t)
+        var b = 0
+        while (b < 60) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * ones(b) >= n) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** `array<string>` tokens → `array<long>` portable 60-bit md5 token hashes,
+  * bit-identical to `transform(tokens, t ->
+  * conv(substring(md5(t), 1, 15), 16, 10) :: long)` (StreamingSpec pins the
+  * fingerprint values) — the HOF form paid interpreted per-element lambda
+  * dispatch on top of the md5. */
+case class Md5Hash60Tokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60Helpers.md5Tokens(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash60Helpers.md5Tokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60Tokens =
+    copy(child = newChild)
+}
+
+/** 60-bit portable SimHash of an `array<long>` token-hash column — the
+  * native twin of [[SimHash64]] with the md5-oracle bit width and the
+  * original fold's `>= 0` tie rule. */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60Helpers.simhash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash60Helpers.simhash60($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 /** Deterministic pseudo-random hyperplane table for sign-LSH signatures:
   * `bits × dims` components in [-1, 1], derived from a splitmix64 mix of
   * (seed, bit, dim). Computed once per (bits, dims, seed) and cached by the
@@ -304,6 +407,14 @@ object VectorFunctions {
   /** 64-bit SimHash of an `array<long>` token-hash column. */
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  /** Portable 60-bit md5 hashes of an `array<string>` token column. */
+  def md5Hash60Tokens(tokens: Column): Column =
+    ColumnBridge.column(Md5Hash60Tokens(ColumnBridge.expression(tokens)))
+
+  /** Portable 60-bit SimHash of an `array<long>` md5-token-hash column. */
+  def simhash60(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(tokenHashes)))
 
   /** `bits`-bit sign-LSH signature of an `array<double>` vector column. */
   def hyperplaneSig(vec: Column, bits: Int, seed: Long): Column =

@@ -37,7 +37,7 @@ object StreamingOps {
   def replayResample(spark: SparkSession, parquetPath: String,
       toObs: DataFrame => DataFrame, sec: Long,
       queryName: String): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = StreamingDedup.cachedSchema(spark, parquetPath)
     // the file source wants a directory; glob-filter down to the table file
     val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
     val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
@@ -47,13 +47,47 @@ object StreamingOps {
     // reuse the sink name across invocations: drop the previous run's
     // memory table so repeated replays don't accumulate result copies
     spark.catalog.dropTempView(queryName)
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // a bounded replay commits one state-store partition per shuffle
+    // partition per micro-batch; at the session default (32) that fixed
+    // commit cost dominates the replay, so the stream runs at 8 (same
+    // narrowing as StreamingDedup.replayDocs). The Complete-mode agg
+    // needs no watermark-advancing empty batch, so the no-data
+    // micro-batch is skipped too — one data batch, one commit round.
+    // Both settings restored; results are partitioning-independent
+    // (detMean's exact decimal partials).
+    //
+    // Measured floor (sf0.1, 100 k rows, r6): total ≈ 1.6 s, of which
+    // addBatch ≈ 1.1 s — the streaming stateful-agg execution itself, not
+    // tunables: checkpoint-on-tmpfs, 2/8/32 state partitions, and
+    // dropping the watermark all measure within noise, and a stream
+    // grouped the same way with count() instead of the windowed detMean
+    // still costs ≈ 0.45 s addBatch. The batch twin of this exact plan
+    // runs 0.45 s end-to-end, so the remaining gap is the
+    // StateStoreRestore/Save path around the aggregate — per-batch cost
+    // that amortizes with batch size on a live stream, which is what the
+    // operator is for; the bounded replay pays it once per run.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.table(queryName)
   }
 

@@ -325,6 +325,54 @@ class ExtSpec extends SparkSpec {
     got.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("native shingle/minhash/band expressions are bit-identical to the HOF xxhash64 formulations") {
+    // the formulations the native expressions replaced (Dedup.scala pre-r6):
+    // every hash value must match so persisted band indexes, batch
+    // operators, and streaming probes keep agreeing across the swap
+    def hofShingles(words: org.apache.spark.sql.Column, n: Int) = {
+      val idxs = when(size(words) >= n, sequence(lit(0), size(words) - n))
+        .otherwise(array().cast("array<int>"))
+      array_distinct(transform(idxs, i =>
+        xxhash64((1 to n).map(k => element_at(words, i + k)): _*)))
+    }
+    def hofSig(shs: org.apache.spark.sql.Column, numHashes: Int) =
+      array((0 until numHashes).map(i =>
+        array_min(transform(shs, s => xxhash64(lit(i), s)))): _*)
+    def hofBands(sig: org.apache.spark.sql.Column, bands: Int, rpb: Int) =
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(sig, b * rpb + 1, lit(rpb))))
+
+    val staged = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_w"))
+      .select(col("doc_id"), col("_w"),
+        Dedup.shingleArray(col("_w"), 3).as("nat_shs"),
+        hofShingles(col("_w"), 3).as("hof_shs"))
+      .select(col("doc_id"), col("nat_shs"), col("hof_shs"),
+        Dedup.minhashSignature(col("nat_shs"), 64).as("nat_sig"),
+        hofSig(col("nat_shs"), 64).as("hof_sig"))
+      .select(col("doc_id"), col("nat_shs"), col("hof_shs"),
+        col("nat_sig"), col("hof_sig"),
+        Dedup.minhashBandKeys(col("nat_sig"), 16, 4).as("nat_band"),
+        hofBands(col("nat_sig"), 16, 4).as("hof_band"))
+      .cache()
+    try {
+      assert(staged.count() > 0)
+      assert(staged.where(not(col("nat_shs") === col("hof_shs"))).count() == 0)
+      assert(staged.where(size(col("nat_shs")) > 0 &&
+        not(col("nat_sig") === col("hof_sig"))).count() == 0)
+      assert(staged.where(size(col("nat_shs")) > 0 &&
+        not(col("nat_band") === col("hof_band"))).count() == 0)
+      // short docs (< n words): empty shingle array, all-null signature
+      val shortDoc = Seq((1L, "just two")).toDF("doc_id", "text")
+        .select(split(col("text"), " ").as("_w"))
+        .select(Dedup.shingleArray(col("_w"), 3).as("shs"))
+        .select(col("shs"), Dedup.minhashSignature(col("shs"), 4).as("sig"))
+        .head()
+      assert(shortDoc.getSeq[Long](0).isEmpty)
+      assert(shortDoc.getSeq[Any](1) == Seq(null, null, null, null))
+    } finally staged.unpersist()
+  }
+
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
