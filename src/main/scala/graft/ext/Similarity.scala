@@ -498,10 +498,6 @@ object Similarity {
 
   // ------------------------------------------------------- IVF-PQ index
 
-  /** Product-quantization codebook literal: [m][k][w] doubles. */
-  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
-    array(cb.map(sub => array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
-
   /** Build a PQ-compressed persisted IVF index: IVF centroids route
     * probes exactly like [[buildIvfIndex]], but the corpus stores only
     * `m` small-codebook codes per vector (plus the reconstruction norm)
@@ -634,26 +630,23 @@ object Similarity {
     * a given index. */
   def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 4, roundScale: Int = 6): DataFrame = {
+      nProbe: Int = 4, roundScale: Int = 6,
+      precomputedLists: Option[Seq[Int]] = None): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
     val codebooks = loadPqCodebooks(spark, path)
-    val m = codebooks.length
-    val w = codebooks.head.head.length
-    val cbLit = cbLiteral(codebooks)
     val corpus = spark.read.parquet(s"$path/corpus_pq")
     val qProbes = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"),
         explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
-    val probedLists = qProbes.select(col("list")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, i) =>
-      acc + aggregate(
-        zip_with(slice(col("qvec"), i * w + 1, lit(w)),
-          element_at(element_at(cbLit, i + 1),
-            element_at(col("codes"), i + 1) + 1),
-          (a, b) => a * b),
-        lit(0.0), (x, y) => x + y))
+    val probedLists = precomputedLists.getOrElse(
+      qProbes.select(col("list")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
+    // native codegen'd ADC (bit-identical summation order to the nested
+    // aggregate/zip_with HOF it replaced, which evaluated interpreted
+    // once per corpus-row × query pair — the probe's hot loop)
+    val adc = graft.functions.VectorFunctions.pqAdcDot(
+      col("qvec"), col("codes"), codebooks)
     val scored = corpus.where(col("list").isin(probedLists: _*))
       .join(broadcast(qProbes), Seq("list"))
       .where(col(idCol) =!= col("query_id"))
@@ -683,13 +676,16 @@ object Similarity {
   def ivfPqProbeRerank(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, rerankR: Int = 40, roundScale: Int = 6): DataFrame = {
-    val shortlist = ivfPqProbeIndex(spark, path, queries, idCol, vecCol,
-        rerankR, nProbe, roundScale)
-      .select(col("query_id"), col("candidate_id")).persist()
     val cents = loadIvfCentroids(spark, path)
+    // route ONCE per call: the ADC long-list probe and the refinement
+    // read share the same probed-list ids instead of each collecting
+    // its own routing job
     val probedLists = asDouble(queries, vecCol)
       .select(explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    val shortlist = ivfPqProbeIndex(spark, path, queries, idCol, vecCol,
+        rerankR, nProbe, roundScale, Some(probedLists))
+      .select(col("query_id"), col("candidate_id")).persist()
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))
@@ -700,11 +696,14 @@ object Similarity {
     // list — a bounded isin no longer exists — and instead reads the
     // probed `list=` partitions once, semi-joined against the
     // broadcast short-list, amortizing the partition read across the
-    // whole query batch. Both paths keep static list pruning.
-    val distinctIds = shortlist.select(col("candidate_id")).distinct()
+    // whole query batch. Both paths keep static list pruning. The
+    // size probe and the id fetch are ONE action (limit 1025 +
+    // collect), not a count() then a collect() — each action on the
+    // shortlist is a job round on the probe's critical path.
+    val idRows = shortlist.select(col("candidate_id")).distinct()
+      .limit(1025).collect()
     val candIds =
-      if (distinctIds.count() <= 1024L) distinctIds.collect().map(_.get(0)).toSeq
-      else Seq.empty
+      if (idRows.length <= 1024) idRows.map(_.get(0)).toSeq else Seq.empty
     val pruned = spark.read.parquet(s"$path/corpus")
       .where(col("list").isin(probedLists: _*))
     val corpus = (if (candIds.nonEmpty)

@@ -284,6 +284,102 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) dot product for product-quantized search:
+  * given a query vector and a corpus row's per-subspace codebook codes,
+  * computes Σ_i dot(q[i·w .. i·w+w), codebook_i[code_i]) — the PQ
+  * approximation of dot(q, corpus_vec). The codebook rides on the
+  * expression as a flattened table (embedded via `addReferenceObj` in
+  * codegen), so per-row cost is m·w multiply-adds — replaces a nested
+  * interpreted `aggregate(zip_with(slice…, element_at(element_at(...))))`
+  * HOF evaluated once per (corpus row × query) pair in the probe's hot
+  * loop. Summation order matches the HOF exactly (per-subspace partial,
+  * then outer accumulation), so scores are bit-identical.
+  *
+  * Null semantics mirror the HOF: a null/short query slice or an
+  * out-of-range code yields NULL (zip_with pads ragged arrays with null;
+  * element_at past the end is null; null propagates through the fold). */
+case class PqAdcDot(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  private val m = codebooks.length
+  private val pqK = codebooks.head.length
+  private val w = codebooks.head.head.length
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // NULL from non-null inputs (short vector, bad code) — see DotProduct
+  override def nullable: Boolean = true
+
+  // flat[i*pqK*w + c*w + j] = codebooks(i)(c)(j)
+  @transient private lazy val flat: Array[Double] = PqAdcDot.flatten(codebooks)
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    PqAdcDot.score(qv, codes, flat, m, pqK, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.PqAdcDot.score($q, $c, $flatRef, $m, $pqK, $w);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDot {
+  def flatten(cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = cb.length; val k = cb.head.length; val w = cb.head.head.length
+    val out = new Array[Double](m * k * w)
+    var i = 0
+    while (i < m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(cb(i)(c), 0, out, (i * k + c) * w, w)
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Boxed Double, or null on a short query vector / bad code — shared by
+    * interpreted eval and the generated code. */
+  def score(qv: ArrayData, codes: ArrayData, flat: Array[Double],
+      m: Int, pqK: Int, w: Int): java.lang.Double = {
+    if (codes.numElements() != m || qv.numElements() < m * w) return null
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i)) return null
+      val code = codes.getInt(i)
+      if (code < 0 || code >= pqK) return null
+      var sub = 0.0
+      val off = (i * pqK + code) * w
+      val qOff = i * w
+      var j = 0
+      while (j < w) {
+        if (qv.isNullAt(qOff + j)) return null
+        sub += qv.getDouble(qOff + j) * flat(off + j)
+        j += 1
+      }
+      acc += sub
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Deterministic pseudo-random hyperplane table for sign-LSH signatures:
   * `bits × dims` components in [-1, 1], derived from a splitmix64 mix of
   * (seed, bit, dim). Computed once per (bits, dims, seed) and cached by the
@@ -419,4 +515,11 @@ object VectorFunctions {
   /** `bits`-bit sign-LSH signature of an `array<double>` vector column. */
   def hyperplaneSig(vec: Column, bits: Int, seed: Long): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), bits, seed))
+
+  /** PQ asymmetric-distance dot of an `array<double>` query vector
+    * against an `array<int>` codes column under the given codebooks. */
+  def pqAdcDot(qvec: Column, codes: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(qvec),
+      ColumnBridge.expression(codes), codebooks))
 }

@@ -373,6 +373,43 @@ class ExtSpec extends SparkSpec {
     } finally staged.unpersist()
   }
 
+  test("native PQ ADC dot is bit-identical to the nested HOF fold") {
+    // the formulation ivfPqProbeIndex used pre-r6: per subspace, dot of
+    // the query slice against the coded centroid, partials summed in
+    // subspace order
+    val m = 8; val pqK = 4
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val w = dims / m
+    val rnd = new scala.util.Random(7)
+    val cb = Array.fill(m, pqK, w)(rnd.nextDouble() * 2 - 1)
+    val cbLit = array(cb.map(sub =>
+      array(sub.map(c => array(c.map(lit): _*)): _*)): _*)
+    val hofAdc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, i) =>
+      acc + aggregate(
+        zip_with(slice(col("qvec"), i * w + 1, lit(w)),
+          element_at(element_at(cbLit, i + 1),
+            element_at(col("codes"), i + 1) + 1),
+          (a, b) => a * b),
+        lit(0.0), (x, y) => x + y))
+    val staged = emb.limit(200)
+      .select(col("embedding").cast("array<double>").as("qvec"),
+        // deterministic pseudo-codes per row
+        array((0 until m).map(i =>
+          pmod(xxhash64(col("vec_id"), lit(i)), lit(pqK)).cast("int")): _*)
+          .as("codes"))
+    val diff = staged.select(
+        (graft.functions.VectorFunctions.pqAdcDot(col("qvec"), col("codes"), cb)
+          - hofAdc).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff == 0.0)
+    // null contract: short query vector and out-of-range code yield NULL
+    val dirty = staged.limit(1)
+      .select(slice(col("qvec"), 1, 3).as("qvec"), col("codes"))
+      .select(graft.functions.VectorFunctions
+        .pqAdcDot(col("qvec"), col("codes"), cb).as("s"))
+    assert(dirty.first().isNullAt(0))
+  }
+
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
