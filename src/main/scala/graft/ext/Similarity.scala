@@ -178,47 +178,21 @@ object Similarity {
       .distinct()
   }
 
-  /** Centroids as a broadcast-able plan literal: array of
-    * (c·c, centroid, list id) structs, ordered by list id. O(k·dims)
-    * doubles embedded in the plan — the k-means index is small by
-    * construction; this is what lets assignment be a pure projection. */
-  private def centLiteral(cents: Array[Array[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(selfDot(c)).as("cc"), typedLit(c.toSeq).as("c"),
-        lit(i).as("list"))
-    }: _*)
-
-  private def selfDot(c: Array[Double]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < c.length) { acc += c(i) * c(i); i += 1 }
-    acc
-  }
-
-  /** Per-centroid (score, list) array for one row's vector; score is
-    * squared-L2-equivalent `c·c − 2 v·c` (argmin-preserving, norms of v
-    * cancel). Score is the FIRST struct field so lexicographic struct
-    * ordering = (score asc, list asc); note aliases inside HOF lambdas are
-    * stripped by the analyzer, so downstream access uses only the
-    * auto-named `list` field. */
-  private def centScores(vec: Column, cents: Array[Array[Double]]): Column =
-    transform(centLiteral(cents), s => struct(
-      s.getField("cc") - lit(2.0) * dot(vec, s.getField("c")),
-      s.getField("list")))
-
   /** Argmin-centroid assignment as a pure projection — no crossJoin, no
     * window, no shuffle (the r1 formulation shuffled the corpus on its
-    * unique row id for a per-row row_number). array_sort on the (score,
-    * list) struct is lexicographic, so element 1 is the min score with
-    * ties resolved to the lowest list id — the same orderBy(score, list)
-    * semantics. */
+    * unique row id for a per-row row_number). Native codegen'd expression
+    * with (score asc, list asc) tie semantics, bit-identical to the
+    * `element_at(array_sort(centScores), 1)` HOF it replaced (ExtSpec
+    * pins the equality) — the lambda wrapper evaluated interpreted per
+    * row × centroid on every assignment pass. */
   def nearestList(vec: Column, cents: Array[Array[Double]]): Column =
-    element_at(array_sort(centScores(vec, cents)), 1).getField("list")
+    element_at(
+      graft.functions.VectorFunctions.nearestLists(vec, cents, 1), 1)
 
   /** The query-side variant: the `nProbe` nearest list ids (ascending
     * (score, list)). */
   def nearestLists(vec: Column, cents: Array[Array[Double]], nProbe: Int): Column =
-    transform(slice(array_sort(centScores(vec, cents)), 1, nProbe),
-      s => s.getField("list"))
+    graft.functions.VectorFunctions.nearestLists(vec, cents, nProbe)
 
   /** k-means over the embedding column, 100 TB-shaped: deterministic
     * distributed-TakeOrdered seeding (k rows in xxhash64(id) order via
@@ -327,8 +301,10 @@ object Similarity {
     * top-k. */
   def ivfTopKLearned(candidates: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-      iters: Int = 3, roundScale: Int = 6): DataFrame = {
-    val cents = learnCentroidArrays(candidates, idCol, vecCol, nLists, iters)
+      iters: Int = 3, roundScale: Int = 6,
+      precomputedCents: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = precomputedCents.getOrElse(
+      learnCentroidArrays(candidates, idCol, vecCol, nLists, iters))
     val c = asDouble(candidates, vecCol)
       .withColumn("_cn", norm(col(vecCol)))
       .withColumn("list", nearestList(col(vecCol), cents))

@@ -380,6 +380,94 @@ object PqAdcDot {
   }
 }
 
+/** The `nProbe` nearest-centroid list ids of an `array<double>` vector,
+  * ascending by (score, list) where score = c·c − 2·v·c (argmin-preserving
+  * squared L2; |v|² cancels). Replaces the
+  * `transform(centLiteral, s -> struct(cc − 2·dot, list))` + `array_sort`
+  * HOF pipeline, whose lambda wrapper evaluated interpreted once per
+  * row × centroid — the per-row cost of every IVF assignment pass (index
+  * build, learned top-k, append, drift stats). Scores use the identical
+  * IEEE op sequence (sequential self-dot and dot, one multiply by 2.0, one
+  * subtract), and ties resolve to the lower list id, so assignments are
+  * bit-identical to the HOF formulation (ExtSpec pins the equality). */
+case class NearestLists(child: Expression, cents: Array[Array[Double]],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nProbe >= 1 && nProbe <= cents.length,
+    s"nProbe must be in [1, ${cents.length}], got $nProbe")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // NULL on a null element / dims mismatch — see DotProduct.nullable
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NearestLists.probes(input.asInstanceOf[ArrayData], cents, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.NearestLists.probes($a, $centsRef, $nProbe);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestLists =
+    copy(child = newChild)
+}
+
+object NearestLists {
+  /** ArrayData of the nProbe best list ids, or null on null element /
+    * length mismatch — shared by interpreted eval and generated code. */
+  def probes(vec: ArrayData, cents: Array[Array[Double]],
+      nProbe: Int): ArrayData = {
+    val k = cents.length
+    val dims = cents(0).length
+    if (vec.numElements() != dims) return null
+    var j = 0
+    while (j < dims) { if (vec.isNullAt(j)) return null; j += 1 }
+    val scores = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      var cc = 0.0
+      var d = 0.0
+      j = 0
+      while (j < dims) {
+        val cj = c(j)
+        cc += cj * cj
+        d += vec.getDouble(j) * cj
+        j += 1
+      }
+      scores(i) = cc - 2.0 * d
+      i += 1
+    }
+    // nProbe smallest by (score, list): argmin sweep per slot; strict <
+    // keeps the first (lowest-list) occurrence on bitwise-equal scores
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < nProbe) {
+      var best = -1
+      i = 0
+      while (i < k) {
+        if (!taken(i) && (best < 0 || scores(i) < scores(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Deterministic pseudo-random hyperplane table for sign-LSH signatures:
   * `bits × dims` components in [-1, 1], derived from a splitmix64 mix of
   * (seed, bit, dim). Computed once per (bits, dims, seed) and cached by the
@@ -522,4 +610,9 @@ object VectorFunctions {
       codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqAdcDot(ColumnBridge.expression(qvec),
       ColumnBridge.expression(codes), codebooks))
+
+  /** The `nProbe` nearest-centroid list ids of an `array<double>` vector. */
+  def nearestLists(vec: Column, cents: Array[Array[Double]],
+      nProbe: Int): Column =
+    ColumnBridge.column(NearestLists(ColumnBridge.expression(vec), cents, nProbe))
 }

@@ -410,6 +410,37 @@ class ExtSpec extends SparkSpec {
     assert(dirty.first().isNullAt(0))
   }
 
+  test("native nearest-centroid lists are bit-identical to the array_sort HOF formulation") {
+    // the formulation nearestList/nearestLists used pre-r6: per-centroid
+    // (cc − 2·v·c, list) structs, array_sort lexicographic, slice
+    def selfDot(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val rnd = new scala.util.Random(11)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val cents = Array.fill(16)(Array.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val centLit = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(selfDot(c)).as("cc"), typedLit(c.toSeq).as("c"),
+        lit(i).as("list"))
+    }: _*)
+    def hofScores(vec: org.apache.spark.sql.Column) =
+      transform(centLit, s => struct(
+        s.getField("cc") - lit(2.0) * Similarity.dotHof(vec, s.getField("c")),
+        s.getField("list")))
+    val v = col("embedding").cast("array<double>")
+    val staged = emb.select(
+      Similarity.nearestLists(v, cents, 4).as("nat"),
+      transform(slice(array_sort(hofScores(v)), 1, 4),
+        s => s.getField("list")).as("hof"),
+      Similarity.nearestList(v, cents).as("nat1"),
+      element_at(array_sort(hofScores(v)), 1).getField("list").as("hof1"))
+    assert(staged.where(not(col("nat") === col("hof")) ||
+      col("nat1") =!= col("hof1")).count() == 0)
+    assert(staged.count() > 0)
+  }
+
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
