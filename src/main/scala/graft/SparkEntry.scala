@@ -99,6 +99,11 @@ object SparkEntry {
   private val ivfCentsCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
+  /** Per-JVM registry of persisted IVF indexes (stream_ivf_topk), same
+    * contract as pqIndexPath. */
+  private val ivfIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of materialized dedup-sink corpora (doc_dedup_sink):
     * the filtered corpus is written once per (JVM, sf dir) and the
     * declared query audits the files on disk — the artifact shape an LLM
@@ -1041,6 +1046,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-document top-3 TF-IDF terms (corpus-statistics keyword
+    // extraction); ranking is over the ROUNDED score so cross-engine
+    // last-bit ln() differences cannot reorder ranks
+    "text_tfidf" -> ((s, dir) => {
+      sortBig(TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+          "doc_id", "text", topN = 3)
+        .select(col("doc").as("doc_id"), col("rank"), col("term"),
+          col("tfidf")), "doc_id", "rank")
+    }),
+
     // JSON property extraction (multimodal sidecar) + rollup per type
     "json_props" -> ((s, dir) => {
       val e = events(s, dir)
@@ -1186,6 +1201,34 @@ object SparkEntry {
       }
       sortSmall(res.select(col("doc_new"), col("doc_corpus"),
         col("hamming").cast("long").as("hamming")), "doc_new", "doc_corpus")
+    }),
+
+    // streaming ANN serving against the persisted IVF index: queries
+    // REPLAY as a stream probing the batch-built index (update-style
+    // micro-batch top-k via StreamingAnn.ivfProbeStream). Probed
+    // EXHAUSTIVELY (nProbe = nLists) so the streamed result is the exact
+    // cosine top-k and the hash-equal gate pins streaming ≡ batch ≡
+    // oracle with no recall margin — the partial-probing scan-fraction
+    // story is pinned separately (ExtSpec parity + ScaleSmoke ann1m at
+    // 3.1% scan). Third oracle-pinned streaming family after
+    // resample/dedup.
+    "stream_ivf_topk" -> ((s, dir) => {
+      val idx = ivfIndexPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_stream_ivf_idx_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", p, nLists = 16, iters = 2)
+        p
+      })
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/embeddings.parquet", "stream_ivf_topk_result",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        graft.streaming.StreamingAnn.ivfProbeStream(
+          s, st.where(col("vec_id") >= 8 && col("vec_id") < 16),
+          "vec_id", "embedding", idx, k = 3, nProbe = 16)
+      }
+      sortSmall(res.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("candidate_id"), col("cosine")), "query_id", "rank")
     }),
 
     // tumbling-window rollup per event type over the JSON-extracted metric
@@ -1866,6 +1909,25 @@ object SparkEntry {
         |WHERE bit_count(xor(n.simhash, c.simhash)) <= 3
         |ORDER BY doc_new, doc_corpus""".stripMargin,
 
+    // exhaustive probing (nProbe = nLists) makes the streamed IVF probe
+    // the exact cosine top-k, so the oracle is brute force over the same
+    // query slice — identical score formula and (cosine desc, candidate)
+    // tie order as the engine's probe
+    "stream_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 8 AND q.vec_id < 16 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (
@@ -1944,6 +2006,23 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tfidf
+        |  FROM tf CROSS JOIN n JOIN dfreq ON tf.term = dfreq.term),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, tfidf FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "json_props" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -106,4 +106,35 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token"))
       .limit(topN)
+
+  /** Per-document top-N terms by TF-IDF (tf = raw in-doc count, idf =
+    * ln(N / df) over the whole corpus) — the classic corpus-statistics
+    * keyword extractor a curation pipeline uses for topic tagging and
+    * near-template detection.
+    *
+    * Scale shape: one explode + two hash aggregates — (doc, term) counts,
+    * then term document-frequency derived FROM that frame (no second
+    * corpus pass) — a broadcast of the single-row corpus count, and a
+    * per-doc window for the top-N. All shuffles are on (doc, term) / term
+    * keys; nothing driver-side. Ranking uses the ROUNDED score (6 dp,
+    * ties by term ascending) so rank order is reproducible across engines
+    * — raw ln products differ in final bits between libms, rounded ones
+    * do not. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("doc"), col("rank"), col("term"), col("tfidf"))
+  }
 }

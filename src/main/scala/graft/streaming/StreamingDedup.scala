@@ -147,7 +147,8 @@ object StreamingDedup {
     schemaCache.computeIfAbsent(parquetPath,
       p => spark.read.parquet(p).schema)
 
-  def replayDocs(spark: SparkSession, parquetPath: String, queryName: String)
+  def replayDocs(spark: SparkSession, parquetPath: String, queryName: String,
+      outputMode: OutputMode = OutputMode.Append)
       (probe: DataFrame => DataFrame): DataFrame = {
     val schema = cachedSchema(spark, parquetPath)
     val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
@@ -168,7 +169,7 @@ object StreamingDedup {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val qr = probe(stream).writeStream
-        .outputMode(OutputMode.Append)
+        .outputMode(outputMode)
         .format("memory")
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())

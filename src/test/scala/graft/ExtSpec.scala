@@ -441,6 +441,32 @@ class ExtSpec extends SparkSpec {
     assert(staged.count() > 0)
   }
 
+  test("tfidfTopTerms: hand-computed scores, rounded-score rank order, corpus-wide terms score zero") {
+    // corpus of 4 docs; "common" appears in all docs -> idf = ln(1) = 0
+    val docs4 = Seq(
+      (1L, "common apple apple banana"),
+      (2L, "common banana"),
+      (3L, "common cherry"),
+      (4L, "common cherry cherry cherry")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .tfidfTopTerms(docs4, "doc_id", "text", topN = 2)
+      .orderBy("doc", "rank")
+      .as[(Long, Int, String, Double)].collect()
+    def s(tf: Long, df: Long) =
+      math.round(tf * math.log(4.0 / df) * 1e6) / 1e6
+    // doc 1: apple tf=2 df=1 -> 2 ln 4; banana tf=1 df=2 -> ln 2
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "apple", s(2, 1)), (1L, 2, "banana", s(1, 2))))
+    // doc 2: banana ln 2 beats common (0); common still ranks (tie floor)
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 1, "banana", s(1, 2)), (2L, 2, "common", 0.0)))
+    // doc 4: cherry tf=3 df=2 -> 3 ln 2
+    assert(out.filter(_._1 == 4L).head ==
+      ((4L, 1, "cherry", s(3, 2))))
+    // every score non-negative, ranks contiguous from 1
+    assert(out.forall(r => r._4 >= 0.0 && r._2 >= 1 && r._2 <= 2))
+  }
+
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
