@@ -44,19 +44,69 @@ object StreamingDedup {
   /** Build the persisted MinHash index of a corpus: `<path>/bands` — one
     * (doc, band, bandhash) row per document band, the candidate-join side —
     * and `<path>/docs` — (doc, shs, n), the exact-verification side. Both
-    * written sorted by their join key so the static scans cluster. */
+    * written sorted by their join key so the static scans cluster.
+    *
+    * `nBuckets > 0` additionally PARTITIONS the band table on disk by
+    * `bk = pmod(xxhash64(band, bandhash), nBuckets)` — the latency-mode
+    * layout: a probe whose band keys hit b buckets reads ~b/nBuckets of
+    * the index bytes ([[minhashDupBatch]] prunes explicitly). Size it to
+    * the probe batches: pruning is effective while
+    * (batch docs × bands) ≪ nBuckets, so dedupe-on-ingest with tens of
+    * docs per batch wants thousands of buckets; bulk probes saturate
+    * every bucket and should keep the unbucketed layout (one sequential
+    * fixed-width scan). The bucket count is recorded in
+    * `<path>/meta.json` so probes derive the same bk. */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      path: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      nBuckets: Int = 0): Unit = {
+    val spark = df.sparkSession
     val prof = docProfiles(df, idCol, textCol, n, numHashes).cache()
     try {
-      Dedup.minhashBands(prof.select(col("doc"), col("sig")),
-          bands, numHashes / bands)
-        .sortWithinPartitions("band", "bandhash")
-        .write.mode("overwrite").parquet(s"$path/bands")
+      val bnd = Dedup.minhashBands(prof.select(col("doc"), col("sig")),
+        bands, numHashes / bands)
+      if (nBuckets > 0) {
+        bnd.withColumn("bk", bucketOf(col("band"), col("bandhash"), nBuckets))
+          // cluster rows by bucket before the partitioned write so each
+          // bk directory gets one file per input partition, not a file
+          // per (task, bucket) pair
+          .repartition(col("bk"))
+          .sortWithinPartitions("band", "bandhash")
+          .write.mode("overwrite").partitionBy("bk").parquet(s"$path/bands")
+      } else {
+        bnd.sortWithinPartitions("band", "bandhash")
+          .write.mode("overwrite").parquet(s"$path/bands")
+      }
       prof.select(col("doc"), col("shs"), col("n"))
         .sortWithinPartitions("doc")
         .write.mode("overwrite").parquet(s"$path/docs")
+      writeIndexMeta(spark, path, nBuckets)
     } finally prof.unpersist()
+  }
+
+  /** Bucket id of one band key — shared by build and probes so both
+    * sides derive identical partition values. */
+  private def bucketOf(band: org.apache.spark.sql.Column,
+      bandhash: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(band, bandhash), lit(nBuckets.toLong)).cast("int")
+
+  private def writeIndexMeta(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"nBuckets":$nBuckets}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private[streaming] def indexBuckets(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val in = fs.open(p)
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(bytes, "UTF-8"))
+      .map(_.group(1).toInt).getOrElse(0)
   }
 
   /** Probe a stream of new documents against a [[buildMinhashIndex]]
@@ -69,6 +119,65 @@ object StreamingDedup {
       idCol: String, textCol: String, indexPath: String, minJ: Double,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc"), col("band"), col("bandhash")) // drop bk if bucketed
+    probeBands(spark, stream, idCol, textCol, indexPath, corpusBands,
+      minJ, n, numHashes, bands)
+  }
+
+  /** Batch-mode probe with explicit bucket pruning: for a BUCKETED index
+    * (`buildMinhashIndex(nBuckets > 0)`), collects the probe batch's
+    * distinct bucket ids (bounded by batch docs × bands — the same
+    * bounded-driver-state move as the IVF probed-list pruning) and pins
+    * them as a partition filter on the band scan, so index bytes read
+    * scale with the BATCH, not the corpus. The dedupe-on-ingest latency
+    * path: run per arriving mini-batch (e.g. from foreachBatch); falls
+    * back to the full sequential band scan on an unbucketed index (the
+    * bulk-throughput layout). */
+  def minhashDupBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, indexPath: String, minJ: Double,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      preloadedBands: Option[DataFrame] = None): DataFrame = {
+    val nBuckets = indexBuckets(spark, indexPath)
+    // a long-lived ingest service loads the index ONCE (partition
+    // discovery over nBuckets directories is per-DataFrame, not
+    // per-probe) and passes it here; per-batch cost is then only the
+    // pruned read + the join
+    val corpusBands = preloadedBands.getOrElse(
+      spark.read.parquet(s"$indexPath/bands"))
+    val pruned = if (nBuckets <= 0) corpusBands else {
+      val bks = docProfiles(batch, idCol, textCol, n, numHashes)
+        .select(posexplode(Dedup.minhashBandKeys(col("sig"),
+          bands, numHashes / bands)))
+        .select(bucketOf(col("pos"), col("col"), nBuckets).as("bk"))
+        .distinct().collect().map(_.getInt(0))
+      corpusBands.where(col("bk").isin(bks.map(Integer.valueOf): _*))
+    }
+    probeBands(spark, batch, idCol, textCol, indexPath,
+      pruned.select(col("doc"), col("band"), col("bandhash")),
+      minJ, n, numHashes, bands)
+  }
+
+  /** Distinct index buckets a batch's band keys hit — the pruning
+    * diagnostic behind [[minhashDupBatch]] (ScaleSmoke reports it as the
+    * fraction of index partitions a small ingest batch reads). */
+  def minhashDupBatchPrunedBuckets(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): Long = {
+    val nBuckets = indexBuckets(spark, indexPath)
+    if (nBuckets <= 0) return -1L
+    docProfiles(batch, idCol, textCol, n, numHashes)
+      .select(posexplode(Dedup.minhashBandKeys(col("sig"),
+        bands, numHashes / bands)))
+      .select(bucketOf(col("pos"), col("col"), nBuckets).as("bk"))
+      .distinct().count()
+  }
+
+  /** Shared probe body: band the new docs row-locally, equi-join the
+    * given corpus band table for candidates, verify exact Jaccard. */
+  private def probeBands(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      corpusBands: DataFrame, minJ: Double,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
     val corpusDocs = spark.read.parquet(s"$indexPath/docs")
     // band the new docs, carrying each one's shingle set on the row (a
     // later join back to the stream would be a stream-stream self join)

@@ -171,6 +171,28 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(streamed.toSet == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.map(_._1).toSet == Set(101L, 102L))
+
+    // bucketed (latency-mode) layout: identical pairs through the pruned
+    // batch probe, and the pruning diagnostic sees a bounded bucket set
+    val idxB = "/tmp/graft_test_minhash_idx_bk"
+    StreamingDedup.buildMinhashIndex(corpus, "doc_id", "text", idxB,
+      nBuckets = 64)
+    val ndDf = newDocs.toDF("doc_id", "text")
+    val bucketed = StreamingDedup.minhashDupBatch(spark, ndDf,
+        "doc_id", "text", idxB, 0.5)
+      .select("doc_new", "doc_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed == batch, s"bucketed=$bucketed batch=$batch")
+    val hit = StreamingDedup.minhashDupBatchPrunedBuckets(spark, ndDf,
+      "doc_id", "text", idxB)
+    // 4 docs x 16 bands = at most 64 keys; must be a positive bounded set
+    assert(hit > 0 && hit <= 64)
+    // unbucketed index: batch probe falls back to the full scan, same pairs
+    val fallback = StreamingDedup.minhashDupBatch(spark, ndDf,
+        "doc_id", "text", idx, 0.5)
+      .select("doc_new", "doc_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fallback == batch)
   }
 
   test("streaming simhash probe equals batch pairs, hamming verified row-locally") {
