@@ -1046,6 +1046,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style 2-gram repetition filters (top-gram share, duplicate
+    // share) — the pre-training curation signal, exact-count arithmetic
+    "text_repetition" -> ((s, dir) => {
+      sortBig(TextAnalysis.repetitionStats(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_2grams"),
+          col("top_2gram_frac"), col("dup_2gram_frac")), "doc_id")
+    }),
+
     // per-document top-3 TF-IDF terms (corpus-statistics keyword
     // extraction); ranking is over the ROUNDED score so cross-engine
     // last-bit ln() differences cannot reorder ranks
@@ -2006,6 +2015,21 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest([w[i] || ' ' || w[i+1]
+        |                for i in generate_series(1, len(w) - 1)]) AS gram
+        |      FROM toks),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+        |          MAX(c) AS mx, COUNT(*) AS dist
+        |        FROM c GROUP BY 1)
+        |SELECT doc_id, n_2grams,
+        |  round(mx::DOUBLE / n_2grams, 6) AS top_2gram_frac,
+        |  round((n_2grams - dist)::DOUBLE / n_2grams, 6) AS dup_2gram_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (

@@ -107,6 +107,38 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("token"))
       .limit(topN)
 
+  /** Per-document 2-gram repetition statistics — the Gopher-style
+    * repetition filters (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 repetition rules) an LLM curation pipeline applies before
+    * training: `top_2gram_frac` (share of all 2-grams taken by the most
+    * frequent one) and `dup_2gram_frac` (share of 2-gram occurrences
+    * beyond each gram's first). All counts are exact integers; the two
+    * ratios are single IEEE divisions — engine-portable.
+    *
+    * Spark shape: posexplode + one window `lead` per doc builds the gram
+    * stream without per-element lambda dispatch, then two hash
+    * aggregates. Documents with fewer than two tokens have no 2-grams
+    * and are omitted (matches the oracle's empty-list semantics). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))))
+      .toDF("doc", "pos", "tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val grams = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(col("doc"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+    grams.groupBy(col("doc"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("mx"),
+        count(lit(1)).as("dist"))
+      .select(col("doc"), col("n_2grams"),
+        round(col("mx").cast("double") / col("n_2grams"), 6)
+          .as("top_2gram_frac"),
+        round((col("n_2grams") - col("dist")).cast("double") / col("n_2grams"), 6)
+          .as("dup_2gram_frac"))
+  }
+
   /** Per-document top-N terms by TF-IDF (tf = raw in-doc count, idf =
     * ln(N / df) over the whole corpus) — the classic corpus-statistics
     * keyword extractor a curation pipeline uses for topic tagging and

@@ -467,6 +467,21 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(r => r._4 >= 0.0 && r._2 >= 1 && r._2 <= 2))
   }
 
+  test("repetitionStats: hand-computed 2-gram fractions, short docs omitted") {
+    val fixture = Seq(
+      (1L, "a b a b a"), // grams: "a b","b a","a b","b a" -> top 2/4, dup 2/4
+      (2L, "x y"),       // one gram -> top 1.0, dup 0.0
+      (3L, "z")          // no 2-grams -> omitted
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .repetitionStats(fixture, "doc_id", "text")
+      .orderBy("doc")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 0.5, 0.5),
+      (2L, 1L, 1.0, 0.0)))
+  }
+
   test("sortedIntersectCount matches array_intersect on sorted arrays") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
