@@ -516,6 +516,32 @@ object SparkEntry {
         .orderBy("destination")
     }),
 
+    // E11 layout: the dependency-graph geometry the reference's
+    // plot_dependency_graph draws (node boxes + edge lines, 0.1 pad,
+    // i/n staggering), computed from LIVE engine lineage; the oracle
+    // recomputes the same arithmetic in SQL from the pinned edge list
+    // (recursive-CTE topological depth = the reference's created_on
+    // order on engine-produced lineage)
+    "lineage_layout" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Observations.from(events(s, dir).where(col("user_id") === 1),
+        "user_id", "ts", "value")
+        .select(col(TsCol), col(ValueCol))
+      val sig = MeteauSignal.ingest(raw, "A", "mg/l",
+          DataProvenance(parameter = Some("COD")))
+        .process(Seq("A#1_RAW#1"), Resample,
+          Parameters.of("frequency" -> "1h", "grid" -> "true"))
+        .process(Seq("A#1_RESAMPLED#1"), ReplaceRanges,
+          Parameters.of("ranges" -> "2024-01-10 00:00:00/2024-01-12 00:00:00"))
+        .process(Seq("A#1_REPLACED-RANGES#1"), Interpolate)
+      sig.dependencyLayout("A#1_LIN-INT#1")
+        .toDF().select(col("kind"), col("label"),
+          round(col("x0"), 6).as("x0"), round(col("y0"), 6).as("y0"),
+          round(col("x1"), 6).as("x1"), round(col("y1"), 6).as("y1"),
+          round(col("xm"), 6).as("xm"), round(col("ym"), 6).as("ym"))
+        .orderBy("kind", "label")
+    }),
+
     // E4 lineage dedup: two inputs sharing an identical upstream step
     // (the SAME resample of the SAME raw series) merge into ONE lineage
     // with first-occurrence order preserved — resample appears once,
@@ -1628,6 +1654,52 @@ object SparkEntry {
         |  (2, 'linear_interpolation', 'gap_filling'),
         |  (3, 'average_signals', 'dimensionality_reduction')
         |) t(step_idx, step, step_type) ORDER BY step_idx""".stripMargin,
+
+    // recomputes the reference's plot_dependency_graph geometry from the
+    // pinned edge list: recursive-CTE topological depth orders the nodes,
+    // then the i/n box arithmetic and edge midpoints — an independent
+    // re-derivation of the same layout math the engine computes
+    "lineage_layout" ->
+      """WITH RECURSIVE walk(name, d) AS (
+        |  SELECT origin, 0 FROM (VALUES
+        |    ('resample', 'A#1_RAW#1', 'A#1_RESAMPLED#1'),
+        |    ('replace_ranges', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
+        |    ('linear_interpolation', 'A#1_REPLACED-RANGES#1', 'A#1_LIN-INT#1')
+        |  ) e(step, origin, destination)
+        |  WHERE origin NOT IN (SELECT destination FROM (VALUES
+        |    ('A#1_RESAMPLED#1'), ('A#1_REPLACED-RANGES#1'), ('A#1_LIN-INT#1')) d(destination))
+        |  UNION ALL
+        |  SELECT e.destination, w.d + 1
+        |  FROM walk w JOIN (VALUES
+        |    ('resample', 'A#1_RAW#1', 'A#1_RESAMPLED#1'),
+        |    ('replace_ranges', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
+        |    ('linear_interpolation', 'A#1_REPLACED-RANGES#1', 'A#1_LIN-INT#1')
+        |  ) e(step, origin, destination) ON e.origin = w.name),
+        |dep AS (SELECT name, MAX(d) AS d FROM walk GROUP BY 1),
+        |ord AS (SELECT name, row_number() OVER (ORDER BY d, name) - 1 AS i,
+        |          (SELECT COUNT(*) FROM dep) AS n
+        |        FROM dep),
+        |edges AS (SELECT * FROM (VALUES
+        |    ('resample', 'A#1_RAW#1', 'A#1_RESAMPLED#1'),
+        |    ('replace_ranges', 'A#1_RESAMPLED#1', 'A#1_REPLACED-RANGES#1'),
+        |    ('linear_interpolation', 'A#1_REPLACED-RANGES#1', 'A#1_LIN-INT#1')
+        |  ) e(step, origin, destination)),
+        |noderows AS (
+        |  SELECT 'node' AS kind, name AS label,
+        |    round(i + 0.1, 6) AS x0, round(i::DOUBLE / n + 0.1, 6) AS y0,
+        |    round((i + 1) - 0.1, 6) AS x1, round((i + 1)::DOUBLE / n - 0.1, 6) AS y1,
+        |    round(i + 0.5, 6) AS xm, round((i + 0.5) / n, 6) AS ym
+        |  FROM ord),
+        |edgerows AS (
+        |  SELECT 'edge' AS kind, e.step AS label,
+        |    round((o.i + 1) - 0.1, 6) AS x0, round((o.i + 0.5) / o.n, 6) AS y0,
+        |    round(d.i + 0.1, 6) AS x1, round((d.i + 0.5) / d.n, 6) AS y1,
+        |    round(((o.i + 0.5) + (d.i + 0.5)) / 2, 6) AS xm,
+        |    round(((o.i + 0.5) / o.n + (d.i + 0.5) / d.n) / 2, 6) AS ym
+        |  FROM edges e JOIN ord o ON e.origin = o.name
+        |    JOIN ord d ON e.destination = d.name)
+        |SELECT * FROM (SELECT * FROM noderows UNION ALL SELECT * FROM edgerows)
+        |ORDER BY kind, label""".stripMargin,
 
     "json_serde" ->
       """SELECT * FROM (VALUES

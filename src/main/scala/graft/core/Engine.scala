@@ -174,6 +174,42 @@ final case class MeteauSignal(data: DataFrame, meta: SignalMeta) {
     walk(tsName)
     seen.toSeq
   }
+
+  /** Deterministic dependency-graph layout — the geometry the reference's
+    * `plot_dependency_graph` draws (types.py:951-1054), as data: node
+    * boxes (with the reference's 0.1 drawing pad) and edge lines between
+    * box edges, labels at the midpoints. The reference orders nodes by
+    * `created_on`, which on engine-produced lineage IS topological order
+    * (every step's output is created after its inputs); we order by
+    * topological depth with a name tie-break, making the layout
+    * reproducible without wall-clock state. Driver-side O(#series)
+    * metadata, like [[dependencyEdges]]. */
+  def dependencyLayout(tsName: String): Seq[LayoutShape] = {
+    val edges = dependencyEdges(tsName)
+    val nodes = (edges.map(_.origin) ++ edges.map(_.destination)).distinct
+    val incoming = edges.groupBy(_.destination)
+    val memo = scala.collection.mutable.Map.empty[String, Int]
+    def depth(n: String): Int = memo.getOrElseUpdate(n,
+      incoming.get(n).map(_.map(e => depth(e.origin)).max + 1).getOrElse(0))
+    val ordered = nodes.sortBy(n => (depth(n), n))
+    val nn = ordered.size
+    val idx = ordered.zipWithIndex.toMap
+    val nodeRows = ordered.zipWithIndex.map { case (name, i) =>
+      LayoutShape("node", name,
+        i + 0.1, i.toDouble / nn + 0.1,
+        (i + 1) - 0.1, (i + 1).toDouble / nn - 0.1,
+        i + 0.5, (i + 0.5) / nn)
+    }
+    val edgeRows = edges.map { e =>
+      val oi = idx(e.origin); val di = idx(e.destination)
+      val oxm = oi + 0.5; val oym = (oi + 0.5) / nn
+      val dxm = di + 0.5; val dym = (di + 0.5) / nn
+      LayoutShape("edge", e.step,
+        (oi + 1) - 0.1, oym, di + 0.1, dym,
+        (oxm + dxm) / 2, (oym + dym) / 2)
+    }
+    nodeRows ++ edgeRows
+  }
 }
 
 object MeteauSignal {

@@ -165,6 +165,18 @@ final case class DatasetMeta(
     signals.find(_.name == name)
 }
 
+/** One drawn shape of the dependency-graph layout — a node box or an
+  * edge line, with the label midpoint. Ref: types.py:951-1054
+  * (`plot_dependency_graph`): node i of n gets box [i, i+1] × [i/n,
+  * (i+1)/n] drawn with 0.1 padding; an edge runs from the origin box's
+  * right edge to the destination box's left edge at the boxes' y
+  * middles, labeled at the midpoint of the two box middles. */
+final case class LayoutShape(
+    kind: String, // "node" | "edge"
+    label: String, // series name | step name
+    x0: Double, y0: Double, x1: Double, y1: Double,
+    xm: Double, ym: Double)
+
 /** One edge of the retrospective dependency graph.
   * Ref: types.py:928-949 (`build_dependency_graph`). */
 final case class DependencyEdge(
