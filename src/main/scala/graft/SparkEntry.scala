@@ -104,6 +104,16 @@ object SparkEntry {
   private val ivfIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of sessionization replay tables (stream_sessions):
+    * the user-sliced obs frame plus one per-key SENTINEL event far past
+    * the data, written once per (JVM, sf dir). The sentinel closes each
+    * key's final session through the ARRIVAL path (an event more than
+    * `gap` after the open session's end), so a bounded replay emits
+    * exactly the true sessions — the sentinel's own session stays open
+    * in state and is never emitted. */
+  private val sessionReplayPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of materialized dedup-sink corpora (doc_dedup_sink):
     * the filtered corpus is written once per (JVM, sf dir) and the
     * declared query audits the files on disk — the artifact shape an LLM
@@ -1266,6 +1276,39 @@ object SparkEntry {
         col("candidate_id"), col("cosine")), "query_id", "rank")
     }),
 
+    // streaming gap sessionization over a bounded replay: per-key
+    // sentinel events (10 gaps past each key's last event) close every
+    // real session through the ARRIVAL path, so append-mode
+    // flatMapGroupsWithState emits exactly the true sessions and the
+    // DuckDB gap-sessionization oracle pins streaming ≡ batch. Gap math
+    // runs on SECOND-truncated timestamps and ties order by
+    // (epoch-millis, value) — mirrored exactly in the oracle.
+    "stream_sessions" -> ((s, dir) => {
+      val path = sessionReplayPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_stream_sessions_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val obs = Observations.from(
+          events(s, dir).where(col("user_id") < 40), "user_id", "ts", "value")
+        val sentinels = obs.groupBy(col(KeyCol))
+          .agg(max(col(TsCol)).as("mx"))
+          .select(col(KeyCol),
+            (col("mx") + expr("interval 9000 seconds")).as(TsCol),
+            lit(0.0).as(ValueCol))
+        obs.select(col(KeyCol), col(TsCol), col(ValueCol))
+          .unionByName(sentinels)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      })
+      implicit val sp: SparkSession = s
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, path, "stream_sessions_result") { st =>
+        graft.streaming.StreamingOps.sessionizeStream(st, 900)
+      }
+      sortSmall(res.select(col("series_key"), col("start_s"), col("end_s"),
+        col("n_events")), "series_key", "start_s")
+    }),
+
     // tumbling-window rollup per event type over the JSON-extracted metric
     "event_window_rollup" -> ((s, dir) => {
       val e = events(s, dir)
@@ -2151,6 +2194,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_v
         |FROM iv JOIN events ON ts >= s AND ts <= e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streaming sessionization: gap math on SECOND-truncated epochs,
+    // ties ordered by (epoch-millis, value) — the exact semantics of
+    // StreamingOps.sessionizeStream; sentinel rows exist only in the
+    // replay table and are never emitted (their sessions stay open)
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, epoch_ms(ts) AS ms,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s, value AS v
+        |  FROM events WHERE user_id < 40),
+        |o AS (
+        |  SELECT k, ms, s, v,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 900
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY k ORDER BY ms, v)),
+        |g AS (SELECT k, s,
+        |        CAST(SUM(is_start) OVER (PARTITION BY k ORDER BY ms, v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |      FROM o)
+        |SELECT k AS series_key, MIN(s) AS start_s, MAX(s) AS end_s,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY k, sid ORDER BY series_key, start_s""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (
