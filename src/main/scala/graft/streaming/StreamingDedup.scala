@@ -79,7 +79,7 @@ object StreamingDedup {
       prof.select(col("doc"), col("shs"), col("n"))
         .sortWithinPartitions("doc")
         .write.mode("overwrite").parquet(s"$path/docs")
-      writeIndexMeta(spark, path, nBuckets)
+      writeMetaFile(spark, s"$path/meta.json", nBuckets)
     } finally prof.unpersist()
   }
 
@@ -89,17 +89,17 @@ object StreamingDedup {
       bandhash: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(band, bandhash), lit(nBuckets.toLong)).cast("int")
 
-  private def writeIndexMeta(spark: SparkSession, path: String,
+  private def writeMetaFile(spark: SparkSession, metaPath: String,
       nBuckets: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(s"""{"nBuckets":$nBuckets}""".getBytes("UTF-8"))
     out.close()
   }
 
-  private[streaming] def indexBuckets(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+  private def readMetaFile(spark: SparkSession, metaPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0
     val in = fs.open(p)
@@ -108,6 +108,9 @@ object StreamingDedup {
     """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(bytes, "UTF-8"))
       .map(_.group(1).toInt).getOrElse(0)
   }
+
+  private[streaming] def indexBuckets(spark: SparkSession, path: String): Int =
+    readMetaFile(spark, s"$path/meta.json")
 
   /** Probe a stream of new documents against a [[buildMinhashIndex]]
     * index: emits exactly-verified near-dup pairs
@@ -211,12 +214,23 @@ object StreamingDedup {
     * probe must agree on the flag. */
   def buildSimhashIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, maxDist: Int = 3, nBlocks: Int = 6,
-      portable: Boolean = false): Unit = {
+      portable: Boolean = false, nBuckets: Int = 0): Unit = {
     val sim = if (portable) Dedup.portableSimhash64(df, idCol, textCol)
               else Dedup.simhash64(df, idCol, textCol)
-    Dedup.simhashBands(sim, maxDist, nBlocks)
-      .sortWithinPartitions("band", "bandkey")
-      .write.mode("overwrite").parquet(path)
+    val bnd = Dedup.simhashBands(sim, maxDist, nBlocks)
+    if (nBuckets > 0) {
+      // latency-mode layout, same shape as the bucketed MinHash index;
+      // the meta SIDECAR sits next to the parquet dir (a meta file
+      // inside it would be read as data)
+      bnd.withColumn("bk", bucketOf(col("band"), col("bandkey"), nBuckets))
+        .repartition(col("bk"))
+        .sortWithinPartitions("band", "bandkey")
+        .write.mode("overwrite").partitionBy("bk").parquet(path)
+    } else {
+      bnd.sortWithinPartitions("band", "bandkey")
+        .write.mode("overwrite").parquet(path)
+    }
+    writeMetaFile(df.sparkSession, s"$path.meta.json", nBuckets)
   }
 
   /** Probe a stream of new documents against a [[buildSimhashIndex]]
@@ -229,6 +243,36 @@ object StreamingDedup {
       maxDist: Int = 3, nBlocks: Int = 6,
       portable: Boolean = false): DataFrame = {
     val index = spark.read.parquet(indexPath)
+      .select(col("doc"), col("simhash"), col("band"), col("bandkey"))
+    probeSimhashBands(stream, idCol, textCol, index, maxDist, nBlocks, portable)
+  }
+
+  /** Batch-mode SimHash probe with explicit bucket pruning — the SimHash
+    * twin of [[minhashDupBatch]]: on a bucketed index the batch's bucket
+    * ids pin a partition filter, so index bytes read scale with the
+    * batch; full scan on an unbucketed index. */
+  def simhashDupBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      maxDist: Int = 3, nBlocks: Int = 6, portable: Boolean = false,
+      preloadedBands: Option[DataFrame] = None): DataFrame = {
+    val nBuckets = readMetaFile(spark, s"$indexPath.meta.json")
+    val index = preloadedBands.getOrElse(spark.read.parquet(indexPath))
+    val pruned = if (nBuckets <= 0) index else {
+      val sim = if (portable) Dedup.portableSimhash64(batch, idCol, textCol)
+                else Dedup.simhash64(batch, idCol, textCol)
+      val bks = Dedup.simhashBands(sim, maxDist, nBlocks)
+        .select(bucketOf(col("band"), col("bandkey"), nBuckets).as("bk"))
+        .distinct().collect().map(_.getInt(0))
+      index.where(col("bk").isin(bks.map(Integer.valueOf): _*))
+    }
+    probeSimhashBands(batch, idCol, textCol,
+      pruned.select(col("doc"), col("simhash"), col("band"), col("bandkey")),
+      maxDist, nBlocks, portable)
+  }
+
+  private def probeSimhashBands(stream: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, maxDist: Int, nBlocks: Int,
+      portable: Boolean): DataFrame = {
     val sim = if (portable) Dedup.portableSimhash64(stream, idCol, textCol)
               else Dedup.simhash64(stream, idCol, textCol)
     val q = Dedup.simhashBands(sim, maxDist, nBlocks)

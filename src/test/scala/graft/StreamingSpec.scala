@@ -222,6 +222,23 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed.contains((201L, 5L, 0))) // exact dup: hamming 0
+
+    // bucketed (latency-mode) layout: identical pairs via the pruned
+    // batch probe; unbucketed index falls back to the full scan
+    val idxB = "/tmp/graft_test_simhash_idx_bk"
+    StreamingDedup.buildSimhashIndex(corpus, "doc_id", "text", idxB,
+      nBuckets = 64)
+    val ndDf = newDocs.toDF("doc_id", "text")
+    val bucketed = StreamingDedup.simhashDupBatch(spark, ndDf,
+        "doc_id", "text", idxB)
+      .select("doc_new", "doc_corpus", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bucketed == batch, s"bucketed=$bucketed batch=$batch")
+    val fallback = StreamingDedup.simhashDupBatch(spark, ndDf,
+        "doc_id", "text", idx)
+      .select("doc_new", "doc_corpus", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fallback == batch)
   }
 
   test("portable simhash: pinned cross-engine values, streaming probe exact") {
