@@ -22,6 +22,8 @@ object ScaleSmoke {
     if (args.headOption.contains("chains1m")) { chains1m(); return }
     if (args.headOption.contains("pq1m")) { pq1m(); return }
     if (args.headOption.contains("toppairs1m")) { toppairs1m(); return }
+    if (args.headOption.contains("hotbucket1m")) { hotbucket1m(); return }
+    if (args.headOption.contains("streamfloor")) { streamfloor(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -451,6 +453,163 @@ object ScaleSmoke {
     }
     if (stats(0)._1 != stats(1)._1)
       println(s"SCALECHAIN note: round count varied with size (${stats.map(_._1)})")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Bounded-replay state-store floor measurement (`runMain
+    * graft.ScaleSmoke streamfloor [sfDir]`): times the stream_resample
+    * replay (sf0.1 events, 15-min windows) under the default HDFS-backed
+    * state store vs RocksDB, against the BATCH twin of the same plan —
+    * the three numbers that decide whether the replay's residual cost is
+    * a tunable or the stateful-execution floor. Results are recorded in
+    * BASELINE.md §streaming-floor. */
+  private def streamfloor(): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .orElse(sys.props.get("graft.sfdir")).getOrElse("/root/testdata/sf0.1")
+    def toObs(df: org.apache.spark.sql.DataFrame) =
+      graft.core.Observations.from(
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "ts", "value")
+    def replayOnce(tag: String): Double = {
+      val t0 = System.nanoTime()
+      val res = graft.streaming.StreamingOps.replayResample(
+        spark, s"$dir/events.parquet", toObs, 900, "floor_probe")
+      val n = res.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"STREAMFLOOR $tag%-28s rows=$n%7d $t%6.2f s")
+      t
+    }
+    // batch twin of the identical plan (same grouping, same detMean)
+    def batchOnce(): Double = {
+      val t0 = System.nanoTime()
+      val obs = toObs(spark.read.parquet(s"$dir/events.parquet"))
+      val n = obs.groupBy(col(graft.core.Observations.KeyCol),
+          window(col(graft.core.Observations.TsCol), "900 seconds"))
+        .agg(graft.ops.Resample.detMean(
+          col(graft.core.Observations.ValueCol)).as("v"))
+        .count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"STREAMFLOOR batch-twin               rows=$n%7d $t%6.2f s")
+      t
+    }
+    batchOnce(); val tb = batchOnce()
+    replayOnce("hdfs-backed (warmup)")
+    val th = (1 to 3).map(_ => replayOnce("hdfs-backed")).min
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    replayOnce("rocksdb (warmup)")
+    val tr = (1 to 3).map(_ => replayOnce("rocksdb")).min
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    println(f"STREAMFLOOR summary batch=$tb%.2f s hdfs=$th%.2f s rocksdb=$tr%.2f s " +
+      f"(state-store overhead: hdfs ${th - tb}%.2f s, rocksdb ${tr - tb}%.2f s)")
+    spark.stop()
+  }
+
+  /** Adversarial HOT-BUCKET skew measurement (`runMain graft.ScaleSmoke
+    * hotbucket1m`): an identical-doc-heavy corpus — n/100 exact copies of
+    * ONE document inside n docs (10k copies at 1M) — drives every copy
+    * into the same (band, key) bucket of every MinHash band, so naive
+    * banding does O(k²) candidate work inside single straggler tasks:
+    * the classic LSH skew failure at 100×. Pins the
+    * [[graft.ext.Dedup.dedupClustersDistinct]] short-circuit claims:
+    * (1) banding INPUT is distinct-content only — max banding-bucket
+    * size stays O(1) while the naive max bucket equals the copy count;
+    * (2) candidate-pair occupancy is ~flat vs the copy count (naive
+    * grows with k²); (3) the end-to-end cluster pipeline stays
+    * near-linear in n under the adversarial mix, with exact roots (the
+    * hot family resolves to one cluster of exactly k copies rooted at
+    * doc 0). */
+  private def hotbucket1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def occupancyStats(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): (Long, Long) = {
+      val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(col("k") * (col("k") - 1)), lit(0L)).as("c2"),
+          coalesce(max(col("k")), lit(0L)).as("mx"))
+        .as[(Long, Long)].head()
+      (r._1 / 2, r._2)
+    }
+
+    // the dedup1m corpus (60 words / 5000 vocab, 2% planted near-dups)
+    // with an adversarial hot block: ids < n/100 all carry the SAME text
+    def synthDocs(n: Long) = {
+      val vocab = array((0 until 5000).map(i => lit(s"w$i")): _*)
+      val hot = n / 100
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1)
+          .otherwise(col("id")).as("seed"),
+        pmod(col("id"), lit(50L)).as("variant"))
+      base.select(col("doc_id"),
+        when(col("doc_id") < hot,
+          lit((0 until 60).map(i => s"hot$i").mkString(" ")))
+        .otherwise(concat_ws(" ",
+          transform(sequence(lit(0), lit(59)), i =>
+            when(i === 0 && col("variant") === 1L, lit("wX"))
+              .otherwise(element_at(vocab,
+                (pmod(xxhash64(col("seed"), i), lit(5000L)) + 1).cast("int"))))))
+          .as("text"))
+    }
+
+    var failed = false
+    val times = Seq(250000L, 1000000L).map { n =>
+      val k = n / 100
+      val docs = synthDocs(n).localCheckpoint(true)
+      // naive banding over ALL docs: the hot bucket holds every copy
+      val shAll = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+      val (naiveCand, naiveMax) = occupancyStats(
+        Dedup.minhashBands(Dedup.minhashSignatures(shAll, 64), 16, 4),
+        Seq("band", "bandhash"))
+      // short-circuit banding input: distinct representatives only
+      val reps = Dedup.exactDupReps(docs, "doc_id", "text")
+      val repDocs = docs.join(
+        reps.where(col("doc") === col("rep")).select(col("doc")),
+        col("doc_id") === col("doc"), "left_semi")
+      val shRep = Dedup.hashedShingles(repDocs, "doc_id", "text", 3)
+      val (scCand, scMax) = occupancyStats(
+        Dedup.minhashBands(Dedup.minhashSignatures(shRep, 64), 16, 4),
+        Seq("band", "bandhash"))
+      println(f"SCALEHOT n=$n%8d copies=$k%6d naive: cand=$naiveCand%12d maxBucket=$naiveMax%6d | " +
+        f"distinct: cand=$scCand%12d maxBucket=$scMax%6d")
+      // claim 1+2: naive max bucket == copy count; short-circuited banding
+      // never sees the copies (max bucket stays small and copy-independent)
+      if (naiveMax < k) { println("SCALEHOT naive max bucket should equal copy count"); failed = true }
+      if (scMax > 64) { println(s"SCALEHOT distinct-banding max bucket $scMax too large"); failed = true }
+      if (scCand * 100 > naiveCand) { println("SCALEHOT expected >=100x candidate reduction"); failed = true }
+      // claim 3: end-to-end clustering under the mix — exact roots
+      val t0 = System.nanoTime()
+      val labels = Dedup.dedupClustersDistinct(docs, "doc_id", "text", 0.5)
+        .localCheckpoint(true)
+      val hotWrong = labels.where(col("doc") < k && col("root") =!= 0L).count()
+      val hotSize = labels.where(col("root") === 0L).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEHOT n=$n%8d cluster(hot): size=$hotSize (want $k) wrong=$hotWrong $t%.1f s rounds=${Dedup.lastClusterRounds}")
+      if (hotWrong > 0 || hotSize != k) failed = true
+      t
+    }
+    val growth = times(1) / math.max(times.head, 0.001)
+    println(f"SCALEHOT growth (4x rows) = $growth%.2fx " +
+      (if (growth < 8.0) "NEAR-LINEAR" else "NOT LINEAR"))
+    if (growth >= 8.0) failed = true
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -121,6 +121,12 @@ object SparkEntry {
   private val dedupSinkPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of materialized CURATED corpora (doc_curate_sink):
+    * quality filter → language filter → repetition filter → near-dup
+    * keep-join → lang-partitioned write, once per (JVM, sf dir). */
+  private val curateSinkPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Near-dup cluster labels per sf dir, shared by doc_dedup_clusters and
     * doc_dedup_keep. The returned frame is localCheckpointed inside
     * dedupClusters (RDD-backed, survives catalog clearCache), so the
@@ -759,11 +765,14 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // left-anti join (TPC-H Q22 flavor): customers with no orders at all,
-    // rolled up per nation — the NOT IN-subquery plan
+    // left-anti join (TPC-H Q22 flavor): customers with no 1995 orders,
+    // rolled up per nation — the NOT IN-subquery plan. The anti side is
+    // year-sliced so the kept set is non-trivial (every customer in the
+    // fixture has SOME order; ~2/3 have none in 1995), making the gate
+    // exercise the anti-join data path rather than pin empty == empty.
     "rel_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"),
+        .join(t(s, dir, "orders").where(year(col("o_orderdate")) === 1995),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"),
@@ -772,17 +781,21 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
-    // set operations: customers ordering in 1994 EXCEPT 1995, and the
-    // INTERSECT of both years, tagged and unioned
+    // set operations: customers ordering in 1995-01 EXCEPT 1995-02, and
+    // the INTERSECT of both months, tagged and unioned. Month granularity
+    // (the fixture's orders span 1995-01..2001-08) keeps both branches
+    // non-empty at every SF, so EXCEPT and INTERSECT each prune/keep real
+    // rows instead of matching on empty sets.
     "rel_set_ops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      def custs(y: Int) = o.where(year(col("o_orderdate")) === y)
+      def custs(m: String) = o
+        .where(date_format(col("o_orderdate"), "yyyy-MM") === m)
         .select(col("o_custkey"))
-      val only94 = custs(1994).except(custs(1995))
-        .select(lit("only_1994").as("tag"), col("o_custkey"))
-      val both = custs(1994).intersect(custs(1995))
-        .select(lit("both_years").as("tag"), col("o_custkey"))
-      only94.unionByName(both).orderBy("tag", "o_custkey")
+      val onlyJan = custs("1995-01").except(custs("1995-02"))
+        .select(lit("only_jan").as("tag"), col("o_custkey"))
+      val both = custs("1995-01").intersect(custs("1995-02"))
+        .select(lit("both_months").as("tag"), col("o_custkey"))
+      onlyJan.unionByName(both).orderBy("tag", "o_custkey")
     }),
 
     // time-window rollup on a date column (monthly order stats)
@@ -864,6 +877,57 @@ object SparkEntry {
           .where(col("root").isNull || col("root") === col("doc_id"))
           .select(docs("doc_id"), col("text"), col("lang"), col("source"),
             col("n_chars"))
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+        p
+      })
+      val sink = s.read.parquet(path)
+      sortSmall(sink.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_n_chars"),
+          sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long"), lit(1000003L))).as("checksum")),
+        "lang")
+    }),
+
+    // the FULL curation pipeline an LLM data pipeline actually ships,
+    // composed from operators this engine already declares one-by-one:
+    // quality thresholds (n_tokens >= 15, stopword_ratio >= 0.01,
+    // distinct_ratio >= 0.3 — each cuts real rows on this corpus),
+    // Gopher-style repetition cut (top_2gram_frac <= 0.1), language-ID
+    // confidence (pred_lang <> 'und' — drops the ~24% of docs whose
+    // function-word hits are zero, e.g. zh), then the near-dup keep-join,
+    // materialized as lang-partitioned parquet and AUDITED ON DISK (the
+    // oracle recomputes the identical filter+keep join + checksums from
+    // the source table). All predicate comparisons are on ROUNDED ratio
+    // values the per-operator gates already hash-match, so the filter
+    // boundary is bit-identical across engines. Scale shape: the three
+    // filters are row-local projections / one (doc, gram) aggregate;
+    // every join key is doc_id, so the composite aligns on one exchange
+    // and the write shuffles once into lang partitions.
+    "doc_curate_sink" -> ((s, dir) => {
+      val path = curateSinkPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_curated_corpus_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val docs = t(s, dir, "documents")
+        val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .where(col("n_tokens") >= 15 && col("stopword_ratio") >= 0.01 &&
+            col("distinct_ratio") >= 0.3)
+          .select(col("doc_id"))
+        val calm = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+          .where(col("top_2gram_frac") <= 0.1)
+          .select(col("doc").as("doc_id"))
+        val lid = TextAnalysis.languageId(docs, "doc_id", "text")
+          .where(col("pred_lang") =!= "und")
+          .select(col("doc_id"))
+        val cl = clustersFor(s, dir)
+        docs.join(cl, docs("doc_id") === cl("doc"), "left")
+          .where(col("root").isNull || col("root") === docs("doc_id"))
+          .select(docs("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .join(qual, Seq("doc_id"), "left_semi")
+          .join(calm, Seq("doc_id"), "left_semi")
+          .join(lid, Seq("doc_id"), "left_semi")
           .write.mode("overwrite").partitionBy("lang").parquet(p)
         p
       })
@@ -984,6 +1048,31 @@ object SparkEntry {
       }
     }),
 
+    // IVFADC+R at EXHAUSTIVE routing (nProbe = nLists) — the oracle-pinned
+    // correctness anchor for the whole PQ path: with every list probed and
+    // a short-list covering the corpus, the re-rank stage's exact-cosine
+    // rescore reproduces brute-force top-k BIT-FOR-BIT (ExtSpec pins the
+    // set equality; the re-rank scoring is the same IEEE op sequence as
+    // cosineTopK), so a brute-force DuckDB oracle hash-matches it. This
+    // converts PQ correctness from rows-only to driver-gate green while
+    // emb_ivfpq_topk above stays the honest TIMED approximate path
+    // (nProbe < nLists). Distinct query slice (vec_id 16..23, k = 10) so
+    // the gate is not a literal re-run of emb_cosine_topk.
+    "emb_ivfpq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") >= 16 && col("vec_id") < 24)
+      val idx = pqIndexPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+          nLists = 16, m = 16, pqK = 64, iters = 2)
+        p
+      })
+      sortSmall(Similarity.ivfPqProbeRerank(s, idx, queries, "vec_id",
+          "embedding", k = 10, nProbe = 16, rerankR = 100000)
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
+    }),
+
     // learned-centroid IVF top-k (rows-only: approximate, nProbe < nLists)
     // Quality pinned in-engine: `exact_hit`/`recall_at_k` measure overlap
     // with the brute-force exact top-k for the same query set.
@@ -1040,14 +1129,20 @@ object SparkEntry {
     // thresholded global top-N via LSH candidates + exact verify — the
     // scale path (topPairsLsh): complete for cosine >= 0.8 by banding
     // design, deterministic for exact duplicates (identical signatures
-    // collide in every band). On THIS corpus no pair reaches 0.8
-    // (measured max 0.51), so the oracle pins exact threshold semantics
-    // and zero false positives — the gate holds whatever the banding
-    // draws, since the emitted set is exact-verified ⊆ the oracle's
-    // exhaustive >= 0.8 set. Recall at scale is pinned by the planted
-    // ScaleSmoke tier and the planted-duplicate ExtSpec case.
+    // collide in every band). The natural corpus is near-orthogonal
+    // (measured max pair cosine 0.51 at sf0.01 / 0.60 at sf0.1), so the
+    // >= 0.8 regime is populated by DETERMINISTIC PLANTED DUPLICATES
+    // computed inside the query: every vec_id % 25 == 0 row is copied
+    // under vec_id + 100000. The DuckDB oracle applies the identical
+    // plant and an exhaustive >= 0.8 scan, so the gate now exercises
+    // banding recall on a non-empty result (planted pairs are recovered
+    // with probability 1 — identical signatures collide in every band)
+    // while still pinning zero false positives from the natural corpus.
     "emb_lsh_top_pairs" -> ((s, dir) => {
-      Similarity.topPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.topPairsLsh(base.unionByName(planted), "vec_id", "embedding",
         topN = 20, minCosine = 0.8, bits = 12, bands = 16)
     }),
 
@@ -1863,19 +1958,21 @@ object SparkEntry {
       """SELECT c_nationkey, COUNT(*) AS n_customers,
         |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) = 1995)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_set_ops" ->
-      """SELECT 'only_1994' AS tag, o_custkey FROM (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+      """SELECT 'only_jan' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
         |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02')
         |UNION ALL
-        |SELECT 'both_years' AS tag, o_custkey FROM (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |SELECT 'both_months' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
         |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |  SELECT o_custkey FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-02')
         |ORDER BY 1, 2""".stripMargin,
 
     "rel_orders_monthly" ->
@@ -1993,6 +2090,66 @@ object SparkEntry {
         |  SUM(('0x' || substring(md5(text),1,15))::BIGINT % 1000003)::BIGINT AS checksum
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the composite curation pipeline: the SAME quality / repetition /
+    // language-ID predicates as the per-operator oracles (text_quality,
+    // text_repetition, text_langid — all on rounded ratios), the SAME
+    // recursive-CTE keep-join as doc_dedup_sink, then the identical
+    // per-lang audit over the kept set
+    "doc_curate_sink" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs
+        |          UNION SELECT doc_a, doc_a FROM pairs
+        |          UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS keeper FROM reach GROUP BY x),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(toks) AS BIGINT) AS n_tokens,
+        |      round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+        |      round(CAST(len([x for x in toks if list_contains(['the','a','of','and','to','in','is','it','for','on','with','as','at','by','an','be','this','that'], x)]) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |    FROM tk)
+        |  WHERE n_tokens >= 15 AND stopword_ratio >= 0.01 AND distinct_ratio >= 0.3),
+        |grams AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w) - 1)]) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        |calm AS (SELECT doc_id FROM (
+        |    SELECT doc_id, round(MAX(c)::DOUBLE / SUM(c), 6) AS top_2gram_frac
+        |    FROM gc GROUP BY 1)
+        |  WHERE top_2gram_frac <= 0.1),
+        |lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |lh AS (SELECT doc_id,
+        |  len([x for x in toks if list_contains(['the','and','of','to','is','in','that','it'], x)]) AS hits_en,
+        |  len([x for x in toks if list_contains(['der','die','das','und','ist','nicht','ein','zu'], x)]) AS hits_de,
+        |  len([x for x in toks if list_contains(['el','la','de','que','y','en','un','es'], x)]) AS hits_es,
+        |  len([x for x in toks if list_contains(['le','la','et','les','des','est','un','dans'], x)]) AS hits_fr
+        |  FROM lt),
+        |lid AS (SELECT doc_id FROM lh
+        |  WHERE hits_en > 0 OR hits_de > 0 OR hits_es > 0 OR hits_fr > 0),
+        |kept AS (SELECT d.* FROM documents d
+        |         LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |         WHERE (c.doc_id IS NULL OR c.keeper = d.doc_id)
+        |           AND d.doc_id IN (SELECT doc_id FROM qual)
+        |           AND d.doc_id IN (SELECT doc_id FROM calm)
+        |           AND d.doc_id IN (SELECT doc_id FROM lid))
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(doc_id)::BIGINT AS sum_doc_id,
+        |  SUM(n_chars)::BIGINT AS sum_n_chars,
+        |  SUM(('0x' || substring(md5(text),1,15))::BIGINT % 1000003)::BIGINT AS checksum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     // same shingle/Jaccard math as JaccardOracle, restricted to pairs
     // crossing the stream/corpus split (new = doc_id % 5 == 0)
     "stream_minhash_dedup" ->
@@ -2077,11 +2234,36 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
 
-    // exhaustive thresholded top-N: the engine's LSH-pruned result is
-    // exact-verified, so it must equal this set wherever the banding
-    // recall contract holds (and is a subset by construction always)
-    "emb_lsh_top_pairs" ->
+    // exhaustive-routing IVFADC+R ≡ brute-force exact top-k (ExtSpec pins
+    // the bit-for-bit set equality), so the oracle is brute force over the
+    // same query slice — identical score formula and (cosine desc,
+    // candidate) tie order as the engine's re-rank stage
+    "emb_ivfpq_rerank" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 16 AND q.vec_id < 24 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive thresholded top-N over the SAME planted corpus the
+    // engine builds (id-offset exact copies of every vec_id % 25 == 0
+    // row): the engine's LSH-pruned result is exact-verified, so it must
+    // equal this set wherever the banding recall contract holds — and for
+    // exact duplicates (the only pairs >= 0.8 on this near-orthogonal
+    // fixture) recall is deterministic.
+    "emb_lsh_top_pairs" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000, v FROM base WHERE vec_id % 25 = 0),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(

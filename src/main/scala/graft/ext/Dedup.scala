@@ -383,6 +383,57 @@ object Dedup {
     * claim with it). */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
+  /** doc → representative (min doc id of identical full content) — the
+    * exact-duplicate grouping stage of [[dedupClustersDistinct]]. One
+    * hash aggregate on md5(text) + one equi-join; no banding involved. */
+  def exactDupReps(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc"), md5(col(textCol)).as("_ck"))
+    val repOf = keyed.groupBy(col("_ck"))
+      .agg(min(col("doc")).as("rep"), count(lit(1)).as("n_copies"))
+    keyed.join(repOf, "_ck").select(col("doc"), col("rep"), col("n_copies"))
+  }
+
+  /** Near-dup cluster resolution with an EXACT-DUPLICATE SHORT-CIRCUIT —
+    * the hot-bucket-skew hardening for identical-doc-heavy corpora. A
+    * corpus with k copies of one document puts all k in the same
+    * (band, key) bucket of every band, making the candidate self-join do
+    * O(k²) work inside single straggler tasks (k = 10⁴ ⇒ ~5·10⁷ pairs
+    * per band — the classic LSH skew failure at 100 TB). Identical
+    * content needs no banding to find: stage 1 groups by full-content
+    * hash (one aggregate, perfectly parallel), stage 2 bands ONLY the
+    * distinct representatives (bucket occupancy is now bounded by
+    * distinct-content collisions, not copy counts), stage 3 resolves
+    * rep-level clusters with [[dedupClusters]], and stage 4 expands
+    * membership back through the exact-dup groups with one join.
+    *
+    * Output ≡ `dedupClusters(jaccardPairs(all docs))` (same (doc, root)
+    * rows): identical content has identical shingle sets, so the full
+    * pair graph is the content-group blow-up of the rep graph — its
+    * components are the expanded rep components, and each root (min id)
+    * is preserved because every rep is already its group's min id.
+    * ExtSpec pins the equality; the ScaleSmoke `hotbucket1m` tier
+    * measures the flat task profile under a 10⁴-copy adversarial mix. */
+  def dedupClustersDistinct(df: DataFrame, idCol: String, textCol: String,
+      minJ: Double, n: Int = 3): DataFrame = {
+    // localCheckpoint (eager): consumed by the rep slice now and the
+    // expansion join later (after the caller materializes) — a cache()
+    // would need an unpersist no safe place exists for (cf. the
+    // ivfPqProbeRerank shortlist); checkpoint blocks free themselves via
+    // the ContextCleaner once the frame is unreferenced
+    val reps = exactDupReps(df, idCol, textCol).localCheckpoint(true)
+    val repDocs = df.select(col(idCol), col(textCol))
+      .join(reps.where(col("doc") === col("rep")).select(col("doc")),
+        col(idCol) === col("doc"), "left_semi")
+    val repClusters = dedupClusters(
+      minhashDupPairs(repDocs, idCol, textCol, minJ, n), "doc_a", "doc_b")
+      .select(col("doc").as("_cdoc"), col("root").as("_croot"))
+    // expand: a doc is clustered iff its rep is near-dup-clustered OR its
+    // content group has >1 member (exact dups are Jaccard-1 pairs)
+    reps.join(repClusters, col("rep") === col("_cdoc"), "left")
+      .where(col("_croot").isNotNull || col("n_copies") > 1L)
+      .select(col("doc"), coalesce(col("_croot"), col("rep")).as("root"))
+  }
+
   /** The chunk-banding frame behind [[simhashDupPairs]] — public for
     * occupancy diagnostics. */
   def simhashChunks(sim: DataFrame, nChunks: Int): DataFrame = {

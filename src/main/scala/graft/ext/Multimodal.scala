@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Codecs: REAL for the formats the JVM can decode without external
   * libraries — PNG/JPEG/BMP/GIF through `javax.imageio`, WAV/PCM through
-  * `javax.sound.sampled` ([[MultimodalCodecs]]); payloads in formats with
-  * no in-JVM codec (video, mp3, …) fall back to the clearly-marked
-  * deterministic stand-ins in [[MultimodalStubs]] so the dataflow is
-  * total. Swapping in further codecs (JNI/javacpp) touches only
-  * [[MultimodalCodecs]], not the dataflow.
+  * `javax.sound.sampled`, and MP4/MKV container headers (duration, frame
+  * count, display size) through pure ISO-BMFF / EBML byte parsing
+  * ([[MultimodalCodecs]]); only payloads where even the metadata needs a
+  * codec (mp3, AVI, …) fall back to the clearly-marked deterministic
+  * stand-ins in [[MultimodalStubs]] so the dataflow is total. Frame
+  * PIXEL extraction for video still needs an external binding; swapping
+  * one in (JNI/javacpp) touches only [[MultimodalCodecs]], not the
+  * dataflow.
   */
 object Multimodal {
 
@@ -117,17 +120,21 @@ object Multimodal {
     * row (frames stream out of the iterator — the whole video is never
     * held decoded), each frame keyed (doc_id, frame_idx, offset_ms) so
     * the downstream image ops (decode/resize/extractFeatures) apply to
-    * frames unchanged. No JVM video codec exists in this container, so
-    * duration and frame EXTRACTION are the clearly-marked deterministic
-    * stand-ins in [[MultimodalStubs]]; an ffmpeg/JavaCV binding slots
-    * into [[MultimodalCodecs]] without touching this dataflow. */
+    * frames unchanged. Duration is REAL for MP4 (mvhd) and MKV (EBML
+    * Info/Duration) via pure container-header byte parsing
+    * ([[MultimodalCodecs.videoDurationMs]]); only formats whose duration
+    * genuinely needs a codec fall to the deterministic stand-in. Frame
+    * EXTRACTION stays the clearly-marked stub — no JVM video codec exists
+    * in this container; an ffmpeg/JavaCV binding slots into
+    * [[MultimodalCodecs]] without touching this dataflow. */
   def sampleFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L,
       maxFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
     require(everyMs > 0 && maxFrames > 0, "everyMs and maxFrames must be positive")
     ds.mapPartitions { rows =>
       rows.flatMap { r =>
-        val durMs = MultimodalStubs.durationMsStub(r)
+        val durMs = MultimodalCodecs.videoDurationMs(r.payload)
+          .getOrElse(MultimodalStubs.durationMsStub(r))
         val n = math.min(maxFrames.toLong,
           math.max(1L, durMs / everyMs)).toInt
         (0 until n).iterator.map { i =>
@@ -153,14 +160,192 @@ object MultimodalCodecs {
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) Some("image/gif")
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) Some("audio/wav")
+    else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) Some("video/mp4")
+    else if (at(0, 0x1a) && at(1, 0x45) && at(2, 0xdf) && at(3, 0xa3))
+      Some("video/x-matroska")
     else None
   }
+
+  // ---- ISO-BMFF (MP4/MOV) box parsing — REAL header metadata, no codec.
+  // Container-format geometry only needs byte walking: mvhd carries
+  // timescale/duration, the video trak's tkhd its 16.16 display size, and
+  // stts the sample (frame) count as an entry sum.
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (((b(i) & 0xff).toLong << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** Walk the ISO-BMFF boxes in `[from, to)`, handing each (type,
+    * payloadStart, payloadEnd) to `f`. Stops at the first malformed box
+    * (undersized header, size past the range) rather than throwing. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    var ok = true
+    while (ok && i + 8 <= to) {
+      var size = be32(b, i)
+      var hdr = 8
+      if (size == 1L && i + 16 <= to) { size = be64(b, i + 8); hdr = 16 }
+      else if (size == 0L) size = (to - i).toLong
+      if (size < hdr || size > (to - i).toLong) ok = false
+      else {
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        f(typ, i + hdr, i + size.toInt)
+        i += size.toInt
+      }
+    }
+  }
+
+  /** MP4 header metadata: (durationMs, videoFrameCount, width, height).
+    * Duration from `moov/mvhd` (version 0 and 1 layouts); frame count =
+    * the `stts` entry-count sum of every trak whose `hdlr` handler is
+    * `vide`; display size from that trak's `tkhd` 16.16 fixed-point
+    * fields. Pure byte walking over container boxes — no video codec is
+    * involved, so this is exact for any spec-conformant file. */
+  def mp4Meta(b: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    if (!sniff(b).contains("video/mp4")) return None
+    var timescale = 0L; var dur = 0L; var frames = 0L
+    var width = 0; var height = 0
+    walkBoxes(b, 0, b.length) {
+      case ("moov", ms, me) => walkBoxes(b, ms, me) {
+        case ("mvhd", s, e) if e - s >= 20 =>
+          val v = b(s) & 0xff
+          if (v == 1 && e - s >= 32) {
+            timescale = be32(b, s + 20); dur = be64(b, s + 24)
+          } else { timescale = be32(b, s + 12); dur = be32(b, s + 16) }
+        case ("trak", ts, te) =>
+          var handler = ""
+          var tFrames = 0L; var tw = 0; var th = 0
+          def dive(from: Int, to: Int): Unit = walkBoxes(b, from, to) {
+            case ("tkhd", s, e) =>
+              // width/height (16.16 fixed) after ver+flags(4) +
+              // times/id/duration (20 v0 / 32 v1) + layer..matrix (52)
+              val v = b(s) & 0xff
+              val off = s + (if (v == 1) 88 else 76)
+              if (off + 8 <= e) {
+                tw = be32(b, off).toInt >>> 16
+                th = be32(b, off + 4).toInt >>> 16
+              }
+            case ("hdlr", s, e) if e - s >= 12 =>
+              handler = new String(b, s + 8, 4, "ISO-8859-1")
+            case ("stts", s, e) if e - s >= 8 =>
+              val n = be32(b, s + 4).toInt
+              var k = 0
+              while (k < n && s + 8 + 8 * k + 8 <= e) {
+                tFrames += be32(b, s + 8 + 8 * k); k += 1
+              }
+            case (t, s, e) if t == "mdia" || t == "minf" || t == "stbl" =>
+              dive(s, e)
+            case _ =>
+          }
+          dive(ts, te)
+          if (handler == "vide") {
+            frames += tFrames
+            if (tw > 0) { width = tw; height = th }
+          }
+        case _ =>
+      }
+      case _ =>
+    }
+    if (timescale <= 0) None
+    else Some((dur * 1000L / timescale, frames, width, height))
+  }
+
+  // ---- Matroska/EBML parsing — duration from Segment/Info.
+
+  /** Walk EBML elements in `[from, to)`: (id with marker bits, payload
+    * start, payload end). Unknown-size elements (all size bits set)
+    * extend to the end of the enclosing range, per the EBML spec. */
+  private def ebmlWalk(b: Array[Byte], from: Int, to: Int)
+      (f: (Long, Int, Int) => Unit): Unit = {
+    var i = from
+    var ok = true
+    while (ok && i < to) {
+      val idLen = Integer.numberOfLeadingZeros(b(i) & 0xff) - 23
+      if (idLen < 1 || idLen > 4 || i + idLen > to) ok = false
+      else {
+        var id = 0L
+        var k = 0
+        while (k < idLen) { id = (id << 8) | (b(i + k) & 0xff); k += 1 }
+        val j = i + idLen
+        val szLen = if (j < to)
+          Integer.numberOfLeadingZeros(b(j) & 0xff) - 23 else 0
+        if (szLen < 1 || szLen > 8 || j + szLen > to) ok = false
+        else {
+          var size = (b(j) & (0xff >>> szLen)).toLong
+          var allOnes = (b(j) & 0xff) == (0xff >>> (szLen - 1))
+          k = 1
+          while (k < szLen) {
+            val v = b(j + k) & 0xff
+            allOnes &&= v == 0xff
+            size = (size << 8) | v
+            k += 1
+          }
+          val start = j + szLen
+          val end =
+            if (allOnes) to
+            else if (size > (to - start).toLong) { ok = false; to }
+            else start + size.toInt
+          if (ok) { f(id, start, end); i = end }
+        }
+      }
+    }
+  }
+
+  /** MKV/WebM duration in milliseconds from `Segment/Info`:
+    * `Duration` (float ticks, id 0x4489) × `TimestampScale` (ns per tick,
+    * id 0x2AD7B1, default 1 000 000). Pure EBML vint walking. */
+  def mkvDurationMs(b: Array[Byte]): Option[Long] = {
+    if (!sniff(b).contains("video/x-matroska")) return None
+    var scaleNs = 1000000L
+    var durTicks = Double.NaN
+    ebmlWalk(b, 0, b.length) {
+      case (0x18538067L, ss, se) => ebmlWalk(b, ss, se) {
+        case (0x1549a966L, is, ie) => ebmlWalk(b, is, ie) {
+          case (0x2ad7b1L, s, e) =>
+            var v = 0L
+            var k = s
+            while (k < e) { v = (v << 8) | (b(k) & 0xff); k += 1 }
+            if (v > 0) scaleNs = v
+          case (0x4489L, s, e) if e - s == 4 =>
+            durTicks = java.lang.Float.intBitsToFloat(be32(b, s).toInt).toDouble
+          case (0x4489L, s, e) if e - s == 8 =>
+            durTicks = java.lang.Double.longBitsToDouble(be64(b, s))
+          case _ =>
+        }
+        case _ =>
+      }
+      case _ =>
+    }
+    if (durTicks.isNaN) None
+    else Some(math.round(durTicks * scaleNs / 1e6))
+  }
+
+  /** REAL container-header duration for MP4 (`mvhd`) and MKV
+    * (`Segment/Info/Duration`); None for formats whose duration genuinely
+    * needs a codec (those fall to [[MultimodalStubs.durationMsStub]]). */
+  def videoDurationMs(b: Array[Byte]): Option[Long] = sniff(b) match {
+    case Some("video/mp4") => mp4Meta(b).map(_._1)
+    case Some("video/x-matroska") => mkvDurationMs(b)
+    case _ => None
+  }
+
+  /** REAL frame count for MP4 (video-trak `stts` entry sum). */
+  def videoFrameCount(b: Array[Byte]): Option[Long] =
+    mp4Meta(b).map(_._2)
 
   private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
     catch { case _: Exception => None }
 
-  /** (modality, width, height, sampleRateHz) for decodable payloads. */
+  /** (modality, width, height, sampleRateHz) for decodable payloads.
+    * MP4 dimensions come from the video trak's `tkhd` box — REAL header
+    * parsing, not the stub (which now covers only formats where even the
+    * container geometry needs a codec). */
   def decodeMeta(b: Array[Byte]): Option[(String, Int, Int, Int)] =
     sniff(b).flatMap {
       case m if m.startsWith("image/") =>
@@ -173,6 +358,10 @@ object MultimodalCodecs {
           in.close()
           Some((m, 0, 0, rate))
         } catch { case _: Exception => None }
+      case m @ "video/mp4" =>
+        mp4Meta(b).map { case (_, _, w, h) => (m, w, h, 0) }
+      case m @ "video/x-matroska" =>
+        mkvDurationMs(b).map(_ => (m, 0, 0, 0))
       case _ => None
     }
 
@@ -285,8 +474,9 @@ object MultimodalStubs {
       sampleRateHz = 8000 + math.floorMod(acc, 8L).toInt * 1000))
   }
 
-  /** STUB: pseudo-duration (ms) from the payload size — stands in for
-    * container-header parsing (a real binding reads the header). */
+  /** STUB: pseudo-duration (ms) from the payload size — reached only for
+    * formats whose container header [[MultimodalCodecs.videoDurationMs]]
+    * cannot parse (MP4/MKV durations are real). */
   def durationMsStub(r: MediaRow): Long = math.max(1L, r.meta.byteLen * 4L)
 
   /** STUB: deterministic pseudo-frame bytes for (payload, frameIdx) —

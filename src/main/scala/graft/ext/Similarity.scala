@@ -389,6 +389,7 @@ object Similarity {
 
   def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
+    recoverCorpus(spark, path)
     val cents = loadIvfCentroids(spark, path)
     def meanDist(corpus: DataFrame): (Long, Double) =
       corpusDistStats(corpus, vecCol, cents)
@@ -419,8 +420,24 @@ object Similarity {
     * a pure rewrite — assignments, values, and probe results are
     * unchanged (row order within a list is irrelevant: scoring is
     * row-local and the top-k sort is total). */
+  /** Crash recovery for [[ivfCompact]]'s rename-aside swap: a crash
+    * between `rename(dst, old)` and `rename(src, dst)` leaves the only
+    * live corpus stranded under `corpus_old`. Detect that state (corpus
+    * missing + corpus_old present) and rename it back, making recovery
+    * automatic on the next probe/append/compaction instead of a manual
+    * restore. Called from every public entry that reads `$path/corpus`. */
+  private def recoverCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+  }
+
   def ivfCompact(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    recoverCorpus(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
     val tmp = s"$path/corpus_compacting"
     // hash-repartition on list: each list lands in exactly one task, so
@@ -453,6 +470,7 @@ object Similarity {
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, roundScale: Int = 6): DataFrame = {
+    recoverCorpus(spark, path)
     val cents = loadIvfCentroids(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
     val qProbes = asDouble(queries, vecCol)
@@ -557,6 +575,7 @@ object Similarity {
     * projection over the new rows only; k-means never re-runs. */
   def ivfPqAppend(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): IvfAppendStats = {
+    recoverCorpus(spark, path)
     val cents = loadIvfCentroids(spark, path)
     val codebooks = loadPqCodebooks(spark, path)
     def meanDist(): (Long, Double) =
@@ -652,6 +671,7 @@ object Similarity {
   def ivfPqProbeRerank(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4, rerankR: Int = 40, roundScale: Int = 6): DataFrame = {
+    recoverCorpus(spark, path)
     val cents = loadIvfCentroids(spark, path)
     // route ONCE per call: the ADC long-list probe and the refinement
     // read share the same probed-list ids instead of each collecting
@@ -659,9 +679,18 @@ object Similarity {
     val probedLists = asDouble(queries, vecCol)
       .select(explode(nearestLists(col(vecCol), cents, nProbe)).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // localCheckpoint (eager), not persist(): the short-list is consumed
+    // twice (id collect + broadcast join) so it must be materialized once,
+    // but a persist() entry would sit in the CacheManager until an
+    // explicit unpersist — and the result DataFrame is returned lazily, so
+    // there is no safe place to call it. Checkpoint blocks are released by
+    // the ContextCleaner as soon as the RDD is unreferenced, so repeated
+    // probe calls (bench reps, long-lived serving) cannot accumulate
+    // executor storage.
     val shortlist = ivfPqProbeIndex(spark, path, queries, idCol, vecCol,
         rerankR, nProbe, roundScale, Some(probedLists))
-      .select(col("query_id"), col("candidate_id")).persist()
+      .select(col("query_id"), col("candidate_id"))
+      .localCheckpoint(true)
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))

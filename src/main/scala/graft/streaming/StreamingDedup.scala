@@ -291,14 +291,23 @@ object StreamingDedup {
     * probe and return the materialized result (memory sink, available-now
     * trigger) — how the oracle checks the streaming dedup path, mirroring
     * [[StreamingOps.replayResample]]. */
-  /** Schema of a replay source, cached per path: a bounded replay is
-    * re-run per bench rep, and the footer-read batch job it starts is
-    * pure fixed overhead after the first call. */
+  /** Schema of a replay source, cached per (path, mtime, length): a
+    * bounded replay is re-run per bench rep, and the footer-read batch
+    * job it starts is pure fixed overhead after the first call. Keying on
+    * the file's modification time and length (one driver-side FS stat,
+    * no Spark job) means a rewritten fixture at the same path — e.g. a
+    * regenerated /tmp file with a different schema in the same JVM —
+    * invalidates the entry instead of silently building the stream with
+    * the stale schema. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-  private[streaming] def cachedSchema(spark: SparkSession, parquetPath: String) =
-    schemaCache.computeIfAbsent(parquetPath,
-      p => spark.read.parquet(p).schema)
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+  private[streaming] def cachedSchema(spark: SparkSession, parquetPath: String) = {
+    val p = new org.apache.hadoop.fs.Path(parquetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    schemaCache.computeIfAbsent((parquetPath, st.getModificationTime, st.getLen),
+      _ => spark.read.parquet(parquetPath).schema)
+  }
 
   def replayDocs(spark: SparkSession, parquetPath: String, queryName: String,
       outputMode: OutputMode = OutputMode.Append)

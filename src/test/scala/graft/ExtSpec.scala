@@ -302,6 +302,32 @@ class ExtSpec extends SparkSpec {
     assert(keeper == 0L && n == docs.count())
   }
 
+  test("exact-dup short-circuit clustering equals full-graph clustering") {
+    // dedupClustersDistinct bands only distinct-content representatives;
+    // its (doc, root) output must equal clustering the FULL near-dup pair
+    // graph — on the real fixture (which carries exact copies AND
+    // near-dup families) and on an adversarial copy-heavy mix
+    val full = Dedup.dedupClusters(
+      Dedup.jaccardPairs(Dedup.hashedShingles(docs, "doc_id", "text", 3), 0.5),
+      "doc_a", "doc_b")
+    val sc = Dedup.dedupClustersDistinct(docs, "doc_id", "text", 0.5)
+    assert(sc.exceptAll(full).isEmpty && full.exceptAll(sc).isEmpty)
+    // copy-heavy: 30 extra exact copies of doc 0 under fresh ids join
+    // doc 0's cluster (or form one rooted at 0) without entering banding
+    val copies = docs.where(col("doc_id") === 0L)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val mixed = docs.select(col("doc_id"), col("text")).unionByName(
+      (1 to 30).map(i => copies.select((col("doc_id") + i).as("doc_id"),
+        col("text"))).reduce(_ unionByName _))
+    val scm = Dedup.dedupClustersDistinct(mixed, "doc_id", "text", 0.5)
+    val fullm = Dedup.dedupClusters(
+      Dedup.jaccardPairs(Dedup.hashedShingles(mixed, "doc_id", "text", 3), 0.5),
+      "doc_a", "doc_b")
+    assert(scm.exceptAll(fullm).isEmpty && fullm.exceptAll(scm).isEmpty)
+    assert(scm.where(col("doc") > 100000L && col("root") =!= 0L).isEmpty,
+      "planted copies must resolve to doc 0's cluster")
+  }
+
   test("native dot product is bit-identical to the HOF fold") {
     val pairs = emb.limit(50).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))

@@ -88,6 +88,90 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(mixed).collect().length == 2)
   }
 
+  // ---- minimal spec-conformant container fixtures, built box-by-box
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** 5-second, 120-frame, 320x240 MP4: ftyp + moov(mvhd, trak(tkhd,
+    * mdia(hdlr 'vide', minf(stbl(stts))))). */
+  private def mp4Bytes(timescale: Long, duration: Long,
+      sttsEntries: Seq[(Long, Long)], w: Int, h: Int): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isom".getBytes, be32(512), "isommp41".getBytes)
+    val mvhd = mp4Box("mvhd", Array[Byte](0, 0, 0, 0),
+      be32(0), be32(0), be32(timescale), be32(duration))
+    // ver+flags(4) + v0 times/id/duration(20) + layer..matrix(52) + w + h
+    val tkhd = mp4Box("tkhd", new Array[Byte](76),
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val hdlr = mp4Box("hdlr", new Array[Byte](8), "vide".getBytes,
+      new Array[Byte](13))
+    val stts = mp4Box("stts", Array[Byte](0, 0, 0, 0),
+      be32(sttsEntries.length),
+      sttsEntries.toArray.flatMap { case (n, d) => be32(n) ++ be32(d) })
+    val trak = mp4Box("trak", tkhd,
+      mp4Box("mdia", hdlr, mp4Box("minf", mp4Box("stbl", stts))))
+    ftyp ++ mp4Box("moov", mvhd, trak) ++ mp4Box("mdat", Array[Byte](1, 2, 3))
+  }
+
+  private def ebmlEl(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+    require(payload.length < 127)
+    id ++ Array((0x80 | payload.length).toByte) ++ payload
+  }
+
+  /** MKV with TimestampScale `scaleNs` and float32 Duration `durTicks`. */
+  private def mkvBytes(scaleNs: Long, durTicks: Float): Array[Byte] = {
+    val header = ebmlEl(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte),
+      Array.empty[Byte])
+    val scale = ebmlEl(Array(0x2a, 0xd7, 0xb1).map(_.toByte),
+      Array((scaleNs >> 16).toByte, (scaleNs >> 8).toByte, scaleNs.toByte))
+    val dur = ebmlEl(Array(0x44, 0x89).map(_.toByte),
+      be32(java.lang.Float.floatToIntBits(durTicks).toLong & 0xffffffffL))
+    val info = ebmlEl(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte), scale ++ dur)
+    header ++ ebmlEl(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte), info)
+  }
+
+  test("mp4 header metadata is real: mvhd duration, stts frame count, tkhd size") {
+    val mp4 = mp4Bytes(timescale = 1000L, duration = 5000L,
+      sttsEntries = Seq((100L, 512L), (20L, 512L)), w = 320, h = 240)
+    assert(MultimodalCodecs.sniff(mp4).contains("video/mp4"))
+    assert(MultimodalCodecs.videoDurationMs(mp4).contains(5000L))
+    assert(MultimodalCodecs.videoFrameCount(mp4).contains(120L))
+    val Some((m, w, h, rate)) = MultimodalCodecs.decodeMeta(mp4)
+    assert(m == "video/mp4" && w == 320 && h == 240 && rate == 0)
+    // a 90kHz-timescale variant (the common video clock) rounds correctly
+    val mp4b = mp4Bytes(90000L, 270000L, Seq((75L, 3600L)), 1280, 720)
+    assert(MultimodalCodecs.videoDurationMs(mp4b).contains(3000L))
+    assert(MultimodalCodecs.videoFrameCount(mp4b).contains(75L))
+    // decode() integrates it: real dims, declared modality refined
+    val dec = Multimodal.decode(media((7L, mp4, "video"))).collect().head
+    assert(dec.meta.modality == "video/mp4")
+    assert(dec.meta.width == 320 && dec.meta.height == 240)
+  }
+
+  test("mkv duration is real: EBML Segment/Info Duration x TimestampScale") {
+    val mkv = mkvBytes(1000000L, 12345.0f)
+    assert(MultimodalCodecs.sniff(mkv).contains("video/x-matroska"))
+    assert(MultimodalCodecs.videoDurationMs(mkv).contains(12345L))
+    // non-default timescale: 2ms ticks, 100 ticks -> 200ms
+    assert(MultimodalCodecs.videoDurationMs(mkvBytes(2000000L, 100.0f))
+      .contains(200L))
+    // no codec for pixels: frame count stays None for mkv
+    assert(MultimodalCodecs.videoFrameCount(mkv).isEmpty)
+  }
+
+  test("frame sampling uses the real mp4 duration, stub only for unparseable formats") {
+    val mp4 = mp4Bytes(1000L, 2600L, Seq((65L, 40L)), 64, 48)
+    val frames = Multimodal.sampleFrames(media((3L, mp4, "video")),
+      everyMs = 1000L, maxFrames = 8).collect()
+    assert(frames.length == 2) // 2600ms / 1000ms = 2 sampled frames
+    assert(frames.map(_.offset_ms).sorted.toSeq == Seq(0L, 1000L))
+  }
+
   test("frame sampling explodes a video payload into capped, keyed frames") {
     val payload = Array.tabulate[Byte](400)(i => (i % 97).toByte) // dur stub 1600ms
     val m = media((5L, payload, "video"))
