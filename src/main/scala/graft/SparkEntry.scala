@@ -141,8 +141,16 @@ object SparkEntry {
     // (stopped) session in the same JVM — e.g. sequential Verify-then-
     // guard runs — would fail at runtime. Rebuild on session mismatch.
     clusterCache.get(dir).filter(_.sparkSession eq s).getOrElse {
-      val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
-      val cl = Dedup.dedupClusters(Dedup.jaccardPairs(sh, 0.5), "doc_a", "doc_b")
+      // exact-dup short-circuit around the EXACT PPJoin miner: identical
+      // docs collapse to one representative before any shingle-keyed
+      // join, so copy-heavy corpora cannot create O(k²) prefix buckets;
+      // output is proven equal to clustering the full pair graph
+      // (ExtSpec), so the oracle (exact-Jaccard recursive closure over
+      // ALL docs) is unchanged.
+      val cl = Dedup.dedupClustersDistinctWith(
+        t(s, dir, "documents"), "doc_id", "text")(repDocs =>
+        Dedup.jaccardPairs(
+          Dedup.hashedShingles(repDocs, "doc_id", "text", 3), 0.5))
       clusterCache.put(dir, cl)
       cl
     }

@@ -97,13 +97,30 @@ object Dedup {
     * Includes the length filter (t·na <= nb <= na/t) before touching
     * arrays. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
+      minJ: Double): DataFrame =
+    verifyPairsWithSets(cand,
+      sh.groupBy(col("doc"))
+        .agg(sort_array(collect_list(col("sh"))).as("shs"),
+          count(lit(1)).as("n")),
+      minJ)
+
+  /** [[verifyPairs]] against a prebuilt (doc, shs sorted, n) frame — lets
+    * row-local callers skip the collect_list re-aggregation.
+    *
+    * Join strategy is pinned to shuffle-hash BUILDING FROM THE CANDIDATE
+    * side: candidates are banding-collision-bounded (small), docSets is
+    * corpus-sized with heavy shingle arrays — but docSets' size ESTIMATE
+    * is tiny when it derives from range/checkpoint inputs, which
+    * otherwise baits Catalyst into broadcasting the corpus side (a
+    * driver-built 100 MB+ hash relation per join). Shuffle-hash keys both
+    * sides on the doc id, builds the per-partition table from the tiny
+    * candidate slice, and streams the arrays exactly once. */
+  private def verifyPairsWithSets(cand: DataFrame, docSets: DataFrame,
       minJ: Double): DataFrame = {
-    val docSets = sh.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("sh"))).as("shs"),
-        count(lit(1)).as("n"))
-    cand
+    cand.hint("shuffle_hash")
       .join(docSets.select(col("doc").as("doc_a"), col("shs").as("sha"),
         col("n").as("na")), "doc_a")
+      .hint("shuffle_hash")
       .join(docSets.select(col("doc").as("doc_b"), col("shs").as("shb"),
         col("n").as("nb")), "doc_b")
       .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
@@ -149,7 +166,13 @@ object Dedup {
 
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = minhashBands(sig, bands, rowsPerBand)
-    banded.as("a").join(banded.as("b"),
+    // force sort-merge: both sides are corpus-sized (n·bands rows), but
+    // range/checkpoint-derived inputs carry low-ball size estimates that
+    // otherwise bait Catalyst into BROADCASTING one side — a driver-built
+    // 100 MB+ hash relation (observed: the dominant cost of the composed
+    // pipeline). SMJ shuffles on the short (band, bandhash) key and is
+    // memory-safe at any corpus size.
+    banded.as("a").hint("merge").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandhash") === col("b.bandhash") &&
           col("a.doc") < col("b.doc"))
@@ -161,12 +184,39 @@ object Dedup {
     * candidate set: LSH prunes the pair space; the final filter computes
     * true Jaccard only for colliding pairs, so output = exact pairs subject
     * to LSH recall (with 64 hashes / 16 bands × 4 rows, miss probability at
-    * j >= 0.8 is ~2e-4; at the planted-dup level j >= 0.9 it is < 1e-9). */
+    * j >= 0.8 is ~2e-4; at the planted-dup level j >= 0.9 it is < 1e-9).
+    *
+    * Everything before the band join is ROW-LOCAL native-expression work
+    * (shingle hashes, signature, and the sorted verification array are
+    * per-row projections — no explode, no corpus-wide aggregate), so the
+    * only shuffles are the (band, bandhash) candidate join and the two
+    * candidate-sized verification joins. The r1 formulation exploded
+    * shingles and ran a 64-way min aggregate over them (~58M rows × 64
+    * hash evals at 1M docs) plus a collect_list re-aggregation for
+    * verification; ExtSpec pins the native expressions bit-identical to
+    * those aggregates, so results are unchanged. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       minJ: Double, n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
-    val cand = lshCandidates(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    verifyPairs(cand, sh, minJ)
+    val docs = df.select(col(idCol).as("doc"),
+      shingleArray(split(col(textCol), " "), n).as("_shs"))
+    // materialize the signature frame ONCE (eager localCheckpoint): the
+    // band self-join otherwise recomputes the full
+    // split→shingle→signature chain in BOTH join sides (measured as the
+    // dominant cost of the composed pipeline in the event log), and the
+    // materialized form is small — one 64-long array per doc
+    val sigs = docs.select(col("doc"),
+        minhashSignature(col("_shs"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    // materialize the candidate set too: candidates are
+    // banding-collision-bounded (tiny next to the corpus), and handing
+    // the verify stage a checkpointed input keeps it a small broadcast
+    // join instead of a branch of one mega-DAG. Checkpoint blocks free
+    // via the ContextCleaner.
+    val cand = lshCandidates(sigs, bands, numHashes / bands)
+      .localCheckpoint(true)
+    val docSets = docs.select(col("doc"), sort_array(col("_shs")).as("shs"),
+      size(col("_shs")).cast("long").as("n"))
+    verifyPairsWithSets(cand, docSets, minJ)
   }
 
   /** 64-bit SimHash over whitespace tokens, computed row-locally with
@@ -312,13 +362,18 @@ object Dedup {
     * corpus. The fixpoint test is a distributed count of changed labels —
     * nothing data-sized reaches the driver. */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // cache the pair frame FIRST: the two union branches below would
-    // otherwise each re-run the (expensive) pair-mining child
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    // eagerly checkpoint the pair frame FIRST: the two union branches
+    // below execute CONCURRENTLY inside one job, and a cache() does not
+    // help there — the branches race the cache population, so the second
+    // one re-runs the whole (expensive) pair-mining child (observed in
+    // the event log as a duplicated verify subtree). An eager
+    // localCheckpoint materializes mining exactly once; the tiny pair
+    // RDD is freed by the ContextCleaner when unreferenced.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
       .distinct().localCheckpoint()
-    p.unpersist() // the mining pipeline ran once, into the checkpoint
     // localCheckpoint severs the logical lineage (the iterative-algorithm
     // discipline): without it every round's plan re-embeds the whole
     // pair-mining subtree — analysis alone of the final tree costs
@@ -414,7 +469,21 @@ object Dedup {
     * ExtSpec pins the equality; the ScaleSmoke `hotbucket1m` tier
     * measures the flat task profile under a 10⁴-copy adversarial mix. */
   def dedupClustersDistinct(df: DataFrame, idCol: String, textCol: String,
-      minJ: Double, n: Int = 3): DataFrame = {
+      minJ: Double, n: Int = 3): DataFrame =
+    dedupClustersDistinctWith(df, idCol, textCol)(repDocs =>
+      minhashDupPairs(repDocs, idCol, textCol, minJ, n))
+
+  /** [[dedupClustersDistinct]] parameterized over the rep-level pair
+    * miner (`mine` gets the distinct-content representatives and returns
+    * (doc_a, doc_b) pairs) — so the exact PPJoin miner gets the same
+    * hot-bucket short-circuit as the MinHash one: identical documents
+    * have identical shingle sets, so ANY shingle-keyed candidate join
+    * (prefix buckets included) does O(k²) work on k copies unless the
+    * copies are collapsed first. The blow-up equivalence only needs the
+    * miner to respect content equality, which every shingle-derived
+    * miner does. */
+  def dedupClustersDistinctWith(df: DataFrame, idCol: String,
+      textCol: String)(mine: DataFrame => DataFrame): DataFrame = {
     // localCheckpoint (eager): consumed by the rep slice now and the
     // expansion join later (after the caller materializes) — a cache()
     // would need an unpersist no safe place exists for (cf. the
@@ -424,8 +493,7 @@ object Dedup {
     val repDocs = df.select(col(idCol), col(textCol))
       .join(reps.where(col("doc") === col("rep")).select(col("doc")),
         col(idCol) === col("doc"), "left_semi")
-    val repClusters = dedupClusters(
-      minhashDupPairs(repDocs, idCol, textCol, minJ, n), "doc_a", "doc_b")
+    val repClusters = dedupClusters(mine(repDocs), "doc_a", "doc_b")
       .select(col("doc").as("_cdoc"), col("root").as("_croot"))
     // expand: a doc is clustered iff its rep is near-dup-clustered OR its
     // content group has >1 member (exact dups are Jaccard-1 pairs)
