@@ -24,6 +24,7 @@ object ScaleSmoke {
     if (args.headOption.contains("toppairs1m")) { toppairs1m(); return }
     if (args.headOption.contains("hotbucket1m")) { hotbucket1m(); return }
     if (args.headOption.contains("streamfloor")) { streamfloor(); return }
+    if (args.headOption.contains("curate1m")) { curate1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -513,6 +514,180 @@ object ScaleSmoke {
     println(f"STREAMFLOOR summary batch=$tb%.2f s hdfs=$th%.2f s rocksdb=$tr%.2f s " +
       f"(state-store overhead: hdfs ${th - tb}%.2f s, rocksdb ${tr - tb}%.2f s)")
     spark.stop()
+  }
+
+  /** End-to-end CURATION pipeline at the 1M tier (`runMain graft.ScaleSmoke
+    * curate1m`): the doc_curate_sink composition — quality thresholds +
+    * Gopher repetition cut + language-ID confidence + exact/near-dup
+    * keep-join via [[graft.ext.Dedup.dedupClustersDistinctWith]] —
+    * materialized as lang-partitioned parquet over a synthetic corpus
+    * with PLANTED failure modes, at 250k and 1M docs. Each filter owns a
+    * disjoint planted population, so the tier pins per-filter cut counts
+    * exactly, not just a total:
+    *   - doc_id < n/100: exact copies of ONE passing doc → dedup keeps
+    *     only doc 0 (the hot-family short-circuit end-to-end);
+    *   - mode 3 (doc_id%17==3): quality-passing text with zero
+    *     function-word hits in any language → cut ONLY by langid;
+    *   - mode 5: 40 normal tokens + one 2-gram repeated 10× (top frac
+    *     ≈ 0.17) → cut ONLY by the repetition filter;
+    *   - mode 7: ~16 distinct tokens of 60 (ratio ≈ 0.27) → cut ONLY by
+    *     the quality distinct_ratio threshold;
+    *   - variant (doc_id%50==1, seed normal): near-dup of doc_id−1 →
+    *     cut by the keep-join (non-root cluster member);
+    *   - everything else passes all filters.
+    * Asserts: per-filter cuts land exactly on their planted populations;
+    * kept counts scale ×4 between tiers (deterministic arithmetic);
+    * every lang partition non-empty on disk; plan shape (Exchange count)
+    * size-invariant; wall near-linear 250k→1M. Measured output recorded
+    * in README §scale. */
+  private def curate1m(): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      // the doc_id-only keep-lists sit near the 10 MB broadcast
+      // threshold at these tiers (2 MB at 250k, 8 MB at 1M), so leaving
+      // auto-broadcast on makes the plan SHAPE a function of corpus size
+      // — the 1M tier flipped one semi-join broadcast→shuffle and failed
+      // the exchange-invariance check. At the target scale every
+      // keep-list is corpus-sized and must shuffle, so the tier pins the
+      // shuffle path and the exchange count becomes size-invariant.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // four language profiles; the stopword interleave makes pred_lang
+    // deterministic and keeps quality's (English-list) stopword_ratio
+    // above threshold via the two extra English fillers at i=2,7 —
+    // "a"/"for" for mode-3 docs, which count for quality but sit in NO
+    // langid list, so those docs land exactly on the langid cut
+    val langNames = Seq("en", "de", "es", "fr")
+    val langStops = Seq(
+      Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+      Seq("le", "la", "et", "les", "des", "est", "un", "dans"))
+    def synthDocs(n: Long): org.apache.spark.sql.DataFrame = {
+      val vocab = array((0 until 5000).map(i => lit(s"w$i")): _*)
+      val stops = array(langStops.map(s => array(s.map(lit): _*)): _*)
+      val hot = n / 100
+      // langi derives from SEED, not doc_id: a near-dup twin must carry
+      // its seed's stopword language, or the 12 interleaved stop tokens
+      // all differ and twin-seed Jaccard drops to ~0.26 — below the 0.5
+      // mining threshold, which would make the planted twins undetectable
+      val base = spark.range(n)
+        .select(col("id").as("doc_id"),
+          pmod(col("id"), lit(17L)).as("mode"),
+          when(pmod(col("id"), lit(50L)) === 1L, col("id") - 1)
+            .otherwise(col("id")).as("seed"),
+          pmod(col("id"), lit(50L)).as("variant"))
+        .withColumn("langi", pmod(col("seed"), lit(4L)))
+      def vocabTok(seedCol: org.apache.spark.sql.Column,
+          i: org.apache.spark.sql.Column) =
+        element_at(vocab,
+          (pmod(xxhash64(seedCol, i), lit(5000L)) + 1).cast("int"))
+      def stopTok(i: org.apache.spark.sql.Column) =
+        element_at(element_at(stops, (col("langi") + 1).cast("int")),
+          (pmod(i / 5, lit(8L)) + 1).cast("int"))
+      // normal/near-dup doc: stopword every 5th token, English fillers
+      // at 2 and 7, vocab elsewhere; variant==1 flips token 1 to "wX"
+      def normalTok(i: org.apache.spark.sql.Column) =
+        when(i % 5 === 0, stopTok(i))
+          .when(i === 2, lit("the")).when(i === 7, lit("of"))
+          .when(i === 1 && col("variant") === 1L, lit("wX"))
+          .otherwise(vocabTok(col("seed"), i))
+      val toks = sequence(lit(0), lit(59))
+      val text =
+        when(col("doc_id") < hot,
+          lit(((0 until 60).map { i =>
+            if (i % 5 == 0) "the" else if (i == 2) "the" else if (i == 7) "of"
+            else s"h$i"
+          }).mkString(" ")))
+        .when(col("mode") === 3L, concat_ws(" ", transform(toks, i =>
+          when(i === 2, lit("a")).when(i === 7, lit("for"))
+            .otherwise(vocabTok(col("doc_id"), i)))))
+        .when(col("mode") === 5L, concat_ws(" ", transform(toks, i =>
+          when(i >= 40, when(i % 2 === 0, lit("ra")).otherwise(lit("rb")))
+            .otherwise(normalTok(i)))))
+        .when(col("mode") === 7L, concat_ws(" ", transform(toks, i =>
+          when(i % 5 === 0, stopTok(i))
+            .when(i === 2, lit("the")).when(i === 7, lit("of"))
+            .otherwise(vocabTok(lit(0L), i % 6)))))
+        .otherwise(concat_ws(" ", transform(toks, normalTok(_))))
+      base.select(col("doc_id"), text.as("text"),
+        element_at(array(langNames.map(lit): _*),
+          (col("langi") + 1).cast("int")).as("lang"))
+    }
+
+    var failed = false
+    val stats = Seq(250000L, 1000000L).map { n =>
+      val hot = n / 100
+      val docs = synthDocs(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .where(col("n_tokens") >= 15 && col("stopword_ratio") >= 0.01 &&
+          col("distinct_ratio") >= 0.3)
+        .select(col("doc_id"))
+      val calm = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .where(col("top_2gram_frac") <= 0.1)
+        .select(col("doc").as("doc_id"))
+      val lid = TextAnalysis.languageId(docs, "doc_id", "text")
+        .where(col("pred_lang") =!= "und")
+        .select(col("doc_id"))
+      val cl = Dedup.dedupClustersDistinctWith(docs, "doc_id", "text")(
+        repDocs => Dedup.jaccardPairs(
+          Dedup.hashedShingles(repDocs, "doc_id", "text", 3), 0.5))
+      val kept = docs.join(cl, docs("doc_id") === cl("doc"), "left")
+        .where(col("root").isNull || col("root") === docs("doc_id"))
+        .select(docs("doc_id"), col("text"), col("lang"))
+        .join(qual, Seq("doc_id"), "left_semi")
+        .join(calm, Seq("doc_id"), "left_semi")
+        .join(lid, Seq("doc_id"), "left_semi")
+      val out = s"/tmp/graft_curate1m_$n"
+      kept.write.mode("overwrite").partitionBy("lang").parquet(out)
+      val t = (System.nanoTime() - t0) / 1e9
+      val nExchanges = "Exchange".r
+        .findAllIn(kept.queryExecution.executedPlan.toString).length
+      val sink = spark.read.parquet(out).localCheckpoint(true)
+      val nKept = sink.count()
+      // per-filter cut accounting against the planted populations: the
+      // modes are disjoint by construction (hot ids excluded from each)
+      def cnt(c: org.apache.spark.sql.Column) = sink.where(c).count()
+      val keptHot = cnt(col("doc_id") < hot)
+      val keptM3 = cnt(col("doc_id") >= hot && pmod(col("doc_id"), lit(17L)) === 3L)
+      val keptM5 = cnt(col("doc_id") >= hot && pmod(col("doc_id"), lit(17L)) === 5L)
+      val keptM7 = cnt(col("doc_id") >= hot && pmod(col("doc_id"), lit(17L)) === 7L)
+      // near-dup twins whose seed is a NORMAL kept doc must be dropped
+      // (cluster non-roots); twins whose seed is itself planted-bad sink
+      // with their seed's filter instead, so restrict to clean seeds
+      val twinDropped = sink.where(
+        pmod(col("doc_id"), lit(50L)) === 1L && col("doc_id") >= hot &&
+          pmod(col("doc_id"), lit(17L)).isin(3L, 5L, 7L) === false &&
+          pmod(col("doc_id") - 1, lit(17L)).isin(3L, 5L, 7L) === false &&
+          col("doc_id") - 1 >= hot).count()
+      val langsOnDisk = sink.select(col("lang")).distinct()
+        .as[String].collect().sorted.toSeq
+      println(f"SCALECURATE n=$n%8d kept=$nKept%8d (hot=$keptHot twin=$twinDropped " +
+        f"m3=$keptM3 m5=$keptM5 m7=$keptM7) langs=${langsOnDisk.mkString(",")} " +
+        f"exchanges=$nExchanges $t%6.1f s")
+      if (keptHot != 1) { println(s"SCALECURATE hot family should keep exactly doc 0, kept $keptHot"); failed = true }
+      if (keptM3 != 0 || keptM5 != 0 || keptM7 != 0) { println("SCALECURATE planted-bad docs leaked through their filter"); failed = true }
+      if (twinDropped != 0) { println(s"SCALECURATE $twinDropped clean near-dup twins survived the keep-join"); failed = true }
+      if (langsOnDisk != langNames.sorted) { println(s"SCALECURATE lang partitions wrong: $langsOnDisk"); failed = true }
+      (n, nKept, nExchanges, t)
+    }
+    val Seq((_, k1, e1, t1), (_, k2, e2, t2)) = stats
+    // kept counts are deterministic doc_id arithmetic → ×4 within
+    // boundary effects; wall-clock near-linear (4× data, ≤6× time)
+    if (k2 < 3.8 * k1 || k2 > 4.2 * k1) { println(f"SCALECURATE kept ratio ${k2.toDouble / k1}%.2f not ~4"); failed = true }
+    if (e1 != e2) { println(s"SCALECURATE plan shape changed with size: $e1 vs $e2 exchanges"); failed = true }
+    if (t2 > 6 * t1 + 10) { println(f"SCALECURATE super-linear wall: $t1%.1f -> $t2%.1f s"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
   }
 
   /** Adversarial HOT-BUCKET skew measurement (`runMain graft.ScaleSmoke

@@ -69,8 +69,18 @@ object StreamingOps {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevProvider = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // RocksDB state store: the r8 streamfloor tier measured min-of-3
+    // replay times batch=0.49 s / hdfs=1.23 s / rocksdb=1.14 s at sf0.1,
+    // so RocksDB shaves ~8% off the state-store commit floor and is the
+    // provider a long-running production stream wants anyway (state
+    // spills off-heap instead of living in executor memory). Recorded in
+    // BASELINE.md §streaming-floor.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = agg.writeStream
         .outputMode(OutputMode.Complete)
@@ -86,6 +96,12 @@ object StreamingOps {
           .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
         case None => spark.conf
           .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      prevProvider match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
     spark.table(queryName)
