@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Dedup, EventOps, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventOps, Similarity, TextAnalysis}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -949,6 +949,35 @@ object SparkEntry {
         "lang")
     }),
 
+    // token-budget SHARD PACKING — the concat-then-chunk layout step
+    // that turns a curated corpus into fixed-size training shards:
+    // documents laid end to end in doc_id order, a document's shard is
+    // where its first token lands. Computed as a distributed two-stage
+    // prefix sum (per-id-range token totals → exclusive prefix over the
+    // tiny bucket frame → partitioned intra-bucket running sum), so no
+    // corpus-wide single-task window exists in the plan; bucketWidth 64
+    // exercises multiple buckets at this sf (output is width-invariant,
+    // pinned in ExtSpec). Exact integer arithmetic throughout.
+    "doc_pack_shards" -> ((s, dir) => {
+      sortBig(Corpus.packShards(t(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 1000L, bucketWidth = 64L), "doc")
+    }),
+
+    // deterministic stratified Bernoulli sampling — the training-mix
+    // rebalancing step: per-lang keep rates in basis points, keep iff
+    // the portable md5-derived sampling hash of doc_id falls under the
+    // stratum's rate. Row-local predicate (no shuffle, no RNG state,
+    // scan-pushable) and engine-portable, so a different engine — or a
+    // re-run, or any partitioning — selects the IDENTICAL rows: the
+    // reproducibility a training-data recipe needs. Downsamples the
+    // dominant strata (en 2500 bp, zh 5000 bp), keeps the rest whole.
+    "doc_sample_stratified" -> ((s, dir) => {
+      sortBig(Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 2500L, "zh" -> 5000L))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("sample_bucket")), "doc_id")
+    }),
+
     // SimHash near-dup pairs, ORACLE-PINNED (r7 VERDICT next-round 1):
     // declared over the portable md5-derived 60-bit fingerprint
     // (Dedup.portableSimhash64 — the construction stream_simhash_dedup
@@ -1326,6 +1355,53 @@ object SparkEntry {
       }
       sortSmall(res.select(col("doc_new"), col("doc_corpus"),
         col("hamming").cast("long").as("hamming")), "doc_new", "doc_corpus")
+    }),
+
+    // streaming CURATION-ON-INGEST — the end-to-end decision a live
+    // training-data pipeline makes per arriving document, composed from
+    // already-gated pieces: the stateless row-local curation signals
+    // (TextAnalysis.withCurationSignals — same formulas and rounding as
+    // the batch quality/langid gates) filter INSIDE the stream, pruning
+    // the expensive band join to filter-passing docs (the production
+    // order), then the survivors probe the SAME persisted portable-
+    // simhash index stream_simhash_dedup uses. A new doc is KEPT iff it
+    // passes quality (n_tokens >= 15, stopword_ratio >= 0.01,
+    // distinct_ratio >= 0.3), has a determinable language, and has no
+    // corpus near-dup within hamming <= 3. Every stage is exact and
+    // engine-portable (pigeonhole banding + exact Hamming verify, no
+    // recall margin), so the DuckDB oracle recomputes the identical
+    // kept set — the fourth hash-matched streaming family becomes a
+    // composite, not just a probe.
+    "stream_curate" -> ((s, dir) => {
+      val idx = streamDedupIndex.getOrElseUpdate("simhash:" + dir, {
+        val p = "/tmp/graft_stream_simhash_idx_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.streaming.StreamingDedup.buildSimhashIndex(
+          t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", p, portable = true)
+        p
+      })
+      def passes(df: DataFrame): DataFrame =
+        TextAnalysis.withCurationSignals(df, "text")
+          .where(col("n_tokens") >= 15 && col("stopword_ratio") >= 0.01 &&
+            col("distinct_ratio") >= 0.3 && col("pred_lang") =!= "und")
+      val pairs = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_curate_pairs") { st =>
+        graft.streaming.StreamingDedup.simhashDupStream(
+          s, passes(st.where(col("doc_id") % 5 === 0)), "doc_id", "text",
+          idx, maxDist = 3, portable = true)
+      }
+      // keep decision: filter-passing new docs minus near-dup hits. The
+      // filters are deterministic row-local projections, so recomputing
+      // them over the same rows batch-side is the same predicate; the
+      // pair set comes from the stream (which only probed passing docs —
+      // restricting the probe cannot change the kept set, since dropped
+      // docs are already out).
+      val kept = passes(t(s, dir, "documents").where(col("doc_id") % 5 === 0))
+        .join(pairs.select(col("doc_new")),
+          col("doc_id") === col("doc_new"), "left_anti")
+      sortSmall(kept.select(col("doc_id"), col("pred_lang"),
+        col("n_tokens")), "doc_id")
     }),
 
     // streaming ANN serving against the persisted IVF index: queries
@@ -2158,6 +2234,80 @@ object SparkEntry {
         |  SUM(n_chars)::BIGINT AS sum_n_chars,
         |  SUM(('0x' || substring(md5(text),1,15))::BIGINT % 1000003)::BIGINT AS checksum
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // global concat-then-chunk shard assignment: one ordered window
+    // cumsum — the oracle's single-node luxury; the engine computes the
+    // same exclusive prefix with the two-stage bucket decomposition
+    "doc_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id AS doc, n_tokens, start_offset,
+        |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc""".stripMargin,
+
+    // identical portable md5 sampling hash + per-stratum rate predicate
+    "doc_sample_stratified" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 10000 AS BIGINT) AS sample_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, sample_bucket FROM s
+        |WHERE sample_bucket < CASE WHEN lang = 'en' THEN 2500
+        |                           WHEN lang = 'zh' THEN 5000
+        |                           ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // streaming curation decision: quality + langid (same rounded
+    // expressions as the batch gates) over the new split, minus docs
+    // with a portable-simhash corpus near-dup (exact: pigeonhole
+    // banding + Hamming verify has no recall margin)
+    "stream_curate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t),1,15))::BIGINT AS v FROM toks),
+        |contrib AS (
+        |  SELECT doc_id, b.b AS b,
+        |    SUM(CASE WHEN ((v >> (59 - b.b)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0,59)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sim AS (SELECT doc_id,
+        |          SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (59 - b)) ELSE 0 END)::BIGINT AS simhash
+        |        FROM contrib GROUP BY doc_id),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |       WHERE doc_id % 5 = 0),
+        |qual AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk
+        |  WHERE CAST(len(toks) AS BIGINT) >= 15
+        |    AND round(CAST(len([x for x in toks if list_contains(['the','a','of','and','to','in','is','it','for','on','with','as','at','by','an','be','this','that'], x)]) AS DOUBLE) / len(toks), 6) >= 0.01
+        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) >= 0.3),
+        |lt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |       WHERE doc_id % 5 = 0),
+        |lh AS (SELECT doc_id,
+        |  CAST(len([x for x in toks if list_contains(['the','and','of','to','is','in','that','it'], x)]) AS BIGINT) AS hits_en,
+        |  CAST(len([x for x in toks if list_contains(['der','die','das','und','ist','nicht','ein','zu'], x)]) AS BIGINT) AS hits_de,
+        |  CAST(len([x for x in toks if list_contains(['el','la','de','que','y','en','un','es'], x)]) AS BIGINT) AS hits_es,
+        |  CAST(len([x for x in toks if list_contains(['le','la','et','les','des','est','un','dans'], x)]) AS BIGINT) AS hits_fr
+        |  FROM lt),
+        |lid AS (SELECT doc_id,
+        |  CASE WHEN hits_en > 0 AND hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |       WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |       WHEN hits_es > 0 AND hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+        |       WHEN hits_fr > 0 AND hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |  FROM lh)
+        |SELECT q.doc_id, l.pred_lang, q.n_tokens
+        |FROM qual q JOIN lid l ON q.doc_id = l.doc_id
+        |WHERE l.pred_lang <> 'und'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sim a, sim c
+        |    WHERE a.doc_id = q.doc_id AND c.doc_id % 5 <> 0
+        |      AND bit_count(xor(a.simhash, c.simhash)) <= 3)
+        |ORDER BY q.doc_id""".stripMargin,
 
     // same shingle/Jaccard math as JaccardOracle, restricted to pairs
     // crossing the stream/corpus split (new = doc_id % 5 == 0)

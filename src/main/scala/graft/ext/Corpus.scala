@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: token-budget
+  * shard packing (the concatenate-then-chunk layout step that turns a
+  * curated corpus into fixed-size training shards) and deterministic
+  * stratified sampling (hash-Bernoulli per stratum — the language/source
+  * rebalancing step). Both are designed for the 100 TB shape: packing is
+  * a distributed two-stage prefix sum (no corpus-wide single-task
+  * window), sampling is a shuffle-free row-local predicate.
+  */
+object Corpus {
+
+  /** Assign every document a training SHARD by token budget, in stable
+    * `idCol` order — the concat-then-chunk assignment GPT-style data
+    * prep uses: lay all documents end to end and cut every
+    * `budgetTokens`; a document belongs to the shard its first token
+    * lands in (`shard_id = start_offset div budget`). Emits
+    * (doc, n_tokens, start_offset, shard_id).
+    *
+    * The global running sum is computed WITHOUT a corpus-wide
+    * single-task window (`Window.orderBy` with no partition keys — the
+    * classic scale trap): documents group into order-preserving id
+    * ranges of `bucketWidth` (stage 1: one map-side-combinable hash
+    * aggregate for per-bucket token totals), the exclusive prefix over
+    * bucket totals runs on the BUCKET frame only (stage 2: a single-task
+    * window over corpusSize/bucketWidth rows — at 10⁹ docs and the
+    * default 2²⁰ width that is ~1 000 rows), and each document adds its
+    * intra-bucket exclusive running sum to its bucket's offset (stage 3:
+    * a window PARTITIONED by bucket, plus a broadcast join of the tiny
+    * offset frame). Output is invariant to `bucketWidth` (ExtSpec pins
+    * it), so the width is purely a parallelism knob.
+    *
+    * Counts use whitespace tokens ([[TextAnalysis.tokens]]); all
+    * arithmetic is exact integers — engine-portable with no rounding. */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(budgetTokens > 0 && bucketWidth > 0,
+      "budgetTokens and bucketWidth must be positive")
+    val base = df.select(col(idCol).cast("long").as("doc"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_bucket", floor(col("doc") / lit(bucketWidth)))
+    val bucketTotals = base.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_btok"))
+    // exclusive prefix over bucket totals: single-task by construction,
+    // but over #buckets rows, not the corpus
+    val wBuckets = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .select(col("_bucket"),
+        coalesce(sum(col("_btok")).over(wBuckets), lit(0L)).as("_boff"))
+    val wInBucket = Window.partitionBy(col("_bucket")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "_bucket")
+      .select(col("doc"), col("n_tokens"),
+        (col("_boff") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+          .as("start_offset"))
+      .withColumn("shard_id", floor(col("start_offset") / lit(budgetTokens)))
+  }
+
+  /** The portable per-document sampling hash: the first 15 hex chars of
+    * md5 of the DECIMAL id string, as a long in [0, 10000) — the same
+    * md5-prefix construction the dedup checksums and the portable
+    * simhash use, so any SQL engine recomputes the keep decision
+    * bit-identically (`('0x' || substring(md5(id::VARCHAR), 1, 15))
+    * ::BIGINT % 10000` in DuckDB). */
+  def sampleBucket(idCol: Column): Column =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(10000L))
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff its
+    * [[sampleBucket]] falls under its stratum's rate (in basis points of
+    * 10000). Row-local predicate — no shuffle, no RNG state, pushes down
+    * to the scan, and re-runs (or a different partitioning, or a
+    * different engine) select the IDENTICAL rows, which is what a
+    * reproducible training-mix recipe needs. Strata not in `ratesBp`
+    * keep `defaultBp`. Emits the input rows plus the sampling bucket. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      ratesBp: Map[String, Long], defaultBp: Long = 10000L): DataFrame = {
+    require((ratesBp.values ++ Seq(defaultBp)).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (stratum, bp)) =>
+      when(col(strataCol) === stratum, lit(bp)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .where(col("sample_bucket") < rate)
+  }
+}

@@ -139,6 +139,40 @@ object TextAnalysis {
           .as("dup_2gram_frac"))
   }
 
+  /** ADD the row-local curation signal columns (`n_tokens`,
+    * `distinct_ratio`, `stopword_ratio`, `pred_lang`) to a frame while
+    * KEEPING its existing columns — the streaming-shaped form of
+    * [[qualityScore]] + [[languageId]]. Those two return metric-only
+    * projections, which a bounded batch pipeline joins back by id; a
+    * stateless streaming stage cannot (a self-join of two derivations of
+    * the same stream is a stream-stream join), so curation-on-ingest
+    * needs the signals as added columns on the live row, text included.
+    * The expressions are the SAME formulas with the SAME 6-dp rounding —
+    * ExtSpec pins column-for-column equality against the two canonical
+    * operators so the filter boundary cannot drift. */
+  def withCurationSignals(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*))).cast("long")
+    val lowToks = tokens(lower(col(textCol)))
+    val langs = langWords.map(_._1)
+    val hits: Map[String, Column] = langWords.toMap.map { case (lang, words) =>
+      lang -> size(filter(lowToks, t => t.isin(words: _*))).cast("long")
+    }
+    val best = langs.foldRight(lit("und")) { (lang, acc) =>
+      when(hits(lang) > lit(0) &&
+        langs.filter(_ != lang).map(o => hits(lang) >= hits(o))
+          .reduce(_ && _), lit(lang)).otherwise(acc)
+    }
+    df.withColumn("n_tokens", nTok)
+      .withColumn("distinct_ratio",
+        round(nDistinct.cast("double") / nTok, 6))
+      .withColumn("stopword_ratio",
+        round(nStop.cast("double") / nTok, 6))
+      .withColumn("pred_lang", best)
+  }
+
   /** Per-document top-N terms by TF-IDF (tf = raw in-doc count, idf =
     * ln(N / df) over the whole corpus) — the classic corpus-statistics
     * keyword extractor a curation pipeline uses for topic tagging and

@@ -824,4 +824,70 @@ class ExtSpec extends SparkSpec {
     assert(out.head.getAs[Int]("hit") == 0)
     assert(out.head.getAs[Double]("recall") == 1.0)
   }
+
+  test("packShards: concat-then-chunk offsets and shards on a hand fixture") {
+    import graft.ext.Corpus
+    // token counts 3, 4, 5, 2 → exclusive cumsum 0, 3, 7, 12; budget 5
+    // cuts at 5/10 → shards 0, 0, 1, 2 (doc 1 STARTS at offset 3 inside
+    // shard 0 even though it spills past the cut — concat-then-chunk
+    // assigns by first-token position)
+    val df = Seq((0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Corpus.packShards(df, "doc_id", "text",
+        budgetTokens = 5, bucketWidth = 2)
+      .orderBy("doc")
+      .select("doc", "n_tokens", "start_offset", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 0L, 0L), (1L, 4L, 3L, 0L),
+      (2L, 5L, 7L, 1L), (3L, 2L, 12L, 2L)))
+  }
+
+  test("packShards output is bucketWidth-invariant (width is a parallelism knob)") {
+    import graft.ext.Corpus
+    // widths on either extreme: 7 ids per bucket (many buckets, uneven
+    // boundary) vs one bucket holding the whole corpus (degenerates to
+    // the single-window formulation) — identical output proves the
+    // two-stage prefix decomposition is exact
+    val a = Corpus.packShards(docs, "doc_id", "text", 1000L, 7L)
+    val b = Corpus.packShards(docs, "doc_id", "text", 1000L, 1L << 30)
+    assert(a.count() == docs.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("stratifiedSample keeps exactly the under-rate hash buckets, deterministically") {
+    import graft.ext.Corpus
+    val rates = Map("en" -> 2500L, "zh" -> 5000L)
+    val out = Corpus.stratifiedSample(docs, "doc_id", "lang", rates).cache()
+    val bad = out.where(
+      (col("lang") === "en" && col("sample_bucket") >= 2500) ||
+      (col("lang") === "zh" && col("sample_bucket") >= 5000) ||
+      col("sample_bucket") >= 10000).count()
+    assert(bad == 0, "kept a row whose bucket is at or above its stratum rate")
+    // deterministic: an independent recomputation selects identical rows
+    val out2 = Corpus.stratifiedSample(docs, "doc_id", "lang", rates)
+    assert(out.exceptAll(out2).count() == 0 && out2.exceptAll(out).count() == 0)
+    // default 10000 bp keeps every row
+    assert(Corpus.stratifiedSample(docs, "doc_id", "lang", Map.empty[String, Long])
+      .count() == docs.count())
+    // downsampling actually thins the stratum (loose: 2500 bp keeps
+    // strictly between none and all on any non-degenerate stratum)
+    val en = docs.where(col("lang") === "en").count()
+    val enKept = out.where(col("lang") === "en").count()
+    assert(en == 0 || (enKept < en),
+      s"en stratum not thinned: $enKept of $en kept at 2500 bp")
+    out.unpersist()
+  }
+
+  test("withCurationSignals matches qualityScore + languageId column-for-column") {
+    import graft.ext.TextAnalysis
+    val sigs = TextAnalysis.withCurationSignals(docs, "text")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        col("stopword_ratio"), col("pred_lang"))
+    val ref = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+        col("stopword_ratio"))
+      .join(TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang")), "doc_id")
+    assert(sigs.exceptAll(ref).count() == 0 && ref.exceptAll(sigs).count() == 0)
+  }
 }

@@ -380,4 +380,33 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(got == Set(("a", 2L, 2.0), ("b", 1L, 10.0)))
   }
+
+  test("stream_curate keep decision equals the batch composition") {
+    import graft.ext.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_curate")(spark, dir)
+    // independent batch recomputation: same filters, near-dup = ANY
+    // corpus doc within portable-simhash hamming <= 3 (exhaustive scan —
+    // no banding involved, so this also re-proves the pigeonhole's
+    // completeness on this fixture)
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    val sim = Dedup.portableSimhash64(docsAll, "doc_id", "text").cache()
+    val newSim = sim.where(col("doc") % 5 === 0)
+      .select(col("doc").as("a"), col("simhash").as("sa"))
+    val corpSim = sim.where(col("doc") % 5 =!= 0)
+      .select(col("doc").as("b"), col("simhash").as("sb"))
+    val dupNew = newSim.join(corpSim,
+        bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("a").as("dup_id")).distinct()
+    val kept = TextAnalysis.withCurationSignals(
+        docsAll.where(col("doc_id") % 5 === 0), "text")
+      .where(col("n_tokens") >= 15 && col("stopword_ratio") >= 0.01 &&
+        col("distinct_ratio") >= 0.3 && col("pred_lang") =!= "und")
+      .join(dupNew, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
+    assert(streamed.count() > 0, "curation kept nothing — fixture degenerate")
+    assert(streamed.exceptAll(kept).count() == 0 &&
+      kept.exceptAll(streamed).count() == 0)
+    sim.unpersist()
+  }
 }
