@@ -25,6 +25,7 @@ object ScaleSmoke {
     if (args.headOption.contains("hotbucket1m")) { hotbucket1m(); return }
     if (args.headOption.contains("streamfloor")) { streamfloor(); return }
     if (args.headOption.contains("curate1m")) { curate1m(); return }
+    if (args.headOption.contains("pack1m")) { pack1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -686,6 +687,68 @@ object ScaleSmoke {
     if (k2 < 3.8 * k1 || k2 > 4.2 * k1) { println(f"SCALECURATE kept ratio ${k2.toDouble / k1}%.2f not ~4"); failed = true }
     if (e1 != e2) { println(s"SCALECURATE plan shape changed with size: $e1 vs $e2 exchanges"); failed = true }
     if (t2 > 6 * t1 + 10) { println(f"SCALECURATE super-linear wall: $t1%.1f -> $t2%.1f s"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Token-budget SHARD PACKING at the 1M tier (`runMain graft.ScaleSmoke
+    * pack1m`): [[graft.ext.Corpus.packShards]] over synthetic 60-token
+    * docs at 250k and 1M. Fixed token counts make every output value
+    * closed-form arithmetic (start_offset = 60·doc_id, shard =
+    * 60·doc_id div 2²⁰), so the tier asserts the ENTIRE frame against
+    * the closed form — any error in the two-stage prefix decomposition
+    * (a dropped bucket, an off-by-one boundary, a wrong offset join)
+    * breaks equality somewhere among the million rows. Also asserts
+    * bucketWidth invariance at 1M (2¹⁶ vs one-bucket degenerate = the
+    * single-window formulation) and near-linear wall 250k→1M. Measured
+    * output recorded in README §scale. */
+  private def pack1m(): Unit = {
+    import graft.ext.Corpus
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)), i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000L)))))
+        .as("text"))
+    val budget = 1L << 20
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val docs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = Corpus.packShards(docs, "doc_id", "text", budget, 1L << 16)
+        .localCheckpoint(true)
+      val nOut = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val wrong = out.where(col("n_tokens") =!= 60L ||
+        col("start_offset") =!= col("doc") * 60L ||
+        col("shard_id") =!= floor(col("doc") * 60L / lit(budget))).count()
+      val maxShard = out.agg(max(col("shard_id"))).head().getLong(0)
+      val expectShards = 60L * (n - 1) / budget
+      println(f"SCALEPACK n=$n%8d rows=$nOut wrong=$wrong " +
+        f"maxShard=$maxShard (expect $expectShards) $t%6.1f s")
+      if (nOut != n || wrong != 0 || maxShard != expectShards) {
+        println("SCALEPACK closed-form mismatch"); failed = true
+      }
+      if (n == 1000000L) {
+        val alt = Corpus.packShards(docs, "doc_id", "text", budget, 1L << 40)
+        val diff = out.exceptAll(alt).count() + alt.exceptAll(out).count()
+        if (diff != 0) {
+          println(s"SCALEPACK width-variance: $diff differing rows"); failed = true
+        }
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALEPACK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

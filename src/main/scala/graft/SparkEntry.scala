@@ -978,6 +978,27 @@ object SparkEntry {
           col("sample_bucket")), "doc_id")
     }),
 
+    // benchmark-contamination detection (DECONTAMINATION) — the hygiene
+    // pass a training pipeline runs before shipping: any training doc
+    // sharing a word 5-gram with the benchmark/eval slice is flagged
+    // with its distinct-shared-gram count. The benchmark gram set is
+    // tiny next to the corpus, so it broadcasts; the corpus side does
+    // one explode + broadcast join + per-doc aggregate (no corpus-side
+    // self-join). The gate is guaranteed non-empty by DETERMINISTIC
+    // PLANTED LEAKS computed inside the query (every benchmark doc
+    // re-enters the training side verbatim under id + 1000000 — the
+    // exact test-set-leak failure mode decontamination exists to catch);
+    // natural near-dup crossings add to the plant. The oracle joins the
+    // STRING grams, pinning the hashed-gram engine path exactly.
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val leaks = docs.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      sortBig(Corpus.contamination(docs.unionByName(leaks), "doc_id",
+        "text", col("doc_id") % 20 === 7 && col("doc_id") < 1000000L,
+        n = 5), "doc")
+    }),
+
     // SimHash near-dup pairs, ORACLE-PINNED (r7 VERDICT next-round 1):
     // declared over the portable md5-derived 60-bit fingerprint
     // (Dedup.portableSimhash64 — the construction stream_simhash_dedup
@@ -2250,6 +2271,22 @@ object SparkEntry {
         |SELECT doc_id AS doc, n_tokens, start_offset,
         |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc""".stripMargin,
+
+    // string-gram recomputation of the hashed-gram contamination join,
+    // same planted leaks
+    "doc_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 7),
+        |g AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+        |        for i in generate_series(1, greatest(len(w)-4, 0))])) AS s
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)),
+        |bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 20 = 7 AND doc_id < 1000000)
+        |SELECT doc_id AS doc,
+        |  CAST(COUNT(DISTINCT s) AS BIGINT) AS n_contaminated_grams
+        |FROM g JOIN bg USING (s)
+        |WHERE NOT (doc_id % 20 = 7 AND doc_id < 1000000)
+        |GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     // identical portable md5 sampling hash + per-stratum rate predicate
     "doc_sample_stratified" ->

@@ -62,6 +62,36 @@ object Corpus {
       .withColumn("shard_id", floor(col("start_offset") / lit(budgetTokens)))
   }
 
+  /** Benchmark CONTAMINATION detection — the decontamination step a
+    * training pipeline runs before shipping a corpus: find every
+    * training document sharing at least one word `n`-gram with the
+    * benchmark/eval set, with the count of distinct shared grams as the
+    * evidence column. Emits (doc, n_contaminated_grams) for training
+    * rows only (`benchPred` marks benchmark rows).
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus
+    * (eval suites are MBs against TBs), so it is distinct-aggregated
+    * and BROADCAST; the corpus side streams through the hashed-gram
+    * explode → broadcast semi-ish inner join → one count-distinct
+    * aggregate keyed by doc. No corpus-side shuffle except the final
+    * per-doc aggregate (keyed by doc id, skew-free). Grams are hashed
+    * ([[Dedup.shingleArray]] — row-locally distinct, fixed-width longs);
+    * an independent engine joining the STRING grams reproduces the
+    * counts exactly unless xxhash64 collides, which the hash-match gate
+    * would surface. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("doc"), benchPred.as("_isb"),
+        split(col(textCol), " ").as("_w"))
+      .select(col("doc"), col("_isb"),
+        explode(Dedup.shingleArray(col("_w"), n)).as("sh"))
+    val benchGrams = grams.where(col("_isb")).select(col("sh")).distinct()
+    grams.where(!col("_isb"))
+      .join(broadcast(benchGrams), "sh")
+      .groupBy(col("doc"))
+      .agg(count_distinct(col("sh")).as("n_contaminated_grams"))
+  }
+
   /** The portable per-document sampling hash: the first 15 hex chars of
     * md5 of the DECIMAL id string, as a long in [0, 10000) — the same
     * md5-prefix construction the dedup checksums and the portable

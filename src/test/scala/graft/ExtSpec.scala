@@ -878,6 +878,21 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("contamination counts distinct shared n-grams, training side only") {
+    import graft.ext.Corpus
+    // bench doc 1 has 5-grams {"a b c d e", "b c d e f"}; doc 2 shares
+    // exactly one, doc 3 none (absent from output), doc 4 is a verbatim
+    // leak sharing both
+    val df = Seq(
+      (1L, "a b c d e f", true),
+      (2L, "a b c d e x", false),
+      (3L, "z z z z z z", false),
+      (4L, "a b c d e f", false)).toDF("doc_id", "text", "isb")
+    val out = Corpus.contamination(df, "doc_id", "text", col("isb"), n = 5)
+      .orderBy("doc").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (4L, 2L)))
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")
