@@ -9,6 +9,10 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *  - `runMain graft.QueryProbe <sfDir> <name> [reps]` times one declared
   *    query repeatedly (noop sink) and once with any final global Sort
   *    stripped, to expose range-partitioning sample-pass re-execution.
+  *  - `runMain graft.QueryProbe <sfDir> --explain <name>` prints the
+  *    formatted physical plan of one declared query (the iterate-on-
+  *    `.explain` loop the scale mandate prescribes, without writing a
+  *    throwaway main).
   *  - `runMain graft.QueryProbe <sfDir> --guard <benchJson> [reps]` times
   *    EVERY query recorded in a bench JSON (`BENCH_r03.json` shape:
   *    `{"queries":{name:sec,...}}`) under bench conditions (recall
@@ -22,6 +26,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object QueryProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    if (args.length > 2 && args(1) == "--explain") {
+      val spark = session()
+      SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      spark.stop()
+      return
+    }
     if (args.length > 1 && args(1) == "--guard") {
       val baseline = if (args.length > 2) args(2) else "bench_out.json"
       val reps = if (args.length > 3) args(3).toInt else 2
