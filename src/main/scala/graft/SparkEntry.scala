@@ -1045,6 +1045,32 @@ object SparkEntry {
         "id_a", "id_b")
     }),
 
+    // SEMANTIC DEDUP (SemDeDup-style, Abbas et al. 2023): the keep
+    // decision in EMBEDDING space — near-dup pairs are cosine >= 0.8
+    // rather than textual n-gram overlap, resolved into connected
+    // components by the same pointer-doubling label propagation the
+    // text dedup ships, so keeper = min vec_id per semantic cluster.
+    // Pair mining reuses the banded hyperplane-LSH path with the same
+    // in-query planted duplicates as emb_lsh_pairs (identical vectors
+    // collide in every band → probability-1 recovery; the exact-cosine
+    // verify keeps natural near-orthogonal pairs out), so the pair
+    // graph is deterministic and the recursive-CTE oracle reproduces
+    // the exact clustering. Composite of two already-gated operators —
+    // the embedding-space twin of doc_dedup_clusters.
+    "emb_dedup_clusters" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val pairs = Similarity.lshBucketedPairs(base.unionByName(planted),
+          "vec_id", "embedding", minCosine = 0.8, bits = 10, bands = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val cl = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      val sizes = cl.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      sortSmall(cl.join(sizes, "root")
+        .select(col("doc").as("vec_id"), col("root"), col("cluster_size")),
+        "vec_id")
+    }),
+
     // IVFADC+R probe over a persisted compressed index (rows-only:
     // IVF routing is approximate by construction). The ADC long-list
     // scans codes (+_rn), never float vectors — 1/16 of the corpus
@@ -2473,6 +2499,33 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // recursive-CTE transitive closure over the exhaustive cosine >= 0.8
+    // pair graph (same plant as emb_lsh_pairs) — the embedding-space
+    // twin of the doc_dedup_clusters oracle
+    "emb_dedup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM base
+        |      UNION ALL
+        |      SELECT vec_id + 100000, v FROM base WHERE vec_id % 10 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) /
+        |      (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))])) *
+        |       sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))), 6) >= 0.8),
+        |edges AS (SELECT doc_a AS x, doc_b AS y FROM p
+        |          UNION SELECT doc_b, doc_a FROM p
+        |          UNION SELECT doc_a, doc_a FROM p
+        |          UNION SELECT doc_b, doc_b FROM p),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, e2.y FROM reach r JOIN edges e2 ON r.y = e2.x),
+        |comp AS (SELECT x AS vec_id, min(y) AS root FROM reach GROUP BY x),
+        |sizes AS (SELECT root, COUNT(*) AS cluster_size FROM comp GROUP BY root)
+        |SELECT c.vec_id, c.root, s.cluster_size
+        |FROM comp c JOIN sizes s USING (root)
+        |ORDER BY vec_id""".stripMargin,
 
     "emb_lsh_top_pairs" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -893,6 +893,22 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((2L, 1L), (4L, 2L)))
   }
 
+  test("emb_dedup_clusters resolves each planted duplicate into a size-2 cluster") {
+    val out = SparkEntry.queries("emb_dedup_clusters")(spark,
+        "/root/testdata/sf0.001")
+      .select("vec_id", "root", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty, "no clusters — plant missing")
+    // on this near-orthogonal fixture the >= 0.8 graph is exactly the
+    // planted (v, v+100000) pairs: every cluster is {v, v+100000} rooted
+    // at v, and every v % 10 == 0 appears
+    assert(out.forall(_._3 == 2L), s"unexpected cluster size in $out")
+    val roots = out.filter(r => r._1 == r._2).map(_._1).toSet
+    val members = out.filter(r => r._1 != r._2)
+      .map(r => r._1 - 100000L).toSet
+    assert(roots == members && roots.forall(_ % 10 == 0))
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")
