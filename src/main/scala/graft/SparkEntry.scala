@@ -999,6 +999,57 @@ object SparkEntry {
         n = 5), "doc")
     }),
 
+    // chunk-level exact dedup — repeated-passage/boilerplate removal
+    // (the sub-document granularity doc_dedup_exact can't see): fixed
+    // 16-token chunks, one corpus-wide keeper per distinct chunk text
+    // (lowest (doc, chunk_idx)), per-doc kept/dropped accounting.
+    // Chunking is row-local; the keeper decision is a sort-free min
+    // window on the 64-bit chunk hash; the oracle re-chunks with
+    // list-slice arithmetic and keys on the chunk STRING, pinning the
+    // hashed engine path exactly. Synthetic docs repeat short word-soup
+    // heavily, so the dropped set is large and the gate carries signal.
+    "doc_chunk_dedup" -> ((s, dir) => {
+      sortBig(Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16), "doc")
+    }),
+
+    // target-MIX sampling — rates DERIVED from a target composition
+    // (en 40% / zh 20% / es 20% / de 10% / fr 10% of a 250-doc budget)
+    // against observed per-lang counts, exact integer div throughout,
+    // then the same portable md5 keep predicate as doc_sample_stratified.
+    // One tiny count aggregate + broadcast rate join + row-local filter.
+    "doc_mix_sample" -> ((s, dir) => {
+      sortBig(Corpus.targetMixSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 4000L, "zh" -> 2000L, "es" -> 2000L,
+            "de" -> 1000L, "fr" -> 1000L), budget = 250L)
+        .select(col("doc_id"), col("lang"), col("rate_bp"),
+          col("sample_bucket")), "doc_id")
+    }),
+
+    // PII redaction — scrub emails / US phones / IPv4s to typed
+    // placeholders with per-doc counts. Patterns live in the
+    // Java-regex ∩ RE2 common subset so both engines match identical
+    // spans; DETERMINISTIC PLANTED PII computed inside the query (the
+    // word-soup corpus has none naturally) guarantees non-empty counts
+    // for every pattern, including a mixed-type row. Row-local map —
+    // the oracle recomputes counts and the md5 of the redacted text.
+    "text_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" reach alice.smith@example.org now"))
+          .when(col("doc_id") % 10 === 1,
+            lit(" call 555-867-5309 or 555-123-4567"))
+          .when(col("doc_id") % 10 === 2,
+            lit(" from 10.0.0.1 and 192.168.1.255"))
+          .when(col("doc_id") % 10 === 3,
+            lit(" ping bob@test.io 555-000-1111 127.0.0.1"))
+          .otherwise(lit(""))).as("text"))
+      sortBig(TextAnalysis.piiRedact(planted, "doc_id", "text")
+        .select(col("doc"), col("n_emails"), col("n_phones"),
+          col("n_ips"), md5(col("redacted")).as("redacted_md5")), "doc")
+    }),
+
     // SimHash near-dup pairs, ORACLE-PINNED (r7 VERDICT next-round 1):
     // declared over the portable md5-derived 60-bit fingerprint
     // (Dedup.portableSimhash64 — the construction stream_simhash_dedup
@@ -2325,6 +2376,69 @@ object SparkEntry {
         |                           WHEN lang = 'zh' THEN 5000
         |                           ELSE 10000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // re-chunk with list-slice arithmetic, keeper = min (doc, chunk_idx)
+    // per chunk STRING (pins the engine's hashed-key path)
+    "doc_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(0,
+        |        CAST((len(w) + 15) // 16 AS BIGINT) - 1)) AS i FROM t)),
+        |k AS (SELECT doc_id, chunk_idx, chunk_text,
+        |    doc_id * 1000000 + chunk_idx =
+        |      MIN(doc_id * 1000000 + chunk_idx) OVER (PARTITION BY chunk_text)
+        |      AS keep
+        |  FROM c)
+        |SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(SUM(CASE WHEN keep THEN len(string_split(chunk_text, ' '))
+        |           ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical integer-div rate derivation + portable md5 keep predicate
+    "doc_mix_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |    LEAST(10000, (((CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 2000
+        |                              WHEN 'es' THEN 2000 WHEN 'de' THEN 1000
+        |                              WHEN 'fr' THEN 1000 ELSE 0 END
+        |      * 250) // 10000) * 10000) // n) AS rate_bp
+        |  FROM c)
+        |SELECT doc_id, lang, CAST(rate_bp AS BIGINT) AS rate_bp,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 10000 AS BIGINT) AS sample_bucket
+        |FROM documents JOIN r USING (lang)
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin,
+
+    // same plant, same RE2-compatible patterns, same email->phone->ip
+    // replacement order; counts on the original text
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 10 = 0 THEN ' reach alice.smith@example.org now'
+        |         WHEN doc_id % 10 = 1 THEN ' call 555-867-5309 or 555-123-4567'
+        |         WHEN doc_id % 10 = 2 THEN ' from 10.0.0.1 and 192.168.1.255'
+        |         WHEN doc_id % 10 = 3 THEN ' ping bob@test.io 555-000-1111 127.0.0.1'
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id AS doc,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+        |    AS redacted_md5
+        |FROM p ORDER BY doc""".stripMargin,
 
     // streaming curation decision: quality + langid (same rounded
     // expressions as the batch gates) over the new split, minus docs

@@ -119,4 +119,47 @@ object Corpus {
     df.withColumn("sample_bucket", sampleBucket(col(idCol)))
       .where(col("sample_bucket") < rate)
   }
+
+  /** Target-MIX sampling: derive each stratum's keep rate FROM a target
+    * composition instead of taking fixed rates — the "make the training
+    * mix 40% en / 20% zh / ..." recipe step. For stratum s with observed
+    * count n_s, target share share_s (basis points) and a total document
+    * budget B:
+    *
+    *   want_s    = (share_s * B) div 10000        (docs wanted from s)
+    *   rate_s_bp = min(10000, (want_s * 10000) div n_s)
+    *
+    * then keep a row iff [[sampleBucket]](id) < rate_s_bp — the same
+    * portable md5 predicate as [[stratifiedSample]], so the selected set
+    * is engine/partitioning/re-run invariant. All arithmetic is exact
+    * integer `div` (no doubles), so an independent SQL engine derives
+    * bit-identical rates. Strata absent from `targetSharesBp` get share
+    * 0 and are dropped.
+    *
+    * Scale shape: one map-side-combinable count aggregate over the
+    * corpus (tiny result — one row per stratum), a broadcast join of the
+    * derived rate frame, and a row-local keep predicate. No corpus-side
+    * shuffle at all; an under-supplied stratum (n_s < want_s) saturates
+    * at 10000 bp = keep everything, which is the standard behavior when
+    * a source can't fill its quota. Emits input rows + (sample_bucket,
+    * rate_bp). */
+  def targetMixSample(df: DataFrame, idCol: String, strataCol: String,
+      targetSharesBp: Map[String, Long], budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(targetSharesBp.values.forall(s => s >= 0 && s <= 10000),
+      "shares are basis points in [0, 10000]")
+    val share = targetSharesBp.foldLeft(lit(0L)) { case (acc, (stratum, bp)) =>
+      when(col(strataCol) === stratum, lit(bp)).otherwise(acc)
+    }
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .withColumn("_share_bp", share)
+      .withColumn("_budget", lit(budget))
+      .withColumn("_want", expr("(_share_bp * _budget) div 10000"))
+      .select(col(strataCol),
+        least(lit(10000L), expr("(_want * 10000) div _n")).as("rate_bp"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .where(col("sample_bucket") < col("rate_bp"))
+  }
 }

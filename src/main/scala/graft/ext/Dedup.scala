@@ -24,6 +24,52 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** CHUNK-level exact dedup — the repeated-passage/boilerplate removal
+    * pass (the sub-document half of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, at fixed-chunk rather
+    * than suffix-array granularity): split every document into
+    * consecutive `chunkTokens`-token chunks, keep each distinct chunk
+    * text exactly once corpus-wide (deterministic keeper = lowest
+    * (doc, chunk_idx)), and report per-document kept/dropped accounting
+    * (doc, n_chunks, kept_chunks, kept_tokens).
+    *
+    * Scale shape: chunking is ROW-LOCAL (one `transform(sequence, slice)`
+    * over the token array — no explode-then-groupBy reassembly, so chunk
+    * text never crosses the wire attached to anything but its own row);
+    * the keeper decision is a sort-free `min` aggregate window
+    * PARTITIONED by the 64-bit chunk hash (one shuffle on a fixed-width
+    * key; xxhash64 collisions would surface in the hash-match gate,
+    * same argument as [[graft.ext.Corpus.contamination]]); the rollup is
+    * a map-side-combinable aggregate keyed by doc. A 10⁴-copy hot chunk
+    * costs one skewed-but-aggregate-only window partition — no pairwise
+    * blow-up, because the decision is min-per-group, never per-pair. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val ct = chunkTokens
+    val chunks = df
+      .select(col(idCol).cast("long").as("doc"),
+        split(col(textCol), " ").as("_w"))
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("_w")) + ct - 1) / lit(ct.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("_w"), i * ct + 1, lit(ct))))))
+      .toDF("doc", "chunk_idx", "chunk_text")
+    // one sortable key encodes the (doc, chunk_idx) keeper order so the
+    // window needs only min(), not a row_number sort; chunk_idx is
+    // bounded by maxDocTokens/chunkTokens << 10^6
+    val ord = col("doc") * lit(1000000L) + col("chunk_idx")
+    val wChunk = Window.partitionBy(col("_ck"))
+    chunks
+      .withColumn("_ck", xxhash64(col("chunk_text")))
+      .withColumn("_keep", ord === min(ord).over(wChunk))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(col("_keep"), size(split(col("chunk_text"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_tokens"))
+  }
+
   /** Shingles hashed to 64-bit keys: all downstream joins/aggregates run on
     * fixed-width longs instead of strings (cheaper hashing, shuffles, and
     * comparisons at scale; xxhash64 collisions are negligible for dedup).

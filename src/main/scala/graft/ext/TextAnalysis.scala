@@ -203,4 +203,38 @@ object TextAnalysis {
       .where(col("rank") <= topN)
       .select(col("doc"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repetition, `\b`, `\d` — no lookaround,
+    * no backreferences) so Spark and any RE2-based SQL engine match the
+    * IDENTICAL spans. Replacement order is fixed (email → phone → IPv4)
+    * and counts are taken on the ORIGINAL text, so composition is
+    * deterministic even where patterns could nest. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII REDACTION — the scrubbing pass a training pipeline runs before
+    * any text leaves curation: replace email / US-phone / IPv4 spans
+    * with typed placeholders and report per-document match counts plus
+    * the redacted text. Entirely ROW-LOCAL (regexp_count-style extracts
+    * + a three-step regexp_replace chain inside whole-stage codegen):
+    * no shuffle, no state, pushes through any partitioning unchanged —
+    * the 100 TB shape is a pure map over the scan. Emits
+    * (doc, n_emails, n_phones, n_ips, redacted). */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def nMatches(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    df.select(col(idCol).as("doc"),
+      nMatches(EmailRe).as("n_emails"),
+      nMatches(PhoneRe).as("n_phones"),
+      nMatches(Ipv4Re).as("n_ips"),
+      redacted.as("redacted"))
+  }
 }

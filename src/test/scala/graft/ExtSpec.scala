@@ -893,6 +893,69 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq((2L, 1L), (4L, 2L)))
   }
 
+  test("chunkDedup keeps one corpus-wide copy per distinct chunk, lowest (doc, idx) first") {
+    // chunk width 2: doc 0 → ["a b", "c d"]; doc 1 → ["a b", "x y", "z"]
+    // (trailing partial chunk); doc 2 → ["c d"] only — both its chunks...
+    // doc 2 = "c d a b" → ["c d", "a b"]: both already kept by docs 0/1
+    val df = Seq((0L, "a b c d"), (1L, "a b x y z"), (2L, "c d a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 4L),   // both chunks first occurrences
+      (1L, 3L, 2L, 3L),   // "a b" lost to doc 0; "x y" + partial "z" kept
+      (2L, 2L, 0L, 0L)))  // fully boilerplate: every chunk seen before
+  }
+
+  test("chunkDedup intra-document repeats keep only the first occurrence") {
+    val df = Seq((7L, "p q p q p q")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 3L, 1L, 2L)))
+  }
+
+  test("targetMixSample derives exact integer rates and saturates under-supplied strata") {
+    import graft.ext.Corpus
+    // en: n=218 at sf0.001? — hand fixture instead: strata a (4 rows),
+    // b (2 rows); budget 4, shares a=5000bp, b=5000bp
+    // want = (5000*4) div 10000 = 2 → rate_a = min(10000, 20000 div 4) =
+    // 5000 bp; rate_b = min(10000, 20000 div 2) = 10000 bp (saturated:
+    // b can't overfill its quota, keeps everything)
+    val df = (0L to 3L).map(i => (i, "a")).++(Seq((4L, "b"), (5L, "b")))
+      .toDF("doc_id", "stratum")
+    val out = Corpus.targetMixSample(df, "doc_id", "stratum",
+      Map("a" -> 5000L, "b" -> 5000L), budget = 4L).cache()
+    val rates = out.select("stratum", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates.get("b").contains(10000L), s"b not saturated: $rates")
+    assert(rates.getOrElse("a", 5000L) == 5000L)
+    // the keep predicate is exactly bucket < rate
+    assert(out.where(col("sample_bucket") >= col("rate_bp")).count() == 0)
+    // absent stratum ⇒ share 0 ⇒ dropped
+    assert(Corpus.targetMixSample(df, "doc_id", "stratum",
+      Map("a" -> 10000L), budget = 100L)
+      .where(col("stratum") === "b").count() == 0)
+    out.unpersist()
+  }
+
+  test("piiRedact counts and scrubs all three pattern types row-locally") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "mail bob@test.io and alice.smith@example.org today"),
+      (2L, "call 555-123-4567 from 10.0.0.1"),
+      (3L, "plain words only"),
+      (4L, "x 9999-867-5309 y")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 0L, 0L,
+      "mail <EMAIL> and <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 1L, 1L, "call <PHONE> from <IP>")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "plain words only")))
+    // \b guards: "9999-867-5309" is NOT a phone — no boundary inside
+    // the 4-digit run, and no 3-3-4 alignment starts at any boundary
+    assert(out(3)._3 == 0L, s"false phone in ${out(3)}")
+  }
+
   test("emb_dedup_clusters resolves each planted duplicate into a size-2 cluster") {
     val out = SparkEntry.queries("emb_dedup_clusters")(spark,
         "/root/testdata/sf0.001")
