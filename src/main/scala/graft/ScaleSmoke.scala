@@ -26,6 +26,7 @@ object ScaleSmoke {
     if (args.headOption.contains("streamfloor")) { streamfloor(); return }
     if (args.headOption.contains("curate1m")) { curate1m(); return }
     if (args.headOption.contains("pack1m")) { pack1m(); return }
+    if (args.headOption.contains("chunk1m")) { chunk1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -747,6 +748,63 @@ object ScaleSmoke {
     }
     if (walls(1) > 6 * walls(0) + 10) {
       println(f"SCALEPACK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Adversarial HOT-CHUNK boilerplate measurement (`runMain
+    * graft.ScaleSmoke chunk1m`): [[graft.ext.Dedup.chunkDedup]] over
+    * synthetic 64-token docs whose FIRST 16-token chunk is identical in
+    * every document — the shared-boilerplate worst case, n copies of one
+    * chunk at n docs (10⁶ at 1M) — while the remaining three chunks are
+    * globally unique. Expected output is closed-form (doc 0 keeps 4
+    * chunks / 64 tokens, every other doc 3 / 48), so the tier asserts
+    * the ENTIRE frame; the keeper aggregate's map-side combine is what
+    * makes the hot chunk safe (partials collapse per input task — a
+    * window-partitioned formulation would funnel all n copies into one
+    * sorted partition). Asserts closed form at 250k and 1M plus
+    * near-linear wall growth. Measured output recorded in README
+    * §scale. */
+  private def chunk1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val boiler = (0 until 16).map(i => s"b$i").mkString(" ")
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", transform(sequence(lit(0), lit(47)), i =>
+          concat(lit("u"), col("id") * 48 + i)))).as("text"))
+
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val docs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 16)
+        .localCheckpoint(true)
+      val nOut = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val wrong = out.where(col("n_chunks") =!= 4L ||
+        (col("doc") === 0L &&
+          (col("kept_chunks") =!= 4L || col("kept_tokens") =!= 64L)) ||
+        (col("doc") =!= 0L &&
+          (col("kept_chunks") =!= 3L || col("kept_tokens") =!= 48L))).count()
+      println(f"SCALECHUNK n=$n%8d rows=$nOut wrong=$wrong $t%6.1f s")
+      if (nOut != n || wrong != 0) {
+        println("SCALECHUNK closed-form mismatch"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALECHUNK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
       failed = true
     }
     spark.stop()

@@ -1050,6 +1050,18 @@ object SparkEntry {
           col("n_ips"), md5(col("redacted")).as("redacted_md5")), "doc")
     }),
 
+    // corpus-unigram-LM negative log-likelihood — the CCNet-style
+    // perplexity-bucketing quality proxy: per-doc mean -ln p(token)
+    // under the corpus's own unigram model. Rounded-then-decimal-summed
+    // contributions make the result engine/partitioning-invariant; term
+    // frequencies derive from the tf frame (single corpus pass), the
+    // corpus total broadcasts, tf joins freq on term under AQE skew
+    // handling.
+    "text_unigram_nll" -> ((s, dir) => {
+      sortBig(TextAnalysis.unigramNll(t(s, dir, "documents"),
+        "doc_id", "text"), "doc")
+    }),
+
     // SimHash near-dup pairs, ORACLE-PINNED (r7 VERDICT next-round 1):
     // declared over the portable md5-derived 60-bit fingerprint
     // (Dedup.portableSimhash64 — the construction stream_simhash_dedup
@@ -2414,6 +2426,24 @@ object SparkEntry {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |    % 10000 < rate_bp
         |ORDER BY doc_id""".stripMargin,
+
+    // identical rounded-contribution decimal sum + one final IEEE
+    // division; ln ulp differences die in the 6 dp round
+    "text_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |    FROM toks GROUP BY doc_id, term),
+        |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+        |n AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM f),
+        |c AS (SELECT doc_id, tf,
+        |    CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / f), 6) AS DECIMAL(38,6))
+        |      AS contrib
+        |  FROM tf JOIN f USING (term) CROSS JOIN n)
+        |SELECT doc_id AS doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+        |    AS nll
+        |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     // same plant, same RE2-compatible patterns, same email->phone->ip
     // replacement order; counts on the original text

@@ -36,13 +36,17 @@ object Dedup {
     * Scale shape: chunking is ROW-LOCAL (one `transform(sequence, slice)`
     * over the token array — no explode-then-groupBy reassembly, so chunk
     * text never crosses the wire attached to anything but its own row);
-    * the keeper decision is a sort-free `min` aggregate window
-    * PARTITIONED by the 64-bit chunk hash (one shuffle on a fixed-width
-    * key; xxhash64 collisions would surface in the hash-match gate,
-    * same argument as [[graft.ext.Corpus.contamination]]); the rollup is
-    * a map-side-combinable aggregate keyed by doc. A 10⁴-copy hot chunk
-    * costs one skewed-but-aggregate-only window partition — no pairwise
-    * blow-up, because the decision is min-per-group, never per-pair. */
+    * the keeper decision is `min(ord) GROUP BY chunk-hash` — a
+    * MAP-SIDE-COMBINABLE aggregate on the 64-bit chunk key (xxhash64
+    * collisions would surface in the hash-match gate, same argument as
+    * [[graft.ext.Corpus.contamination]]), so a 10⁶-copy boilerplate
+    * chunk collapses to one partial per input task BEFORE the shuffle —
+    * no hot window partition, no sort, no pairwise blow-up (a window
+    * formulation would funnel every copy into one partition; the
+    * chunk1m tier measures the difference). The per-doc rollups and the
+    * final doc-keyed join are skew-free (chunk counts per doc are
+    * bounded). One sortable long encodes the (doc, chunk_idx) keeper
+    * order; chunk_idx < 10⁶ ≫ maxDocTokens/chunkTokens. */
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
@@ -55,19 +59,22 @@ object Dedup {
           floor((size(col("_w")) + ct - 1) / lit(ct.toDouble)).cast("int") - 1),
         i => concat_ws(" ", slice(col("_w"), i * ct + 1, lit(ct))))))
       .toDF("doc", "chunk_idx", "chunk_text")
-    // one sortable key encodes the (doc, chunk_idx) keeper order so the
-    // window needs only min(), not a row_number sort; chunk_idx is
-    // bounded by maxDocTokens/chunkTokens << 10^6
-    val ord = col("doc") * lit(1000000L) + col("chunk_idx")
-    val wChunk = Window.partitionBy(col("_ck"))
-    chunks
-      .withColumn("_ck", xxhash64(col("chunk_text")))
-      .withColumn("_keep", ord === min(ord).over(wChunk))
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).cast("long").as("n_chunks"),
-        sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_chunks"),
-        sum(when(col("_keep"), size(split(col("chunk_text"), " ")).cast("long"))
-          .otherwise(0L)).as("kept_tokens"))
+      .select(col("doc"),
+        xxhash64(col("chunk_text")).as("_ck"),
+        size(split(col("chunk_text"), " ")).cast("long").as("_clen"),
+        (col("doc") * lit(1000000L) + col("chunk_idx")).as("_ord"))
+    val keepers = chunks.groupBy(col("_ck"))
+      .agg(min(col("_ord")).as("_kord"), min(col("_clen")).as("_clen"))
+      .select(expr("_kord div 1000000").as("doc"), col("_clen"))
+    val keptPerDoc = keepers.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("kept_chunks"),
+        sum(col("_clen")).as("kept_tokens"))
+    chunks.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+      .join(keptPerDoc, Seq("doc"), "left")
+      .select(col("doc"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
   /** Shingles hashed to 64-bit keys: all downstream joins/aggregates run on

@@ -204,6 +204,43 @@ object TextAnalysis {
       .select(col("doc"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Corpus-unigram-LM negative log-likelihood per document — the
+    * engine-internal stand-in for CCNet-style perplexity bucketing
+    * (Wenzek et al. 2020 filter corpora by KenLM perplexity; with no
+    * external LM in scope, the corpus's own unigram model is the
+    * distributable proxy): nll(d) = Σ_t tf_dt·ln(N/f_t) / len_d, low =
+    * typical text, high = rare-token noise. Emits (doc, n_tokens, nll).
+    *
+    * Determinism: each (doc, term) contribution is ROUNDED (6 dp) then
+    * summed as DECIMAL(38,6) — exact, order-invariant — with ONE IEEE
+    * division + round at the end, so the result is partition-count- and
+    * engine-invariant (the same exact-decimal-partials rule the
+    * aggregate queries use; raw double Σln differs in final bits by
+    * summation order).
+    *
+    * Scale shape: tf is one explode + (doc, term) hash aggregate; term
+    * frequencies derive FROM the tf frame (no second corpus pass); the
+    * corpus total N broadcasts as a single row; tf ⋈ freq shuffles on
+    * term — hot/stopword terms are the classic skew key, handled by AQE
+    * skew-join (no driver-side vocabulary assumption: at 100 TB the
+    * vocab is itself a big frame). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("f"))
+    val n = freq.agg(sum(col("f")).as("n"))
+    tf.join(freq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("_contrib",
+        round(col("tf") * log(col("n").cast("double") / col("f")), 6)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("_contrib")).cast("double") /
+          sum(col("tf")).cast("double"), 6).as("nll"))
+  }
+
   /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
     * (character classes, bounded repetition, `\b`, `\d` — no lookaround,
     * no backreferences) so Spark and any RE2-based SQL engine match the

@@ -938,6 +938,21 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("unigramNll ranks rare-token docs above common-token docs, partition-invariantly") {
+    import graft.ext.TextAnalysis
+    val df = Seq((1L, "a a a a"), (2L, "a a z q")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(df, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 4L), (2L, 4L)))
+    // doc 1 is all corpus-dominant tokens, doc 2 carries two singletons
+    assert(out(0)._3 < out(1)._3,
+      s"common-token doc not ranked more likely: $out")
+    // exact-decimal partials ⇒ identical result under any partitioning
+    val out7 = TextAnalysis.unigramNll(df.repartition(7), "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Double)].collect().toSeq
+    assert(out7 == out)
+  }
+
   test("piiRedact counts and scrubs all three pattern types row-locally") {
     import graft.ext.TextAnalysis
     val df = Seq(
