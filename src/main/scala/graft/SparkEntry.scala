@@ -1514,6 +1514,46 @@ object SparkEntry {
         col("n_tokens")), "doc_id")
     }),
 
+    // streaming CHUNK-dedup on ingest — the boilerplate filter a live
+    // pipeline applies per arriving document: row-local 16-token
+    // chunking INSIDE the stream (stateless — Dedup.chunkRows), a
+    // stream-static join against the persisted distinct-chunk-hash
+    // index of the corpus split, and batch-side kept/dropped accounting
+    // for the new split. No candidate-verify stage and no streaming
+    // state at all: the index keys are distinct, so join multiplicity
+    // is 1 and the chunk hash IS the decision. The oracle recomputes
+    // chunk membership over the chunk STRINGS (EXISTS against the
+    // corpus split), pinning the hashed engine path exactly — fifth
+    // oracle-pinned streaming family.
+    "stream_chunk_dedup" -> ((s, dir) => {
+      val idx = streamDedupIndex.getOrElseUpdate("chunk:" + dir, {
+        val p = "/tmp/graft_stream_chunk_idx_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.streaming.StreamingDedup.buildChunkIndex(
+          t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", p, chunkTokens = 16)
+        p
+      })
+      val hits = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_chunk_hits") { st =>
+        graft.streaming.StreamingDedup.chunkHitStream(
+          s, st.where(col("doc_id") % 5 === 0), "doc_id", "text", idx,
+          chunkTokens = 16)
+      }
+      val tot = Dedup.chunkRows(
+          t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+          "doc_id", "text", 16)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"))
+      val dup = hits.groupBy(col("doc_new").as("doc"))
+        .agg(count(lit(1)).cast("long").as("dup_chunks"))
+      sortSmall(tot.join(dup, Seq("doc"), "left")
+        .select(col("doc"), col("n_chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+          (col("n_chunks") - coalesce(col("dup_chunks"), lit(0L)))
+            .as("kept_chunks")), "doc")
+    }),
+
     // streaming ANN serving against the persisted IVF index: queries
     // REPLAY as a stream probing the batch-built index (update-style
     // micro-batch top-k via StreamingAnn.ivfProbeStream). Probed
@@ -2555,6 +2595,26 @@ object SparkEntry {
         |FROM sim n JOIN sim c ON n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
         |WHERE bit_count(xor(n.simhash, c.simhash)) <= 3
         |ORDER BY doc_new, doc_corpus""".stripMargin,
+
+    // chunk membership recomputed over chunk STRINGS: per new-split doc,
+    // how many of its 16-token chunks the corpus split already contains
+    "stream_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS chunk_text
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(0,
+        |        CAST((len(w) + 15) // 16 AS BIGINT) - 1)) AS i FROM t)),
+        |corp AS (SELECT DISTINCT chunk_text FROM c WHERE doc_id % 5 <> 0),
+        |nw AS (SELECT doc_id, chunk_idx, chunk_text FROM c WHERE doc_id % 5 = 0)
+        |SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM corp
+        |      WHERE corp.chunk_text = nw.chunk_text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_chunks,
+        |  CAST(COUNT(*) - SUM(CASE WHEN EXISTS (SELECT 1 FROM corp
+        |      WHERE corp.chunk_text = nw.chunk_text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept_chunks
+        |FROM nw GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     // exhaustive probing (nProbe = nLists) makes the streamed IVF probe
     // the exact cosine top-k, so the oracle is brute force over the same

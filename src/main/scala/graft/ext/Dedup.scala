@@ -47,18 +47,27 @@ object Dedup {
     * final doc-keyed join are skew-free (chunk counts per doc are
     * bounded). One sortable long encodes the (doc, chunk_idx) keeper
     * order; chunk_idx < 10⁶ ≫ maxDocTokens/chunkTokens. */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int = 16): DataFrame = {
+  /** The ROW-LOCAL fixed-width chunking both the batch dedup and the
+    * streaming probe share: (doc, chunk_idx, chunk_text), one row per
+    * consecutive `chunkTokens`-token chunk (trailing partial included).
+    * Stateless — `transform(sequence, slice)` + posexplode — so it runs
+    * unchanged inside a streaming stage. */
+  def chunkRows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val ct = chunkTokens
-    val chunks = df
-      .select(col(idCol).cast("long").as("doc"),
+    df.select(col(idCol).cast("long").as("doc"),
         split(col(textCol), " ").as("_w"))
       .select(col("doc"), posexplode(transform(
         sequence(lit(0),
           floor((size(col("_w")) + ct - 1) / lit(ct.toDouble)).cast("int") - 1),
         i => concat_ws(" ", slice(col("_w"), i * ct + 1, lit(ct))))))
       .toDF("doc", "chunk_idx", "chunk_text")
+  }
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 16): DataFrame = {
+    val chunks = chunkRows(df, idCol, textCol, chunkTokens)
       .select(col("doc"),
         xxhash64(col("chunk_text")).as("_ck"),
         size(split(col("chunk_text"), " ")).cast("long").as("_clen"),

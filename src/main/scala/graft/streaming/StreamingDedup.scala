@@ -233,6 +233,47 @@ object StreamingDedup {
     writeMetaFile(df.sparkSession, s"$path.meta.json", nBuckets)
   }
 
+  /** Build the persisted CHUNK index of a corpus — the distinct 64-bit
+    * hashes of every [[graft.ext.Dedup.chunkRows]] chunk — for
+    * boilerplate filtering ON INGEST: new documents probe it to find
+    * which of their chunks the corpus already contains. One distinct
+    * aggregate over fixed-width longs (chunk text never persists);
+    * `nBuckets > 0` partitions on disk by `pmod(ck, nBuckets)` — the
+    * same latency-mode layout as the band indexes, so a small-batch
+    * probe reads only its chunks' buckets. */
+  def buildChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, chunkTokens: Int = 16, nBuckets: Int = 0): Unit = {
+    val cks = Dedup.chunkRows(df, idCol, textCol, chunkTokens)
+      .select(xxhash64(col("chunk_text")).as("ck")).distinct()
+    if (nBuckets > 0) {
+      cks.withColumn("bk", pmod(col("ck"), lit(nBuckets)).cast("int"))
+        .repartition(col("bk"))
+        .sortWithinPartitions("ck")
+        .write.mode("overwrite").partitionBy("bk").parquet(path)
+    } else {
+      cks.sortWithinPartitions("ck").write.mode("overwrite").parquet(path)
+    }
+    writeMetaFile(df.sparkSession, s"$path.meta.json", nBuckets)
+  }
+
+  /** Probe a stream of new documents against a [[buildChunkIndex]]
+    * index: emits (doc_new, chunk_idx) for every chunk the corpus
+    * ALREADY CONTAINS. Fully STATELESS — chunking is row-local and the
+    * corpus side is a static frame with distinct keys (join multiplicity
+    * 1, so no dedup state is needed; unlike the band probes there is no
+    * candidate-verify stage because the chunk hash IS the decision).
+    * Exact by construction modulo xxhash64 collisions, which the
+    * hash-match gate would surface. */
+  def chunkHitStream(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      chunkTokens: Int = 16): DataFrame = {
+    val index = spark.read.parquet(indexPath).select(col("ck"))
+    Dedup.chunkRows(stream, idCol, textCol, chunkTokens)
+      .withColumn("ck", xxhash64(col("chunk_text")))
+      .join(index, "ck")
+      .select(col("doc").as("doc_new"), col("chunk_idx"))
+  }
+
   /** Probe a stream of new documents against a [[buildSimhashIndex]]
     * index: emits (doc_new, doc_corpus, hamming <= maxDist) pairs, each
     * once. Same recall guarantee as the batch operator (the pigeonhole

@@ -409,4 +409,32 @@ class StreamingSpec extends SparkSpec {
       kept.exceptAll(streamed).count() == 0)
     sim.unpersist()
   }
+
+  test("stream_chunk_dedup accounting equals the exhaustive batch chunk join") {
+    import graft.ext.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_chunk_dedup")(spark, dir)
+    // independent batch recomputation over chunk STRINGS (no hashing):
+    // a new-split chunk is a dup iff its text appears anywhere in the
+    // corpus split
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    val chunks = Dedup.chunkRows(docsAll, "doc_id", "text", 16).cache()
+    val corp = chunks.where(col("doc") % 5 =!= 0)
+      .select(col("chunk_text")).distinct()
+    val nw = chunks.where(col("doc") % 5 === 0)
+    val dup = nw.join(corp, Seq("chunk_text"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("dup_chunks"))
+    val expected = nw.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+      .join(dup, Seq("doc"), "left")
+      .select(col("doc"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        (col("n_chunks") - coalesce(col("dup_chunks"), lit(0L)))
+          .as("kept_chunks"))
+    assert(streamed.where(col("dup_chunks") > 0).count() > 0,
+      "no corpus-dup chunks — fixture degenerate")
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0)
+    chunks.unpersist()
+  }
 }
