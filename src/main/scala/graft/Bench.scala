@@ -38,18 +38,36 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (rep <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
+      // A failed rep records NO time: a query whose analysis throws in
+      // 0.06 s must not enter the record as a 0.06 s "measurement" (r8
+      // post-mortem — six crashed queries "improved" 10-100× and the
+      // guard baseline inherited the bogus limits). Queries with no
+      // successful rep get the -1 sentinel below, which QueryProbe
+      // --guard treats as an immediate red.
+      val ok =
+        try { exec(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name#$rep FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
+    val failed = names.filterNot(best.contains)
+    failed.foreach { n => best(n) = -1.0 }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED every rep " +
+        s"(sentinel -1 recorded): ${failed.mkString(", ")}")
     val results = best
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total spans successful queries only — sentinel -1s must not shrink it
+    val total = results.values.filter(_ >= 0).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Durable copy for the driver regardless of how stdout gets mangled.
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -95,24 +95,47 @@ object QueryProbe {
     val spark = session()
     val names = SparkEntry.queries.keys.toSeq.filter(recorded.contains)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val crashed = scala.collection.mutable.Map.empty[String, String]
     // interleave reps like Bench: min spans different host-noise windows
     for (rep <- 1 to reps; name <- names) {
-      val t = time(s"$name#$rep") {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+      try {
+        val t = time(s"$name#$rep") {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      } catch { case e: Throwable =>
+        crashed(name) = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200)
       }
       spark.catalog.clearCache()
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
     spark.stop()
     val failures = names.flatMap { n =>
-      // 2x relative + 1.5 s absolute slack: sub-second queries jitter by
-      // whole seconds on this host (noisy-neighbor stalls), and a real
-      // regression on a query that cheap is invisible in the round total
-      val limit = math.max(2.0 * recorded(n), recorded(n) + 1.5)
-      if (best(n) > limit)
-        Some(f"$n: ${best(n)}%.2f s > limit $limit%.2f s (recorded ${recorded(n)}%.2f s)")
-      else None
+      if (crashed.contains(n) && !best.contains(n))
+        Some(s"$n: CRASHED every rep (${crashed(n)})")
+      else if (recorded(n) < 0)
+        // Bench's failed-query sentinel: the baseline itself records a
+        // crash — a guard run must stay red until a real time replaces it
+        Some(f"$n: baseline holds the -1 failure sentinel; re-bench after fixing")
+      else {
+        // 2x relative + 1.5 s absolute slack: sub-second queries jitter by
+        // whole seconds on this host (noisy-neighbor stalls), and a real
+        // regression on a query that cheap is invisible in the round total
+        val limit = math.max(2.0 * recorded(n), recorded(n) + 1.5)
+        // and a LOWER bound: a measurable query that "got >5x faster" did
+        // not get faster — it almost certainly stopped doing the work
+        // (r8: six analysis-time crashes graded as 10-100x speedups).
+        // Floor of 0.5 s recorded keeps trivial queries out of this check.
+        val tooFast = recorded(n) >= 0.5 && best(n) < recorded(n) / 5.0
+        if (best(n) > limit)
+          Some(f"$n: ${best(n)}%.2f s > limit $limit%.2f s (recorded ${recorded(n)}%.2f s)")
+        else if (tooFast)
+          Some(f"$n: ${best(n)}%.2f s is >5x faster than recorded " +
+            f"${recorded(n)}%.2f s — impossible speedup, probable silent crash " +
+            "or lost work; verify and re-baseline deliberately")
+        else None
+      }
     }
     println(f"[guard] ${names.size - failures.size}/${names.size} queries within " +
       "2x of the recorded bench")

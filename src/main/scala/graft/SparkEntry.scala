@@ -30,18 +30,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events table with its nanosecond parquet timestamp normalized to a
-    * microsecond TimestampType (Spark's native resolution — same floor
-    * truncation DuckDB applies when reading TIMESTAMP_NS). Spark 4 rejects
-    * NANOS parquet columns unless they are read as raw longs. */
+  /** events table with its event-time column normalized to session-tz
+    * TimestampType whatever the producer wrote: nanos-as-long (parquet
+    * NANOS, Spark 4 reads only as raw longs), `timestamp[us]`-no-tz
+    * (TIMESTAMP_NTZ), or plain TIMESTAMP. All dtype branching lives in
+    * `Observations.normalizeEventTs` so the next upstream drift breaks one
+    * function, not every raw-events consumer. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    Observations.normalizeEventTs(t(spark, dir, "events"))
   }
 
   /** events as the tall observations frame: user_id → series_key. */
@@ -1398,8 +1395,7 @@ object SparkEntry {
       val res = graft.streaming.StreamingOps.replayResample(
         s, s"$dir/events.parquet",
         df => Observations.from(
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-          "user_id", "ts", "value"),
+          Observations.normalizeEventTs(df), "user_id", "ts", "value"),
         900, name)
       res.select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))

@@ -15,11 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failing query must be LOUD in the dump, not absent from it: r8's
+    // correctness file silently omitted six crashed queries (83 rows for
+    // 89 declared) because the only trace was a stderr line. Each failure
+    // now leaves an _ERROR marker file in the query's output dir and a row
+    // in verify_errors.json, so the driver (and any human diff) sees `err`
+    // instead of a missing row.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg + "\n")
       }
       // Release blocks persisted by sortBig-style queries between dumps.
       spark.catalog.clearCache()
@@ -39,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} " +
+        s"queries FAILED: ${errors.keys.mkString(", ")}")
+    // exit 0 even with errors: the driver must still run the DuckDB
+    // compare over the queries that DID dump — the markers carry the reds
     spark.stop()
   }
 }

@@ -64,4 +64,22 @@ object Observations {
   /** Empty observations frame. */
   def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Normalize an upstream event-time column to session-tz `TimestampType`,
+    * whatever dtype the producer wrote it as. The events fixture has
+    * shipped as nanos-as-long (parquet NANOS read raw), as
+    * `timestamp[us]`-no-tz (Spark 4's `TIMESTAMP_NTZ`), and as plain
+    * TIMESTAMP — this is the single place that absorbs the next drift.
+    * The session timezone is pinned UTC, so the NTZ→TZ cast is a pure
+    * retag (same micros value), and all downstream epoch math stays exact.
+    * Works on batch and streaming frames alike (schema-driven, no data
+    * peek). */
+  def normalizeEventTs(df: DataFrame, tsCol: String = TsCol): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => // raw parquet NANOS read as long (nanosAsLong=true)
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case _ => df
+    }
 }

@@ -11,9 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
+  /** Epoch seconds as a fractional DOUBLE, NTZ-safe: TIMESTAMP_NTZ has no
+    * direct numeric cast in Spark 4, so retag to session-tz TIMESTAMP
+    * first (session tz pinned UTC → identical micros; a no-op cast on an
+    * already-TZ column). Every piece of epoch arithmetic in the event
+    * operators routes through here so an upstream dtype drift breaks one
+    * function, not six queries. */
+  def epochD(ts: Column): Column =
+    ts.cast(org.apache.spark.sql.types.TimestampType).cast("double")
+
   /** Floor epoch seconds as BIGINT — the engine-portable timestamp
     * rendering (DuckDB: `CAST(floor(epoch(ts)) AS BIGINT)`). */
-  def epochS(ts: Column): Column = floor(ts.cast("double")).cast("long")
+  def epochS(ts: Column): Column = floor(epochD(ts)).cast("long")
 
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSeconds`. session_id is the
@@ -24,7 +33,7 @@ object EventOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     val isStart = when(prevTs.isNull ||
-      (col(tsCol).cast("double") - prevTs.cast("double")) > gapSeconds, 1L)
+      (epochD(col(tsCol)) - epochD(prevTs)) > gapSeconds, 1L)
       .otherwise(0L)
     df.withColumn("session_id",
       sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -94,10 +103,10 @@ object EventOps {
       tsCol: String, startCol: String, endCol: String,
       bucketSec: Long): DataFrame = {
     val evB = events.withColumn("_bkt",
-      floor(col(tsCol).cast("double") / bucketSec).cast("long"))
+      floor(epochD(col(tsCol)) / bucketSec).cast("long"))
     val ivB = intervals.withColumn("_bkt", explode(sequence(
-      floor(col(startCol).cast("double") / bucketSec).cast("long"),
-      floor(col(endCol).cast("double") / bucketSec).cast("long"))))
+      floor(epochD(col(startCol)) / bucketSec).cast("long"),
+      floor(epochD(col(endCol)) / bucketSec).cast("long"))))
     evB.join(ivB, Seq("_bkt"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bkt")

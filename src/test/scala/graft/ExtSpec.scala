@@ -755,6 +755,46 @@ class ExtSpec extends SparkSpec {
     assert(out == ref)
   }
 
+  test("event-time normalization absorbs every upstream ts dtype (NTZ µs, long nanos, TZ)") {
+    // The events fixture has shipped as all three dtypes across driver
+    // rounds (r8: six queries silently broke on a TIMESTAMP→NTZ drift).
+    // One helper owns the branch; this pins it against synthetic parquet
+    // of each flavor.
+    import graft.core.Observations
+    import graft.ext.EventOps
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = Seq(
+      ("u1", ts("2024-01-01 00:10:30"), 1.5),
+      ("u1", ts("2024-01-01 01:10:00"), 2.5),
+      ("u2", ts("2024-01-02 12:00:00"), 3.5)).toDF("user_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    base.write.mode("overwrite").parquet(s"$tmp/tz")
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$tmp/ntz")
+    base.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .write.mode("overwrite").parquet(s"$tmp/nanos")
+    val expected = base
+      .select(col("user_id"), EventOps.epochS(col("ts")).as("s"), col("value"))
+      .collect().toSet
+    for (flavor <- Seq("tz", "ntz", "nanos")) {
+      val raw = spark.read.parquet(s"$tmp/$flavor")
+      val norm = Observations.normalizeEventTs(raw)
+      assert(norm.schema("ts").dataType == TimestampType, flavor)
+      val got = norm
+        .select(col("user_id"), EventOps.epochS(col("ts")).as("s"), col("value"))
+        .collect().toSet
+      assert(got == expected, s"flavor=$flavor")
+    }
+    // epochD itself is NTZ-safe even without prior normalization
+    // (session tz pinned UTC → identical epoch)
+    val rawNtz = spark.read.parquet(s"$tmp/ntz")
+    val direct = rawNtz
+      .select(col("user_id"), EventOps.epochS(col("ts")).as("s"), col("value"))
+      .collect().toSet
+    assert(direct == expected)
+  }
+
   test("wide-frame ingest unpivots one column per series (reference ctor path)") {
     import graft.core.Observations
     val wide = Seq(

@@ -12,8 +12,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming resample over a bounded replay equals the batch resample") {
     val toObs = (df: org.apache.spark.sql.DataFrame) =>
       Observations.from(
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "ts", "value")
+        Observations.normalizeEventTs(df), "user_id", "ts", "value")
     val streamed = StreamingOps.replayResample(spark, sf("events"), toObs,
         900, "streaming_spec_tbl")
       .select(col("series_key"), col("ts"), round(col("value"), 6).as("v"))
