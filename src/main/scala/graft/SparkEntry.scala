@@ -1023,13 +1023,15 @@ object SparkEntry {
           col("sample_bucket")), "doc_id")
     }),
 
-    // PII redaction — scrub emails / US phones / IPv4s to typed
-    // placeholders with per-doc counts. Patterns live in the
-    // Java-regex ∩ RE2 common subset so both engines match identical
-    // spans; DETERMINISTIC PLANTED PII computed inside the query (the
-    // word-soup corpus has none naturally) guarantees non-empty counts
-    // for every pattern, including a mixed-type row. Row-local map —
-    // the oracle recomputes counts and the md5 of the redacted text.
+    // PII redaction — scrub emails / US phones / IPv4s / SSNs /
+    // Luhn-valid credit cards to typed placeholders with per-doc counts.
+    // Patterns live in the Java-regex ∩ RE2 common subset so both
+    // engines match identical spans; DETERMINISTIC PLANTED PII computed
+    // inside the query (the word-soup corpus has none naturally)
+    // guarantees non-empty counts for every pattern, including a
+    // mixed-type row and a Luhn-INVALID card-shaped span that must
+    // survive unredacted. Row-local map — the oracle recomputes counts,
+    // the Luhn filter, and the md5 of the redacted text.
     "text_pii_redact" -> ((s, dir) => {
       val planted = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
@@ -1041,10 +1043,15 @@ object SparkEntry {
             lit(" from 10.0.0.1 and 192.168.1.255"))
           .when(col("doc_id") % 10 === 3,
             lit(" ping bob@test.io 555-000-1111 127.0.0.1"))
+          .when(col("doc_id") % 10 === 4,
+            lit(" ssn 078-05-1120 card 4111-1111-1111-1111"))
+          .when(col("doc_id") % 10 === 5,
+            lit(" pay 5500005555555559 not 1234-5678-9012-3456"))
           .otherwise(lit(""))).as("text"))
       sortBig(TextAnalysis.piiRedact(planted, "doc_id", "text")
-        .select(col("doc"), col("n_emails"), col("n_phones"),
-          col("n_ips"), md5(col("redacted")).as("redacted_md5")), "doc")
+        .select(col("doc"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("n_ssns"), col("n_ccs"),
+          md5(col("redacted")).as("redacted_md5")), "doc")
     }),
 
     // corpus-unigram-LM negative log-likelihood — the CCNet-style
@@ -1222,6 +1229,29 @@ object SparkEntry {
             Seq("query_id", "candidate_id"), "exact_hit", "recall_at_k"),
           "query_id", "rank")
       }
+    }),
+
+    // learned-centroid IVF at EXHAUSTIVE routing (nProbe = nLists) — the
+    // oracle-pinned anchor for the non-PQ IVF lifecycle, mirroring what
+    // emb_ivfpq_rerank does for the PQ path: with every list probed, each
+    // candidate joins exactly once (its single assigned list) and gets
+    // the exact cosine, so the result IS brute-force top-k and a
+    // brute-force DuckDB oracle hash-matches it — routing, assignment,
+    // and scoring all sit on the driver gate. emb_ivf_topk above stays
+    // the honest TIMED approximate path (nProbe < nLists, rows-only).
+    // Distinct query slice (vec_id 8..15, k = 7) so the gate is not a
+    // literal re-run of emb_cosine_topk or the PQ anchor.
+    "emb_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") >= 8 && col("vec_id") < 16)
+      val cents = ivfCentsCache.getOrElseUpdate(dir,
+        Similarity.learnCentroidArrays(emb, "vec_id", "embedding",
+          k = 16, iters = 3))
+      sortSmall(Similarity.ivfTopKLearned(emb, queries, "vec_id",
+          "embedding", k = 7, nLists = 16, nProbe = 16,
+          precomputedCents = Some(cents))
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
@@ -2481,16 +2511,33 @@ object SparkEntry {
         |    AS nll
         |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
 
-    // same plant, same RE2-compatible patterns, same email->phone->ip
-    // replacement order; counts on the original text
+    // same plant, same RE2-compatible patterns, same
+    // email->phone->ip->ssn->card replacement order; counts on the
+    // original text; the identical Luhn integer arithmetic runs in
+    // DuckDB lambdas (valid cards redact via a literal-replace fold,
+    // invalid card-shaped spans stay)
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id, text ||
         |    CASE WHEN doc_id % 10 = 0 THEN ' reach alice.smith@example.org now'
         |         WHEN doc_id % 10 = 1 THEN ' call 555-867-5309 or 555-123-4567'
         |         WHEN doc_id % 10 = 2 THEN ' from 10.0.0.1 and 192.168.1.255'
         |         WHEN doc_id % 10 = 3 THEN ' ping bob@test.io 555-000-1111 127.0.0.1'
+        |         WHEN doc_id % 10 = 4 THEN ' ssn 078-05-1120 card 4111-1111-1111-1111'
+        |         WHEN doc_id % 10 = 5 THEN ' pay 5500005555555559 not 1234-5678-9012-3456'
         |         ELSE '' END AS text
-        |  FROM documents)
+        |  FROM documents),
+        |v AS (SELECT doc_id, text,
+        |  list_filter(regexp_extract_all(text,
+        |      '\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b'), x ->
+        |    list_sum(list_transform(
+        |      range(1, length(regexp_replace(x, '[- ]', '', 'g')) + 1), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2*CAST(substr(reverse(regexp_replace(x, '[- ]', '', 'g')), i, 1) AS INT) > 9
+        |             THEN 2*CAST(substr(reverse(regexp_replace(x, '[- ]', '', 'g')), i, 1) AS INT) - 9
+        |             ELSE 2*CAST(substr(reverse(regexp_replace(x, '[- ]', '', 'g')), i, 1) AS INT) END
+        |      ELSE CAST(substr(reverse(regexp_replace(x, '[- ]', '', 'g')), i, 1) AS INT) END))
+        |    % 10 = 0) AS valid_ccs
+        |  FROM p)
         |SELECT doc_id AS doc,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
@@ -2499,12 +2546,18 @@ object SparkEntry {
         |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+        |  CAST(len(valid_ccs) AS BIGINT) AS n_ccs,
+        |  md5(list_reduce(list_prepend(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    valid_ccs), (acc, x) -> replace(acc, x, '<CC>')))
         |    AS redacted_md5
-        |FROM p ORDER BY doc""".stripMargin,
+        |FROM v ORDER BY doc""".stripMargin,
 
     // streaming curation decision: quality + langid (same rounded
     // expressions as the batch gates) over the new split, minus docs
@@ -2655,6 +2708,25 @@ object SparkEntry {
         |     sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // exhaustive-routing learned-centroid IVF ≡ brute-force exact top-k
+    // (every list probed ⇒ every candidate scored with the exact cosine
+    // exactly once), so the oracle is brute force over the 8..15 query
+    // slice with the engine's (cosine desc, candidate) tie order
+    "emb_ivf_exhaustive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 8 AND q.vec_id < 16 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 7 ORDER BY query_id, rank""".stripMargin,
 
     // exhaustive-routing IVFADC+R ≡ brute-force exact top-k (ExtSpec pins
     // the bit-for-bit set equality), so the oracle is brute force over the

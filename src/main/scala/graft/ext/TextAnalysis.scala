@@ -220,17 +220,29 @@ object TextAnalysis {
     *
     * Scale shape: tf is one explode + (doc, term) hash aggregate; term
     * frequencies derive FROM the tf frame (no second corpus pass); the
-    * corpus total N broadcasts as a single row; tf ⋈ freq shuffles on
-    * term — hot/stopword terms are the classic skew key, handled by AQE
-    * skew-join (no driver-side vocabulary assumption: at 100 TB the
-    * vocab is itself a big frame). */
-  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * corpus total N broadcasts as a single row. The tf ⋈ freq join is
+    * SKEW-SPLIT: stopwords are the classic hot keys of a term-keyed
+    * shuffle (a handful of terms own a double-digit share of all tf
+    * rows), so the `headTerms` hottest terms join via BROADCAST (tiny
+    * frame, no shuffle of their tf mass at all) and only the long tail —
+    * near-uniform by construction once the head is gone — takes the
+    * equi-join shuffle. The full vocab is never broadcast (at 100 TB the
+    * vocab is itself a big frame); the identical tf/freq subtrees across
+    * the two branches collapse via exchange reuse, so the split costs
+    * one ~`headTerms`-row broadcast. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      headTerms: Int = 4096): DataFrame = {
     val tf = df.select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("f"))
     val n = freq.agg(sum(col("f")).as("n"))
-    tf.join(freq, "term")
+    // deterministic head set: ties on f broken by term
+    val head = freq.orderBy(col("f").desc, col("term")).limit(headTerms)
+    val hot = tf.join(broadcast(head), Seq("term"))
+    val tail = tf.join(broadcast(head.select(col("term"))), Seq("term"), "left_anti")
+      .join(freq, Seq("term"))
+    hot.unionByName(tail)
       .crossJoin(broadcast(n))
       .withColumn("_contrib",
         round(col("tf") * log(col("n").cast("double") / col("f")), 6)
@@ -242,36 +254,74 @@ object TextAnalysis {
   }
 
   /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
-    * (character classes, bounded repetition, `\b`, `\d` — no lookaround,
-    * no backreferences) so Spark and any RE2-based SQL engine match the
-    * IDENTICAL spans. Replacement order is fixed (email → phone → IPv4)
-    * and counts are taken on the ORIGINAL text, so composition is
-    * deterministic even where patterns could nest. */
+    * (character classes, bounded repetition, `\b`, `\d`, non-capturing
+    * groups — no lookaround, no backreferences) so Spark and any
+    * RE2-based SQL engine match the IDENTICAL spans. Replacement order
+    * is fixed (email → phone → IPv4 → SSN → credit card) and counts are
+    * taken on the ORIGINAL text, so composition is deterministic even
+    * where patterns could nest. The five patterns are mutually
+    * non-overlapping by construction (`\b` forbids a match starting
+    * inside another's digit run; 3-3-4 phone, 3-2-4 SSN, and 4-4-4-4
+    * card groupings are pairwise incompatible). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val CcRe    = "\\b(?:\\d{4}[- ]){3}\\d{4}\\b|\\b\\d{16}\\b"
+
+  /** Luhn checksum over a card-shaped span (digits plus `-`/space
+    * separators), as a pure integer Catalyst expression — portable to any
+    * engine with higher-order list functions (the oracle runs the same
+    * arithmetic in DuckDB lambdas). Position 1 = rightmost digit; every
+    * even position doubles with a 9-subtraction carry; valid iff the sum
+    * is ≡ 0 (mod 10). */
+  def luhnOk(c: Column): Column = {
+    val rd = reverse(regexp_replace(c, "[- ]", ""))
+    val total = aggregate(
+      transform(sequence(lit(1), length(rd)), i => {
+        val d = rd.substr(i, lit(1)).cast("int")
+        when(i % 2 === 0, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+          .otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
 
   /** PII REDACTION — the scrubbing pass a training pipeline runs before
-    * any text leaves curation: replace email / US-phone / IPv4 spans
-    * with typed placeholders and report per-document match counts plus
-    * the redacted text. Entirely ROW-LOCAL (regexp_count-style extracts
-    * + a three-step regexp_replace chain inside whole-stage codegen):
-    * no shuffle, no state, pushes through any partitioning unchanged —
-    * the 100 TB shape is a pure map over the scan. Emits
-    * (doc, n_emails, n_phones, n_ips, redacted). */
+    * any text leaves curation: replace email / US-phone / IPv4 / SSN /
+    * credit-card spans with typed placeholders and report per-document
+    * match counts plus the redacted text. Card candidates are redacted
+    * (and counted) ONLY when they pass the Luhn check — the standard
+    * false-positive filter for 16-digit lookalikes; Luhn-invalid spans
+    * stay untouched. Entirely ROW-LOCAL (regexp extracts, a regexp_replace
+    * chain, and a higher-order fold over the per-row candidate list, all
+    * inside whole-stage codegen): no shuffle, no state, pushes through
+    * any partitioning unchanged — the 100 TB shape is a pure map over
+    * the scan. Emits (doc, n_emails, n_phones, n_ips, n_ssns, n_ccs,
+    * redacted). */
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     def nMatches(re: String) =
       size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
-    val redacted = regexp_replace(
+    val base = regexp_replace(
       regexp_replace(
-        regexp_replace(t, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      Ipv4Re, "<IP>")
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>"),
+      SsnRe, "<SSN>")
+    // candidates come from the ORIGINAL text (their spans are disjoint
+    // from every earlier pattern, so they survive into `base` verbatim);
+    // each Luhn-valid span is literal-replaced in match order
+    val validCcs = filter(regexp_extract_all(t, lit(CcRe), lit(0)), luhnOk(_))
+    val redacted = aggregate(validCcs, base,
+      (acc, c) => call_function("replace", acc, c, lit("<CC>")))
     df.select(col(idCol).as("doc"),
       nMatches(EmailRe).as("n_emails"),
       nMatches(PhoneRe).as("n_phones"),
       nMatches(Ipv4Re).as("n_ips"),
+      nMatches(SsnRe).as("n_ssns"),
+      size(validCcs).cast("long").as("n_ccs"),
       redacted.as("redacted"))
   }
 }

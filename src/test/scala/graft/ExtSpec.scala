@@ -993,22 +993,36 @@ class ExtSpec extends SparkSpec {
     assert(out7 == out)
   }
 
-  test("piiRedact counts and scrubs all three pattern types row-locally") {
+  test("piiRedact counts and scrubs all five pattern types row-locally; Luhn gates cards") {
     import graft.ext.TextAnalysis
     val df = Seq(
       (1L, "mail bob@test.io and alice.smith@example.org today"),
       (2L, "call 555-123-4567 from 10.0.0.1"),
       (3L, "plain words only"),
-      (4L, "x 9999-867-5309 y")).toDF("doc_id", "text")
+      (4L, "x 9999-867-5309 y"),
+      (5L, "ssn 078-05-1120 card 4111-1111-1111-1111"),
+      (6L, "pay 5500005555555559 not 1234-5678-9012-3456"),
+      (7L, "spaced 4111 1111 1111 1111 works too"))
+      .toDF("doc_id", "text")
     val out = TextAnalysis.piiRedact(df, "doc_id", "text")
-      .orderBy("doc").as[(Long, Long, Long, Long, String)].collect()
-    assert(out(0) == ((1L, 2L, 0L, 0L,
+      .orderBy("doc")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 0L, 0L, 0L, 0L,
       "mail <EMAIL> and <EMAIL> today")))
-    assert(out(1) == ((2L, 0L, 1L, 1L, "call <PHONE> from <IP>")))
-    assert(out(2) == ((3L, 0L, 0L, 0L, "plain words only")))
+    assert(out(1) == ((2L, 0L, 1L, 1L, 0L, 0L, "call <PHONE> from <IP>")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, 0L, "plain words only")))
     // \b guards: "9999-867-5309" is NOT a phone — no boundary inside
     // the 4-digit run, and no 3-3-4 alignment starts at any boundary
     assert(out(3)._3 == 0L, s"false phone in ${out(3)}")
+    // SSN (3-2-4 grouping, not a phone) + a Luhn-valid dashed card
+    assert(out(4) == ((5L, 0L, 0L, 0L, 1L, 1L,
+      "ssn <SSN> card <CC>")))
+    // bare 16-digit Luhn-valid card redacts; the Luhn-INVALID card-shaped
+    // span is neither counted nor redacted
+    assert(out(5) == ((6L, 0L, 0L, 0L, 0L, 1L,
+      "pay <CC> not 1234-5678-9012-3456")))
+    // space-separated grouping is a candidate too
+    assert(out(6) == ((7L, 0L, 0L, 0L, 0L, 1L, "spaced <CC> works too")))
   }
 
   test("emb_dedup_clusters resolves each planted duplicate into a size-2 cluster") {
