@@ -141,13 +141,19 @@ object Dedup {
     * (ScaleSmoke) can measure candidate work as bucket occupancy
     * Σ k·(k−1)/2 without materializing the join. */
   def jaccardPrefixes(sh: DataFrame, minJ: Double): DataFrame = {
-    val counts = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    // global order: frequency ascending (rarest first), hash tie-break
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    // global order: frequency ascending (rarest first), hash tie-break.
+    // Both per-shingle frequency and per-doc size come from WINDOW
+    // aggregates rather than groupBy+join-back: f's window shares the
+    // sh-keyed exchange a join would need anyway minus the join itself,
+    // and n/rnk share ONE doc-keyed exchange+sort (same partition key ⇒
+    // Catalyst stacks the two Window execs on a single sort) — two
+    // shuffles total where the join formulation took four plus two
+    // sort-merge joins.
+    val wSh = Window.partitionBy(col("sh"))
     val wDoc = Window.partitionBy(col("doc")).orderBy(col("f"), col("sh"))
-    sh.join(freq, "sh")
+    sh.withColumn("f", count(lit(1)).over(wSh))
       .withColumn("rnk", row_number().over(wDoc))
-      .join(counts, "doc")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc"))))
       .where(col("rnk") <= col("n") - ceil(col("n") * minJ) + 1)
       .select(col("doc"), col("sh"))
   }
