@@ -822,6 +822,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // portable Bloom-filter incremental dedup: the historical corpus
+    // (doc_id % 5 != 0) compresses to a <= 65536-bit filter (as its
+    // distinct set-bit frame — broadcastable no matter the corpus size);
+    // the probe batch (doc_id % 5 == 0, plus PLANTED verbatim copies of
+    // corpus docs under +100000 ids so true duplicates exist at every sf)
+    // flags maybe-dups row-locally. md5-derived bit positions make the
+    // filter ENGINE-NEUTRAL, so DuckDB rebuilds the identical bits and
+    // the gate pins the full Bloom semantics — flags, the planted
+    // no-false-negative guarantee, and any false positives — exactly.
+    // exact_dup (a distinct-text semi-join) rides along as ground truth:
+    // maybe_dup >= exact_dup row-for-row is the Bloom contract.
+    "doc_bloom_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val planted = corpus.where(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val probes = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val bits = Dedup.bloomBuild(corpus, "text", m = 65536, k = 5)
+      val flagged = Dedup.bloomProbe(probes, "doc_id", "text", bits,
+        m = 65536, k = 5)
+      val truth = probes.join(
+          corpus.select(col("text")).distinct().withColumn("_in", lit(1L)),
+          Seq("text"), "left")
+        .select(col("doc_id"), coalesce(col("_in"), lit(0L)).as("exact_dup"))
+      sortSmall(flagged.join(truth, "doc_id")
+        .select(col("doc_id").as("doc"), col("maybe_dup"), col("exact_dup")),
+        "doc")
+    }),
+
     // exact n-gram Jaccard near-dup pairs
     "doc_jaccard_pairs" -> ((s, dir) => {
       val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
@@ -2246,6 +2276,33 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+    // identical portable md5 bit positions (60-bit prefix % 65536, k = 5
+    // seeds "0:".."4:"), same corpus/probe/plant split; maybe_dup =
+    // all-k-bits-set over the corpus's distinct bit set, exact_dup = the
+    // distinct-text membership ground truth
+    "doc_bloom_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |probes AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 50 = 1),
+        |cbits AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+        |      % 65536 AS bit
+        |  FROM corpus CROSS JOIN range(0, 5) r(i)),
+        |pbits AS (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+        |      % 65536 AS bit
+        |  FROM probes CROSS JOIN range(0, 5) r(i)),
+        |flags AS (SELECT doc_id,
+        |    CAST(CASE WHEN bool_and(c.bit IS NOT NULL) THEN 1 ELSE 0 END AS BIGINT)
+        |      AS maybe_dup
+        |  FROM pbits p LEFT JOIN cbits c USING (bit) GROUP BY doc_id)
+        |SELECT f.doc_id AS doc, f.maybe_dup,
+        |  CAST(CASE WHEN p.text IN (SELECT text FROM corpus) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS exact_dup
+        |FROM flags f JOIN probes p USING (doc_id) ORDER BY doc""".stripMargin,
 
     "doc_jaccard_pairs" -> JaccardOracle,
     "doc_minhash_lsh" -> JaccardOracle,

@@ -24,6 +24,49 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  // ---------- portable Bloom filter (incremental membership dedup) ----------
+
+  /** The k md5-derived bit positions of `key` in an m-bit Bloom filter:
+    * position_i = 60-bit prefix of md5("i:" ++ key) mod m. PORTABLE by the
+    * same rationale as [[portableSimhash64]] — any SQL engine with md5
+    * recomputes the identical filter, so the artifact is engine-neutral
+    * and the whole probe result is exact-oracle-checkable. The 60-bit
+    * prefix is non-negative and exact in a long, so `%` and `pmod`
+    * agree across engines. */
+  def bloomBitPositions(key: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      conv(substring(md5(concat(lit(i + ":"), key)), 1, 15), 16, 10)
+        .cast("long") % m): _*)
+
+  /** Build the filter artifact: the DISTINCT set bit positions over all
+    * keys — at most m rows regardless of corpus size, so the filter
+    * BROADCASTS and later batches never join against history again.
+    * This is the incremental-ingest dedup shape at 100 TB: the
+    * historical corpus compresses once into ≤ m bits; every new batch
+    * probes row-locally against the broadcast bits. Bloom semantics:
+    * NO false negatives ever (every true duplicate is flagged); false
+    * positives at rate ≈ (1 − e^{−kn/m})^k drop only novel rows —
+    * tune m/k to the acceptable novel-data loss. The set-bits frame is
+    * also the natural union/merge representation: filters of two
+    * corpora union by `UNION DISTINCT` of their bit frames. */
+  def bloomBuild(df: DataFrame, keyCol: String, m: Int, k: Int): DataFrame =
+    df.select(explode(bloomBitPositions(col(keyCol), m, k)).as("bit"))
+      .distinct()
+
+  /** Probe a batch against a built filter: a row is `maybe_dup` (1) iff
+    * ALL k of its bit positions are set. Explode-to-k-rows + broadcast
+    * join + partial `min` aggregate — the probe side is one narrow pass
+    * with a k-way fan-out on ids only (key text never leaves its row),
+    * no shuffle of the corpus, no state. */
+  def bloomProbe(df: DataFrame, idCol: String, keyCol: String,
+      bits: DataFrame, m: Int, k: Int): DataFrame = {
+    val pos = df.select(col(idCol),
+      explode(bloomBitPositions(col(keyCol), m, k)).as("bit"))
+    pos.join(broadcast(bits.withColumn("_hit", lit(1))), Seq("bit"), "left")
+      .groupBy(col(idCol))
+      .agg(min(coalesce(col("_hit"), lit(0))).cast("long").as("maybe_dup"))
+  }
+
   /** CHUNK-level exact dedup — the repeated-passage/boilerplate removal
     * pass (the sub-document half of "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022, at fixed-chunk rather

@@ -755,6 +755,38 @@ class ExtSpec extends SparkSpec {
     assert(out == ref)
   }
 
+  test("portable Bloom filter: membership exact at generous m, never a false negative, partition-invariant") {
+    import graft.ext.Dedup
+    val corpus = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    val probes = Seq((10L, "aa bb"), (11L, "zz yy"), (12L, "qq rr"),
+      (13L, "cc dd")).toDF("doc_id", "text")
+    // generous m over a 3-doc corpus: flags == exact membership (the
+    // probability of a false positive here is ~(15/65536)^5 — if one ever
+    // appears the fixed md5 inputs make it deterministic and this pins it)
+    val bitsBig = Dedup.bloomBuild(corpus, "text", 1 << 16, 5)
+    val big = Dedup.bloomProbe(probes, "doc_id", "text", bitsBig, 1 << 16, 5)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(big == Seq((10L, 1L), (11L, 0L), (12L, 0L), (13L, 1L)))
+    // no false negatives at ANY m: true duplicates stay flagged even in a
+    // saturated 8-bit filter
+    val bitsTiny = Dedup.bloomBuild(corpus, "text", 8, 5)
+    val tiny = Dedup.bloomProbe(probes, "doc_id", "text", bitsTiny, 8, 5)
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(tiny(10L) == 1L && tiny(13L) == 1L)
+    // degenerate single-bit filter: everything collides — all probes flag
+    val bitsOne = Dedup.bloomBuild(corpus, "text", 1, 5)
+    val one = Dedup.bloomProbe(probes, "doc_id", "text", bitsOne, 1, 5)
+      .as[(Long, Long)].collect()
+    assert(one.forall(_._2 == 1L))
+    // bit frame is bounded by m, not corpus size
+    assert(bitsOne.count() == 1L && bitsTiny.count() <= 8L)
+    val rep = Dedup.bloomProbe(probes.repartition(7), "doc_id", "text",
+        bitsBig, 1 << 16, 5)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(rep == big)
+  }
+
   test("event-time normalization absorbs every upstream ts dtype (NTZ µs, long nanos, TZ)") {
     // The events fixture has shipped as all three dtypes across driver
     // rounds (r8: six queries silently broke on a TIMESTAMP→NTZ drift).
