@@ -101,6 +101,15 @@ object SparkEntry {
   private val ivfIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of persisted Bloom indexes + probe replay fixtures
+    * (stream_bloom_filter): the corpus's set-bit frame and the
+    * probes-plus-planted-duplicates table, built once per (JVM, sf dir)
+    * — same contract as the other stream indexes. */
+  private val bloomIndexPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bloomReplayPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of sessionization replay tables (stream_sessions):
     * the user-sliced obs frame plus one per-key SENTINEL event far past
     * the data, written once per (JVM, sf dir). The sentinel closes each
@@ -1610,6 +1619,41 @@ object SparkEntry {
             .as("kept_chunks")), "doc")
     }),
 
+    // streaming Bloom ingest filter: the corpus (doc_id % 5 != 0)
+    // compresses ONCE into the persisted portable filter; the probe set
+    // (doc_id % 5 == 0 plus planted verbatim corpus copies under +100000
+    // ids — same split as doc_bloom_dedup) REPLAYS as a stream flagging
+    // each row against the packed bits ROW-LOCALLY: no join, no state
+    // store, no shuffle — the cheapest ingest filter in the streaming
+    // family. md5-portable bits mean the DuckDB oracle rebuilds the
+    // identical filter, pinning streaming ≡ batch ≡ oracle exactly.
+    "stream_bloom_filter" -> ((s, dir) => {
+      val idx = bloomIndexPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_bloom_idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.streaming.StreamingDedup.buildBloomIndex(
+          t(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+          "text", p, m = 65536, k = 5)
+        p
+      })
+      val rp = bloomReplayPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_bloom_replay_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val docs = t(s, dir, "documents")
+        docs.where(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 5 =!= 0 &&
+              col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      })
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, rp, "stream_bloom_result") { st =>
+        graft.streaming.StreamingDedup.bloomFilterStream(
+          s, st, "doc_id", "text", idx, m = 65536, k = 5)
+      }
+      sortSmall(res.select(col("doc"), col("maybe_dup")), "doc")
+    }),
+
     // streaming ANN serving against the persisted IVF index: queries
     // REPLAY as a stream probing the batch-built index (update-style
     // micro-batch top-k via StreamingAnn.ivfProbeStream). Probed
@@ -2303,6 +2347,28 @@ object SparkEntry {
         |  CAST(CASE WHEN p.text IN (SELECT text FROM corpus) THEN 1 ELSE 0 END AS BIGINT)
         |    AS exact_dup
         |FROM flags f JOIN probes p USING (doc_id) ORDER BY doc""".stripMargin,
+
+    // the streaming twin probes the same portable filter over the same
+    // probe/plant split, so the oracle is the batch oracle's flags CTE
+    "stream_bloom_filter" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |probes AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM corpus WHERE doc_id % 50 = 1),
+        |cbits AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+        |      % 65536 AS bit
+        |  FROM corpus CROSS JOIN range(0, 5) r(i)),
+        |pbits AS (SELECT doc_id,
+        |    ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+        |      % 65536 AS bit
+        |  FROM probes CROSS JOIN range(0, 5) r(i))
+        |SELECT doc_id AS doc,
+        |  CAST(CASE WHEN bool_and(c.bit IS NOT NULL) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS maybe_dup
+        |FROM pbits p LEFT JOIN cbits c USING (bit)
+        |GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     "doc_jaccard_pairs" -> JaccardOracle,
     "doc_minhash_lsh" -> JaccardOracle,

@@ -67,6 +67,35 @@ object Dedup {
       .agg(min(coalesce(col("_hit"), lit(0))).cast("long").as("maybe_dup"))
   }
 
+  /** Pack a built bit frame into (m+63)/64 words — the driver-small
+    * (m/8 bytes: 8 KiB at m = 65536) form of the filter, for row-local
+    * probing. The collect is bounded by m by construction, never by
+    * corpus size — same driver-smallness argument as the IVF centroid
+    * arrays. */
+  def packBloomBits(bits: DataFrame, m: Int): Array[Long] = {
+    val words = new Array[Long]((m + 63) / 64)
+    bits.select(col("bit")).collect().foreach { r =>
+      val b = r.getLong(0)
+      words((b >> 6).toInt) |= 1L << (b & 63L)
+    }
+    words
+  }
+
+  /** ROW-LOCAL Bloom membership over the packed words — the form a
+    * STATELESS streaming stage or a scan-side pre-filter wants: no join,
+    * no aggregation, no state; the whole filter rides as an m/8-byte
+    * array literal and each row answers with k md5s + k bit tests.
+    * Identical decisions to [[bloomProbe]] over the same built bits
+    * (pinned in ExtSpec). */
+  def bloomMightContain(key: Column, words: Array[Long], m: Int, k: Int): Column =
+    forall(bloomBitPositions(key, m, k), p => {
+      val pi = p.cast("int")
+      val word = element_at(typedLit(words.toSeq),
+        call_function("shiftright", pi, lit(6)) + 1)
+      call_function("shiftright", word, pi.bitwiseAND(lit(63)))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    })
+
   /** CHUNK-level exact dedup — the repeated-passage/boilerplate removal
     * pass (the sub-document half of "Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022, at fixed-chunk rather

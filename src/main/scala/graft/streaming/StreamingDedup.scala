@@ -256,6 +256,34 @@ object StreamingDedup {
     writeMetaFile(df.sparkSession, s"$path.meta.json", nBuckets)
   }
 
+  /** Persist the portable Bloom filter of a corpus for ingest-time
+    * dedup: the distinct set-bit frame of
+    * [[graft.ext.Dedup.bloomBuild]] — ≤ m rows whatever the corpus
+    * size, one tiny parquet. */
+  def buildBloomIndex(df: DataFrame, textCol: String, path: String,
+      m: Int = 65536, k: Int = 5): Unit = {
+    Dedup.bloomBuild(df, textCol, m, k)
+      .coalesce(1).sortWithinPartitions("bit")
+      .write.mode("overwrite").parquet(path)
+    writeMetaFile(df.sparkSession, s"$path.meta.json", m)
+  }
+
+  /** STATELESS streaming Bloom probe: the persisted filter loads and
+    * packs ONCE at stream definition (m/8 bytes on the driver), rides
+    * into every micro-batch as an array literal, and each streamed row
+    * flags itself row-locally — the cheapest ingest filter in the
+    * family: no join, no aggregation, no state store, no shuffle. Emits
+    * (doc, maybe_dup); Bloom semantics as in [[Dedup.bloomBuild]]
+    * (never a false negative, FP ≈ (1−e^{−kn/m})^k). */
+  def bloomFilterStream(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      m: Int = 65536, k: Int = 5): DataFrame = {
+    val words = Dedup.packBloomBits(spark.read.parquet(indexPath), m)
+    stream.select(col(idCol).as("doc"),
+      Dedup.bloomMightContain(col(textCol), words, m, k)
+        .cast("long").as("maybe_dup"))
+  }
+
   /** Probe a stream of new documents against a [[buildChunkIndex]]
     * index: emits (doc_new, chunk_idx) for every chunk the corpus
     * ALREADY CONTAINS. Fully STATELESS — chunking is row-local and the

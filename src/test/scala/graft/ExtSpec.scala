@@ -785,6 +785,18 @@ class ExtSpec extends SparkSpec {
         bitsBig, 1 << 16, 5)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(rep == big)
+    // the packed row-local form (the streaming/scan-side probe) decides
+    // identically to the join+agg form over the same built bits
+    for ((bits, m) <- Seq((bitsBig, 1 << 16), (bitsTiny, 8), (bitsOne, 1))) {
+      val words = Dedup.packBloomBits(bits, m)
+      val local = probes.select(col("doc_id"),
+          Dedup.bloomMightContain(col("text"), words, m, 5)
+            .cast("long").as("maybe_dup"))
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      val joined = Dedup.bloomProbe(probes, "doc_id", "text", bits, m, 5)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(local == joined, s"m=$m")
+    }
   }
 
   test("event-time normalization absorbs every upstream ts dtype (NTZ µs, long nanos, TZ)") {
