@@ -1105,6 +1105,16 @@ object SparkEntry {
         "doc_id", "text"), "doc")
     }),
 
+    // CCNet head/middle/tail selection: per-language exact tercile
+    // cutoffs over the unigram-LM score, row-local threshold bucketing —
+    // no per-language total order (see TextAnalysis.nllBuckets scale
+    // note). The oracle recomputes cutoffs with quantile_cont, which
+    // ts_percentiles already pinned bit-identical to Spark's percentile.
+    "text_nll_buckets" -> ((s, dir) => {
+      sortSmall(TextAnalysis.nllBuckets(t(s, dir, "documents"),
+        "doc_id", "text", "lang"), "doc")
+    }),
+
     // SimHash near-dup pairs, ORACLE-PINNED (r7 VERDICT next-round 1):
     // declared over the portable md5-derived 60-bit fingerprint
     // (Dedup.portableSimhash64 — the construction stream_simhash_dedup
@@ -2633,6 +2643,35 @@ object SparkEntry {
         |  ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
         |    AS nll
         |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // same nll computation, then per-language quantile_cont tercile
+    // cutoffs (interpolation-identical to Spark's percentile) and the
+    // same <=-threshold CASE bucketing
+    "text_nll_buckets" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |    FROM toks GROUP BY doc_id, term),
+        |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+        |n AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM f),
+        |c AS (SELECT doc_id, tf,
+        |    CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / f), 6) AS DECIMAL(38,6))
+        |      AS contrib
+        |  FROM tf JOIN f USING (term) CROSS JOIN n),
+        |s AS (SELECT doc_id AS doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS nll
+        |  FROM c GROUP BY doc_id),
+        |sl AS (SELECT s.doc, d.lang, s.n_tokens, s.nll
+        |  FROM s JOIN documents d ON s.doc = d.doc_id),
+        |q AS (SELECT lang,
+        |    quantile_cont(nll, CAST(1 AS DOUBLE)/3) AS q1,
+        |    quantile_cont(nll, CAST(2 AS DOUBLE)/3) AS q2
+        |  FROM sl GROUP BY lang)
+        |SELECT doc, lang, n_tokens, nll,
+        |  CAST(CASE WHEN nll <= q1 THEN 1 WHEN nll <= q2 THEN 2 ELSE 3 END
+        |    AS BIGINT) AS bucket
+        |FROM sl JOIN q USING (lang) ORDER BY doc""".stripMargin,
 
     // same plant, same RE2-compatible patterns, same
     // email->phone->ip->ssn->card replacement order; counts on the

@@ -253,6 +253,37 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 6).as("nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 split each
+    * language's corpus into head/middle/tail by LM-score terciles before
+    * training-data selection): per-stratum EXACT interpolated tercile
+    * cutoffs over the [[unigramNll]] score, then a row-local CASE
+    * bucket (1 = head/typical … 3 = tail/noisy).
+    *
+    * Scale shape: cutoffs are one tiny per-stratum aggregate (the exact
+    * `percentile`, interpolation-identical to `quantile_cont` — pinned
+    * bit-for-bit by ts_percentiles) broadcast back; bucketing never
+    * sorts the corpus. An ntile window would need a TOTAL ORDER per
+    * stratum — one partition per language, the classic straggler at
+    * corpus scale; score cutoffs are the formulation CCNet itself uses
+    * (bucket boundaries from sampled scores, membership by threshold). */
+  def nllBuckets(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String): DataFrame = {
+    val nll = unigramNll(df, idCol, textCol)
+      .join(df.select(col(idCol).as("doc"), col(strataCol)), "doc")
+    val cuts = nll.groupBy(col(strataCol))
+      .agg(expr("percentile(nll, array(cast(1 as double)/3, cast(2 as double)/3))")
+        .as("q"))
+      .select(col(strataCol),
+        element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q2"))
+    nll.join(broadcast(cuts), strataCol)
+      .withColumn("bucket",
+        when(col("nll") <= col("q1"), lit(1L))
+          .when(col("nll") <= col("q2"), lit(2L))
+          .otherwise(lit(3L)))
+      .select(col("doc"), col(strataCol), col("n_tokens"), col("nll"),
+        col("bucket"))
+  }
+
   /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
     * (character classes, bounded repetition, `\b`, `\d`, non-capturing
     * groups — no lookaround, no backreferences) so Spark and any

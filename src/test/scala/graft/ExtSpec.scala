@@ -1037,6 +1037,29 @@ class ExtSpec extends SparkSpec {
     assert(out7 == out)
   }
 
+  test("nllBuckets assigns per-stratum head/middle/tail by exact tercile cutoffs") {
+    import graft.ext.TextAnalysis
+    // six docs in one stratum, increasingly rare vocabulary: the nll
+    // order is the doc order, so terciles split 1-2 / 3-4 / 5-6
+    val df = Seq(
+      (1L, "a a a a a a", "en"), (2L, "a a a a a b", "en"),
+      (3L, "a a a a c d", "en"), (4L, "a a a e f g", "en"),
+      (5L, "a a h i j k", "en"), (6L, "a l m n o p", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nllBuckets(df, "doc_id", "text", "lang")
+      .orderBy("doc")
+      .select("doc", "bucket").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L),
+      (5L, 3L), (6L, 3L)), s"unexpected buckets: $out")
+    // strata are independent: a second language's cutoffs don't mix
+    val two = df.unionByName(Seq((11L, "x x x x", "fr"), (12L, "x x y z", "fr"))
+      .toDF("doc_id", "text", "lang"))
+    val fr = TextAnalysis.nllBuckets(two, "doc_id", "text", "lang")
+      .where(col("lang") === "fr").orderBy("doc")
+      .select("doc", "bucket").as[(Long, Long)].collect().toSeq
+    assert(fr.map(_._2).head == 1L && fr.map(_._2).last == 3L)
+  }
+
   test("piiRedact counts and scrubs all five pattern types row-locally; Luhn gates cards") {
     import graft.ext.TextAnalysis
     val df = Seq(
