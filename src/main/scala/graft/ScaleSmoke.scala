@@ -27,6 +27,7 @@ object ScaleSmoke {
     if (args.headOption.contains("curate1m")) { curate1m(); return }
     if (args.headOption.contains("pack1m")) { pack1m(); return }
     if (args.headOption.contains("chunk1m")) { chunk1m(); return }
+    if (args.headOption.contains("bloom1m")) { bloom1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -805,6 +806,91 @@ object ScaleSmoke {
     }
     if (walls(1) > 6 * walls(0) + 10) {
       println(f"SCALECHUNK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Portable-Bloom scale tier (`runMain graft.ScaleSmoke bloom1m`):
+    * build the m = 2²³-bit filter over an ~0.8n-doc corpus, pack it
+    * (collect bounded by m/64 words, not corpus size), probe 0.2n docs
+    * both ways — the broadcast-join form and the packed row-local form —
+    * and pin: (1) ZERO false negatives at both sizes (every planted
+    * duplicate flagged); (2) the measured false-positive rate within 3×
+    * of the (1−e^{−kn/m})^k formula (the filter actually behaves like a
+    * Bloom filter, not a degenerate hash); (3) the two probe forms make
+    * IDENTICAL decisions; (4) probe wall near-linear 250k → 1M. */
+  private def bloom1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // text(id) = unique 8-token line, except id % 10 == 0 copies id + 1:
+    // probes (id % 5 == 0) then contain n/10 planted true duplicates of
+    // corpus docs (id + 1 % 5 != 0) and n/10 novel docs (id % 10 == 5)
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(7)), i =>
+        concat(lit("w"),
+          when(col("id") % 10 === 0, col("id") + 1).otherwise(col("id")) * 8 + i)))
+        .as("text"))
+
+    val m = 1 << 23
+    val k = 5
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val docs = synth(n).localCheckpoint(true)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val probes = docs.where(col("doc_id") % 5 === 0).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val bits = Dedup.bloomBuild(corpus, "text", m, k).localCheckpoint(true)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val joined = Dedup.bloomProbe(probes, "doc_id", "text", bits, m, k)
+        .localCheckpoint(true)
+      joined.count()
+      val tJoin = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val words = Dedup.packBloomBits(bits, m)
+      val tPack = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val local = probes.select(col("doc_id"),
+          Dedup.bloomMightContain(col("text"), words, m, k)
+            .cast("long").as("maybe_dup")).localCheckpoint(true)
+      local.count()
+      val tLocal = (System.nanoTime() - t3) / 1e9
+      // (1) no false negatives: every planted dup (id % 10 == 0) flags
+      val fn = joined.where(col("doc_id") % 10 === 0 && col("maybe_dup") === 0L)
+        .count()
+      // (2) FP rate among novel probes (id % 10 == 5) vs the formula
+      val novel = joined.where(col("doc_id") % 10 === 5)
+      val fp = novel.where(col("maybe_dup") === 1L).count()
+      val nNovel = novel.count()
+      val nDistinct = corpus.select(col("text")).distinct().count()
+      val expFp = math.pow(1.0 - math.exp(-k.toDouble * nDistinct / m), k)
+      val fpRate = fp.toDouble / nNovel
+      // (3) the two probe forms agree row-for-row
+      val disagree = joined.as("a").join(local.as("b"),
+          col("a.doc_id") === col("b.doc_id"))
+        .where(col("a.maybe_dup") =!= col("b.maybe_dup")).count()
+      println(f"SCALEBLOOM n=$n%8d distinct=$nDistinct fn=$fn " +
+        f"fp=$fp/$nNovel (rate=$fpRate%.5f, formula=$expFp%.5f) " +
+        f"disagree=$disagree build=$tBuild%.1f s join-probe=$tJoin%.1f s " +
+        f"pack=$tPack%.1f s local-probe=$tLocal%.1f s")
+      if (fn != 0 || disagree != 0) { println("SCALEBLOOM exactness violated"); failed = true }
+      if (fpRate > 3 * expFp + 1e-4 || (expFp > 1e-3 && fpRate < expFp / 3)) {
+        println("SCALEBLOOM FP rate off the Bloom formula"); failed = true
+      }
+      tJoin + tLocal
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALEBLOOM super-linear probe wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
       failed = true
     }
     spark.stop()

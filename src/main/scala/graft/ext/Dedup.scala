@@ -69,15 +69,16 @@ object Dedup {
 
   /** Pack a built bit frame into (m+63)/64 words — the driver-small
     * (m/8 bytes: 8 KiB at m = 65536) form of the filter, for row-local
-    * probing. The collect is bounded by m by construction, never by
-    * corpus size — same driver-smallness argument as the IVF centroid
-    * arrays. */
+    * probing. Bits OR into words DISTRIBUTED-side (`bit_or` partial
+    * aggregation), so the driver collects at most m/64 word rows — never
+    * a row per set bit, never anything proportional to the corpus; same
+    * driver-smallness argument as the IVF centroid arrays. */
   def packBloomBits(bits: DataFrame, m: Int): Array[Long] = {
     val words = new Array[Long]((m + 63) / 64)
-    bits.select(col("bit")).collect().foreach { r =>
-      val b = r.getLong(0)
-      words((b >> 6).toInt) |= 1L << (b & 63L)
-    }
+    bits.selectExpr("CAST(bit div 64 AS INT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)) AS v")
+      .groupBy(col("w")).agg(expr("bit_or(v)").as("v"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
