@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Corpus, Dedup, EventOps, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventOps, Similarity, Sketches, TextAnalysis}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1103,6 +1103,29 @@ object SparkEntry {
     "text_unigram_nll" -> ((s, dir) => {
       sortBig(TextAnalysis.unigramNll(t(s, dir, "documents"),
         "doc_id", "text"), "doc")
+    }),
+
+    // portable count-min-sketch heavy hitters: the corpus term counts
+    // compress into a 4×1024-cell sketch (≤ d·w rows whatever the vocab,
+    // mergeable cell-wise across shards), every distinct term is
+    // point-estimated back (min over rows), and the top 20 by estimate
+    // surface with their exact counts riding along — est >= exact always,
+    // collisions overestimate deterministically. md5-derived bucket
+    // hashes make the sketch engine-neutral, so the DuckDB oracle
+    // rebuilds the identical cells and every estimate hash-matches.
+    "text_cms_topk" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val sketch = Sketches.cmsBuild(tf, "term", "cnt", d = 4, w = 1024)
+      val top = Sketches.cmsEstimate(tf.select(col("term")), "term",
+          sketch, d = 4, w = 1024)
+        .join(tf, "term")
+        .orderBy(col("est").desc, col("term")).limit(20)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("est").desc, col("term"))).cast("long"))
+        .select(col("rank"), col("term"), col("est"), col("cnt").as("exact"))
+        .orderBy("rank")
     }),
 
     // CCNet head/middle/tail selection: per-language exact tercile
@@ -2643,6 +2666,30 @@ object SparkEntry {
         |  ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
         |    AS nll
         |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical md5 bucket hashes ('cms<row>:<term>' 60-bit prefix % w),
+    // identical cell sums, min-over-rows estimates, and (est desc, term)
+    // top-20 tie order
+    "text_cms_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM toks GROUP BY term),
+        |pos AS (SELECT term, r.i AS row,
+        |    ('0x' || substring(md5('cms' || CAST(r.i AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+        |      % 1024 AS cell
+        |  FROM tf CROSS JOIN range(0, 4) r(i)),
+        |cells AS (SELECT p.row, p.cell, CAST(SUM(tf.cnt) AS BIGINT) AS cnt
+        |  FROM pos p JOIN tf USING (term) GROUP BY p.row, p.cell),
+        |est AS (SELECT p.term, MIN(c.cnt) AS est
+        |  FROM pos p JOIN cells c ON p.row = c.row AND p.cell = c.cell
+        |  GROUP BY p.term),
+        |top AS (SELECT term, est, cnt AS exact
+        |  FROM est JOIN tf USING (term)
+        |  ORDER BY est DESC, term LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY est DESC, term) AS BIGINT)
+        |    AS rank, term, est, exact
+        |FROM top ORDER BY rank""".stripMargin,
 
     // same nll computation, then per-language quantile_cont tercile
     // cutoffs (interpolation-identical to Spark's percentile) and the

@@ -799,6 +799,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: exact at generous width, never underestimates, merges cell-wise") {
+    import graft.ext.Sketches
+    val tf = Seq(("a", 100L), ("b", 40L), ("c", 7L), ("d", 1L))
+      .toDF("term", "cnt")
+    // wide sketch over 4 keys: no collisions, estimates are exact
+    val wide = Sketches.cmsBuild(tf, "term", "cnt", d = 4, w = 1 << 12)
+    val estW = Sketches.cmsEstimate(tf.select(col("term")), "term", wide,
+        4, 1 << 12)
+      .orderBy("term").as[(String, Long)].collect().toSeq
+    assert(estW == Seq(("a", 100L), ("b", 40L), ("c", 7L), ("d", 1L)))
+    // width 1: every key collides into one cell per row — est = total
+    // weight for all keys; still never below the true count
+    val tiny = Sketches.cmsBuild(tf, "term", "cnt", d = 4, w = 1)
+    val estT = Sketches.cmsEstimate(tf.select(col("term")), "term", tiny, 4, 1)
+      .as[(String, Long)].collect()
+    assert(estT.forall(_._2 == 148L))
+    // mergeability: sketch(A ∪ B) == cell-wise sum of the two sketches
+    val (a, b) = (tf.where(col("cnt") >= 40), tf.where(col("cnt") < 40))
+    val merged = Sketches.cmsBuild(a, "term", "cnt", 4, 64)
+      .unionByName(Sketches.cmsBuild(b, "term", "cnt", 4, 64))
+      .groupBy("row", "cell").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.cmsBuild(tf, "term", "cnt", 4, 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // unseen key estimates 0 (left join + coalesce path)
+    val unseen = Sketches.cmsEstimate(Seq("zzz").toDF("term"), "term", wide,
+        4, 1 << 12)
+      .as[(String, Long)].collect()
+    assert(unseen.toSeq == Seq(("zzz", 0L)))
+  }
+
   test("event-time normalization absorbs every upstream ts dtype (NTZ µs, long nanos, TZ)") {
     // The events fixture has shipped as all three dtypes across driver
     // rounds (r8: six queries silently broke on a TIMESTAMP→NTZ drift).
