@@ -1105,6 +1105,38 @@ object SparkEntry {
         "doc_id", "text"), "doc")
     }),
 
+    // source-reputation (domain-level) filter — the C4/RefinedWeb stage
+    // that drops whole ORIGINS rather than single documents: per-source
+    // duplicate share (corpus dup-count keyed on md5(text) — a narrow
+    // fixed-width shuffle key, text never crosses the wire twice) and
+    // mean distinct-token ratio (6dp-rounded per doc, exact-decimal
+    // mean), gated at dup_share <= 0.2 AND mean_distinct_ratio >= 0.5.
+    // The natural corpus is uniform across its 20 synthetic sources, so
+    // two sources are PLANTED bad in-query (every third doc replaced by
+    // one boilerplate line) guaranteeing both flag states at every sf;
+    // the oracle applies the identical plant and formulas.
+    "doc_source_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+          when(col("source").isin("src3", "src7") && col("doc_id") % 3 === 0,
+            lit("boiler plate boiler plate boiler plate"))
+            .otherwise(col("text")))
+        .withColumn("_k", md5(col("text")))
+      val dupc = docs.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("distinct_ratio"))
+      val perDoc = docs.select(col("doc_id"), col("source"), col("_k"))
+        .join(dupc, "_k").join(q, "doc_id")
+      val stats = perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(when(col("_c") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_share"),
+        round(sum(col("distinct_ratio").cast(DecimalType(38, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_distinct_ratio"))
+      sortSmall(stats.withColumn("kept",
+        (col("dup_share") <= 0.2 && col("mean_distinct_ratio") >= 0.5)
+          .cast("long")), "source")
+    }),
+
     // portable count-min-sketch heavy hitters: the corpus term counts
     // compress into a 4×1024-cell sketch (≤ d·w rows whatever the vocab,
     // mergeable cell-wise across shards), every distinct term is
@@ -2666,6 +2698,32 @@ object SparkEntry {
         |  ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
         |    AS nll
         |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical plant, md5-keyed dup counts, 6dp-rounded distinct ratios
+    // summed as DECIMAL(38,6), and the same two-signal keep gate
+    "doc_source_filter" ->
+      """WITH d0 AS (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src3', 'src7') AND doc_id % 3 = 0
+        |         THEN 'boiler plate boiler plate boiler plate'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |dup AS (SELECT md5(text) AS k, COUNT(*) AS c FROM d0 GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS dr
+        |  FROM d0),
+        |j AS (SELECT d0.source, dup.c, q.dr
+        |  FROM d0 JOIN dup ON md5(d0.text) = dup.k JOIN q USING (doc_id)),
+        |stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*), 6) AS dup_share,
+        |    round(CAST(SUM(CAST(dr AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_distinct_ratio
+        |  FROM j GROUP BY source)
+        |SELECT source, n_docs, dup_share, mean_distinct_ratio,
+        |  CAST(CASE WHEN dup_share <= 0.2 AND mean_distinct_ratio >= 0.5
+        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM stats ORDER BY source""".stripMargin,
 
     // identical md5 bucket hashes ('cms<row>:<term>' 60-bit prefix % w),
     // identical cell sums, min-over-rows estimates, and (est desc, term)
