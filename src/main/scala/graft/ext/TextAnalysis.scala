@@ -268,8 +268,16 @@ object TextAnalysis {
     * (bucket boundaries from sampled scores, membership by threshold). */
   def nllBuckets(df: DataFrame, idCol: String, textCol: String,
       strataCol: String): DataFrame = {
+    // materialize the per-doc score frame ONCE (eager localCheckpoint,
+    // same pattern as minhashDupPairs' signature frame): the cutoff
+    // aggregate and the final bucketing join both consume it, and
+    // without the boundary Catalyst re-executes the whole explode +
+    // tf ⋈ freq pipeline for each consumer (observed: 28 parquet scans
+    // in the un-checkpointed plan, zero exchange reuse). One row per
+    // doc — small next to the token-level work it caps.
     val nll = unigramNll(df, idCol, textCol)
       .join(df.select(col(idCol).as("doc"), col(strataCol)), "doc")
+      .localCheckpoint(true)
     val cuts = nll.groupBy(col(strataCol))
       .agg(expr("percentile(nll, array(cast(1 as double)/3, cast(2 as double)/3))")
         .as("q"))
