@@ -1684,6 +1684,37 @@ object SparkEntry {
             .as("kept_chunks")), "doc")
     }),
 
+    // streaming hot-term monitor: the count-min cells are THE streaming
+    // frequency state — a stateful (row, cell) sum in Complete mode,
+    // bounded at d·w rows no matter how long the stream runs (the whole
+    // point of sketched frequency state: exact per-term state grows with
+    // the vocab, the sketch never does). The replayed slice's cells are
+    // then point-queried batch-side for the top terms; cells and
+    // estimates are md5-portable, so the DuckDB oracle pins
+    // streaming ≡ batch ≡ oracle with zero approximation slack beyond
+    // the sketch's own deterministic collisions.
+    "stream_cms_topk" -> ((s, dir) => {
+      val cells = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_cms_cells",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        val tf = st.where(col("doc_id") % 5 === 0)
+          .select(explode(split(col("text"), " ")).as("term"),
+            lit(1L).as("cnt"))
+        Sketches.cmsBuild(tf, "term", "cnt", d = 4, w = 1024)
+      }
+      val tf = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val top = Sketches.cmsEstimate(tf.select(col("term")), "term",
+          cells, d = 4, w = 1024)
+        .join(tf, "term")
+        .orderBy(col("est").desc, col("term")).limit(20)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("est").desc, col("term"))).cast("long"))
+        .select(col("rank"), col("term"), col("est"), col("cnt").as("exact"))
+        .orderBy("rank")
+    }),
+
     // streaming Bloom ingest filter: the corpus (doc_id % 5 != 0)
     // compresses ONCE into the persisted portable filter; the probe set
     // (doc_id % 5 == 0 plus planted verbatim corpus copies under +100000
@@ -2698,6 +2729,29 @@ object SparkEntry {
         |  ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
         |    AS nll
         |FROM c GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // the streamed cells equal the batch cells (stateful sum ≡ batch
+    // sum), so the oracle is the batch CMS oracle on the replayed slice
+    "stream_cms_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id % 5 = 0),
+        |tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM toks GROUP BY term),
+        |pos AS (SELECT term, r.i AS row,
+        |    ('0x' || substring(md5('cms' || CAST(r.i AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+        |      % 1024 AS cell
+        |  FROM tf CROSS JOIN range(0, 4) r(i)),
+        |cells AS (SELECT p.row, p.cell, CAST(SUM(tf.cnt) AS BIGINT) AS cnt
+        |  FROM pos p JOIN tf USING (term) GROUP BY p.row, p.cell),
+        |est AS (SELECT p.term, MIN(c.cnt) AS est
+        |  FROM pos p JOIN cells c ON p.row = c.row AND p.cell = c.cell
+        |  GROUP BY p.term),
+        |top AS (SELECT term, est, cnt AS exact
+        |  FROM est JOIN tf USING (term)
+        |  ORDER BY est DESC, term LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY est DESC, term) AS BIGINT)
+        |    AS rank, term, est, exact
+        |FROM top ORDER BY rank""".stripMargin,
 
     // identical plant, md5-keyed dup counts, 6dp-rounded distinct ratios
     // summed as DECIMAL(38,6), and the same two-signal keep gate
