@@ -122,6 +122,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val wordsGen: Gen[List[String]] = for {
+    n <- Gen.choose(1, 60)
+    ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty))
+  } yield ws
+
+  test("Bloom filter never false-negatives and is monotone under corpus growth") {
+    forAll(Gen.zip(wordsGen, wordsGen), cases = 6) { case (corpusW, extraW) =>
+      val m = 256; val k = 4 // small enough that collisions actually occur
+      val corpus = corpusW.distinct.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("id", "key")
+      val bits = Dedup.bloomBuild(corpus, "key", m, k)
+      // every inserted key flags as present — for ANY corpus and any m
+      val self = Dedup.bloomProbe(corpus, "id", "key", bits, m, k)
+      assert(self.where(col("maybe_dup") === 0L).count() == 0,
+        "false negative on an inserted key")
+      // growing the corpus can only ADD set bits: flags are monotone
+      val grown = corpus.unionByName(extraW.distinct.zipWithIndex
+        .map { case (w, i) => (10000L + i, w) }.toDF("id", "key"))
+      val bitsG = Dedup.bloomBuild(grown, "key", m, k)
+      val before = Dedup.bloomProbe(corpus, "id", "key", bits, m, k)
+      val after = Dedup.bloomProbe(corpus, "id", "key", bitsG, m, k)
+      val regressed = before.as("a").join(after.as("b"),
+          col("a.id") === col("b.id"))
+        .where(col("a.maybe_dup") === 1L && col("b.maybe_dup") === 0L)
+      assert(regressed.count() == 0, "flag flipped off as corpus grew")
+    }
+  }
+
+  test("count-min estimates never underestimate; halves sum to the whole") {
+    forAll(wordsGen, cases = 6) { ws =>
+      val d = 3; val w = 16 // force collisions
+      val tf = ws.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+        .toSeq.toDF("term", "cnt")
+      val sketch = graft.ext.Sketches.cmsBuild(tf, "term", "cnt", d, w)
+      val est = graft.ext.Sketches.cmsEstimate(tf.select(col("term")),
+          "term", sketch, d, w)
+        .join(tf, "term")
+      assert(est.where(col("est") < col("cnt")).count() == 0,
+        "count-min underestimated")
+      // mergeability on arbitrary splits: cell-wise sum of the halves
+      // equals the whole corpus's sketch
+      val (a, b) = (tf.where(length(col("term")) % 2 === 0),
+        tf.where(length(col("term")) % 2 =!= 0))
+      val merged = graft.ext.Sketches.cmsBuild(a, "term", "cnt", d, w)
+        .unionByName(graft.ext.Sketches.cmsBuild(b, "term", "cnt", d, w))
+        .groupBy("row", "cell").agg(sum("cnt").as("cnt"))
+      assert(merged.exceptAll(sketch).isEmpty && sketch.exceptAll(merged).isEmpty)
+    }
+  }
+
   test("exact dedup is idempotent and keeps one row per key") {
     val docs = spark.read.parquet(sf("documents"))
     val withDups = docs.unionByName(docs.limit(100)) // plant exact dups
