@@ -1358,6 +1358,17 @@ object SparkEntry {
         "query_id", "rank")
     }),
 
+    // per-label embedding centroids: element-wise mean-pooling — the
+    // class-centroid / cluster-representative primitive (what seeds an
+    // IVF retrain or picks a semantic-dedup representative). Flat
+    // (label, dim, mean) output: posexplode + one (label, dim) hash
+    // aggregate, exact DECIMAL(38,12) partials, one division + round(6)
+    // at the end — partitioning- and engine-invariant.
+    "emb_label_centroids" -> ((s, dir) => {
+      sortSmall(Similarity.meanVectorByKey(t(s, dir, "embeddings"),
+        "label", "embedding"), "label", "dim")
+    }),
+
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3004,6 +3015,18 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rank, candidate_id, cosine FROM r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // same element-wise exact-decimal mean per (label, dim)
+    "emb_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label,
+        |    unnest([{'dim': i - 1, 'val': v[i]}
+        |            for i in generate_series(1, len(v))]) AS u
+        |  FROM e)
+        |SELECT label, u.dim AS dim,
+        |  ROUND(CAST(SUM(CAST(u.val AS DECIMAL(38,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean
+        |FROM x GROUP BY label, u.dim ORDER BY label, dim""".stripMargin,
 
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

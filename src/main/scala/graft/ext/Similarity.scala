@@ -35,6 +35,25 @@ object Similarity {
   private def asDouble(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn(vecCol, col(vecCol).cast("array<double>"))
 
+  /** Element-wise mean vector per key — the class-centroid /
+    * cluster-representative primitive (mean-pooling a group of
+    * embeddings). Emits the FLAT (key, dim, mean) frame: posexplode +
+    * one (key, dim) hash aggregate with map-side combine — k·dims
+    * groups total, no vector ever re-assembled on a single task, so the
+    * shape is one narrow pass at any corpus size. Sums run as
+    * DECIMAL(38,12) (float32 inputs cast to double are exact there), so
+    * the mean is partitioning- and engine-invariant; one IEEE division
+    * + round(6) at the end — the same exact-partials rule as
+    * [[graft.ops.Resample.detMean]]. */
+  def meanVectorByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    asDouble(df, vecCol)
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg(round(
+        (sum(col("_v").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 12))).cast("double") / count(lit(1))), 6)
+        .as("mean"))
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * non-identical candidates. The query side is broadcast (queries are
     * few); the candidate scan streams — at cluster scale this is one pass
