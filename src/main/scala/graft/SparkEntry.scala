@@ -1369,6 +1369,34 @@ object SparkEntry {
         "label", "embedding"), "label", "dim")
     }),
 
+    // k-NN label classification (label propagation): each query's label
+    // predicted by majority vote over its 9 nearest neighbors by cosine,
+    // ties broken toward the smallest label — the standard embedding-
+    // space labeling pass (works off the same cosineTopK primitive the
+    // ANN family shares; at scale the candidate pass swaps for the IVF
+    // probe unchanged). Fresh query slice (24..31) so the gate is not a
+    // re-run of the other top-k anchors.
+    "emb_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") >= 24 && col("vec_id") < 32)
+      val nn = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+          k = 9)
+        .join(emb.select(col("vec_id").as("candidate_id"),
+          col("label").cast("long").as("nbr_label")), "candidate_id")
+      val votes = nn.groupBy(col("query_id"), col("nbr_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("nbr_label"))
+      val pred = votes.withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1)
+        .select(col("query_id"), col("nbr_label").as("predicted"),
+          col("n_votes"))
+      sortSmall(pred.join(emb.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"), col("predicted"),
+          col("n_votes")), "query_id")
+    }),
+
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
     "emb_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3015,6 +3043,33 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rank, candidate_id, cosine FROM r
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // same brute-force 9-NN by (cosine desc, candidate) rank, majority
+    // vote with (votes desc, label asc) tie order
+    "emb_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    c.label AS nbr_label,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 24 AND q.vec_id < 32 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, nbr_label, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rnk
+        |      FROM s),
+        |v AS (SELECT query_id, CAST(nbr_label AS BIGINT) AS nbr_label,
+        |        CAST(COUNT(*) AS BIGINT) AS n_votes
+        |      FROM r WHERE rnk <= 9 GROUP BY query_id, nbr_label),
+        |p AS (SELECT query_id, nbr_label AS predicted, n_votes,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY n_votes DESC, nbr_label) AS pr
+        |      FROM v)
+        |SELECT p.query_id, CAST(e.label AS BIGINT) AS true_label,
+        |  p.predicted, p.n_votes
+        |FROM p JOIN e ON p.query_id = e.vec_id
+        |WHERE p.pr = 1 ORDER BY p.query_id""".stripMargin,
 
     // same element-wise exact-decimal mean per (label, dim)
     "emb_label_centroids" ->
