@@ -1754,6 +1754,25 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // per-key running stats through explicit mapGroupsWithState state —
+    // the custom-streaming-state extension point, driver-gated: the
+    // scaled-long exact state makes the emitted mean order-invariant and
+    // bit-equal to the batch detMean, so a bounded Update-mode replay
+    // hash-matches the plain batch aggregate oracle.
+    "stream_running_stats" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/events.parquet", "stream_running_stats_result",
+        org.apache.spark.sql.streaming.OutputMode.Update()) { st =>
+        graft.streaming.StreamingOps.runningStats(
+          Observations.from(Observations.normalizeEventTs(st),
+            "user_id", "ts", "value"))
+      }
+      sortSmall(res.select(col("series_key"), col("n"),
+        round(col("mean"), 6).as("mean")), "series_key")
+    }),
+
     // streaming Bloom ingest filter: the corpus (doc_id % 5 != 0)
     // compresses ONCE into the persisted portable filter; the probe set
     // (doc_id % 5 == 0 plus planted verbatim corpus copies under +100000
@@ -2482,6 +2501,15 @@ object SparkEntry {
         |  CAST(CASE WHEN p.text IN (SELECT text FROM corpus) THEN 1 ELSE 0 END AS BIGINT)
         |    AS exact_dup
         |FROM flags f JOIN probes p USING (doc_id) ORDER BY doc""".stripMargin,
+
+    // the stateful running mean reproduces the batch detMean op sequence
+    // exactly (scaled-long exact sum -> decimal -> double -> / count)
+    "stream_running_stats" ->
+      """SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  CAST(COUNT(value) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+        |    / COUNT(value), 6) AS mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the streaming twin probes the same portable filter over the same
     // probe/plant split, so the oracle is the batch oracle's flags CTE

@@ -179,9 +179,17 @@ object StreamingOps {
 
   /** Per-key running statistics via explicit state — the
     * mapGroupsWithState extension point for custom streaming state
-    * (count + running mean per series). */
+    * (count + running mean per series). The sum accumulates as a SCALED
+    * LONG (value·10⁸, exact for the ≤ 8-dp fixture values — the same
+    * exactness rule as `Resample.detMean`'s DECIMAL(27,8) cast), so the
+    * state is ORDER-INVARIANT: the emitted mean is bit-identical
+    * whatever order events arrive in, across micro-batch boundaries,
+    * and to the batch aggregate — which is what lets the bounded-replay
+    * oracle (`stream_running_stats`) hash-pin this path. The final mean
+    * reproduces the decimal→double→÷count op sequence of the batch
+    * detMean exactly. */
   case class ObsEvent(series_key: String, ts: java.sql.Timestamp, value: Double)
-  case class SeriesState(n: Long, sum: Double)
+  case class SeriesState(n: Long, sumE8: Long)
   case class SeriesStat(series_key: String, n: Long, mean: Double)
 
   def runningStats(stream: DataFrame)(implicit spark: SparkSession): DataFrame = {
@@ -190,11 +198,13 @@ object StreamingOps {
       .groupByKey(_.series_key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (key: String, events: Iterator[ObsEvent], state: GroupState[SeriesState]) =>
-          val prev = state.getOption.getOrElse(SeriesState(0L, 0.0))
-          var n = prev.n; var s = prev.sum
-          events.foreach { e => n += 1; s += e.value }
+          val prev = state.getOption.getOrElse(SeriesState(0L, 0L))
+          var n = prev.n; var s = prev.sumE8
+          events.foreach { e => n += 1; s += math.round(e.value * 1e8) }
           state.update(SeriesState(n, s))
-          SeriesStat(key, n, if (n == 0) 0.0 else s / n)
+          val mean = if (n == 0) 0.0
+            else new java.math.BigDecimal(s).movePointLeft(8).doubleValue() / n
+          SeriesStat(key, n, mean)
       }
       .toDF()
   }
