@@ -172,6 +172,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("meanVectorByKey is partition-count invariant and exact on 2dp inputs") {
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.listOfN(4,
+        Gen.choose(-100.0, 100.0).map(x => math.rint(x * 100) / 100)))),
+        cases = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((lab, vec), i) =>
+        (i.toLong, lab, vec) }.toDF("id", "label", "vec")
+      val a = graft.ext.Similarity.meanVectorByKey(df.repartition(1), "label", "vec")
+        .orderBy("label", "dim").collect().toSeq
+      val b = graft.ext.Similarity.meanVectorByKey(df.repartition(7), "label", "vec")
+        .orderBy("label", "dim").collect().toSeq
+      assert(a == b)
+      // exact against a driver-side rational mean on 2dp inputs
+      val expected = rows.groupBy(_._1).map { case (lab, grp) =>
+        val dims = grp.map(_._2)
+        lab -> (0 until 4).map { d =>
+          val exact = (dims.map(v => BigDecimal(v(d))).sum /
+            dims.size).toDouble
+          math.rint(exact * 1e6) / 1e6
+        }
+      }
+      a.foreach { r =>
+        val (lab, dim, m) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        assert(math.abs(m - expected(lab)(dim)) < 1e-9, s"label=$lab dim=$dim")
+      }
+    }
+  }
+
   test("exact dedup is idempotent and keeps one row per key") {
     val docs = spark.read.parquet(sf("documents"))
     val withDups = docs.unionByName(docs.limit(100)) // plant exact dups
