@@ -1893,6 +1893,31 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
 
+    // conversion funnel: per signup, the earliest LATER purchase by the
+    // same user (forward-looking min via a REVERSED-order running frame
+    // — rowsBetween(0, unboundedFollowing) evaluates O(partition²), the
+    // desc-ordered unboundedPreceding..-1 twin is one running pass);
+    // converted iff within 7 days; rolled up per signup-month cohort.
+    "event_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), EventOps.epochS(col("ts")).as("ts_s"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nxt = e.withColumn("nps",
+        min(when(col("event_type") === "purchase", col("ts_s"))).over(w))
+      val signups = nxt.where(col("event_type") === "signup")
+        .select(date_format(timestamp_seconds(col("ts_s")), "yyyy-MM")
+            .as("cohort"),
+          (col("nps").isNotNull && col("nps") - col("ts_s") <= 604800L)
+            .cast("long").as("conv"))
+      signups.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_signups"), sum(col("conv")).as("n_converted"))
+        .withColumn("rate",
+          round(col("n_converted").cast("double") / col("n_signups"), 6))
+        .orderBy("cohort")
+    }),
+
     // gap-based sessionization (30 min) + per-session rollup
     "event_sessions" -> ((s, dir) => {
       EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
@@ -3365,6 +3390,24 @@ object SparkEntry {
         |SELECT k AS series_key, MIN(s) AS start_s, MAX(s) AS end_s,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY k, sid ORDER BY series_key, start_s""".stripMargin,
+
+    // same reversed-frame forward min, same second-truncated epoch math
+    // and (ts_s, event_id) tie order, same 7-day window and month cohort
+    "event_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |n AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts_s END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nps
+        |  FROM e),
+        |s AS (SELECT strftime(make_timestamp(ts_s * 1000000), '%Y-%m') AS cohort,
+        |    CASE WHEN nps IS NOT NULL AND nps - ts_s <= 604800
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM n WHERE event_type = 'signup')
+        |SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_signups,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS rate
+        |FROM s GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "event_sessions" ->
       """WITH o AS (
