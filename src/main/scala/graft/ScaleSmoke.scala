@@ -28,6 +28,7 @@ object ScaleSmoke {
     if (args.headOption.contains("pack1m")) { pack1m(); return }
     if (args.headOption.contains("chunk1m")) { chunk1m(); return }
     if (args.headOption.contains("bloom1m")) { bloom1m(); return }
+    if (args.headOption.contains("centroid1m")) { centroid1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -806,6 +807,52 @@ object ScaleSmoke {
     }
     if (walls(1) > 6 * walls(0) + 10) {
       println(f"SCALECHUNK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Mean-pooling scale tier (`runMain graft.ScaleSmoke centroid1m`):
+    * element-wise per-label centroids over 1M 64-dim vectors (64M
+    * exploded rows into 16·64 groups). Pins: (1) BIT-EQUALITY under
+    * different partitioning (the exact-decimal-partials claim at
+    * volume); (2) near-linear wall 250k → 1M (map-side combine holds —
+    * the aggregate's group count is constant, so all growth is the
+    * narrow scan+explode). */
+  private def centroid1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def synth(n: Long) = spark.range(n).select(
+      (col("id") % 16).cast("int").as("label"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("id"), i), lit(2001L)) - 1000L).cast("double")
+          / 1000.0).as("vec"))
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val vecs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val a = Similarity.meanVectorByKey(vecs, "label", "vec")
+        .orderBy("label", "dim").collect().toSeq
+      val t = (System.nanoTime() - t0) / 1e9
+      val b = Similarity.meanVectorByKey(vecs.repartition(29), "label", "vec")
+        .orderBy("label", "dim").collect().toSeq
+      val eq = a == b
+      println(f"SCALECENTROID n=$n%8d groups=${a.size} bitEqual=$eq $t%6.1f s")
+      if (a.size != 16 * 64 || !eq) {
+        println("SCALECENTROID invariance violated"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALECENTROID super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
       failed = true
     }
     spark.stop()
