@@ -1369,6 +1369,16 @@ object SparkEntry {
         "label", "embedding"), "label", "dim")
     }),
 
+    // symmetric per-vector int8 quantization (scale = max|x|/127, half-up
+    // explicit as floor(x+0.5)): the storage/serving compression pass for
+    // an embedding corpus. Row-local codegen'd array expressions — zero
+    // shuffle; the audit stats pin every element (exact integer q_sum /
+    // q_l1) plus the 6-dp reconstruction-error bound.
+    "emb_quantize_int8" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
     // k-NN label classification (label propagation): each query's label
     // predicted by majority vote over its 9 nearest neighbors by cosine,
     // ties broken toward the smallest label — the standard embedding-
@@ -1443,6 +1453,15 @@ object SparkEntry {
     // text quality scoring
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style format/symbol quality rules (Rae et al. 2021 §A1.1):
+    // mean word length, symbol-to-word ratio, bullet/ellipsis line
+    // fractions, alpha-word fraction, and the published-threshold
+    // conjunction flag — all row-local codegen'd expressions.
+    "text_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -3136,6 +3155,24 @@ object SparkEntry {
         |    / COUNT(*), 6) AS mean
         |FROM x GROUP BY label, u.dim ORDER BY label, dim""".stripMargin,
 
+    // identical op sequence: amax/127, floor(x/scale+0.5), exact int
+    // aggregates, 6-dp error bound
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max([abs(x) for x in v]) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |  CASE WHEN scale = 0
+        |    THEN [CAST(0 AS BIGINT) for x in v]
+        |    ELSE [CAST(floor(x / scale + 0.5) AS BIGINT) for x in v]
+        |  END AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS qscale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
+        |  round(list_max([abs(v[i] - qv[i] * scale)
+        |    for i in generate_series(1, len(v))]), 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (
@@ -3281,6 +3318,33 @@ object SparkEntry {
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
         |  round(CAST(n_alpha AS DOUBLE) / n_chars_computed, 6) AS alpha_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len([l for l in lines if substr(ltrim(l), 1, 1) IN ('-', '*')]) AS BIGINT) AS n_bullet,
+        |  CAST(len([l for l in lines if rtrim(l) LIKE '%...']) AS BIGINT) AS n_ellline,
+        |  CAST(len([x for x in toks if length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0]) AS BIGINT) AS n_alphaword,
+        |  CAST(list_sum([length(x) for x in toks]) AS BIGINT) AS sum_word_len
+        |  FROM d),
+        |r AS (SELECT doc_id, n_tokens,
+        |  round(CAST(sum_word_len AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+        |  round(CAST(n_hash + n_ell AS DOUBLE) / n_tokens, 6) AS symbol_word_ratio,
+        |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+        |  round(CAST(n_ellline AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+        |  round(CAST(n_alphaword AS DOUBLE) / n_tokens, 6) AS alpha_word_frac
+        |  FROM m)
+        |SELECT doc_id, n_tokens, mean_word_len, symbol_word_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  (n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8) AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> LangIdOracle,
 

@@ -54,6 +54,30 @@ object Similarity {
           .createDecimalType(38, 12))).cast("double") / count(lit(1))), 6)
         .as("mean"))
 
+  /** Symmetric per-vector int8 quantization — the storage/serving
+    * compression step for an embedding corpus (scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5)). Row-local codegen'd array
+    * expressions only: no shuffle, no state, scales linearly with the
+    * corpus. Half-up rounding is written explicitly as floor(x + 0.5)
+    * (not `round`) so the oracle replays the identical IEEE op
+    * sequence. Emits per-vector audit stats instead of the raw int
+    * array: `q_sum`/`q_l1` pin every quantized element through exact
+    * integer aggregates, `max_abs_err` pins the reconstruction-error
+    * bound (≤ scale/2 by construction) at 6 dp. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val q = transform(v, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(x / scale + 0.5).cast("long")))
+    df.select(col(idCol),
+      round(scale, 6).as("qscale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+      round(array_max(zip_with(v, q, (x, qi) => abs(x - qi * scale))), 6)
+        .as("max_abs_err"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * non-identical candidates. The query side is broadcast (queries are
     * few); the candidate scan streams — at cluster scale this is one pass

@@ -139,6 +139,54 @@ object TextAnalysis {
           .as("dup_2gram_frac"))
   }
 
+  /** Gopher-style format/symbol document filters (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 — the quality rules beyond the
+    * repetition family covered by [[repetitionStats]]): mean word length,
+    * symbol-to-word ratio (`#` and `...`), bullet-/ellipsis-line
+    * fractions, and the fraction of words containing at least one
+    * alphabetic character, plus the conjunction flag `gopher_pass` with
+    * the paper's published thresholds. Every metric is a row-local
+    * native-expression computation over exact integer counts with one
+    * 6-dp-rounded IEEE division each — perfectly parallel, whole-stage
+    * codegen, engine-portable (the oracle reproduces each count with the
+    * same split/replace/regex primitives). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    // occurrences of '#' and '...' via length deltas (portable substring
+    // counting; no regex-count builtin shared by both engines)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*"))).cast("long")
+    val nEllLine = size(filter(lines, l =>
+      rtrim(l).endsWith("..."))).cast("long")
+    val nAlphaWord = size(filter(toks, t =>
+      length(regexp_replace(t, "[^a-zA-Z]", "")) > 0)).cast("long")
+    val sumWordLen = aggregate(toks, lit(0L), (acc, t) =>
+      acc + length(t).cast("long"))
+    val meanWordLen = round(sumWordLen.cast("double") / nTok, 6)
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / nTok, 6)
+    val bulletFrac = round(nBullet.cast("double") / nLines, 6)
+    val ellFrac = round(nEllLine.cast("double") / nLines, 6)
+    val alphaFrac = round(nAlphaWord.cast("double") / nTok, 6)
+    df.select(col(idCol),
+      nTok.as("n_tokens"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      (nTok >= 50L && nTok <= 100000L &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+        alphaFrac >= 0.8).as("gopher_pass"))
+  }
+
   /** ADD the row-local curation signal columns (`n_tokens`,
     * `distinct_ratio`, `stopword_ratio`, `pred_lang`) to a frame while
     * KEEPING its existing columns — the streaming-shaped form of

@@ -1138,6 +1138,49 @@ class ExtSpec extends SparkSpec {
     assert(roots == members && roots.forall(_ % 10 == 0))
   }
 
+  test("gopherRules: hand fixture pins every metric and the pass conjunction") {
+    import graft.ext.TextAnalysis
+    // 60 words, clean prose -> passes; a bullet/ellipsis/symbol doc fails
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ")
+    val messy = "- item one ...\n- item two ...\n### # # lots of # symbols"
+    val out = TextAnalysis.gopherRules(
+        Seq((1L, clean), (2L, messy)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val c = out(0)
+    assert(c.getLong(1) == 60L)
+    assert(c.getBoolean(7), s"clean doc must pass: $c")
+    val m = out(1)
+    // 3 lines: two bullets (2/3), two ellipsis-terminated (2/3),
+    // 6 '#' + 2 '...' among 13 ws-tokens
+    assert(m.getLong(1) == 13L)
+    assert(math.abs(m.getDouble(3) - 8.0 / 13) < 1e-6, s"symbol ratio: $m")
+    assert(math.abs(m.getDouble(4) - 2.0 / 3) < 1e-6, s"bullet frac: $m")
+    assert(math.abs(m.getDouble(5) - 2.0 / 3) < 1e-6, s"ellipsis frac: $m")
+    assert(!m.getBoolean(7), s"messy doc must fail: $m")
+  }
+
+  test("quantizeInt8: |q| <= 127, err bound <= scale/2, zero vector safe") {
+    val df = Seq(
+        (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+        (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+        (3L, Array(127.0f, -127.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // v1: scale = 1/127; q = (64, -127, 32, 0) via half-up (31.75+0.5
+    // floors to 32, 63.5+0.5 floors to 64)
+    assert(out(0).getLong(2) == 64L - 127L + 32L)
+    assert(out(0).getLong(3) == 64L + 127L + 32L)
+    assert(out(0).getDouble(4) <= 1.0 / 127 / 2 + 1e-6)
+    // zero vector: scale 0, all-zero quants, zero error
+    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 0L &&
+      out(1).getDouble(4) == 0.0)
+    // unit-scale vector quantizes exactly
+    assert(out(2).getDouble(1) == 1.0 && out(2).getLong(3) == 256L &&
+      out(2).getDouble(4) == 0.0)
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")
