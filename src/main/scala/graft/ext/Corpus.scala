@@ -162,4 +162,24 @@ object Corpus {
       .withColumn("sample_bucket", sampleBucket(col(idCol)))
       .where(col("sample_bucket") < col("rate_bp"))
   }
+
+  /** Corpus snapshot diff — the data-versioning primitive for iterated
+    * training-set builds: classify every doc id across two snapshots as
+    * `added` / `removed` / `changed` / `unchanged` by full-outer-joining
+    * on id and comparing md5 content digests. At scale this is ONE
+    * id-keyed shuffle join (both sides co-partitioned on the join key)
+    * with the digest computed row-local before the join, so only
+    * (id, hash) ever moves — not document bodies. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, tag: String) =
+      df.select(col(idCol).as(s"_id_$tag"), md5(col(textCol)).as(s"_h_$tag"))
+    hashed(v1, "a").join(hashed(v2, "b"),
+        col("_id_a") === col("_id_b"), "full_outer")
+      .select(coalesce(col("_id_a"), col("_id_b")).as(idCol),
+        when(col("_id_a").isNull, "added")
+          .when(col("_id_b").isNull, "removed")
+          .when(col("_h_a") =!= col("_h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -125,4 +125,33 @@ object EventOps {
         window(col(tsCol), s"$windowSec seconds").getField("start").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(metric).as("sum_m"),
         min(metric).as("min_m"), max(metric).as("max_m"))
+
+  /** Weekly cohort retention: cohort = the key's first-activity epoch
+    * week (floor(epoch_s / 604800) — an absolute engine-portable week
+    * index, no calendar/week-start semantics to diverge on); for each
+    * (cohort_week, week_offset), the count of cohort keys active that
+    * week and the retained fraction of the cohort's week-0 size.
+    *
+    * Scale shape: one distinct on (key, week) collapses the raw stream
+    * to at most keys×weeks rows, then the per-key min and the
+    * activity↔cohort join both shuffle on the SAME key — Catalyst
+    * reuses the exchange, so the whole pipeline is one key-hash
+    * shuffle plus one tiny (cohort, offset) aggregate; the week-0
+    * normalization window runs over that already-small rollup. All
+    * counts are exact integers; the single division is rounded at 6 dp. */
+  def weeklyRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val week = floor(epochS(col(tsCol)).cast("double") / 604800.0).cast("long")
+    val activity = df.select(col(keyCol).as("u"), week.as("week")).distinct()
+    val cohort = activity.groupBy(col("u"))
+      .agg(min(col("week")).as("cohort_week"))
+    val rollup = activity.join(cohort, "u")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("cohort_week"))
+    rollup.withColumn("_size",
+        max(when(col("week_offset") === 0L, col("n_users"))).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("_size"), 6).as("retention"))
+  }
 }

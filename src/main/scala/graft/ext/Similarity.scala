@@ -54,6 +54,40 @@ object Similarity {
           .createDecimalType(38, 12))).cast("double") / count(lit(1))), 6)
         .as("mean"))
 
+  /** The ±1 sign for projection cell (i, j): +1 when the first hex digit
+    * of md5("i:j") is 0-7, else -1 — the engine-portable coin flip (the
+    * oracle rebuilds the identical matrix with SQL `md5`). */
+  private def mdSign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
+  }
+
+  /** Random sign projection (Achlioptas 2003 database-friendly JL
+    * projection): each of the `k` output dims is a ±1-weighted sum over
+    * the input vector, signs drawn from the md5-derived deterministic
+    * matrix above. The workhorse cheap dimensionality reduction for
+    * embedding pipelines — distance-preserving in expectation, and the
+    * usual prefilter stage ahead of exact reranking.
+    *
+    * Scale shape: the k×d sign matrix materializes DRIVER-side once and
+    * enters the plan as array literals, so the projection is a row-local
+    * whole-stage-codegen'd map — zero shuffle, zero state, no per-row
+    * hashing. Output is the flat (id, dim, p) frame, 6-dp rounded
+    * sequential folds (same IEEE order as the oracle's list_sum). */
+  def signProjection(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val d = df.select(size(col(vecCol))).head.getInt(0)
+    val v = col(vecCol).cast("array<double>")
+    val projs = (0 until k).map { j =>
+      val signs = Array.tabulate(d)(i => mdSign(i, j))
+      struct(lit(j).as("dim"),
+        round(dot(v, typedLit(signs.toSeq)), 6).as("p"))
+    }
+    df.select(col(idCol), explode(array(projs: _*)).as("_pr"))
+      .select(col(idCol), col("_pr.dim").as("dim"), col("_pr.p").as("p"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/serving
     * compression step for an embedding corpus (scale = max|x|/127,
     * q_i = floor(x_i/scale + 0.5)). Row-local codegen'd array

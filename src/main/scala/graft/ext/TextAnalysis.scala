@@ -139,6 +139,22 @@ object TextAnalysis {
           .as("dup_2gram_frac"))
   }
 
+  /** Token-budget truncation — the context-window fitting pass every
+    * training-data pipeline runs before packing: keep the first
+    * `maxTokens` whitespace tokens of each document. Row-local slice +
+    * join (no shuffle); emits the kept text, before/after counts, and an
+    * md5 digest of the kept prefix so the oracle pins the exact cut
+    * byte-for-byte. */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val kept = array_join(slice(toks, 1, maxTokens), " ")
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      least(size(toks), lit(maxTokens)).cast("long").as("n_kept"),
+      md5(kept).as("kept_md5"))
+  }
+
   /** Gopher-style format/symbol document filters (Rae et al. 2021,
     * "Scaling Language Models", §A1.1 — the quality rules beyond the
     * repetition family covered by [[repetitionStats]]): mean word length,

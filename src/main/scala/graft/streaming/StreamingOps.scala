@@ -188,6 +188,48 @@ object StreamingOps {
     * oracle (`stream_running_stats`) hash-pin this path. The final mean
     * reproduces the decimal→double→÷count op sequence of the batch
     * detMean exactly. */
+  /** Replay one bounded parquet table as TWO independent streams and run
+    * a stream-stream probe over them (the two-sided twin of
+    * [[StreamingDedup.replayDocs]]). This is the harness for
+    * stream-stream JOINS: each side gets its own file-source lineage, so
+    * the join really executes through the streaming symmetric-hash-join
+    * operator with per-side watermark state — not a self-join collapse.
+    * Same narrowed shuffle-partition + no-data-micro-batch handling as
+    * the one-stream replay; results land in a memory sink. */
+  def replayTwoStreams(spark: SparkSession, parquetPath: String,
+      queryName: String)
+      (probe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val schema = StreamingDedup.cachedSchema(spark, parquetPath)
+    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
+    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+    def mkStream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+    spark.catalog.dropTempView(queryName)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val qr = probe(mkStream(), mkStream()).writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    spark.table(queryName)
+  }
+
   case class ObsEvent(series_key: String, ts: java.sql.Timestamp, value: Double)
   case class SeriesState(n: Long, sumE8: Long)
   case class SeriesStat(series_key: String, n: Long, mean: Double)

@@ -1181,6 +1181,95 @@ class ExtSpec extends SparkSpec {
       out(2).getDouble(4) == 0.0)
   }
 
+  test("bucketed-table merge join runs with zero exchange; rows match plain join") {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders_spec")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer_spec")
+    spark.read.parquet(sf("orders")).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", "/tmp/graft_spec_bkt/orders")
+      .saveAsTable("bkt_orders_spec")
+    spark.read.parquet(sf("customer")).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", "/tmp/graft_spec_bkt/customer")
+      .saveAsTable("bkt_customer_spec")
+    val j = spark.table("bkt_orders_spec").hint("merge")
+      .join(spark.table("bkt_customer_spec"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    val plain = spark.read.parquet(sf("orders"))
+      .join(spark.read.parquet(sf("customer")),
+        col("o_custkey") === col("c_custkey"))
+    assert(j.count() == plain.count())
+  }
+
+  test("weeklyRetention: hand fixture cohorts, offsets, week-0 normalization") {
+    import graft.ext.EventOps
+    val w0 = 1700L
+    def ts(week: Long, s: Long) =
+      new java.sql.Timestamp(((w0 + week) * 604800L + s) * 1000L)
+    val df = Seq(
+        ("a", ts(0, 10)), ("a", ts(1, 20)), ("a", ts(2, 30)),
+        ("b", ts(0, 40)), ("b", ts(2, 50)),
+        ("c", ts(1, 60)))
+      .toDF("u", "ts")
+    val out = EventOps.weeklyRetention(df, "u", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1700L, 0L, 2L, 1.0),  // a, b start
+      (1700L, 1L, 1L, 0.5),  // only a back in week 1
+      (1700L, 2L, 2L, 1.0),  // a and b back in week 2
+      (1701L, 0L, 1L, 1.0))) // c's own cohort
+  }
+
+  test("signProjection: deterministic, linear, k dims per vector, no shuffle") {
+    val df = Seq(
+        (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+        (2L, Array(2.0f, 4.0f, 6.0f, 8.0f)),  // 2x vector 1
+        (3L, Array(1.0f, 2.0f, 3.0f, 4.0f)))  // identical to vector 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.signProjection(df, "vec_id", "embedding", k = 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byVec = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byVec(1L).size == 5)
+    assert(byVec(1L) == byVec(3L), "identical vectors must project equally")
+    assert(byVec(2L) == byVec(1L).map(_ * 2), "projection must be linear")
+    // signs are ±1 draws, so at least one dim differs from the plain sum
+    assert(byVec(1L).exists(p => math.abs(p) != 10.0))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged on a hand fixture") {
+    import graft.ext.Corpus
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added")))
+  }
+
+  test("truncateTokens keeps exactly the first-N prefix and counts honestly") {
+    import graft.ext.TextAnalysis
+    val df = Seq((1L, "a b c d e"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.truncateTokens(df, "doc_id", "text", maxTokens = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L && out(0).getLong(2) == 3L)
+    // kept prefix is "a b c" — same digest as md5 of the literal
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) == expected)
+    // short doc passes through whole
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 2L)
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")

@@ -436,4 +436,27 @@ class StreamingSpec extends SparkSpec {
       expected.exceptAll(streamed).count() == 0)
     chunks.unpersist()
   }
+
+  test("stream-stream interval join over a bounded replay equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_stream_join")(spark, dir)
+      .select("signup_id", "purchase_id", "gap_s")
+    val e = graft.core.Observations.normalizeEventTs(
+      spark.read.parquet(s"$dir/events.parquet"))
+    val su = e.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val pu = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = su.join(pu, expr(
+        "s_user = p_user AND p_ts >= s_ts AND " +
+          "p_ts <= s_ts + interval 7 days"))
+      .select(col("signup_id"), col("purchase_id"),
+        (graft.ext.EventOps.epochS(col("p_ts")) -
+          graft.ext.EventOps.epochS(col("s_ts"))).as("gap_s"))
+    assert(batch.count() > 0, "fixture has no signup->purchase pairs")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
 }
