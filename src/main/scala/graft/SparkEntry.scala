@@ -303,6 +303,16 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // SMOOTHING (robust variant): centered rolling median over +/-3
+    // resampled points — exact sorted-pick semantics, no float drift
+    "ts_rolling_median" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+      RollingMedian.transform(resampled, Parameters.of("window" -> "3"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
     // FAULT_DETECTION: threshold flags on raw observations
     "ts_fault_flags" -> ((s, dir) => {
       DetectOutOfRange.transform(obsEvents(s, dir),
@@ -966,6 +976,25 @@ object SparkEntry {
           col("cluster_size")), "doc_id")
     }),
 
+    // keep-BEST-in-cluster: same near-dup clusters, but the kept
+    // representative is the highest-quality member (most ws-tokens, ties
+    // to the lowest id) instead of the min-id root — the decision layer a
+    // production pipeline actually wants (keep the longest variant, drop
+    // the truncated copies). One join of the cluster table to row-local
+    // token counts + a per-root window over cluster-sized groups.
+    "doc_keep_best" -> ((s, dir) => {
+      val cl = clustersFor(s, dir)
+      val q = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val member = cl.join(q, cl("doc") === q("doc_id"))
+      val w = Window.partitionBy(col("root"))
+        .orderBy(col("n_tokens").desc, col("doc"))
+      sortSmall(member.withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1)
+        .select(col("root"), col("doc").as("best_doc"), col("n_tokens")),
+        "root")
+    }),
+
     // the end-to-end dedup DECISION: which documents a training pipeline
     // keeps. Exact duplicates have Jaccard 1, so the near-dup pair graph
     // subsumes exact dedup — kept = docs outside any cluster plus each
@@ -1542,6 +1571,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-document token-distribution Shannon entropy (nats): the
+    // information-density signal for template/boilerplate detection;
+    // sorted-order fold keeps the float sum engine-identical.
+    "text_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style format/symbol quality rules (Rae et al. 2021 §A1.1):
     // mean word length, symbol-to-word ratio, bullet/ellipsis line
     // fractions, alpha-word fraction, and the published-threshold
@@ -2100,6 +2137,14 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    // top in-session event-type transitions (Markov edge mining): the
+    // session windows and the lead() share one key-shuffle; pair counts
+    // collapse map-side to <= |types|^2 rows before the top-k.
+    "event_topk_paths" -> ((s, dir) => {
+      EventOps.transitionTopK(events(s, dir), "user_id", "ts", "event_id",
+        gapSeconds = 1800L, typeCol = "event_type", k = 20)
+    }),
+
     // weekly cohort retention: cohort = first-activity epoch week
     // (absolute floor(epoch/604800) index — no calendar-week semantics
     // to diverge on); per (cohort, offset) active-user counts and the
@@ -2229,6 +2274,22 @@ object SparkEntry {
          |FROM b
          |WINDOW w AS (PARTITION BY user_id ORDER BY bt ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
          |ORDER BY 1, 2""".stripMargin,
+
+    // same hourly detMean buckets, same sorted-window median picks
+    "ts_rolling_median" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT user_id, bt,
+         |        list_sort(list(v) OVER (PARTITION BY user_id ORDER BY bt
+         |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS l
+         |      FROM b)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor(((l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2.0)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS value
+         |FROM m ORDER BY 1, 2""".stripMargin,
 
     "ts_fault_flags" ->
       """SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
@@ -2878,6 +2939,36 @@ object SparkEntry {
 
     // kept = all docs minus cluster members that are not their cluster's
     // keeper (same recursive-CTE closure as doc_dedup_clusters)
+    // same recursive-closure clusters; keeper re-picked by
+    // (n_tokens DESC, doc_id) inside each component
+    "doc_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs
+        |          UNION SELECT doc_a, doc_a FROM pairs
+        |          UNION SELECT doc_b, doc_b FROM pairs),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |comp AS (SELECT x AS doc_id, min(y) AS root FROM reach GROUP BY x),
+        |m AS (SELECT c.root, c.doc_id,
+        |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+        |r AS (SELECT root, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY root
+        |          ORDER BY n_tokens DESC, doc_id) AS rn
+        |      FROM m)
+        |SELECT root, doc_id AS best_doc, n_tokens FROM r WHERE rn = 1
+        |ORDER BY root""".stripMargin,
+
     "doc_dedup_keep" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
@@ -3578,6 +3669,21 @@ object SparkEntry {
         |  round(CAST(n_alpha AS DOUBLE) / n_chars_computed, 6) AS alpha_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // identical sorted-token fold: list(c ORDER BY tok) + sequential
+    // list_sum, -0.0 normalized by + 0.0, 6-dp round
+    "text_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |        list(c ORDER BY tok) AS l
+        |      FROM tf GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(-list_sum([(x / CAST(n AS DOUBLE)) * ln(x / CAST(n AS DOUBLE))
+        |    for x in l]) + 0.0, 6) AS token_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "text_gopher_rules" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
         |  string_split(text, chr(10)) AS lines FROM documents),
@@ -3731,6 +3837,26 @@ object SparkEntry {
         |  CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS rate
         |FROM s GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    // same sessionization CTE as event_sessions, then lead within
+    // (user, session), same (n desc, from, to) top-k tie-break
+    "event_topk_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |        SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM o),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id, session_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM s)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
 
     // same absolute week index, integer counts, one 6-dp division
     "event_retention" ->

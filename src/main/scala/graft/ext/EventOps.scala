@@ -126,6 +126,26 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(metric).as("sum_m"),
         min(metric).as("min_m"), max(metric).as("max_m"))
 
+  /** Top event-type transitions: consecutive-event pairs INSIDE a
+    * session (same gap rule as [[sessionStats]]), counted corpus-wide —
+    * the Markov-chain edge mining behind navigation and funnel analysis.
+    * One key-shuffle drives both the sessionization windows and the
+    * `lead` (identical partition spec, one sort), then the pair counts
+    * collapse to at most |types|² rows via a map-side-combinable
+    * aggregate; the top-k cut is a TakeOrdered over that tiny frame. */
+  def transitionTopK(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long, typeCol: String, k: Int): DataFrame = {
+    val sess = sessionize(df, keyCol, tsCol, idCol, gapSeconds)
+    val w = Window.partitionBy(col(keyCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+    sess.withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(k)
+  }
+
   /** Weekly cohort retention: cohort = the key's first-activity epoch
     * week (floor(epoch_s / 604800) — an absolute engine-portable week
     * index, no calendar/week-start semantics to diverge on); for each

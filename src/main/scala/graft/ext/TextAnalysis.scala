@@ -139,6 +139,31 @@ object TextAnalysis {
           .as("dup_2gram_frac"))
   }
 
+  /** Shannon entropy of the per-document token distribution (nats) — the
+    * information-density quality signal a curation pipeline uses to
+    * catch template/boilerplate text (low entropy) that length and
+    * repetition rules miss. Deterministic float discipline: token counts
+    * are exact integers, and the -Σ p·ln p fold runs in sorted-token
+    * order on BOTH engines (Spark: `sort_array` + sequential
+    * `aggregate`; oracle: `list(c ORDER BY tok)` + `list_sum`), so the
+    * IEEE op sequence is identical before the 6-dp round. Shape: one
+    * explode + two hash aggregates; the collect_list is per-document
+    * (bounded by doc length), never corpus-wide. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("c"))
+    val agg1 = tf.groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sort_array(collect_list(struct(col("tok"), col("c")))).as("l"))
+    agg1.select(col("doc").as(idCol), col("n").as("n_tokens"),
+      // + 0.0 normalizes the -0.0 a zero-entropy doc would produce
+      round(aggregate(col("l"), lit(0.0), (acc, s) =>
+          acc + (s.getField("c").cast("double") / col("n").cast("double")) *
+            log(s.getField("c").cast("double") / col("n").cast("double")))
+        * lit(-1.0) + lit(0.0), 6).as("token_entropy"))
+  }
+
   /** Token-budget truncation — the context-window fitting pass every
     * training-data pipeline runs before packing: keep the first
     * `maxTokens` whitespace tokens of each document. Row-local slice +

@@ -276,6 +276,32 @@ object Smooth extends SeriesTransform {
   }
 }
 
+/** Centered rolling MEDIAN over ±k points — the robust smoother that
+  * shrugs off the outliers a moving average absorbs (second entry in the
+  * SMOOTHING category beside [[Smooth]]). Exact semantics: sort the
+  * window's values; odd count → the middle element returned EXACTLY,
+  * even count (partition edges) → one IEEE mean of the two middle
+  * elements — an op sequence the oracle's sorted-list picks replay
+  * verbatim, so no float drift is possible. One window pass
+  * (collect_list over the frame + sorted picks), no UDF, no extra
+  * shuffle; window width bounds the per-row list at 2k+1. */
+object RollingMedian extends SeriesTransform {
+  val opName = "rolling_median"
+  val suffix = "MEDIAN"
+  val ptype = ProcessingType.Smoothing
+  val description = "Centered rolling median over +/-k points"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val k = params.get("window").map(_.toInt).getOrElse(3)
+    val w = Window.partitionBy(KeyCol).orderBy(TsCol).rowsBetween(-k, k)
+    val arr = sort_array(collect_list(col(ValueCol)).over(w))
+    val n = size(arr)
+    val lo = element_at(arr, ((n + 1) / 2).cast("int"))
+    val hi = element_at(arr, (n / 2).cast("int") + 1)
+    series.select(col(KeyCol), col(TsCol), ((lo + hi) / 2.0).as(ValueCol))
+  }
+}
+
 /** Threshold fault detection: flag series 1.0 when the value leaves
   * [lo, hi], else 0.0 (null stays null) — fills the FAULT_DETECTION
   * category (types.py:192). Pure projection. */

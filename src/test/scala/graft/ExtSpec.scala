@@ -1270,6 +1270,52 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 2L)
   }
 
+  test("transitionTopK counts pairs inside sessions only, ranked with tie-break") {
+    import graft.ext.EventOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user u: a->b, b->a in session 1; gap > 30 min; a->b in session 2.
+    // The session break between events 3 and 4 must NOT produce a pair.
+    val df = Seq(
+        (1L, "u", "a", ts(0)), (2L, "u", "b", ts(60)), (3L, "u", "a", ts(120)),
+        (4L, "u", "a", ts(10000)), (5L, "u", "b", ts(10060)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.transitionTopK(df, "user_id", "ts", "event_id",
+        gapSeconds = 1800L, typeCol = "event_type", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("tokenEntropy: uniform distribution gives ln(k); constant doc gives +0.0") {
+    import graft.ext.TextAnalysis
+    val df = Seq((1L, "a b a b"), (2L, "x x x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L)
+    assert(math.abs(out(0).getDouble(2) - math.log(2.0)) < 1e-6)
+    // zero entropy normalized to +0.0, not -0.0
+    assert(java.lang.Double.compare(out(1).getDouble(2), 0.0) == 0)
+  }
+
+  test("doc_keep_best picks the longest member per cluster, ties to min id") {
+    val dir = "/root/testdata/sf0.001"
+    val best = SparkEntry.queries("doc_keep_best")(spark, dir).cache()
+    val clusters = SparkEntry.queries("doc_dedup_clusters")(spark, dir)
+    val nt = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val member = clusters.select(col("doc_id"), col("keeper")).join(nt, "doc_id")
+    // one winner per cluster, and it IS a member
+    assert(best.count() == clusters.select("keeper").distinct().count())
+    assert(best.join(member, best("best_doc") === member("doc_id") &&
+      best("root") === member("keeper")).count() == best.count())
+    // no member strictly beats its cluster's winner under (nt, -id)
+    val beaten = best.join(member, best("root") === member("keeper"))
+      .where(member("nt") > best("n_tokens") ||
+        (member("nt") === best("n_tokens") &&
+          member("doc_id") < best("best_doc")))
+    assert(beaten.count() == 0)
+    best.unpersist()
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")

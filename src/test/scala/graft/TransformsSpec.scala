@@ -333,4 +333,18 @@ class TransformsSpec extends SparkSpec {
     assert(Freq.seconds("30s") == 30)
     intercept[IllegalArgumentException](Freq.seconds("1 month"))
   }
+
+  test("rolling median: outlier-robust interior, two-middle mean at edges") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:01:00", 2.0),
+      ("a", "2024-01-01 00:02:00", 100.0), // outlier
+      ("a", "2024-01-01 00:03:00", 3.0),
+      ("a", "2024-01-01 00:04:00", 4.0))
+    val out = collectSeries(
+      RollingMedian.transform(in, Parameters.of("window" -> "1")))
+    // windows: [1,2]->1.5, [1,2,100]->2, [2,100,3]->3, [100,3,4]->4,
+    // [3,4]->3.5 — the outlier never leaks into its neighbors
+    assert(out.map(_._2.doubleValue) == Seq(1.5, 2.0, 3.0, 4.0, 3.5))
+  }
 }
