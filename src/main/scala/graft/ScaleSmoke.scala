@@ -29,6 +29,7 @@ object ScaleSmoke {
     if (args.headOption.contains("chunk1m")) { chunk1m(); return }
     if (args.headOption.contains("bloom1m")) { bloom1m(); return }
     if (args.headOption.contains("centroid1m")) { centroid1m(); return }
+    if (args.headOption.contains("engage10m")) { engage10m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -820,6 +821,58 @@ object ScaleSmoke {
     * volume); (2) near-linear wall 250k → 1M (map-side combine holds —
     * the aggregate's group count is constant, so all growth is the
     * narrow scan+explode). */
+  /** Engagement-analytics scale tier (`runMain graft.ScaleSmoke
+    * engage10m`): DAU/WAU and weekly retention over synthetic event
+    * streams at 2.5M and 10M rows × 100k users. The property that
+    * matters at corpus scale: the ONLY event-volume-sized operation is
+    * the (user, day|week) distinct collapse; everything downstream runs
+    * on the collapsed O(users × periods) frame, and the WAU range join
+    * fans those rows ≤ 7×. Pins: bit-equal results under repartition
+    * (exact integer counts), full day coverage, multiple retention
+    * cohorts, and near-linear wall 2.5M → 10M. */
+  private def engage10m(): Unit = {
+    import graft.ext.EventOps
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def synth(n: Long) = spark.range(n).select(
+      col("id").as("event_id"),
+      (col("id") % 100000L).as("user_id"),
+      // 60 uniform days; per-user sparsity emerges from the hash spread
+      timestamp_seconds(lit(1704067200L) +
+        pmod(xxhash64(col("id")), lit(5184000L))).as("ts"))
+    var failed = false
+    val walls = Seq(2500000L, 10000000L).map { n =>
+      val ev = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val au = EventOps.activeUsers(ev, "user_id", "ts")
+        .orderBy("day").collect().toSeq
+      val ret = EventOps.weeklyRetention(ev, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset").collect().toSeq
+      val t = (System.nanoTime() - t0) / 1e9
+      val au2 = EventOps.activeUsers(ev.repartition(29), "user_id", "ts")
+        .orderBy("day").collect().toSeq
+      val cohorts = ret.map(_.getLong(0)).distinct.size
+      println(f"SCALEENGAGE n=$n%9d days=${au.size} cohorts=$cohorts " +
+        f"bitEqual=${au == au2} $t%6.1f s")
+      if (au.size != 60 || cohorts < 2 || au != au2) {
+        println("SCALEENGAGE invariant violated"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALEENGAGE super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   private def centroid1m(): Unit = {
     import graft.ext.Similarity
     val spark = SparkSession.builder()

@@ -89,6 +89,11 @@ object SparkEntry {
   private val pqIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of JSONL exports (io_jsonl_roundtrip): write once,
+    * read-back per rep. */
+  private val jsonlPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of trained IVF centroids (emb_ivf_topk), same
     * train-once / probe-per-rep contract as the persisted indexes. Plain
     * driver-side arrays — session-independent, so no session-binding
@@ -311,6 +316,26 @@ object SparkEntry {
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
         .orderBy("series_key", "bucket_ts")
+    }),
+
+    // LTTB plot downsampling: one visually-representative point per
+    // hourly bucket (max triangle area vs neighbor-bucket mean anchors)
+    // — the scale path for the plot-data surface; a resample averages
+    // spikes away, LTTB keeps them.
+    "plot_lttb" -> ((s, dir) => {
+      LttbDownsample.transform(obsEvents(s, dir),
+          Parameters.of("bucketSeconds" -> "3600"))
+        .select(col(KeyCol).as("series_key"),
+          graft.ext.EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol))
+        .orderBy("series_key", "ts_s", ValueCol)
+    }),
+
+    // FAULT_DETECTION (statistical): per-series 3-sigma outlier counts,
+    // decided via the division-free (n*x - S1)^2 > 9*(n*S2 - S1^2) form
+    // over exact decimal sums — bit-stable under any partitioning
+    "ts_zscore_anomaly" -> ((s, dir) => {
+      graft.ext.CrossStats.zscoreAnomalies(obsEvents(s, dir))
+        .orderBy("series_key")
     }),
 
     // FAULT_DETECTION: threshold flags on raw observations
@@ -892,6 +917,31 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
         .select(col("doc_id"), col("n_copies"))
         .orderBy("doc_id")
+    }),
+
+    // JSON-lines corpus interchange — the lingua-franca export format of
+    // LLM data pipelines: write the documents table as JSONL, read it
+    // back with an EXPLICIT schema (no driver-side inference pass over
+    // TBs), and prove byte fidelity via per-lang counts + id/char sums +
+    // an md5-derived text checksum computed on the round-tripped rows.
+    // The oracle computes identical checksums from the source table, so
+    // a green row pins the encode/decode of every text byte (JSON
+    // escaping included).
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      val p = jsonlPath.getOrElseUpdate(dir, {
+        val path = "/tmp/graft_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        t(s, dir, "documents").write.mode("overwrite").json(path)
+        path
+      })
+      val back = s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(p)
+      sortSmall(back.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long"), lit(1000003L))).as("checksum")), "lang")
     }),
 
     // corpus snapshot diff (data versioning for iterated training-set
@@ -2149,6 +2199,25 @@ object SparkEntry {
     // (absolute floor(epoch/604800) index — no calendar-week semantics
     // to diverge on); per (cohort, offset) active-user counts and the
     // week-0-normalized retained fraction.
+    // daily + trailing-7-day active users: one (user, day) distinct, a
+    // broadcast day-list range join (<= 7x fan-out of the collapsed
+    // frame), no sliding window over raw events
+    "event_dau_wau" -> ((s, dir) => {
+      EventOps.activeUsers(events(s, dir), "user_id", "ts")
+        .orderBy("day")
+    }),
+
+    // diurnal profile: per-series hour-of-day deterministic mean — the
+    // seasonal-baseline op behind anomaly scoring and capacity planning
+    "ts_seasonal_mean" -> ((s, dir) => {
+      obsEvents(s, dir)
+        .groupBy(col(KeyCol).as("series_key"),
+          hour(col(TsCol)).cast("long").as("hour_of_day"))
+        .agg(count(lit(1)).as("n"),
+          r6(Resample.detMean(col(ValueCol))).as("mean_value"))
+        .orderBy("series_key", "hour_of_day")
+    }),
+
     // purchase events only — the sparse activity signal that gives the
     // fixture real cohort decay (every user has SOME event every week)
     "event_retention" -> ((s, dir) => {
@@ -2290,6 +2359,46 @@ object SparkEntry {
          |  floor(((l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2.0)
          |    * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM m ORDER BY 1, 2""".stripMargin,
+
+    // same bucket means (exact decimals), same area sequence + 6-dp
+    // round, same (area desc, ts, value) pick
+    "plot_lttb" ->
+      """WITH o AS (SELECT CAST(user_id AS VARCHAR) AS k, ts, value,
+        |    epoch(ts) AS td,
+        |    CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b FROM events),
+        |bs AS (SELECT k, b,
+        |    CAST(SUM(CAST(td AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS mt,
+        |    CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS mv
+        |  FROM o GROUP BY 1, 2),
+        |a AS (SELECT k, b,
+        |    lag(mt) OVER w AS pt, lag(mv) OVER w AS pv,
+        |    lead(mt) OVER w AS nt, lead(mv) OVER w AS nv
+        |  FROM bs WINDOW w AS (PARTITION BY k ORDER BY b)),
+        |j AS (SELECT o.k, o.ts, o.value, o.b,
+        |    CASE WHEN a.pt IS NULL OR a.nt IS NULL THEN 0.0
+        |         ELSE round(abs((a.pt - a.nt) * (o.value - a.pv) -
+        |                        (a.pv - a.nv) * (o.td - a.pt)), 6) END AS rk
+        |  FROM o JOIN a ON o.k = a.k AND o.b = a.b),
+        |r AS (SELECT k, ts, value,
+        |    row_number() OVER (PARTITION BY k, b
+        |      ORDER BY rk DESC, ts, value) AS rn
+        |  FROM j)
+        |SELECT k AS series_key, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |FROM r WHERE rn = 1 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same exact-decimal sums, same division-free threshold sequence
+    "ts_zscore_anomaly" ->
+      """WITH s AS (SELECT user_id, COUNT(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(e.user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN
+        |      (CAST(s.n AS DOUBLE) * e.value - s.s1) *
+        |      (CAST(s.n AS DOUBLE) * e.value - s.s1) >
+        |      9.0 * (CAST(s.n AS DOUBLE) * s.s2 - s.s1 * s.s1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM events e JOIN s USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_fault_flags" ->
       """SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
@@ -2800,6 +2909,16 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+    // the roundtrip must preserve every byte: the oracle computes the
+    // identical per-lang checksums from the SOURCE table
+    "io_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)
+        |    AS BIGINT) AS checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same version split, same mutation, same md5-compare classification
     "doc_snapshot_diff" ->
@@ -3837,6 +3956,28 @@ object SparkEntry {
         |  CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS rate
         |FROM s GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    // same (user, day) distinct core, same <= 7-day range join
+    "event_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400.0) AS BIGINT) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |wau AS (SELECT days.day, CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS wau
+        |        FROM days JOIN ud ON ud.d BETWEEN days.day - 6 AND days.day
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin,
+
+    // same hour extraction (UTC), same exact-decimal mean
+    "ts_seasonal_mean" ->
+      s"""SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+         |  COUNT(*) AS n,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same sessionization CTE as event_sessions, then lead within
     // (user, session), same (n desc, from, to) top-k tie-break

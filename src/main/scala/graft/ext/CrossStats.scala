@@ -41,4 +41,32 @@ object CrossStats {
         (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
   }
+
+  /** Per-series z-score anomaly counts: a row is anomalous when
+    * |x − mean| > z·σ (population). The threshold decision is evaluated
+    * WITHOUT ever materializing mean or σ: |x − mean| > z·σ ⟺
+    * (n·x − Σx)² > z²·(n·Σx² − (Σx)²), where the sums are exact decimal
+    * accumulations cast once to double — both engines then execute the
+    * same fixed scalar op sequence, so the flag is bit-stable under any
+    * partitioning or row order (no sqrt, no division anywhere).
+    *
+    * Scale shape: one map-side-combinable stats aggregate (O(series)
+    * rows), a join back keyed identically (Catalyst broadcasts while the
+    * stats frame is small and falls back to a co-partitioned join — the
+    * SAME key as the final count — beyond that), a row-local flag, one
+    * count aggregate. No window over the raw stream. */
+  def zscoreAnomalies(obs: DataFrame, z: Double = 3.0): DataFrame = {
+    val dec: Column => Column = c => c.cast(DecimalType(38, 6))
+    val stats = obs.groupBy(col(KeyCol)).agg(
+      count(col(ValueCol)).as("n"),
+      sum(dec(col(ValueCol))).cast("double").as("s1"),
+      sum(dec(col(ValueCol) * col(ValueCol))).cast("double").as("s2"))
+    val nD = col("n").cast("double")
+    val lhs = nD * col(ValueCol) - col("s1")
+    val rhs = lit(z * z) * (nD * col("s2") - col("s1") * col("s1"))
+    obs.join(stats, KeyCol)
+      .select(col(KeyCol), ((lhs * lhs) > rhs).cast("long").as("_an"))
+      .groupBy(col(KeyCol).as("series_key"))
+      .agg(count(lit(1)).as("n"), sum(col("_an")).as("n_anomalies"))
+  }
 }

@@ -146,6 +146,28 @@ object EventOps {
       .limit(k)
   }
 
+  /** Daily/weekly active users: per epoch day, the distinct-key count
+    * that day (DAU) and over the trailing 7-day window (WAU) — the
+    * engagement pair every event pipeline reports. Scale shape: ONE
+    * distinct on (key, day) collapses the raw stream; DAU is a count
+    * over that frame; WAU joins the tiny distinct-day list (broadcast —
+    * it is O(days), not O(events)) back to (key, day) with a ≤7-day
+    * range predicate, so each collapsed row fans out at most 7× before
+    * the distinct-count aggregate. No window over the raw stream, no
+    * sliding state. */
+  def activeUsers(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val day = floor(epochS(col(tsCol)).cast("double") / 86400.0).cast("long")
+    val ud = df.select(col(keyCol).as("u"), day.as("d")).distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val dau = ud.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = broadcast(days).join(ud,
+        col("d").between(col("day") - 6, col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "day")
+  }
+
   /** Weekly cohort retention: cohort = the key's first-activity epoch
     * week (floor(epoch_s / 604800) — an absolute engine-portable week
     * index, no calendar/week-start semantics to diverge on); for each

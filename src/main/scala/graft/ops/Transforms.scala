@@ -302,6 +302,62 @@ object RollingMedian extends SeriesTransform {
   }
 }
 
+/** LTTB-style plot downsampling (Steinarsson 2013, "Downsampling Time
+  * Series for Visual Representation", largest-triangle-three-buckets):
+  * keep ONE visually-representative point per time bucket — the point
+  * maximizing the triangle area against the neighboring buckets' mean
+  * points. This is the operator that turns a billion-point series into
+  * a plottable one without flattening its peaks (a plain resample
+  * averages the spikes away; LTTB keeps them) — the scale path for the
+  * engine's plot-data surface (SURVEY §2.2-E11).
+  *
+  * Parallel variant: anchors are the neighboring buckets' mean points
+  * (classic LTTB anchors on the previously SELECTED point, a sequential
+  * dependency that cannot distribute; bucket-mean anchoring is the
+  * standard parallel approximation and keeps selection bucket-local).
+  * Determinism: bucket means are exact decimal sums (engine-portable),
+  * the area formula is one fixed IEEE sequence rounded at 6 dp, ties
+  * and anchorless edge buckets fall back to earliest-ts — so the
+  * selected set is bit-stable across engines and partitionings. Shape:
+  * one (key, bucket) aggregate, one lag/lead window over the O(buckets)
+  * frame, one co-keyed join back, one row_number — no corpus-wide sort,
+  * no driver data. */
+object LttbDownsample extends SeriesTransform {
+  val opName = "lttb_downsample"
+  val suffix = "LTTB"
+  val ptype = ProcessingType.Resampling
+  val description = "Largest-triangle plot downsampling to one point per bucket"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val sec = params.get("bucketSeconds").map(_.toLong).getOrElse(3600L)
+    val tsS = col(TsCol).cast("timestamp").cast("double")
+    val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c.cast(DecimalType(27, 8))
+    val bucketed = series.withColumn("_b", floor(tsS / sec.toDouble).cast("long"))
+    val bstats = bucketed.groupBy(col(KeyCol), col("_b"))
+      .agg((sum(dec(tsS)).cast("double") / count(lit(1))).as("_mt"),
+        (sum(dec(col(ValueCol))).cast("double") / count(lit(1))).as("_mv"))
+    val w = Window.partitionBy(col(KeyCol)).orderBy(col("_b"))
+    val anchors = bstats
+      .withColumn("_pt", lag(col("_mt"), 1).over(w))
+      .withColumn("_pv", lag(col("_mv"), 1).over(w))
+      .withColumn("_nt", lead(col("_mt"), 1).over(w))
+      .withColumn("_nv", lead(col("_mv"), 1).over(w))
+      .drop("_mt", "_mv")
+    val joined = bucketed.join(anchors, Seq(KeyCol, "_b"))
+    val area = abs(
+      (col("_pt") - col("_nt")) * (col(ValueCol) - col("_pv")) -
+        (col("_pv") - col("_nv")) * (tsS - col("_pt")))
+    val rankKey = when(col("_pt").isNull || col("_nt").isNull, lit(0.0))
+      .otherwise(round(area, 6))
+    val rw = Window.partitionBy(col(KeyCol), col("_b"))
+      .orderBy(rankKey.desc, col(TsCol), col(ValueCol))
+    joined.withColumn("_rn", row_number().over(rw))
+      .where(col("_rn") === 1)
+      .select(col(KeyCol), col(TsCol), col(ValueCol))
+  }
+}
+
 /** Threshold fault detection: flag series 1.0 when the value leaves
   * [lo, hi], else 0.0 (null stays null) — fills the FAULT_DETECTION
   * category (types.py:192). Pure projection. */

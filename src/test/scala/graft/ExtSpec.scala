@@ -1316,6 +1316,50 @@ class ExtSpec extends SparkSpec {
     best.unpersist()
   }
 
+  test("activeUsers: DAU counts the day, WAU the trailing 7 days") {
+    import graft.ext.EventOps
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 3600000L)
+    // a active days 0 and 8; b active days 0 and 1
+    val df = Seq(("a", ts(0)), ("a", ts(8)), ("b", ts(0)), ("b", ts(1)))
+      .toDF("u", "ts")
+    val out = EventOps.activeUsers(df, "u", "ts").orderBy("day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // day 0: dau 2 wau 2; day 1: dau 1 (b), wau 2 (a@0, b);
+    // day 8: dau 1 (a), wau 1 (a only — day 1 is 7 back, outside)
+    assert(out == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 1L, 1L)))
+  }
+
+  test("lang-partitioned write prunes partitions at scan time") {
+    val p = "/tmp/graft_spec_partby"
+    spark.read.parquet(sf("documents"))
+      .write.mode("overwrite").partitionBy("lang").parquet(p)
+    val q = spark.read.parquet(p).where(col("lang") === "en")
+      .select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("= en"), plan)
+    val expected = spark.read.parquet(sf("documents"))
+      .where(col("lang") === "en").count()
+    assert(q.count() == expected && expected > 0)
+  }
+
+  test("zscoreAnomalies flags exactly the planted outlier, partition-invariantly") {
+    import graft.ext.CrossStats
+    import graft.core.Observations._
+    // 20 calm points + one wild outlier; series b has no outliers
+    val rows = (1 to 20).map(i => ("a", i, 10.0 + (i % 3))) :+ (("a", 21, 500.0))
+    val all = rows ++ (1 to 10).map(i => ("b", i, 5.0))
+    val df = all.toDF(KeyCol, "i", ValueCol)
+      .select(col(KeyCol), to_timestamp(lit("2024-01-01 00:00:00"))
+        .as(TsCol), col(ValueCol))
+    val out = CrossStats.zscoreAnomalies(df).orderBy("series_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 21L, 1L), ("b", 10L, 0L)))
+    val rep = CrossStats.zscoreAnomalies(df.repartition(13)).orderBy("series_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")

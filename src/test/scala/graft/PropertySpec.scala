@@ -214,4 +214,40 @@ class PropertySpec extends SparkSpec {
     val twice = Dedup.exact(keyed, Seq("text"), "doc_id")
     assert(twice.select("doc_id").exceptAll(once.select("doc_id")).count() == 0)
   }
+
+  private val vecGen: Gen[List[Float]] = for {
+    d <- Gen.choose(2, 24)
+    vs <- Gen.listOfN(d, Gen.choose(-8.0f, 8.0f))
+  } yield vs
+
+  test("quantizeInt8: |q| <= 127 via L1 bound, reconstruction error <= scale/2") {
+    import graft.ext.Similarity
+    forAll(vecGen) { vs =>
+      val df = Seq((1L, vs.toArray)).toDF("vec_id", "embedding")
+      val r = Similarity.quantizeInt8(df, "vec_id", "embedding").head()
+      val scale = r.getDouble(1)
+      // every |q_i| <= 127 => L1 bounded by 127 * dims
+      assert(r.getLong(3) <= 127L * vs.size)
+      // half-up quantization error can never exceed half a step (6-dp
+      // rounding of the reported bound adds at most 5e-7)
+      assert(r.getDouble(4) <= scale / 2 + 5e-7,
+        s"err ${r.getDouble(4)} vs scale $scale for $vs")
+    }
+  }
+
+  test("signProjection is linear: proj(2x) == 2 * proj(x) exactly") {
+    import graft.ext.Similarity
+    forAll(vecGen, cases = 4) { vs =>
+      val df = Seq((1L, vs.toArray), (2L, vs.map(_ * 2).toArray))
+        .toDF("vec_id", "embedding")
+      val out = Similarity.signProjection(df, "vec_id", "embedding", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      (0 until 4).foreach { j =>
+        // doubling float inputs is exact and signs are ±1, so the only
+        // slack is the two 6-dp roundings (<= 5e-7 each, one scaled 2x)
+        assert(math.abs(out((2L, j)) - 2 * out((1L, j))) <= 1.6e-6,
+          s"dim $j: ${out((2L, j))} vs 2*${out((1L, j))}")
+      }
+    }
+  }
 }

@@ -334,6 +334,25 @@ class TransformsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Freq.seconds("1 month"))
   }
 
+  test("LttbDownsample keeps the spike a mean resample would flatten") {
+    val in = obs(
+      ("a", "2024-01-01 00:10:00", 10.0),
+      ("a", "2024-01-01 00:20:00", 12.0),
+      ("a", "2024-01-01 01:10:00", 11.0),
+      ("a", "2024-01-01 01:20:00", 500.0), // the spike
+      ("a", "2024-01-01 01:40:00", 9.0),
+      ("a", "2024-01-01 02:10:00", 10.0),
+      ("a", "2024-01-01 02:30:00", 12.0))
+    val out = collectSeries(LttbDownsample.transform(in,
+      Parameters.of("bucketSeconds" -> "3600")))
+    // one point per bucket; edge buckets fall back to earliest ts; the
+    // middle bucket keeps the SPIKE (max triangle area), which a detMean
+    // resample would flatten to ~173
+    assert(out == Seq(("00:10", 10.0: java.lang.Double),
+      ("01:20", 500.0: java.lang.Double),
+      ("02:10", 10.0: java.lang.Double)))
+  }
+
   test("rolling median: outlier-robust interior, two-middle mean at edges") {
     val in = obs(
       ("a", "2024-01-01 00:00:00", 1.0),
