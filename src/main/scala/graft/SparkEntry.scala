@@ -2199,6 +2199,15 @@ object SparkEntry {
     // (absolute floor(epoch/604800) index — no calendar-week semantics
     // to diverge on); per (cohort, offset) active-user counts and the
     // week-0-normalized retained fraction.
+    // ordered 3-step funnel (signup -> click -> purchase within 1 day of
+    // first signup, each step strictly after the previous): k co-keyed
+    // frontier joins, no window over raw events
+    "event_funnel_steps" -> ((s, dir) => {
+      EventOps.funnelSteps(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"), windowSec = 86400L)
+        .orderBy("step_idx")
+    }),
+
     // daily + trailing-7-day active users: one (user, day) distinct, a
     // broadcast day-list range join (<= 7x fan-out of the collapsed
     // frame), no sliding window over raw events
@@ -3956,6 +3965,26 @@ object SparkEntry {
         |  CAST(SUM(conv) AS BIGINT) AS n_converted,
         |  ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS rate
         |FROM s GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    // same ordered frontier chain, same strict-after + 1-day window
+    "event_funnel_steps" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |f1 AS (SELECT u, MIN(ts_s) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+        |f2 AS (SELECT e.u, f1.t1, MIN(e.ts_s) AS tp FROM e JOIN f1 ON e.u = f1.u
+        |       WHERE e.et = 'click' AND e.ts_s > f1.t1
+        |         AND e.ts_s <= f1.t1 + 86400 GROUP BY 1, 2),
+        |f3 AS (SELECT e.u, f2.t1, MIN(e.ts_s) AS tp FROM e JOIN f2 ON e.u = f2.u
+        |       WHERE e.et = 'purchase' AND e.ts_s > f2.tp
+        |         AND e.ts_s <= f2.t1 + 86400 GROUP BY 1, 2),
+        |c AS (SELECT 1 AS step_idx, 'signup' AS step,
+        |        CAST((SELECT COUNT(*) FROM f1) AS BIGINT) AS n_users
+        |      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM f2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM f3))
+        |SELECT step_idx, step, n_users,
+        |  round(CAST(n_users AS DOUBLE) /
+        |    MAX(CASE WHEN step_idx = 1 THEN n_users END) OVER (), 6) AS rate
+        |FROM c ORDER BY step_idx""".stripMargin,
 
     // same (user, day) distinct core, same <= 7-day range join
     "event_dau_wau" ->

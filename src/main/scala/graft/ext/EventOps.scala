@@ -146,6 +146,49 @@ object EventOps {
       .limit(k)
   }
 
+  /** Ordered k-step funnel: per key, each step is reached at the
+    * earliest event time that respects step ORDER (t₁ = min time of
+    * step 1; tᵢ = min time of step i strictly after tᵢ₋₁) and the
+    * overall window (tᵢ ≤ t₁ + windowSec); emits per-step reached-key
+    * counts with conversion vs step 1. The classic product-analytics
+    * ordered funnel (not just pairwise conversion like the 2-step
+    * `event_funnel`).
+    *
+    * Scale shape: join-free over the raw stream per step — step i is
+    * one filtered co-keyed aggregate joined to the O(keys) frontier
+    * frame from step i-1 (frontiers shrink monotonically), so k steps
+    * cost k key-hash aggregates + k frontier joins and NO window or
+    * sort over raw events. All times are floor-epoch BIGINTs — integer
+    * mins, engine-exact. */
+  def funnelSteps(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val es = df.select(col(keyCol).as("u"), col(typeCol).as("et"),
+      epochS(col(tsCol)).as("ts_s"))
+    val first = es.where(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts_s")).as("t1"))
+      .withColumn("tp", col("t1"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, step) =>
+      es.where(col("et") === step)
+        .join(prev.select(col("u"), col("t1"), col("tp")), "u")
+        .where(col("ts_s") > col("tp") &&
+          col("ts_s") <= col("t1") + windowSec)
+        .groupBy(col("u"), col("t1")).agg(min(col("ts_s")).as("tp"))
+        .select(col("u"), col("t1"), col("tp"))
+    }
+    val counts = frontiers.zip(steps).zipWithIndex.map {
+      case ((f, step), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }
+    val all = counts.reduce(_.unionByName(_))
+    val w = Window.partitionBy(lit(1))
+    all.withColumn("rate", round(col("n_users").cast("double") /
+        max(when(col("step_idx") === 1, col("n_users"))).over(w), 6))
+      .select(col("step_idx"), col("step"), col("n_users"), col("rate"))
+  }
+
   /** Daily/weekly active users: per epoch day, the distinct-key count
     * that day (DAU) and over the trailing 7-day window (WAU) — the
     * engagement pair every event pipeline reports. Scale shape: ONE

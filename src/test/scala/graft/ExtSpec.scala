@@ -1316,6 +1316,29 @@ class ExtSpec extends SparkSpec {
     best.unpersist()
   }
 
+  test("funnelSteps: order respected, pre-signup clicks ignored, window from t1") {
+    import graft.ext.EventOps
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+        // u1: full ordered funnel inside the window
+        (1L, "u1", "signup", ts(100)), (2L, "u1", "click", ts(200)),
+        (3L, "u1", "purchase", ts(300)),
+        // u2: its only click is BEFORE the signup -> stops at step 1
+        (4L, "u2", "click", ts(50)), (5L, "u2", "signup", ts(100)),
+        // u3: click in window, purchase past the window -> stops at step 2
+        (6L, "u3", "signup", ts(0)), (7L, "u3", "click", ts(10)),
+        (8L, "u3", "purchase", ts(100000)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.funnelSteps(df, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowSec = 1000L)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "signup", 3L, 1.0),
+      (2, "click", 2L, 0.666667),
+      (3, "purchase", 1L, 0.333333)))
+  }
+
   test("activeUsers: DAU counts the day, WAU the trailing 7 days") {
     import graft.ext.EventOps
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 3600000L)
