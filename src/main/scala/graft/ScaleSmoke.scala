@@ -30,6 +30,8 @@ object ScaleSmoke {
     if (args.headOption.contains("bloom1m")) { bloom1m(); return }
     if (args.headOption.contains("centroid1m")) { centroid1m(); return }
     if (args.headOption.contains("engage10m")) { engage10m(); return }
+    if (args.headOption.contains("hamming1m")) { hamming1m(); return }
+    if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -808,6 +810,110 @@ object ScaleSmoke {
     }
     if (walls(1) > 6 * walls(0) + 10) {
       println(f"SCALECHUNK super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Binary-code ANN scale tier (`runMain graft.ScaleSmoke hamming1m`):
+    * hammingTopK over 1M synthetic 64-dim vectors (8 queries, each with a
+    * planted hamming-2 twin half the corpus away). Checks (a) the planted
+    * twin ranks first for every query at every size — the packing and
+    * popcount ranking stay exact as the corpus grows — and (b) the wall
+    * scales ~linearly: the scorer is ONE corpus pass over two packed
+    * longs per row (the 64 floats never cross the join). */
+  private def hamming1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // sign pattern keyed by (id mod half): ids i and i+half share it,
+    // except dims 0-1 flip on the upper half -> planted hamming-2 twins
+    def synth(n: Long) = {
+      val half = n / 2
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          when(pmod(xxhash64(pmod(col("id"), lit(half)), i), lit(2L)) === 0L,
+            lit(0.5f)).otherwise(lit(-0.5f)) *
+          when(col("id") >= half && i < 2, lit(-1.0f)).otherwise(lit(1.0f)))
+          .as("embedding"))
+    }
+
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val vecs = synth(n).localCheckpoint(true)
+      val queries = vecs.where(col("vec_id") < 8).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val top = Similarity.hammingTopK(vecs, queries, "vec_id", "embedding",
+          k = 3)
+        .localCheckpoint(true)
+      val nOut = top.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val wrongTop = top.where(col("rank") === 1 &&
+        (col("candidate_id") =!= col("query_id") + n / 2 ||
+          col("hamming") =!= 2L)).count()
+      println(f"SCALEHAMMING n=$n%8d rows=$nOut wrongTop=$wrongTop $t%6.1f s")
+      if (nOut != 24 || wrongTop != 0) {
+        println("SCALEHAMMING planted-twin mismatch"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALEHAMMING super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** C4 line-frequency filter scale tier (`runMain graft.ScaleSmoke
+    * linefreq1m`): 1M docs, each = one corpus-wide 8-token boilerplate
+    * chunk + 3 unique chunks. The frequent set resolves to exactly ONE
+    * hash (broadcast stays trivially small no matter the corpus size);
+    * every doc must keep 3 of 4 chunks; the wall must stay ~linear
+    * (one long-keyed aggregate + broadcast probe + doc-keyed rebuild). */
+  private def linefreq1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(boiler + " "),
+        concat_ws(" ", transform(sequence(lit(0), lit(23)), i =>
+          concat(lit("u"), col("id") * 24 + i)))).as("text"))
+
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val docs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = Dedup.lineFreqFilter(docs, "doc_id", "text", chunkTokens = 8)
+        .localCheckpoint(true)
+      val nOut = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val wrong = out.where(col("n_chunks") =!= 4L ||
+        col("kept_chunks") =!= 3L).count()
+      println(f"SCALELINEFREQ n=$n%8d rows=$nOut wrong=$wrong $t%6.1f s")
+      if (nOut != n || wrong != 0) {
+        println("SCALELINEFREQ closed-form mismatch"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALELINEFREQ super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
       failed = true
     }
     spark.stop()

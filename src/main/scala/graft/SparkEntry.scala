@@ -318,6 +318,17 @@ object SparkEntry {
         .orderBy("series_key", "bucket_ts")
     }),
 
+    // SMOOTHING (recency-weighted variant): trailing EWMA over the hourly
+    // resample — both folds replayed verbatim by the oracle's list_reduce,
+    // α=1/2 keeps every weight a power of two (no pow(), no libm drift)
+    "ts_ewma" -> ((s, dir) => {
+      val resampled = Resample.transformFixed(obsEvents(s, dir), 3600, grid = false)
+      Ewma.transform(resampled, Parameters.of("window" -> "32", "alpha" -> "0.5"))
+        .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
+          r6(col(ValueCol)).as("value"))
+        .orderBy("series_key", "bucket_ts")
+    }),
+
     // LTTB plot downsampling: one visually-representative point per
     // hourly bucket (max triangle area vs neighbor-bucket mean anchors)
     // — the scale path for the plot-data surface; a resample averages
@@ -335,6 +346,17 @@ object SparkEntry {
     // over exact decimal sums — bit-stable under any partitioning
     "ts_zscore_anomaly" -> ((s, dir) => {
       graft.ext.CrossStats.zscoreAnomalies(obsEvents(s, dir))
+        .orderBy("series_key")
+    }),
+
+    // FAULT_DETECTION (robust variant): MAD outlier counts — the
+    // median/MAD pair shrugs off the wild spikes that inflate σ and mask
+    // each other in the z-score path; exact sorted-pick medians so the
+    // oracle's list_sort picks replay bit-for-bit
+    "ts_outlier_mad" -> ((s, dir) => {
+      graft.ext.CrossStats.madOutliers(obsEvents(s, dir))
+        .select(col("series_key"), col("n"), r6(col("med")).as("med"),
+          r6(col("mad")).as("mad"), col("n_outliers"))
         .orderBy("series_key")
     }),
 
@@ -854,6 +876,45 @@ object SparkEntry {
         .orderBy("gid", "returnflag", "linestatus")
     }),
 
+    // PIVOT: per-year revenue spread across order statuses as columns.
+    // Explicit pivot values (F/O/P) — without them Spark runs an extra
+    // distinct-collect job over the corpus just to discover the column
+    // set, a full scan that 100 TB cannot afford; with them the whole
+    // query is ONE hash aggregate with three conditional exact-decimal
+    // sums (the identical plan the oracle's CASE aggregation declares).
+    "rel_pivot" -> ((s, dir) => {
+      val r2: Column => Column = c => floor(c * 100.0 + 0.5) / 100.0
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(r2(sum(col("o_totalprice").cast(DecimalType(27, 8)))
+          .cast("double")))
+        .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+        .orderBy("order_year")
+    }),
+
+    // EQUI-DEPTH HISTOGRAM (decile stats): global positional deciles over
+    // order totals WITHOUT a single-partition sort — Ranks.globalRowNumber
+    // is the range-partition + local-rank + offset-join shape that keeps
+    // full parallelism at 100 TB (a bare row_number() OVER (ORDER BY …)
+    // collapses the corpus into one task). decile = ((rn−1)·10) div n —
+    // exact integer arithmetic, identical in the oracle.
+    "rel_decile_stats" -> ((s, dir) => {
+      val ranked = graft.ext.Ranks.globalRowNumber(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      val n = broadcast(ranked.groupBy().agg(count(lit(1)).as("_n")))
+      ranked.crossJoin(n)
+        .withColumn("decile", expr("((rn - 1) * 10) div _n") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          (floor(sum(col("o_totalprice").cast(DecimalType(27, 8)))
+            .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"))
+        .orderBy("decile")
+    }),
+
     // left-semi join (TPC-H Q4 shape): orders with at least one
     // late-shipped lineitem, counted per priority — the EXISTS plan
     "rel_semi_join" -> ((s, dir) => {
@@ -1202,6 +1263,17 @@ object SparkEntry {
     "doc_chunk_dedup" -> ((s, dir) => {
       sortBig(Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 16), "doc")
+    }),
+
+    // C4-style corpus-frequency line filter: every 8-token chunk present
+    // in >2 distinct documents is removed from ALL of them (boilerplate-
+    // by-repetition, Raffel et al. 2020 §2.2) and the survivors are
+    // reassembled in order — kept_md5 pins the rebuilt text byte-level.
+    // The frequent set is a heavy-hitter list (small by construction) so
+    // the membership test is a broadcast join, never a corpus shuffle.
+    "doc_line_dedup" -> ((s, dir) => {
+      sortBig(Dedup.lineFreqFilter(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 8, maxDocs = 2), "doc")
     }),
 
     // target-MIX sampling — rates DERIVED from a target composition
@@ -1570,6 +1642,20 @@ object SparkEntry {
           col("label").cast("long").as("true_label")), "query_id")
         .select(col("query_id"), col("true_label"), col("predicted"),
           col("n_votes")), "query_id")
+    }),
+
+    // 1-bit-quantized Hamming top-k: sign-pack each embedding into two
+    // 32-bit code halves (exact MSB-first integer folds), rank by
+    // popcount of the XOR — the binary-code ANN baseline (64× smaller
+    // than the floats; distance = 2 codegen'd integer ops per pair).
+    // Fresh query slice (40..47) so the gate is not a re-run of the
+    // cosine/IVF anchors.
+    "emb_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      sortSmall(Similarity.hammingTopK(emb,
+          emb.where(col("vec_id") >= 40 && col("vec_id") < 48),
+          "vec_id", "embedding", k = 10),
+        "query_id", "rank")
     }),
 
     // brute-force cosine top-k (ANN baseline; queries = vec_id < 8)
@@ -2254,6 +2340,29 @@ object SparkEntry {
           EventOps.epochS(col("ts")).as("purchase_s"),
           EventOps.epochS(col("asof_ts")).as("signup_s"))
         .orderBy("event_id")
+    }),
+
+    // LAST-TOUCH ATTRIBUTION: each purchase attributed to the user's most
+    // recent at-or-before click, revenue rolled up by the click's
+    // props-k decile (−1 = organic / no prior click). Exercises the FULL
+    // asOfJoin payload path (the click's parsed attribute rides the
+    // union-sort-window join — one sorted window pass, never a pairwise
+    // product); the k-bucket rollup is exact integer division + exact
+    // decimal revenue sums.
+    "event_attribution" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          EventOps.jsonLong(col("props"), "$.k").as("ck"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      EventOps.asOfJoin(purchases, clicks, "user_id", "ts", Seq("ck"),
+          rightIdCol = Some("event_id"))
+        .groupBy(coalesce(expr("ck div 10"), lit(-1L)).as("k_bucket"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (floor(sum(col("value").cast(DecimalType(27, 8)))
+            .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"))
+        .orderBy("k_bucket")
     }))
 
   // ------------------------------------------------------------- oracles
@@ -2369,6 +2478,26 @@ object SparkEntry {
          |    * 1000000.0 + 0.5) / 1000000.0 AS value
          |FROM m ORDER BY 1, 2""".stripMargin,
 
+    // same hourly detMean buckets, both EWMA folds replayed verbatim by
+    // list_reduce over the identical 32-point trailing frame (num seeded
+    // by its first element ≡ the 0-init fold; den folds a ones-list)
+    "ts_ewma" ->
+      s"""WITH b AS (
+         |  SELECT user_id, time_bucket(INTERVAL '3600 seconds', ts) AS bt,
+         |         $DetMeanSql AS v
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, bt,
+         |        list(v) OVER (PARTITION BY user_id ORDER BY bt
+         |          ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS lv
+         |      FROM b)
+         |SELECT CAST(user_id AS VARCHAR) AS series_key,
+         |  strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  floor((list_reduce(lv, (acc, x) -> acc * 0.5 + x) /
+         |         list_reduce(list_transform(lv, x -> CAST(1.0 AS DOUBLE)),
+         |           (acc, x) -> acc * 0.5 + x)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS value
+         |FROM l ORDER BY 1, 2""".stripMargin,
+
     // same bucket means (exact decimals), same area sequence + 6-dp
     // round, same (area desc, ts, value) pick
     "plot_lttb" ->
@@ -2408,6 +2537,26 @@ object SparkEntry {
         |      9.0 * (CAST(s.n AS DOUBLE) * s.s2 - s.s1 * s.s1)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         |FROM events e JOIN s USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sorted-pick medians (exact middle elements / one IEEE mean),
+    // same row-local deviation transform, same 3·MAD strict threshold
+    "ts_outlier_mad" ->
+      """WITH s AS (SELECT user_id, list_sort(list(value)) AS sv
+        |    FROM events GROUP BY 1),
+        |m AS (SELECT user_id, sv,
+        |    (sv[(len(sv) + 1) // 2] + sv[len(sv) // 2 + 1]) / 2.0 AS med
+        |  FROM s),
+        |d AS (SELECT user_id, sv, med,
+        |    list_sort(list_transform(sv, x -> abs(x - med))) AS dv FROM m)
+        |SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |  CAST(len(sv) AS BIGINT) AS n,
+        |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS med,
+        |  floor(((dv[(len(dv) + 1) // 2] + dv[len(dv) // 2 + 1]) / 2.0)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mad,
+        |  CAST(len(list_filter(sv, x -> abs(x - med) >
+        |    3.0 * ((dv[(len(dv) + 1) // 2] + dv[len(dv) // 2 + 1]) / 2.0)))
+        |    AS BIGINT) AS n_outliers
+        |FROM d ORDER BY 1""".stripMargin,
 
     "ts_fault_flags" ->
       """SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
@@ -2827,6 +2976,36 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // pivot ≡ conditional aggregation (the plan Spark's explicit-values
+    // pivot compiles to); empty cells NULL in both engines
+    "rel_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  floor(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(27,8)) END) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS rev_f,
+        |  floor(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(o_totalprice AS DECIMAL(27,8)) END) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS rev_o,
+        |  floor(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(o_totalprice AS DECIMAL(27,8)) END) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same total order (price, orderkey), same positional-decile integer
+    // arithmetic — the oracle's single-node row_number IS the semantics
+    // the distributed range-partition + offset ranking reproduces
+    "rel_decile_stats" ->
+      """WITH r AS (SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
@@ -3271,6 +3450,25 @@ object SparkEntry {
         |           ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
 
+    // identical chunking, corpus document-frequency > 2 membership, and
+    // in-order reassembly (string_agg ORDER BY ≡ the sorted-struct fold)
+    "doc_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS ci,
+        |    array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(0,
+        |        CAST((len(w) + 7) // 8 AS BIGINT) - 1)) AS i FROM t)),
+        |f AS (SELECT chunk FROM c GROUP BY chunk
+        |      HAVING COUNT(DISTINCT doc_id) > 2),
+        |k AS (SELECT c.doc_id, c.ci, c.chunk, f.chunk IS NOT NULL AS hit
+        |  FROM c LEFT JOIN f ON c.chunk = f.chunk)
+        |SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS kept_chunks,
+        |  md5(COALESCE(string_agg(CASE WHEN hit THEN NULL ELSE chunk END,
+        |    ' ' ORDER BY ci), '')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
     // identical integer-div rate derivation + portable md5 keep predicate
     "doc_mix_sample" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
@@ -3650,6 +3848,27 @@ object SparkEntry {
         |  round(list_max([abs(v[i] - qv[i] * scale)
         |    for i in generate_series(1, len(v))]), 6) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // identical MSB-first sign packing (sum of powers of two ≡ the
+    // acc-doubling fold), identical popcount-of-XOR distance
+    "emb_hamming_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN i < 32 AND embedding[i+1] >= 0
+        |      THEN 1::BIGINT << (31 - i) ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN i >= 32 AND embedding[i+1] >= 0
+        |      THEN 1::BIGINT << (63 - i) ELSE 0 END) AS BIGINT) AS b1
+        |  FROM embeddings, range(0, 64) t(i) GROUP BY 1),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    CAST(bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1))
+        |      AS BIGINT) AS hamming
+        |  FROM p q JOIN p c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id >= 40 AND q.vec_id < 48),
+        |r AS (SELECT query_id, candidate_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, candidate_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, candidate_id, hamming
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4069,7 +4288,30 @@ object SparkEntry {
         |SELECT event_id, user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s,
         |  CAST(floor(epoch(asof_ts)) AS BIGINT) AS signup_s
-        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // same union-tag sorted-window as-of fill (clicks sort before
+    // purchases at equal ts via side, max event_id breaks right-side
+    // ties), same k-decile integer division and exact decimal revenue
+    "event_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 1 AS side, NULL AS rid, NULL AS ck, value
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS side, event_id AS rid,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS ck,
+        |    NULL AS value
+        |  FROM events WHERE event_type = 'click'),
+        |f AS (SELECT user_id, side, value,
+        |    last_value(CASE WHEN side = 0 THEN ck END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, rid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+        |  FROM u)
+        |SELECT COALESCE(ck // 10, -1) AS k_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  floor(CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM f WHERE side = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
 
   private val JaccardOracle =
     """WITH sh AS (

@@ -69,4 +69,41 @@ object CrossStats {
       .groupBy(col(KeyCol).as("series_key"))
       .agg(count(lit(1)).as("n"), sum(col("_an")).as("n_anomalies"))
   }
+
+  /** Per-series MAD (median-absolute-deviation) outlier counts — the
+    * ROBUST counterpart of [[zscoreAnomalies]]: a single wild spike
+    * inflates σ and hides its siblings, while the median/MAD pair is
+    * insensitive to up to half the points being bad. A row is an outlier
+    * when |x − median| > z·MAD, MAD = median(|x − median|).
+    *
+    * Exact sorted-pick medians (odd count → middle element verbatim, even
+    * → one IEEE mean of the two middles — the same op sequence an oracle's
+    * `list_sort` picks replay, so no float drift), then a row-local
+    * deviation transform and a second pick over the deviations, all on ONE
+    * aggregated row per series: a single hash aggregate (shuffles only the
+    * series key), no window, no second corpus pass. Per-series state is
+    * the sorted value list — the in-memory-series bound the reference
+    * itself lives under (types.py:479-495 operates on a materialized
+    * pandas series); beyond that, swap the picks for a two-pass
+    * approx-quantile without touching callers. z defaults to 3 (no
+    * 1.4826 σ-consistency factor — it buys nothing for thresholding and
+    * costs a non-portable multiply). */
+  def madOutliers(obs: DataFrame, z: Double = 3.0): DataFrame = {
+    def midPick(arr: Column): Column = {
+      val n = size(arr)
+      val lo = element_at(arr, ((n + 1) / 2).cast("int"))
+      val hi = element_at(arr, (n / 2).cast("int") + 1)
+      (lo + hi) / 2.0
+    }
+    obs.groupBy(col(KeyCol).as("series_key"))
+      .agg(sort_array(collect_list(col(ValueCol))).as("_sv"))
+      .withColumn("med", midPick(col("_sv")))
+      .withColumn("mad",
+        midPick(sort_array(transform(col("_sv"), x => abs(x - col("med"))))))
+      .select(col("series_key"), size(col("_sv")).cast("long").as("n"),
+        col("med"), col("mad"),
+        size(filter(col("_sv"),
+          x => abs(x - col("med")) > lit(z) * col("mad")))
+          .cast("long").as("n_outliers"))
+  }
 }

@@ -159,6 +159,41 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  /** C4-style corpus-frequency line filter (Raffel et al. 2020, §2.2 of
+    * the C4 cleaning recipe: drop any line occurring ≥3 times in the
+    * corpus — boilerplate detection by repetition): every document loses
+    * ALL its copies of any `chunkTokens`-token chunk that appears in more
+    * than `maxDocs` distinct documents, and the survivors are reassembled
+    * in original order.
+    *
+    * Scale shape: chunks carry an xxhash64 key so the document-frequency
+    * aggregate shuffles fixed-width longs, not strings; the frequent set
+    * is a heavy-hitter list — SMALL by construction (only chunks repeated
+    * across >maxDocs docs) — so it broadcasts and the corpus side never
+    * shuffles for the membership test. One hash aggregate over chunks +
+    * one broadcast join + one doc-keyed aggregate; reassembly is a
+    * row-local sorted-struct fold. `kept_md5` pins the reassembled text
+    * byte-for-byte. */
+  def lineFreqFilter(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8, maxDocs: Int = 2): DataFrame = {
+    val chunks = chunkRows(df, idCol, textCol, chunkTokens)
+      .withColumn("_ck", xxhash64(col("chunk_text")))
+    val frequent = chunks.groupBy(col("_ck"))
+      .agg(count_distinct(col("doc")).as("_df"))
+      .where(col("_df") > maxDocs)
+      .select(col("_ck"), lit(1).as("_hit"))
+    chunks.join(broadcast(frequent), Seq("_ck"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).cast("long")
+          .as("kept_chunks"),
+        array_sort(collect_list(when(col("_hit").isNull,
+          struct(col("chunk_idx"), col("chunk_text"))))).as("_ks"))
+      .select(col("doc"), col("n_chunks"), col("kept_chunks"),
+        md5(array_join(transform(col("_ks"), x => x("chunk_text")), " "))
+          .as("kept_md5"))
+  }
+
   /** Shingles hashed to 64-bit keys: all downstream joins/aggregates run on
     * fixed-width longs instead of strings (cheaper hashing, shuffles, and
     * comparisons at scale; xxhash64 collisions are negligible for dedup).

@@ -153,6 +153,50 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** MSB-first sign-bit packing of 32 consecutive embedding dimensions
+    * [lo, lo+32) into one long: an acc-doubling integer fold (acc·2 +
+    * [x ≥ 0]) — exact integer arithmetic, portable to any engine as a
+    * sum of powers of two. Two halves cover a 64-dim embedding; the
+    * sign pattern of a vector is its 1-bit quantization (Charikar 2002
+    * SimHash applied to the identity projection). */
+  def signBitHalf(vec: Column, lo: Int): Column =
+    aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+      (acc, i) => acc * 2 + when(element_at(vec, (i + 1).cast("int")) >= 0.0, 1L)
+        .otherwise(0L))
+
+  /** Hamming top-k over 1-bit-quantized embeddings: pack each vector's
+    * sign pattern into two 32-bit code halves, then rank candidates per
+    * query by popcount of the XOR — the binary-code ANN baseline (64×
+    * smaller than the float vectors, distance = 2 codegen'd integer ops
+    * per pair instead of a 64-term dot product). Same scan shape as
+    * [[cosineTopK]]: queries broadcast, ONE corpus pass, per-query top-k
+    * cut to k rows before the final sort; at 100 TB the packed codes are
+    * the only thing read (a 16-byte column instead of 256), and the
+    * multi-index Hamming trick (split codes into bands, candidate-probe
+    * buckets with band-distance 0) bolts on in front of the same scorer.
+    * Distances are small exact integers — no rounding, no ties beyond
+    * the deterministic candidate_id break. */
+  def hammingTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def packed(df: DataFrame, idAs: String, p: String) =
+      df.select(col(idCol).cast("long").as(idAs),
+        signBitHalf(col(vecCol), 0).as(p + "0"),
+        signBitHalf(col(vecCol), 32).as(p + "1"))
+    val c = packed(candidates, "candidate_id", "cb")
+    val q = packed(queries, "query_id", "qb")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("candidate_id") =!= col("query_id"))
+      .select(col("query_id"), col("candidate_id"),
+        (bit_count(col("qb0").bitwiseXOR(col("cb0"))) +
+          bit_count(col("qb1").bitwiseXOR(col("cb1")))).cast("long")
+          .as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("candidate_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "candidate_id", "hamming")
+  }
+
   /** Brute-force global top-N most similar pairs (a < b).
     *
     * Pair generation is a block-partitioned EQUI-join, not a θ-join: ids

@@ -302,6 +302,40 @@ object RollingMedian extends SeriesTransform {
   }
 }
 
+/** Trailing exponentially-weighted moving average (pandas `ewm(adjust=
+  * True)` semantics, truncated at the last `window` points) — the
+  * recency-weighted smoother beside [[Smooth]]'s flat window (third
+  * entry in the SMOOTHING category; reference transform protocol
+  * /root/reference/src/meteaudata/types.py:479-495).
+  *
+  * ewma_t = Σ_j β^j·x_{t−j} / Σ_j β^j (β = 1−α, j = 0..window−1), both
+  * sums evaluated as the SAME left fold oldest→newest — acc·β + x over
+  * the frame's collect_list for the numerator, acc·β + 1 for the
+  * denominator — so the IEEE op sequence is fixed and an oracle that
+  * replays the fold (DuckDB `list_reduce`) is bit-equal; no pow(), whose
+  * last ulp differs across libms. The default α = 1/2 keeps every weight
+  * a power of two (multiplication by β exact), so only the adds round.
+  * One window pass, row-local fold, per-row state bounded at `window`
+  * elements — scales like any bounded-frame window. */
+object Ewma extends SeriesTransform {
+  val opName = "ewma"
+  val suffix = "EWMA"
+  val ptype = ProcessingType.Smoothing
+  val description = "Trailing exponentially weighted moving average"
+
+  def transform(series: DataFrame, params: Parameters): DataFrame = {
+    val win = params.get("window").map(_.toInt).getOrElse(32)
+    val alpha = params.get("alpha").map(_.toDouble).getOrElse(0.5)
+    val beta = 1.0 - alpha
+    val w = Window.partitionBy(KeyCol).orderBy(TsCol)
+      .rowsBetween(-(win - 1), 0)
+    val arr = collect_list(col(ValueCol)).over(w)
+    val num = aggregate(arr, lit(0.0), (acc, x) => acc * beta + x)
+    val den = aggregate(arr, lit(0.0), (acc, _) => acc * beta + 1.0)
+    series.select(col(KeyCol), col(TsCol), (num / den).as(ValueCol))
+  }
+}
+
 /** LTTB-style plot downsampling (Steinarsson 2013, "Downsampling Time
   * Series for Visual Representation", largest-triangle-three-buckets):
   * keep ONE visually-representative point per time bucket — the point

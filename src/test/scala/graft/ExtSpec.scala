@@ -1383,6 +1383,91 @@ class ExtSpec extends SparkSpec {
     assert(rep.toSeq == out.toSeq)
   }
 
+  test("madOutliers: robust median/MAD picks, even-count mean, spike counted") {
+    import graft.ext.CrossStats
+    import graft.core.Observations.{KeyCol, TsCol, ValueCol}
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+        ("a", java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"), v) } ++
+      Seq(1.0, 2.0, 3.0, 5.0).zipWithIndex.map { case (v, i) =>
+        ("b", java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00"), v) })
+      .toDF(KeyCol, TsCol, ValueCol)
+    val out = CrossStats.madOutliers(df).orderBy("series_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    // a: med=3, devs sorted [0,1,1,2,97] -> mad=1; only 100 exceeds 3·MAD
+    // b (even count): med=(2+3)/2=2.5, devs sorted [0.5,0.5,1.5,2.5] ->
+    //   mad=(0.5+1.5)/2=1.0; no |x-2.5| exceeds 3
+    assert(out.toSeq == Seq(("a", 5L, 3.0, 1.0, 1L), ("b", 4L, 2.5, 1.0, 0L)))
+    val rep = CrossStats.madOutliers(df.repartition(7)).orderBy("series_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rep.toSeq == out.toSeq)
+  }
+
+  test("sign-bit packing is MSB-first exact; hamming ranks a planted near-dup first") {
+    // alternating +/- pattern over the first 8 dims, rest negative:
+    // bits 10101010 then zeros -> b0 = 0xAA << 24
+    val pat = (0 until 64).map(i => if (i < 8 && i % 2 == 0) 1.0f else -1.0f)
+    val one = Seq((0L, pat)).toDF("vec_id", "embedding")
+    val packed = one.select(
+      Similarity.signBitHalf(col("embedding"), 0).as("b0"),
+      Similarity.signBitHalf(col("embedding"), 32).as("b1"))
+      .as[(Long, Long)].head()
+    assert(packed == ((0xAAL << 24, 0L)))
+    // planted near-dup: vec 1 = vec 0 with three sign flips; vec 2 random-ish
+    val base = (0 until 64).map(i => if (i % 3 == 0) 0.5f else -0.5f)
+    val flip3 = base.zipWithIndex.map { case (v, i) =>
+      if (i == 5 || i == 17 || i == 40) -v else v }
+    val other = (0 until 64).map(i => if (i % 7 == 0) 0.5f else -0.5f)
+    val corpus = Seq((10L, base), (11L, flip3), (12L, other))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.hammingTopK(corpus,
+        corpus.where(col("vec_id") === 10L), "vec_id", "embedding", k = 2)
+      .orderBy("rank")
+      .select("candidate_id", "hamming").as[(Long, Long)].collect().toSeq
+    assert(top.head == ((11L, 3L)))
+    // distances invariant under repartitioning
+    val rep = Similarity.hammingTopK(corpus.repartition(5),
+        corpus.where(col("vec_id") === 10L), "vec_id", "embedding", k = 2)
+      .orderBy("rank")
+      .select("candidate_id", "hamming").as[(Long, Long)].collect().toSeq
+    assert(rep == top)
+  }
+
+  test("globalRowNumber equals the single-partition rank at any partition count") {
+    import graft.ext.Ranks
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val ref = orders.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+        .cast("long"))
+      .select("o_orderkey", "rn")
+    for (parts <- Seq(3, 8, 17)) {
+      val got = Ranks.globalRowNumber(orders, ord, nParts = parts)
+        .select("o_orderkey", "rn")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"nParts=$parts")
+    }
+  }
+
+  test("lineFreqFilter removes corpus-frequent chunks from every doc, reassembles order") {
+    val d = Seq(
+      (1L, "a b c d"), // "a b" in 3 docs -> dropped everywhere
+      (2L, "a b x y"),
+      (3L, "a b p q"),
+      (4L, "u v w")    // untouched (odd-length tail chunk "w" unique)
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineFreqFilter(d, "doc_id", "text", chunkTokens = 2,
+        maxDocs = 2)
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, m("c d")), (2L, 2L, 1L, m("x y")),
+      (3L, 2L, 1L, m("p q")), (4L, 2L, 2L, m("u v w"))))
+  }
+
   test("withCurationSignals matches qualityScore + languageId column-for-column") {
     import graft.ext.TextAnalysis
     val sigs = TextAnalysis.withCurationSignals(docs, "text")

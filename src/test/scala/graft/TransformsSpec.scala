@@ -159,6 +159,20 @@ class TransformsSpec extends SparkSpec {
       ("00:10", 4.0: java.lang.Double)))
   }
 
+  test("ewma: adjusted weights, window truncation, alpha=1/2 exact fractions") {
+    val in = obs(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:05:00", 2.0),
+      ("a", "2024-01-01 00:10:00", 3.0))
+    // adjusted EWMA, full history: [1], [1,2], [1,2,3]
+    //   t1 = 1; t2 = (0.5·1+2)/1.5 = 5/3; t3 = (0.25+1+3)/1.75 = 17/7
+    val full = collectSeries(Ewma.transform(in, Parameters.of("window" -> "32")))
+    assert(full.map(_._2.doubleValue()) == Seq(1.0, 2.5 / 1.5, 4.25 / 1.75))
+    // window=2 truncates t3's frame to [2,3]: (0.5·2+3)/1.5 = 8/3
+    val trunc = collectSeries(Ewma.transform(in, Parameters.of("window" -> "2")))
+    assert(trunc.map(_._2.doubleValue()) == Seq(1.0, 2.5 / 1.5, 4.0 / 1.5))
+  }
+
   test("fault detection flags out-of-range values, nulls pass through") {
     val in = obs(
       ("a", "2024-01-01 00:00:00", 5.0),
