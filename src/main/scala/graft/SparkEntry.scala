@@ -360,6 +360,19 @@ object SparkEntry {
         .orderBy("series_key")
     }),
 
+    // WINSORIZE (robust clamp): per-series [p05, p95] percentile clamp —
+    // the continuous counterpart of the replace/flag family: preserves
+    // mass, cuts leverage. Bounds are exact interpolated percentiles
+    // (ts_percentiles pinned them ≡ quantile_cont bit-for-bit), rounded
+    // 6 dp BEFORE the branch so clamp decisions are engine-portable.
+    "ts_winsorize" -> ((s, dir) => {
+      sortBig(graft.ext.CrossStats.winsorize(obsEvents(s, dir), 0.05, 0.95)
+        .select(col(KeyCol).as("series_key"),
+          EventOps.epochS(col(TsCol)).as("ts_s"),
+          r6(col("value_w")).as("value_w"), col("clipped")),
+        "series_key", "ts_s", "value_w")
+    }),
+
     // FAULT_DETECTION: threshold flags on raw observations
     "ts_fault_flags" -> ((s, dir) => {
       DetectOutOfRange.transform(obsEvents(s, dir),
@@ -913,6 +926,34 @@ object SparkEntry {
           (floor(sum(col("o_totalprice").cast(DecimalType(27, 8)))
             .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"))
         .orderBy("decile")
+    }),
+
+    // RANGE-frame window (calendar-aware moving aggregate): 7-day
+    // trailing revenue per order priority. The frame is RANGE BETWEEN 6
+    // PRECEDING over an epoch-day axis, so calendar gaps shrink the
+    // window (a ROWS frame would silently span them) — the classic
+    // time-relative rollup a ROWS-only engine can't express. Scale
+    // shape: the pre-aggregate shrinks the corpus to priorities×days
+    // rows BEFORE the window, and the window partitions by priority —
+    // no single-task global sort; moving sums stay DECIMAL (exact,
+    // order-free) until one cast + round at the end.
+    "rel_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(27, 8))).as("_rev"))
+        .withColumn("_day_n",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("_day_n"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("_mov", sum(col("_rev")).over(w))
+        .withColumn("_nd", count(lit(1)).over(w))
+        .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          r6(col("_rev").cast("double")).as("day_rev"),
+          r6(col("_mov").cast("double")).as("rev_7d"),
+          r6(col("_mov").cast("double") / col("_nd")).as("avg_rev_7d"))
+        .orderBy("priority", "day")
     }),
 
     // left-semi join (TPC-H Q4 shape): orders with at least one
@@ -1596,6 +1637,22 @@ object SparkEntry {
         "label", "embedding"), "label", "dim")
     }),
 
+    // nearest-centroid assignment (prototype classification / DCLM-style
+    // cluster-based curation audit): every vector labelled with its
+    // closest label-centroid by squared L2, argmin over the 6-dp-rounded
+    // exact-decimal distance so the decision is engine-portable. The
+    // relational audit form (broadcast dim-join + one hash agg); the
+    // serving twin with literal centroids is Similarity.nearestList.
+    "emb_nearest_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      sortSmall(Similarity.nearestCentroid(emb, "vec_id", "label", "embedding")
+        .join(emb.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), "vec_id")
+        .select(col("vec_id"), col("true_label"), col("assigned"),
+          col("dist2")),
+        "vec_id")
+    }),
+
     // symmetric per-vector int8 quantization (scale = max|x|/127, half-up
     // explicit as floor(x+0.5)): the storage/serving compression pass for
     // an embedding corpus. Row-local codegen'd array expressions — zero
@@ -1751,6 +1808,13 @@ object SparkEntry {
 
     // Gopher-style 2-gram repetition filters (top-gram share, duplicate
     // share) — the pre-training curation signal, exact-count arithmetic
+    // corpus bigram top-40 (collocation / boilerplate-phrase mining):
+    // row-local gram construction (slice+transform, zero pre-agg
+    // shuffle) → map-side-combinable count → top-N; ties → bigram asc
+    "text_bigram_topk" -> ((s, dir) => {
+      TextAnalysis.bigramTopK(t(s, dir, "documents"), "text", 40)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       sortBig(TextAnalysis.repetitionStats(t(s, dir, "documents"),
           "doc_id", "text")
@@ -2558,6 +2622,22 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM d ORDER BY 1""".stripMargin,
 
+    // identical bounds (quantile_cont ≡ Spark percentile bit-for-bit,
+    // rounded 6 dp before the branch) and identical clamp decision
+    "ts_winsorize" ->
+      """WITH b AS (SELECT user_id,
+        |    floor(quantile_cont(value, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+        |    floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(e.user_id AS VARCHAR) AS series_key,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  floor((CASE WHEN value < lo THEN lo
+        |              WHEN value > hi THEN hi
+        |              ELSE value END) * 1000000.0 + 0.5) / 1000000.0 AS value_w,
+        |  CAST(value < lo OR value > hi AS BIGINT) AS clipped
+        |FROM events e JOIN b ON e.user_id = b.user_id
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "ts_fault_flags" ->
       """SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN value < 10.0 OR value > 150.0 THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_faults
@@ -3006,6 +3086,27 @@ object SparkEntry {
         |  floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE)
         |    * 100.0 + 0.5) / 100.0 AS revenue
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical RANGE frame over the epoch-day axis; decimal moving sums
+    "rel_moving_avg" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT priority, day, rev,
+        |    SUM(rev) OVER (PARTITION BY priority
+        |      ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov,
+        |    COUNT(*) OVER (PARTITION BY priority
+        |      ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS nd
+        |  FROM d)
+        |SELECT priority, strftime(day, '%Y-%m-%d') AS day,
+        |  floor(CAST(rev AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS day_rev,
+        |  floor(CAST(mov AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS rev_7d,
+        |  floor(CAST(mov AS DOUBLE) / nd * 1000000.0 + 0.5) / 1000000.0 AS avg_rev_7d
+        |FROM w ORDER BY 1, 2""".stripMargin,
 
     "rel_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
@@ -3807,6 +3908,34 @@ object SparkEntry {
         |FROM p JOIN e ON p.query_id = e.vec_id
         |WHERE p.pr = 1 ORDER BY p.query_id""".stripMargin,
 
+    // identical 6-dp centroids, identical exact-decimal distance sums,
+    // identical (dist2, label) argmin tie order
+    "emb_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id,
+        |    unnest([{'dim': i - 1, 'val': v[i]}
+        |            for i in generate_series(1, len(v))]) AS u
+        |  FROM e),
+        |xl AS (SELECT label,
+        |    unnest([{'dim': i - 1, 'val': v[i]}
+        |            for i in generate_series(1, len(v))]) AS u
+        |  FROM e),
+        |c AS (SELECT label, u.dim AS dim,
+        |    ROUND(CAST(SUM(CAST(u.val AS DECIMAL(38,12))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean
+        |  FROM xl GROUP BY label, u.dim),
+        |d AS (SELECT x.vec_id, c.label AS ckey,
+        |    round(CAST(SUM(CAST((x.u.val - c.mean) * (x.u.val - c.mean)
+        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS dist2
+        |  FROM x JOIN c ON x.u.dim = c.dim GROUP BY 1, 2),
+        |p AS (SELECT vec_id, ckey, dist2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, ckey) AS rn
+        |  FROM d)
+        |SELECT p.vec_id, CAST(e.label AS BIGINT) AS true_label,
+        |  CAST(p.ckey AS BIGINT) AS assigned, p.dist2
+        |FROM p JOIN e ON p.vec_id = e.vec_id
+        |WHERE p.rn = 1 ORDER BY p.vec_id""".stripMargin,
+
     // same element-wise exact-decimal mean per (label, dim)
     "emb_label_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4080,6 +4209,15 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical tokenization (single-space split) and gram join
+    "text_bigram_topk" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT unnest([w[i] || ' ' || w[i+1]
+        |                     for i in generate_series(1, len(w) - 1)]) AS bigram
+        |      FROM toks)
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM g GROUP BY 1 ORDER BY c DESC, bigram LIMIT 40""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -106,4 +106,37 @@ object CrossStats {
           x => abs(x - col("med")) > lit(z) * col("mad")))
           .cast("long").as("n_outliers"))
   }
+
+  /** Per-series winsorization: clamp each observation into its series'
+    * [pLo, pHi] exact interpolated-percentile band — the standard
+    * heavy-tail taming step ahead of mean-based models (the robust
+    * alternative to DROPPING outliers: mass is preserved, only leverage
+    * is cut). Reference treats out-of-range values via replace/flag
+    * (types.py DetectOutOfRange family); winsorize is the continuous
+    * counterpart.
+    *
+    * Determinism: Spark `percentile` is the exact interpolated order
+    * statistic, verified bit-identical to DuckDB `quantile_cont`
+    * (ts_percentiles); both bounds are rounded to 6 dp BEFORE the clamp
+    * so the branch decision and the emitted value are engine-portable
+    * (the clamp itself copies bits, no arithmetic).
+    *
+    * Scale shape: one map-side-combinable percentile aggregate (O(series)
+    * rows) + a join back on the SAME key the final consumer groups on —
+    * Catalyst broadcasts the bounds frame while small and falls back to a
+    * co-partitioned join beyond that. No window over the raw stream. */
+  def winsorize(obs: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val r6: Column => Column = c => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val bounds = obs.groupBy(col(KeyCol)).agg(
+      r6(expr(s"percentile($ValueCol, $pLo)")).as("_lo"),
+      r6(expr(s"percentile($ValueCol, $pHi)")).as("_hi"))
+    obs.join(bounds, KeyCol)
+      .select(col(KeyCol), col(TsCol), col(ValueCol),
+        when(col(ValueCol) < col("_lo"), col("_lo"))
+          .when(col(ValueCol) > col("_hi"), col("_hi"))
+          .otherwise(col(ValueCol)).as("value_w"),
+        (col(ValueCol) < col("_lo") || col(ValueCol) > col("_hi"))
+          .cast("long").as("clipped"))
+  }
 }

@@ -54,6 +54,40 @@ object Similarity {
           .createDecimalType(38, 12))).cast("double") / count(lit(1))), 6)
         .as("mean"))
 
+  /** Nearest-centroid assignment: each vector labelled with the key of
+    * its closest [[meanVectorByKey]] centroid by squared L2 — the
+    * prototype-classification / cluster-audit pass (DCLM-style
+    * cluster-based curation assigns every document to a quality cluster
+    * exactly this way; also the confusion-audit for labelled corpora).
+    * Ties break toward the smallest key.
+    *
+    * Relational exact-decimal form, partitioning-invariant end to end:
+    * centroids are the 6-dp-rounded exact-decimal means; per-(vector,
+    * centroid) distance accumulates the IEEE (x−mean)² terms as
+    * DECIMAL(38,12) (order-free), is rounded to 6 dp, and ONLY then
+    * enters the argmin — so the assignment decision is bit-stable across
+    * engines and shuffles. Scale shape: posexplode + a BROADCAST join on
+    * `dim` against the k·dims centroid frame, one map-side-combinable
+    * (id, key) hash aggregate, one per-id window over k rows. The
+    * serving-path twin with centroids as plan literals (zero explode) is
+    * [[nearestList]]; this is the audit/oracle form. */
+  def nearestCentroid(df: DataFrame, idCol: String, keyCol: String,
+      vecCol: String): DataFrame = {
+    val cents = meanVectorByKey(df, keyCol, vecCol)
+      .select(col(keyCol).as("_ckey"), col("dim"), col("mean"))
+    val ex = asDouble(df, vecCol)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+    val d2 = ex.join(broadcast(cents), "dim")
+      .groupBy(col(idCol), col("_ckey"))
+      .agg(round(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
+          .cast(DecimalType(38, 12))).cast("double"), 6).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("dist2"), col("_ckey"))
+    d2.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col(idCol), col("_ckey").cast("long").as("assigned"),
+        col("dist2"))
+  }
+
   /** The ±1 sign for projection cell (i, j): +1 when the first hex digit
     * of md5("i:j") is 0-7, else -1 — the engine-portable coin flip (the
     * oracle rebuilds the identical matrix with SQL `md5`). */

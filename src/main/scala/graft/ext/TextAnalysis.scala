@@ -107,6 +107,24 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("token"))
       .limit(topN)
 
+  /** Corpus-level word-bigram frequencies: top-N by count (tie-break
+    * bigram) — the collocation / boilerplate-phrase miner (feeds stopword
+    * lists, template detection, and n-gram-LM vocabularies). Unlike
+    * [[repetitionStats]]'s per-doc window, the gram stream here is built
+    * ROW-LOCALLY (`slice` + `transform` over the token array — codegen'd,
+    * zero shuffle before the count aggregate), so the only shuffles are
+    * the map-side-combinable count and the final top-N — the shape that
+    * holds at corpus scale. Documents with fewer than two tokens
+    * contribute nothing. */
+  def bigramTopK(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(tokens(col(textCol)).as("_tk"))
+      .select(explode(expr(
+        "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
+          " (w, i) -> concat(w, ' ', element_at(_tk, i + 2)))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram"))
+      .limit(topN)
+
   /** Per-document 2-gram repetition statistics — the Gopher-style
     * repetition filters (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 repetition rules) an LLM curation pipeline applies before

@@ -1480,4 +1480,66 @@ class ExtSpec extends SparkSpec {
         .select(col("doc_id"), col("pred_lang")), "doc_id")
     assert(sigs.exceptAll(ref).count() == 0 && ref.exceptAll(sigs).count() == 0)
   }
+
+  test("winsorize clamps into the [p05,p95] band, flags honestly, partition-invariant") {
+    import graft.ext.CrossStats
+    import graft.core.Observations.{KeyCol, TsCol, ValueCol}
+    // series a: 1..100 → p05 = 5.95, p95 = 95.05 (interpolated); the
+    // spike and the trough both clamp, interior points pass untouched
+    val df = (1 to 100).map(i => ("a", i, i.toDouble))
+      .toDF(KeyCol, "i", ValueCol)
+      .select(col(KeyCol), to_timestamp(lit("2024-01-01 00:00:00")).as(TsCol),
+        col(ValueCol))
+    val out = CrossStats.winsorize(df).orderBy(ValueCol)
+      .select(ValueCol, "value_w", "clipped")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(out.count(_._3 == 1L) == 10) // 1..5 and 96..100 clip
+    assert(out.filter(_._3 == 0L).forall { case (v, w, _) => v == w })
+    assert(out.take(5).forall(_._2 == 5.95))
+    assert(out.takeRight(5).forall(_._2 == 95.05))
+    val rep = CrossStats.winsorize(df.repartition(9)).orderBy(ValueCol)
+      .select(ValueCol, "value_w", "clipped")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(rep.toSeq == out.toSeq)
+  }
+
+  test("bigramTopK counts adjacent pairs with tie-break; short docs contribute none") {
+    import graft.ext.TextAnalysis
+    val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramTopK(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b": doc1×2 + doc2×1 = 3; then "b a" 1, "b c" 1 (tie → asc)
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("nearestCentroid assigns planted clusters exactly; ties go to the smaller key") {
+    // two tight clusters around (0,0) and (10,10); a probe point at the
+    // exact midpoint must tie-break to label 0
+    val rows = Seq(
+      (1L, Array(0.1f, -0.1f), 0), (2L, Array(-0.1f, 0.1f), 0),
+      (3L, Array(10.1f, 9.9f), 1), (4L, Array(9.9f, 10.1f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroid(df, "vec_id", "label", "embedding")
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    // midpoint probe: equidistant from both centroids → assigned 0
+    val mid = rows :+ ((5L, Array(5.0f, 5.0f), 9))
+    val out2 = Similarity.nearestCentroid(mid.toDF("vec_id", "embedding", "label"),
+        "vec_id", "label", "embedding")
+      .where(col("vec_id") === 5L).collect().map(_.getLong(1))
+    // label 9's centroid IS the probe itself (dist 0) — drop it from the
+    // planted check by probing with only the two real clusters instead
+    assert(out2.toSeq == Seq(9L))
+    val centsOnly = rows.toDF("vec_id", "embedding", "label")
+      .union(Seq((5L, Array(5.0f, 5.0f), 0), (6L, Array(5.0f, 5.0f), 1))
+        .toDF("vec_id", "embedding", "label"))
+    // both centroids shift identically toward the midpoint → still
+    // symmetric; the two midpoint probes tie and both resolve to label 0
+    val out3 = Similarity.nearestCentroid(centsOnly, "vec_id", "label", "embedding")
+      .where(col("vec_id") >= 5L).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out3.toSeq == Seq((5L, 0L), (6L, 0L)))
+  }
 }
