@@ -889,6 +889,30 @@ object SparkEntry {
         .orderBy("gid", "returnflag", "linestatus")
     }),
 
+    // GROUPING SETS (the general multi-rollup cube/rollup can't spell):
+    // the exact four aggregation grains of interest — (priority,status),
+    // each alone, and the grand total — in ONE pass over the fact table
+    // (Expand + a single hash aggregate; four separate GROUP BYs would
+    // scan the corpus four times at 100 TB). grouping() flags + '(all)'
+    // coalescing keep the rollup rows engine-portable (no NULL-ordering
+    // divergence).
+    "rel_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+            Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          (floor(sum(col("o_totalprice").cast(DecimalType(27, 8)))
+            .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("o_orderstatus")).cast("long").as("g_st"))
+        .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          col("g_pri"), col("g_st"), col("n_orders"), col("revenue"))
+        .orderBy("g_pri", "g_st", "priority", "status")
+    }),
+
     // PIVOT: per-year revenue spread across order statuses as columns.
     // Explicit pivot values (F/O/P) — without them Spark runs an extra
     // distinct-collect job over the corpus just to discover the column
@@ -1107,6 +1131,17 @@ object SparkEntry {
         "doc_a", "doc_b")
     }),
 
+    // asymmetric containment pairs (doc-inside-doc detection): fragment
+    // copies Jaccard misses when the host is much larger — one-sided
+    // prefix filter (containee) × full probe (host), both directions
+    "doc_containment_pairs" -> ((s, dir) => {
+      val sh = Dedup.hashedShingles(t(s, dir, "documents"), "doc_id", "text", 3)
+      sortSmall(Dedup.containmentPairs(sh, 0.8)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 6).as("containment")),
+        "doc_a", "doc_b")
+    }),
+
     // MinHash-LSH near-dup pairs with exact verification (same oracle as
     // exact Jaccard — recall at the planted-dup level is ~1)
     "doc_minhash_lsh" -> ((s, dir) => {
@@ -1254,6 +1289,15 @@ object SparkEntry {
     "doc_pack_shards" -> ((s, dir) => {
       sortBig(Corpus.packShards(t(s, dir, "documents"), "doc_id", "text",
         budgetTokens = 1000L, bucketWidth = 64L), "doc")
+    }),
+
+    // fixed-length SEQUENCE packing (context-window layout): documents
+    // laid end to end, cut every 256 tokens; each doc's sequence span +
+    // in-sequence offset — the loader-facing twin of doc_pack_shards
+    // (same decomposed prefix sum, docs SPAN cuts instead of binning)
+    "doc_seq_pack" -> ((s, dir) => {
+      sortBig(Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 256L, bucketWidth = 64L), "doc")
     }),
 
     // deterministic stratified Bernoulli sampling — the training-mix
@@ -1940,6 +1984,28 @@ object SparkEntry {
       sortSmall(res.select(col("c_mktsegment"),
         fmtTs(col("_w").getField("start")).as("day"), col("n_events"),
         r6(col("mean_value")).as("mean_value")), "c_mktsegment", "day")
+    }),
+
+    // SLIDING-window streaming rollup: 2 h windows every 1 h per event
+    // type — the overlapping-window shape (each event lands in TWO
+    // windows via the streaming window() operator's Expand) that
+    // tumbling stream_resample can't express. Complete-mode bounded
+    // replay ≡ batch, so the oracle's two-shifted-bucket union pins the
+    // streaming sliding-window path exactly; exact-decimal means.
+    "stream_sliding_rollup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/events.parquet", "stream_sliding_result",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        Observations.normalizeEventTs(st)
+          .groupBy(col("event_type"),
+            window(col("ts"), "7200 seconds", "3600 seconds").as("_w"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.ops.Resample.detMean(col("value")).as("mean_value"))
+      }
+      sortSmall(res.select(col("event_type"),
+        fmtTs(col("_w").getField("start")).as("win_start"), col("n_events"),
+        r6(col("mean_value")).as("mean_value")), "event_type", "win_start")
     }),
 
     // stream-stream interval join: signups and purchases replay as TWO
@@ -3057,6 +3123,20 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // identical four grains; '(all)' coalescing sidesteps NULL ordering
+    "rel_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  COUNT(*) AS n_orders,
+        |  floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE)
+        |    * 100.0 + 0.5) / 100.0 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, priority, status""".stripMargin,
+
     // pivot ≡ conditional aggregation (the plan Spark's explicit-values
     // pivot compiles to); empty cells NULL in both engines
     "rel_pivot" ->
@@ -3177,6 +3257,21 @@ object SparkEntry {
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // sliding windows ≡ two shifted tumbling buckets per event (2 h / 1 h)
+    "stream_sliding_rollup" ->
+      s"""WITH x AS (
+         |  SELECT event_type,
+         |    unnest([time_bucket(INTERVAL '3600 seconds', ts),
+         |            time_bucket(INTERVAL '3600 seconds', ts)
+         |              - INTERVAL '3600 seconds']) AS ws,
+         |    value
+         |  FROM events)
+         |SELECT event_type,
+         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  COUNT(*) AS n_events,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // batch self-join twin of the streaming interval join: same 7-day
     // event-time range, same floor-epoch gap
     "stream_stream_join" ->
@@ -3294,6 +3389,22 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     "doc_jaccard_pairs" -> JaccardOracle,
+
+    // same string-gram sets; asymmetric ratio, both directions
+    "doc_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / ca.n, 6) AS containment
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+        |WHERE CAST(i AS DOUBLE) / ca.n >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "doc_minhash_lsh" -> JaccardOracle,
 
     // independent recomputation of the portable md5-derived 60-bit
@@ -3501,6 +3612,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id AS doc, n_tokens, start_offset,
         |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc""".stripMargin,
+
+    // same prefix sum; span columns are integer divisions on top
+    "doc_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id AS doc, n_tokens, start_offset,
+        |  CAST(start_offset // 256 AS BIGINT) AS seq_start,
+        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS seq_end,
+        |  CAST(start_offset % 256 AS BIGINT) AS offset_in_seq,
+        |  CAST((start_offset + n_tokens - 1) // 256
+        |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc""".stripMargin,
 
     // string-gram recomputation of the hashed-gram contamination join,

@@ -62,6 +62,30 @@ object Corpus {
       .withColumn("shard_id", floor(col("start_offset") / lit(budgetTokens)))
   }
 
+  /** Fixed-length SEQUENCE packing — the context-window layout step that
+    * turns a curated corpus into training sequences: lay all documents
+    * end to end in stable `idCol` order and cut every `seqLen` tokens.
+    * Unlike [[packShards]] (budgeted bins, document keeps one shard), a
+    * document here SPANS every sequence its token range crosses — the
+    * packing arithmetic an attention-mask/boundary-aware loader needs.
+    * Emits (doc, n_tokens, start_offset, seq_start, seq_end,
+    * offset_in_seq, n_seqs); all exact integer arithmetic.
+    *
+    * Scale shape: identical to [[packShards]] — the global offset is the
+    * decomposed two-stage prefix sum (no corpus-wide single-task
+    * window); the span columns are row-local divisions on top. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    packShards(df, idCol, textCol, seqLen, bucketWidth)
+      .select(col("doc"), col("n_tokens"), col("start_offset"),
+        col("shard_id").as("seq_start"),
+        floor((col("start_offset") + col("n_tokens") - 1) / lit(seqLen))
+          .as("seq_end"),
+        (col("start_offset") % lit(seqLen)).as("offset_in_seq"))
+      .withColumn("n_seqs", col("seq_end") - col("seq_start") + 1)
+  }
+
   /** Benchmark CONTAMINATION detection — the decontamination step a
     * training pipeline runs before shipping a corpus: find every
     * training document sharing at least one word `n`-gram with the

@@ -244,6 +244,43 @@ object Dedup {
     verifyPairs(cand, sh, minJ)
   }
 
+  /** Asymmetric CONTAINMENT pairs: c(A→B) = |A∩B| / |A| ≥ minC — the
+    * doc-inside-doc detector (quotes, mirrored sub-pages, train/eval
+    * leakage where only a fragment was copied) that symmetric Jaccard
+    * misses whenever the host document is much larger than the copied
+    * fragment. Emits BOTH directions (doc_a is the containee).
+    *
+    * Same prefix-filter principle as [[jaccardPairs]] but one-sided:
+    * c ≥ t ⇒ |A∩B| ≥ ceil(t·|A|) ⇒ A must collide with B inside A's
+    * (n − ceil(t·n) + 1)-prefix under the rarest-first order — exactly
+    * the [[jaccardPrefixes]] frame — while B probes with its FULL set
+    * (no bound exists on |B|). Candidates are prefix(A) ⨝ corpus(B);
+    * verification packs both sorted sets and counts the intersection
+    * row-locally, gated by the size precondition nb ≥ ceil(t·na). */
+  def containmentPairs(shIn: DataFrame, minC: Double): DataFrame = {
+    val sh = shIn.cache()
+    val pref = jaccardPrefixes(sh, minC)
+    val cand = pref.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val docSets = sh.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("n"))
+    cand.hint("shuffle_hash")
+      .join(docSets.select(col("doc").as("doc_a"), col("shs").as("sha"),
+        col("n").as("na")), "doc_a")
+      .hint("shuffle_hash")
+      .join(docSets.select(col("doc").as("doc_b"), col("shs").as("shb"),
+        col("n").as("nb")), "doc_b")
+      .where(col("nb") >= ceil(col("na") * minC))
+      .withColumn("i", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("containment", col("i").cast("double") / col("na"))
+      .where(col("containment") >= minC)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** The PPJoin prefix frame (doc, sh): the shingles on which any
     * qualifying pair must collide. Public so scale diagnostics
     * (ScaleSmoke) can measure candidate work as bucket occupancy

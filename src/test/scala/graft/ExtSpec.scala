@@ -1513,6 +1513,53 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("containmentPairs finds the planted fragment-in-host pair Jaccard misses") {
+    import graft.ext.Dedup
+    // doc 1 is a 12-word fragment; doc 2 embeds it verbatim inside 28
+    // extra words → containment(1→2) = 1.0 while Jaccard ≈ 10/38 ≈ 0.26;
+    // doc 3 is unrelated
+    val frag = (1 to 12).map(i => s"w$i").mkString(" ")
+    val host = (101 to 115).map(i => s"x$i").mkString(" ") + " " + frag +
+      " " + (201 to 214).map(i => s"y$i").mkString(" ")
+    val other = (301 to 330).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, frag), (2L, host), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.hashedShingles(d, "doc_id", "text", 3)
+    val jac = Dedup.jaccardPairs(sh, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, "symmetric Jaccard must miss the fragment pair")
+    val con = Dedup.containmentPairs(sh, 0.8)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(con == Set((1L, 2L, 1.0)), s"got $con")
+  }
+
+  test("packSequences spans cuts correctly and is bucketWidth-invariant") {
+    import graft.ext.Corpus
+    // token counts 3, 5, 4 with seqLen 4:
+    //   doc 1: [0,3)  → seq 0 only, offset 0
+    //   doc 2: [3,8)  → seqs 0..1, offset 3
+    //   doc 3: [8,12) → seq 2 only, offset 0
+    val d = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(d, "doc_id", "text", seqLen = 4L)
+      .orderBy("doc")
+      .select("doc", "n_tokens", "start_offset", "seq_start", "seq_end",
+        "offset_in_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L, 0L, 1L),
+      (2L, 5L, 3L, 0L, 1L, 3L, 2L),
+      (3L, 4L, 8L, 2L, 2L, 0L, 1L)))
+    val narrow = Corpus.packSequences(d, "doc_id", "text", seqLen = 4L,
+        bucketWidth = 1L).orderBy("doc")
+      .select("doc", "n_tokens", "start_offset", "seq_start", "seq_end",
+        "offset_in_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(narrow.toSeq == out.toSeq)
+  }
+
   test("nearestCentroid assigns planted clusters exactly; ties go to the smaller key") {
     // two tight clusters around (0,0) and (10,10); a probe point at the
     // exact midpoint must tie-break to label 0

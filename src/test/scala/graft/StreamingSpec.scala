@@ -24,6 +24,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sliding-window rollup over a bounded replay equals the batch agg") {
+    val slide = (df: org.apache.spark.sql.DataFrame) =>
+      Observations.normalizeEventTs(df)
+        .groupBy(col("event_type"),
+          window(col("ts"), "7200 seconds", "3600 seconds").as("_w"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Resample.detMean(col("value")).as("m"))
+        .select(col("event_type"), col("_w").getField("start").as("ws"),
+          col("n"), round(col("m"), 6).as("m"))
+    val streamed = graft.streaming.StreamingDedup.replayDocs(
+      spark, sf("events"), "sliding_spec_tbl",
+      org.apache.spark.sql.streaming.OutputMode.Complete())(slide)
+      .select("event_type", "ws", "n", "m")
+    val batch = slide(spark.read.parquet(sf("events")))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open ones in state") {
     implicit val s = spark
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
