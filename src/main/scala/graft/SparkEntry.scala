@@ -1894,6 +1894,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IMAGE perceptual near-dup pairs (content-level image dedup): dHash
+    // over REAL decoded pixels (javax.imageio), banded hamming search —
+    // no all-pairs. The corpus is the deterministic procedural-PNG
+    // stand-in (no image corpus ships in the testdata): pattern from
+    // md5(text), brightness from doc_id — so text-twin docs yield
+    // byte-DIFFERENT payloads (sha256 all differ) whose dHash is exactly
+    // equal (uniform-brightness invariance, proven in MultimodalSpec),
+    // and the oracle can pin the content-match set relationally while
+    // the engine path exercises real decode + banding end to end.
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted content twins (same text, different id ⇒ different
+      // brightness ⇒ different bytes): the image-corpus analogue of the
+      // dedup fixtures' copy planting
+      val copies = docs.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = docs.unionByName(copies)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          (id, graft.ext.MultimodalCodecs.syntheticImage(seed,
+            brightness = (id % 33).toInt))
+        }).toDF("doc_id", "payload")
+      val hashed = graft.ext.Multimodal.dHashes(media, "doc_id", "payload")
+      sortSmall(graft.ext.Multimodal.phashPairs(hashed, maxHamming = 6),
+        "doc_a", "doc_b")
+    }),
+
     // E6/E7/E8 persistence round trip: pipeline → save (parquet + JSON
     // catalog) → load → query the reloaded data; matching the oracle's
     // direct computation proves data fidelity through the sink
@@ -4391,6 +4423,20 @@ object SparkEntry {
       """SELECT doc_id, source AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the content-match set is exactly the text-twin pairs: same md5 ⇒
+    // same pattern ⇒ dHash equal (hamming 0) despite byte-different
+    // payloads; different md5 ⇒ independent patterns, far beyond 6 bits
+    "multimodal_phash_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents
+        |           WHERE doc_id % 20 = 7),
+        |t AS (SELECT doc_id, md5(text) AS m FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM t a JOIN t b ON a.m = b.m AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
 
     "event_window_rollup" ->
       """SELECT event_type,

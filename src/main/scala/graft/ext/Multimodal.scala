@@ -110,6 +110,51 @@ object Multimodal {
     }
   }
 
+  /** Perceptual 64-bit dHash per payload (null for non-image payloads):
+    * the content-level fingerprint for IMAGE near-dup detection —
+    * catches re-encoded / brightness-shifted / resized copies whose
+    * byte-level sha256 all differ. Partition-local decode+hash (same
+    * mapPartitions batch shape as [[decode]]). */
+  def dHashes(df: DataFrame, idCol: String, payloadCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, MultimodalCodecs.dHash64(payload))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Image near-dup pairs over a (doc_id, dhash) frame: hamming(dHash) ≤
+    * `maxHamming`, found WITHOUT an all-pairs scan — the 64-bit hash
+    * splits into 8 byte-bands; by pigeonhole any pair within hamming ≤ 7
+    * collides on at least one whole band, so candidates come from an
+    * equi-join on (band, bandValue) — the same Manku-style banding the
+    * simhash text path uses — and only candidates pay the popcount
+    * verify. Emits (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8-band pigeonhole guarantees recall only to hamming 7")
+    val bands = hashed.where(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("dhash"), b * 8).bitwiseAND(lit(0xffL)))
+              .as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("dhash"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long,
       frame: Array[Byte], meta: MediaMeta)
 
@@ -418,6 +463,93 @@ object MultimodalCodecs {
     var i = 0
     while (i < dims) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
     out
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual fingerprint for image near-dup detection: area-mean the
+    * decoded luminance onto a 9×8 grid, set bit r·8+c iff cell (r, c+1)
+    * is strictly brighter than cell (r, c). All-integer arithmetic
+    * (luminance ×1000 sums; cross-multiplied mean comparison), so the
+    * hash is bit-exact across JVMs — and EXACTLY invariant under a
+    * uniform brightness shift (every cell mean shifts equally, so no
+    * difference bit can flip), which is what makes it a CONTENT hash
+    * where sha256 of the bytes is not. None for non-image payloads. */
+  def dHash64(b: Array[Byte]): Option[Long] =
+    sniff(b).filter(_.startsWith("image/")).flatMap(_ => readImage(b)).map { img =>
+      val gx = 9; val gy = 8
+      val sums = new Array[Long](gx * gy)
+      val counts = new Array[Long](gx * gy)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gy - 1, y * gy / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(gx - 1, x * gx / w)
+          val rgb = img.getRGB(x, y)
+          val lum1000 = ((rgb >> 16) & 0xff) * 299L +
+            ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+          sums(cy * gx + cx) += lum1000
+          counts(cy * gx + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val a = r * gx + c
+          val b2 = r * gx + c + 1
+          // mean(b2) > mean(a) without division: exact integer cross-mul
+          if (counts(a) > 0 && counts(b2) > 0 &&
+              sums(b2) * counts(a) > sums(a) * counts(b2))
+            hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+  /** Deterministic procedural grayscale PNG from a seed — the
+    * image-corpus stand-in for this container (no real image corpus
+    * ships with the testdata; a real pipeline points [[Multimodal]] at
+    * its binary column instead). Pixel (x, y) luminance comes from a
+    * splitmix64 finalizer over seed+pixelIndex (decorrelated — a plain
+    * `seed[(y·w+x) mod 16]` tiling aliased EVERY 4×4 dHash cell onto the
+    * full seed multiset, collapsing all hashes to 0), scaled into
+    * [64, 223] so a brightness shift ≤ 32 is EXACTLY uniform (no
+    * clamping): [[dHash64]] is provably invariant to it while the
+    * payload bytes (and sha256) change. */
+  def syntheticImage(seed: Array[Byte], w: Int = 36, h: Int = 32,
+      brightness: Int = 0): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 32, "brightness in [0, 32]")
+    var s0 = 0L
+    var i = 0
+    while (i < seed.length) { s0 = s0 * 31 + (seed(i) & 0xff); i += 1 }
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((mix(s0 + y * w + x) & 0xffL).toInt >> 1) + 64 + brightness
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   private def wavSamples(b: Array[Byte]): Option[Array[Float]] =

@@ -200,4 +200,49 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet
     assert(a == b)
   }
+
+  test("dHash is exactly brightness-invariant, byte-sensitive, and far for unrelated images") {
+    import graft.ext.MultimodalCodecs
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seedA = java.security.MessageDigest.getInstance("MD5")
+      .digest("image A content".getBytes("UTF-8"))
+    val seedB = java.security.MessageDigest.getInstance("MD5")
+      .digest("something else entirely".getBytes("UTF-8"))
+    val a0 = MultimodalCodecs.syntheticImage(seedA, brightness = 0)
+    val a32 = MultimodalCodecs.syntheticImage(seedA, brightness = 32)
+    val b0 = MultimodalCodecs.syntheticImage(seedB, brightness = 0)
+    // payload bytes differ (sha256-level dedup would miss the twin) ...
+    assert(!java.util.Arrays.equals(a0, a32))
+    // ... but the perceptual hash is EXACTLY equal under the uniform shift
+    val (ha0, ha32, hb0) = (MultimodalCodecs.dHash64(a0).get,
+      MultimodalCodecs.dHash64(a32).get, MultimodalCodecs.dHash64(b0).get)
+    assert(ha0 == ha32)
+    // unrelated content is far (expected hamming ~32 of 64)
+    assert(hamming(ha0, hb0) > 12, s"unrelated hamming ${hamming(ha0, hb0)}")
+    // non-image payloads hash to None, not garbage
+    assert(MultimodalCodecs.dHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("dHash survives a real bilinear downscale re-encode (near), phashPairs finds only the pair") {
+    import graft.ext.MultimodalCodecs
+    implicit val s = spark
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest("downscale subject".getBytes("UTF-8"))
+    val orig = MultimodalCodecs.syntheticImage(seed, w = 72, h = 64)
+    val small = MultimodalCodecs.resizeImage(orig, 36, 32).get
+    val other = MultimodalCodecs.syntheticImage(java.security.MessageDigest
+      .getInstance("MD5").digest("unrelated".getBytes("UTF-8")))
+    val hOrig = MultimodalCodecs.dHash64(orig).get
+    val hSmall = MultimodalCodecs.dHash64(small).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hOrig, hSmall) <= 6,
+      s"rescaled copy drifted to hamming ${hamming(hOrig, hSmall)}")
+    import spark.implicits._
+    val hashed = Multimodal.dHashes(
+      Seq((1L, orig), (2L, small), (3L, other)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
