@@ -1912,8 +1912,13 @@ object SparkEntry {
       // dedup fixtures' copy planting
       val copies = docs.where(col("doc_id") % 20 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      // codec-bound stage: a small parquet arrives as ONE split, which
+      // would serialize ~ms-per-image encode+decode on a single core —
+      // spread the row-local codec work across the executors first (at
+      // real image-corpus scale the input splits already provide this)
       val media = docs.unionByName(copies)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val seed = java.security.MessageDigest.getInstance("MD5")

@@ -133,8 +133,11 @@ object Multimodal {
     * equi-join on (band, bandValue) — the same Manku-style banding the
     * simhash text path uses — and only candidates pay the popcount
     * verify. Emits (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def phashPairs(hashed: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def phashPairs(hashedIn: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "8-band pigeonhole guarantees recall only to hamming 7")
+    // both sides of the band self-join read this frame — cache the two
+    // fixed-width columns so the (codec-bound) upstream runs ONCE
+    val hashed = hashedIn.cache()
     val bands = hashed.where(col("dhash").isNotNull)
       .select(col("doc_id"), col("dhash"),
         explode(array((0 until 8).map(b =>
