@@ -586,6 +586,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // per-series lag-1 autocorrelation (persistence / mean-reversion /
+    // white-noise diagnostic): Pearson over consecutive-observation
+    // pairs, event_id tie-break makes the sequence order total
+    "ts_autocorr" -> ((s, dir) => {
+      graft.ext.CrossStats.acf1ByKey(events(s, dir), "user_id", "ts",
+          "event_id", "value")
+        .select(col("series_key"), col("n"), round(col("acf1"), 6).as("acf1"))
+        .orderBy("series_key")
+    }),
+
     // cross-series Pearson correlation (deterministic decimal accumulators)
     "ts_correlation" -> ((s, dir) => {
       val byType = Resample.transformFixed(
@@ -1852,6 +1862,15 @@ object SparkEntry {
 
     // Gopher-style 2-gram repetition filters (top-gram share, duplicate
     // share) — the pre-training curation signal, exact-count arithmetic
+    // bigram conditional NLL (second-order LM quality score): word-salad
+    // scores high even when its unigrams are common — the failure mode
+    // text_unigram_nll cannot see; same skew-split token-mass join
+    "text_bigram_nll" -> ((s, dir) => {
+      sortBig(TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("nll")),
+        "doc_id")
+    }),
+
     // corpus bigram top-40 (collocation / boilerplate-phrase mining):
     // row-local gram construction (slice+transform, zero pre-agg
     // shuffle) → map-side-combinable count → top-N; ties → bigram asc
@@ -2828,6 +2847,26 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical lead pairing (ts, event_id total order), identical
+    // decimal accumulators and scalar sequence
+    "ts_autocorr" ->
+      """WITH p AS (
+        |  SELECT user_id, value AS x,
+        |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM events),
+        |agg AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS series_key, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT series_key, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS acf1
+        |FROM agg ORDER BY 1""".stripMargin,
 
     "ts_correlation" ->
       s"""WITH b AS (
@@ -4375,6 +4414,24 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical bigram stream, count frames, 6-dp contribution rounds,
+    // exact-decimal sum, one final division
+    "text_bigram_nll" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id,
+        |    unnest([{'prev': w[i], 'big': w[i] || ' ' || w[i+1]}
+        |            for i in generate_series(1, len(w) - 1)]) AS u
+        |  FROM toks),
+        |tf AS (SELECT doc_id, u.prev AS prev, u.big AS big, COUNT(*) AS tf
+        |       FROM p GROUP BY 1, 2, 3),
+        |c2 AS (SELECT big, SUM(tf) AS c2 FROM tf GROUP BY 1),
+        |c1 AS (SELECT prev, SUM(tf) AS c1 FROM tf GROUP BY 1)
+        |SELECT tf.doc_id AS doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(tf.tf * ln(c1.c1::DOUBLE / c2.c2), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / SUM(tf.tf), 6) AS nll
+        |FROM tf JOIN c2 USING (big) JOIN c1 USING (prev)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical tokenization (single-space split) and gram join
     "text_bigram_topk" ->

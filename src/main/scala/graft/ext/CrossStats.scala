@@ -107,6 +107,40 @@ object CrossStats {
           .cast("long").as("n_outliers"))
   }
 
+  /** Per-series lag-1 autocorrelation (sample ACF over the ordered
+    * sequence): Pearson correlation of (x_t, x_{t+1}) pairs of
+    * CONSECUTIVE observations — the persistence/mean-reversion signal
+    * (sensor drift, oversmoothing, white-noise checks) the reference's
+    * fault-detection family implies but never exposes. `tieCol` makes
+    * the sequence order total when timestamps repeat, so the lead pairs
+    * — and the statistic — are deterministic in any engine.
+    *
+    * Numerics ≡ [[correlation]]: exact DECIMAL(38,6) accumulators, the
+    * fixed (n·Σxy − ΣxΣy)/(√·√) scalar sequence at the end. Shape: ONE
+    * per-series window (the same sort a per-series operator family
+    * already pays), one hash aggregate. */
+  def acf1ByKey(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val dec: Column => Column = c => c.cast(DecimalType(38, 6))
+    val pairs = df
+      .withColumn("_y", lead(col(valCol), 1).over(w))
+      .where(col("_y").isNotNull)
+      .select(col(keyCol), col(valCol).as("_x"), col("_y"))
+    pairs.groupBy(col(keyCol).cast("string").as("series_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_x"))).cast("double").as("sx"),
+        sum(dec(col("_y"))).cast("double").as("sy"),
+        sum(dec(col("_x") * col("_y"))).cast("double").as("sxy"),
+        sum(dec(col("_x") * col("_x"))).cast("double").as("sxx"),
+        sum(dec(col("_y") * col("_y"))).cast("double").as("syy"))
+      .select(col("series_key"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf1"))
+  }
+
   /** Per-series winsorization: clamp each observation into its series'
     * [pLo, pHi] exact interpolated-percentile band — the standard
     * heavy-tail taming step ahead of mean-based models (the robust

@@ -360,6 +360,58 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 6).as("nll"))
   }
 
+  /** Bigram conditional NLL — the second-order LM quality score (one
+    * step closer to the KenLM scorer CCNet used than [[unigramNll]]):
+    * per-token cost −ln P(w_i | w_{i−1}) with P = C(w_{i−1} w_i) /
+    * C(w_{i−1}·), counts from the corpus itself. Word-salad text scores
+    * HIGH (its bigrams are rare even when its unigrams are common — the
+    * failure mode a unigram score cannot see); templated text scores
+    * low. Backoff is deliberately absent: self-scored corpora never hit
+    * a zero bigram (every observed bigram has C2 ≥ 1), so a backoff
+    * branch would be dead code here — score a FOREIGN corpus by swapping
+    * the count frames and adding the smoothing the caller wants.
+    *
+    * Float discipline ≡ [[unigramNll]]: each (doc, bigram) contribution
+    * tf·ln(C1/C2) rounds to 6 dp, sums as DECIMAL(38,6) (exact,
+    * order-free), one IEEE division + round at the end.
+    *
+    * Scale shape: the gram stream is ROW-LOCAL (slice+transform — no
+    * per-doc window); counts derive from the single (doc, bigram) hash
+    * aggregate (no second corpus pass). The type-level c2 ⋈ c1 join is
+    * bounded by DISTINCT bigram types, not token mass; the token-mass
+    * join (tf ⋈ scored) is skew-split exactly like unigramNll: the
+    * `headGrams` hottest bigrams broadcast, the long tail — near-uniform
+    * once the head is gone — takes the equi-join shuffle. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      headGrams: Int = 4096): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_tk"))
+      .select(col("doc"), explode(expr(
+        "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
+          " (w, i) -> struct(w AS prev," +
+          " concat(w, ' ', element_at(_tk, i + 2)) AS big))")).as("x"))
+      .select(col("doc"), col("x.prev").as("prev"), col("x.big").as("big"))
+      .groupBy(col("doc"), col("prev"), col("big"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("big")).agg(sum(col("tf")).as("c2"),
+      first(col("prev")).as("prev"))
+    val c1 = tf.groupBy(col("prev")).agg(sum(col("tf")).as("c1"))
+    val scored = c2.join(c1, "prev").select(col("big"), col("c1"), col("c2"))
+    val head = scored.orderBy(col("c2").desc, col("big")).limit(headGrams)
+    val hot = tf.join(broadcast(head), Seq("big"))
+    val tail = tf.join(broadcast(head.select(col("big"))), Seq("big"), "left_anti")
+      .join(scored, Seq("big"))
+    hot.select(col("doc"), col("tf"), col("c1"), col("c2"))
+      .unionByName(tail.select(col("doc"), col("tf"), col("c1"), col("c2")))
+      .withColumn("_contrib",
+        round(col("tf") * log(col("c1").cast("double") / col("c2")), 6)
+          .cast(dec6))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("_contrib")).cast("double") /
+          sum(col("tf")).cast("double"), 6).as("nll"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 split each
     * language's corpus into head/middle/tail by LM-score terciles before
     * training-data selection): per-stratum EXACT interpolated tercile

@@ -1513,6 +1513,44 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("acf1ByKey: ramp gives +1, alternation gives -1, partition-invariant") {
+    import graft.ext.CrossStats
+    val rows = (1 to 5).map(i => ("ramp", i.toLong, i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ("alt", i.toLong, i.toLong, (i % 2).toDouble))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CrossStats.acf1ByKey(d, "user_id", "ts", "event_id", "value")
+        .orderBy("series_key")
+        .select(col("series_key"), col("n"), round(col("acf1"), 6).as("a"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val out = run(df)
+    assert(out.toSeq == Seq(("alt", 4L, -1.0), ("ramp", 4L, 1.0)))
+    assert(run(df.repartition(7)).toSeq == out.toSeq)
+  }
+
+  test("bigramNll scores word-salad above repeated-phrase text; partition-invariant") {
+    import graft.ext.TextAnalysis
+    // both docs share the SAME unigrams — only the bigram structure
+    // differs: doc 1 is the dominant "a b" alternation, doc 2 scrambles
+    // the order so its aa/bb bigrams are corpus-rare. (An all-unique
+    // salad would self-score 0: every unique bigram is a deterministic
+    // continuation of its unique head — the score is conditional.)
+    val phrase = Seq.fill(30)("a b").mkString(" ")
+    val salad = Seq.fill(10)("a a b b").mkString(" ")
+    val d = Seq((1L, phrase), (2L, salad)).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(d, "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    val (nllPhrase, nllSalad) = (out(0)._3, out(1)._3)
+    assert(nllSalad > nllPhrase + 0.4,
+      s"salad $nllSalad should far exceed phrase $nllPhrase")
+    val rep = TextAnalysis.bigramNll(d.repartition(5), "doc_id", "text")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rep == out)
+  }
+
   test("containmentPairs finds the planted fragment-in-host pair Jaccard misses") {
     import graft.ext.Dedup
     // doc 1 is a 12-word fragment; doc 2 embeds it verbatim inside 28
