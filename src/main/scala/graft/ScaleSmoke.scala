@@ -31,6 +31,7 @@ object ScaleSmoke {
     if (args.headOption.contains("centroid1m")) { centroid1m(); return }
     if (args.headOption.contains("engage10m")) { engage10m(); return }
     if (args.headOption.contains("hamming1m")) { hamming1m(); return }
+    if (args.headOption.contains("contain1m")) { contain1m(); return }
     if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
@@ -823,6 +824,70 @@ object ScaleSmoke {
     * popcount ranking stay exact as the corpus grows — and (b) the wall
     * scales ~linearly: the scorer is ONE corpus pass over two packed
     * longs per row (the 64 floats never cross the join). */
+  /** Containment-join scale tier (`runMain graft.ScaleSmoke contain1m`):
+    * lower half = 12-token fragments (globally unique token streams),
+    * upper half = 20-token hosts; 1% of hosts embed their matching
+    * fragment verbatim (the planted doc-inside-doc set), the rest append
+    * unique filler. The one-sided prefix filter must recover EXACTLY the
+    * planted (frag, host) pairs at containment 1.0 — token uniqueness
+    * makes any extra candidate a correctness bug, and the rarest-first
+    * prefix keeps host prefixes on their f=1 unique shingles so the
+    * candidate volume is ~the planted set, not hosts×frags. Wall must
+    * stay ~linear 250k → 1M. */
+  private def contain1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fragToks(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(11)), j =>
+        concat(lit("w"), xxhash64(id, j)))
+    def synth(n: Long) = {
+      val half = n / 2
+      val hostBase = transform(sequence(lit(0), lit(19)), j =>
+        concat(lit("w"), xxhash64(col("id"), j + 100)))
+      val filler = transform(sequence(lit(0), lit(11)), j =>
+        concat(lit("w"), xxhash64(col("id"), j + 200)))
+      val planted = pmod(col("id") - half, lit(100L)) === 0L
+      spark.range(n).select(col("id"),
+        when(col("id") < half, array_join(fragToks(col("id")), " "))
+          .otherwise(array_join(concat(hostBase,
+            when(planted, fragToks(col("id") - half)).otherwise(filler)), " "))
+          .as("text"))
+    }
+
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val half = n / 2
+      val docs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val sh = Dedup.hashedShingles(docs, "id", "text", 3)
+      val pairs = Dedup.containmentPairs(sh, 0.9).localCheckpoint(true)
+      val t = (System.nanoTime() - t0) / 1e9
+      val nPairs = pairs.count()
+      val bad = pairs.where(col("doc_b") =!= col("doc_a") + half ||
+        pmod(col("doc_a"), lit(100L)) =!= 0L ||
+        col("containment") =!= 1.0).count()
+      println(f"SCALECONTAIN n=$n%8d pairs=$nPairs bad=$bad $t%6.1f s")
+      if (nPairs != half / 100 || bad != 0) {
+        println("SCALECONTAIN planted-pair mismatch"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALECONTAIN super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   private def hamming1m(): Unit = {
     import graft.ext.Similarity
     val spark = SparkSession.builder()
