@@ -32,6 +32,7 @@ object ScaleSmoke {
     if (args.headOption.contains("engage10m")) { engage10m(); return }
     if (args.headOption.contains("hamming1m")) { hamming1m(); return }
     if (args.headOption.contains("contain1m")) { contain1m(); return }
+    if (args.headOption.contains("phash200k")) { phash200k(); return }
     if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
@@ -824,6 +825,75 @@ object ScaleSmoke {
     * popcount ranking stay exact as the corpus grows — and (b) the wall
     * scales ~linearly: the scorer is ONE corpus pass over two packed
     * longs per row (the 64 floats never cross the join). */
+  /** Image perceptual-dedup scale tier (`runMain graft.ScaleSmoke
+    * phash200k`): 50k → 200k REAL PNG payloads (encode + ImageIO decode
+    * per image — the codec-bound regime an image corpus actually runs
+    * in), 1% planted brightness-shifted twins. phashPairs must recover
+    * exactly the planted set at hamming 0 (byte payloads all differ);
+    * wall tracks codec throughput and must stay ~linear — the pair
+    * search itself is band-bounded. */
+  private def phash200k(): Unit = {
+    import graft.ext.{Multimodal, MultimodalCodecs}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+
+    def synth(n: Long) = {
+      val half = n / 2
+      // upper-half id i+half shares lower-half id i's pattern when
+      // i % 50 == 0 (planted twin at a different brightness); everyone
+      // else gets their own pattern
+      spark.range(n)
+        .select(col("id"), when(col("id") >= half &&
+            pmod(col("id") - half, lit(50L)) === 0L, col("id") - half)
+          .otherwise(col("id")).as("pat"),
+          pmod(col("id"), lit(33L)).cast("int").as("bright"))
+        .repartition(col("id"))
+        .as[(Long, Long, Int)]
+        .mapPartitions(_.map { case (id, pat, bright) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.lang.Long.toString(pat).getBytes("UTF-8"))
+          (id, MultimodalCodecs.syntheticImage(seed, brightness = bright))
+        }).toDF("doc_id", "payload")
+    }
+
+    var failed = false
+    val walls = Seq(50000L, 200000L).map { n =>
+      val half = n / 2
+      val t0 = System.nanoTime()
+      val hashed = Multimodal.dHashes(synth(n), "doc_id", "payload")
+        .localCheckpoint(true)
+      val tCodec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pairs = Multimodal.phashPairs(hashed, maxHamming = 3)
+        .localCheckpoint(true)
+      val tPairs = (System.nanoTime() - t1) / 1e9
+      val nPairs = pairs.count()
+      val bad = pairs.where(col("doc_b") =!= col("doc_a") + half ||
+        pmod(col("doc_a"), lit(50L)) =!= 0L ||
+        col("hamming") =!= 0L).count()
+      println(f"SCALEPHASH n=$n%7d pairs=$nPairs bad=$bad codec=$tCodec%6.1f s " +
+        f"(${n / tCodec}%.0f img/s) pairs=$tPairs%5.1f s")
+      if (nPairs != half / 50 || bad != 0) {
+        println("SCALEPHASH planted-twin mismatch"); failed = true
+      }
+      tCodec + tPairs
+    }
+    if (walls(1) > 8 * walls(0) + 10) {
+      println(f"SCALEPHASH super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   /** Containment-join scale tier (`runMain graft.ScaleSmoke contain1m`):
     * lower half = 12-token fragments (globally unique token streams),
     * upper half = 20-token hosts; 1% of hosts embed their matching

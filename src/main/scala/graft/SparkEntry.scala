@@ -586,6 +586,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // per-series CUSUM changepoint — WHERE the level moved (z-score/MAD
+    // only say THAT outliers exist): argmax of the exact integer-scaled
+    // |n·S_k − k·S_n| (decimal running sums, no float before the
+    // decision), earliest-index ties
+    "ts_changepoint" -> ((s, dir) => {
+      graft.ext.CrossStats.cusumChangepoint(events(s, dir), "user_id",
+          "ts", "event_id", "value")
+        .select(col("series_key"), col("n"),
+          col("cp_idx").cast("long").as("cp_idx"),
+          EventOps.epochS(col("cp_ts")).as("cp_ts_s"),
+          r6(col("cusum_stat")).as("cusum_stat"))
+        .orderBy("series_key")
+    }),
+
     // per-series lag-1 autocorrelation (persistence / mean-reversion /
     // white-noise diagnostic): Pearson over consecutive-observation
     // pairs, event_id tie-break makes the sequence order total
@@ -1946,7 +1960,7 @@ object SparkEntry {
             brightness = (id % 33).toInt))
         }).toDF("doc_id", "payload")
       val hashed = graft.ext.Multimodal.dHashes(media, "doc_id", "payload")
-      sortSmall(graft.ext.Multimodal.phashPairs(hashed, maxHamming = 6),
+      sortSmall(graft.ext.Multimodal.phashPairs(hashed, maxHamming = 3),
         "doc_a", "doc_b")
     }),
 
@@ -2847,6 +2861,27 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical exact decimal running sums and integer-scaled argmax
+    "ts_changepoint" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+        |    SUM(CAST(value AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(CAST(value AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY user_id) AS sn
+        |  FROM events),
+        |t AS (SELECT user_id, ts, k, n, abs(n * sk - k * sn) AS stat,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(n * sk - k * sn) DESC, k) AS r
+        |  FROM s)
+        |SELECT CAST(user_id AS VARCHAR) AS series_key, n, CAST(k AS BIGINT) AS cp_idx,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS cp_ts_s,
+        |  floor((CAST(stat AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS cusum_stat
+        |FROM t WHERE r = 1 ORDER BY 1""".stripMargin,
 
     // identical lead pairing (ts, event_id total order), identical
     // decimal accumulators and scalar sequence

@@ -141,6 +141,41 @@ object CrossStats {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf1"))
   }
 
+  /** Per-series CUSUM changepoint: the index k maximizing
+    * |S_k − (k/n)·S_n| (the classic cumulative-sum mean-shift statistic)
+    * — WHERE the series' level moved, where z-score/MAD only say THAT
+    * outliers exist. The argmax decision runs entirely on the EXACT
+    * integer-scaled form |n·S_k − k·S_n| (running sums as DECIMAL(38,6),
+    * no float anywhere before the decision), so the chosen index is
+    * bit-stable across engines and partitionings; ties break to the
+    * earliest index. The reported statistic is the conventional
+    * normalized |S_k − (k/n)·S_n| = exact/n, one IEEE division + round.
+    *
+    * Shape: one per-series window (running sum + row number share ONE
+    * sort), a per-series total via the same-partition unbounded frame,
+    * one argmin-style row_number — the same per-series-window cost
+    * envelope interpolation already pays. */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val dec: Column => Column = c => c.cast(DecimalType(38, 6))
+    val scored = df
+      .withColumn("_k", row_number().over(wRun))
+      .withColumn("_sk", sum(dec(col(valCol))).over(wRun))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_sn", sum(dec(col(valCol))).over(wAll))
+      // exact integer-scaled statistic: no float before the argmax
+      .withColumn("_stat", abs(col("_n") * col("_sk") - col("_k") * col("_sn")))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_stat").desc, col("_k"))
+    scored.withColumn("_r", row_number().over(wPick)).where(col("_r") === 1)
+      .select(col(keyCol).cast("string").as("series_key"),
+        col("_n").as("n"), col("_k").as("cp_idx"), col(tsCol).as("cp_ts"),
+        (col("_stat").cast("double") / col("_n")).as("cusum_stat"))
+  }
+
   /** Per-series winsorization: clamp each observation into its series'
     * [pLo, pHi] exact interpolated-percentile band — the standard
     * heavy-tail taming step ahead of mean-based models (the robust

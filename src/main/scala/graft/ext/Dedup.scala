@@ -563,7 +563,7 @@ object Dedup {
       maxDist, nBlocks)
 
   /** Shared banding+verify tail: `sim` is a (doc, simhash) frame. */
-  private def dupPairsFromSim(sim: DataFrame, maxDist: Int,
+  private[ext] def dupPairsFromSim(sim: DataFrame, maxDist: Int,
       nBlocks: Int): DataFrame = {
     val banded = simhashBands(sim, maxDist, nBlocks)
     val cand = banded.as("a").join(banded.as("b"),

@@ -127,35 +127,26 @@ object Multimodal {
   }
 
   /** Image near-dup pairs over a (doc_id, dhash) frame: hamming(dHash) ≤
-    * `maxHamming`, found WITHOUT an all-pairs scan — the 64-bit hash
-    * splits into 8 byte-bands; by pigeonhole any pair within hamming ≤ 7
-    * collides on at least one whole band, so candidates come from an
-    * equi-join on (band, bandValue) — the same Manku-style banding the
-    * simhash text path uses — and only candidates pay the popcount
-    * verify. Emits (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def phashPairs(hashedIn: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming <= 7, "8-band pigeonhole guarantees recall only to hamming 7")
+    * `maxHamming`, found WITHOUT an all-pairs scan — the same Manku
+    * COMBINATION banding the simhash text path uses ([[Dedup.simhashBands]]:
+    * 6 blocks, join keys = hashes of every (6−maxHamming)-block
+    * combination, pigeonhole guarantees recall), so bucket space is ~2³²
+    * and candidate volume stays collision-bounded out to ~10⁹ images —
+    * a first cut of plain 8-bit byte-bands put 200k docs into 256
+    * buckets per band and went quadratic (measured 414 s at 200k; the
+    * combination banding replays the planted set in seconds). Only
+    * candidates pay the popcount verify. Emits (doc_a, doc_b, hamming),
+    * doc_a < doc_b. */
+  def phashPairs(hashedIn: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 6): DataFrame = {
     // both sides of the band self-join read this frame — cache the two
     // fixed-width columns so the (codec-bound) upstream runs ONCE
     val hashed = hashedIn.cache()
-    val bands = hashed.where(col("dhash").isNotNull)
-      .select(col("doc_id"), col("dhash"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            (shiftright(col("dhash"), b * 8).bitwiseAND(lit(0xffL)))
-              .as("bv"))): _*)).as("x"))
-      .select(col("doc_id"), col("dhash"),
-        col("x.band").as("band"), col("x.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val sim = hashed.where(col("dhash").isNotNull)
+      .select(col("doc_id").as("doc"), col("dhash").as("simhash"))
+    Dedup.dupPairsFromSim(sim, maxHamming, nBlocks)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("hamming"))
   }
 
   case class FrameRow(doc_id: Long, frame_idx: Int, offset_ms: Long,

@@ -1528,6 +1528,28 @@ class ExtSpec extends SparkSpec {
     assert(run(df.repartition(7)).toSeq == out.toSeq)
   }
 
+  test("cusumChangepoint lands on the planted level shift; flat series picks earliest tie") {
+    import graft.ext.CrossStats
+    // series a: 10 points at 1.0 then 10 at 5.0 → the statistic peaks at
+    // k=10 (the last pre-shift index); series b flat → all |n·Sk − k·Sn|
+    // are 0, tie resolves to k=1
+    val rows = (1 to 20).map(i =>
+        ("a", i.toLong, i.toLong, if (i <= 10) 1.0 else 5.0)) ++
+      (1 to 6).map(i => ("b", i.toLong, i.toLong, 2.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CrossStats.cusumChangepoint(d, "user_id", "ts", "event_id", "value")
+        .orderBy("series_key")
+        .select(col("series_key"), col("n"), col("cp_idx"),
+          round(col("cusum_stat"), 6).as("st"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3)))
+    val out = run(df)
+    // a at k=10: |20·10 − 10·60| / 20 = 400/20 = 20
+    assert(out.toSeq == Seq(("a", 20L, 10, 20.0), ("b", 6L, 1, 0.0)))
+    assert(run(df.repartition(7)).toSeq == out.toSeq)
+  }
+
   test("bigramNll scores word-salad above repeated-phrase text; partition-invariant") {
     import graft.ext.TextAnalysis
     // both docs share the SAME unigrams — only the bigram structure

@@ -241,7 +241,7 @@ class MultimodalSpec extends SparkSpec {
     val hashed = Multimodal.dHashes(
       Seq((1L, orig), (2L, small), (3L, other)).toDF("doc_id", "payload"),
       "doc_id", "payload")
-    val pairs = Multimodal.phashPairs(hashed, maxHamming = 6)
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
