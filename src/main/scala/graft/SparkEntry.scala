@@ -1876,6 +1876,56 @@ object SparkEntry {
 
     // Gopher-style 2-gram repetition filters (top-gram share, duplicate
     // share) — the pre-training curation signal, exact-count arithmetic
+    // langid CONFUSION audit (labeled lang × predicted lang): the
+    // classifier-drift telemetry a curation pipeline tracks per batch —
+    // one join + one tiny aggregate over the already-row-local langid
+    "text_lang_confusion" -> ((s, dir) => {
+      val pred = TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // corpus length-distribution telemetry: token-length histogram per
+    // lang in fixed 100-token buckets — one row-local projection + one
+    // combinable aggregate (the shape any corpus-stats dashboard needs)
+    "doc_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("_n"),
+          col("n_chars"))
+        .groupBy(col("lang"), (col("_n") - pmod(col("_n"), lit(100L)))
+          .as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"),
+          r6(sum(col("n_chars").cast(DecimalType(27, 8))).cast("double") /
+            count(lit(1))).as("mean_chars"))
+        .orderBy("lang", "len_bucket")
+    }),
+
+    // snapshot UPSERT/MERGE (compaction): latest-version-wins merge of a
+    // delta batch (revised + brand-new docs) into the base snapshot —
+    // the SCD/compaction primitive an incremental corpus pipeline runs
+    // per ingest cycle. Keyed window (no global sort); content pinned
+    // via md5 so the oracle audits the merged TEXT, not just row counts.
+    "doc_upsert_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.withColumn("version", lit(1L))
+      val revised = docs.where(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+          lit(2L).as("version"))
+      val fresh = docs.where(col("doc_id") % 20 === 11)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+          lit(2L).as("version"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("version").desc)
+      sortBig(base.unionByName(revised).unionByName(fresh)
+        .withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+        .select(col("doc_id"), col("version"), md5(col("text")).as("content_md5")),
+        "doc_id")
+    }),
+
     // bigram conditional NLL (second-order LM quality score): word-salad
     // scores high even when its unigrams are common — the failure mode
     // text_unigram_nll cannot see; same skew-split token-mass join
@@ -4449,6 +4499,39 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // confusion over the SAME stopword-hit langid the text_langid oracle
+    // declares
+    "text_lang_confusion" ->
+      s"""WITH pred AS ($LangIdOracle)
+         |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical 100-token buckets, exact-decimal char mean
+    "doc_length_histogram" ->
+      """SELECT lang,
+        |  CAST(len(string_split(text, ' ')) -
+        |    len(string_split(text, ' ')) % 100 AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  floor(CAST(SUM(CAST(n_chars AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS mean_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical latest-version-wins merge; md5 pins the merged text
+    "doc_upsert_merge" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, text, 1 AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [rev2]', 2 FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 2 FROM documents WHERE doc_id % 20 = 11),
+        |r AS (SELECT doc_id, version, text,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |  FROM all_rows)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS content_md5
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // identical bigram stream, count frames, 6-dp contribution rounds,
     // exact-decimal sum, one final division
