@@ -1876,6 +1876,19 @@ object SparkEntry {
 
     // Gopher-style 2-gram repetition filters (top-gram share, duplicate
     // share) — the pre-training curation signal, exact-count arithmetic
+    // FOREIGN-LM quality scoring (the real CCNet shape): every doc
+    // scored against a bigram LM counted from the TRUSTED subset
+    // (lang='en'), stupid backoff on unseen bigrams — OOV is a live
+    // path, unlike the self-scored text_bigram_nll; oov_frac is the
+    // companion filter signal
+    "text_lm_score" -> ((s, dir) => {
+      sortBig(TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("nll"),
+          col("oov_frac")),
+        "doc_id")
+    }),
+
     // langid CONFUSION audit (labeled lang × predicted lang): the
     // classifier-drift telemetry a curation pipeline tracks per batch —
     // one join + one tiny aggregate over the already-row-local langid
@@ -4499,6 +4512,40 @@ object SparkEntry {
         |       for t in string_split(text, ' ')]),
         |    (acc, x) -> (acc * 31 + x) % 1000000000000037) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical LM counts from the en subset, identical backoff formula
+    // and 6-dp contribution discipline
+    "text_lm_score" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    unnest([{'prev': w[i], 'big': w[i] || ' ' || w[i+1], 'cur': w[i+1]}
+        |            for i in generate_series(1, len(w) - 1)]) AS x
+        |  FROM toks),
+        |tf AS (SELECT doc_id, x.prev AS prev, x.big AS big, x.cur AS cur,
+        |         COUNT(*) AS tf
+        |       FROM g GROUP BY 1, 2, 3, 4),
+        |c2 AS (SELECT x.big AS big, COUNT(*) AS c2 FROM g
+        |       WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT x.prev AS prev, COUNT(*) AS c1 FROM g
+        |       WHERE lang = 'en' GROUP BY 1),
+        |u AS (SELECT cur, COUNT(*) AS u FROM
+        |        (SELECT unnest(w) AS cur FROM toks WHERE lang = 'en')
+        |      GROUP BY 1),
+        |n AS (SELECT SUM(u) AS n_lm FROM u),
+        |cost AS (SELECT t.big,
+        |    CASE WHEN c2.c2 IS NOT NULL THEN ln(c1.c1::DOUBLE / c2.c2)
+        |         ELSE ln((n.n_lm + 1)::DOUBLE / (0.4 * (COALESCE(u.u, 0) + 1)))
+        |    END AS cost,
+        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM (SELECT DISTINCT prev, big, cur FROM tf) t
+        |  LEFT JOIN c2 USING (big) LEFT JOIN c1 USING (prev)
+        |  LEFT JOIN u USING (cur) CROSS JOIN n)
+        |SELECT tf.doc_id AS doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(round(tf.tf * cost.cost, 6) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / SUM(tf.tf), 6) AS nll,
+        |  round(CAST(SUM(tf.tf * cost.oov) AS DOUBLE) / SUM(tf.tf), 6) AS oov_frac
+        |FROM tf JOIN cost USING (big)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // confusion over the SAME stopword-hit langid the text_langid oracle
     // declares

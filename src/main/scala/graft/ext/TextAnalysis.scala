@@ -412,6 +412,70 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 6).as("nll"))
   }
 
+  /** FOREIGN-LM bigram scoring with stupid backoff — the real CCNet
+    * shape: the LM counts come from a TRUSTED subset (`lmPred` rows),
+    * and every document is scored against them, so unseen bigrams are a
+    * live code path (unlike [[bigramNll]]'s self-scoring where every
+    * observed bigram has count ≥ 1). Per-token cost:
+    * −ln(c2/c1) when the LM saw the bigram, else the stupid-backoff
+    * −ln(0.4·(u+1)/(N+1)) on the continuation's unigram count (add-one
+    * for full OOV). Also emits `oov_frac` (backoff token share) — the
+    * companion filter signal. Float discipline ≡ [[unigramNll]].
+    *
+    * Scale shape: all LM lookups happen on the TYPE level — the scored
+    * corpus' DISTINCT (prev, big, cur) frame left-joins the LM count
+    * frames, so hot tokens are single rows there, no mass skew; the one
+    * token-mass join (tf ⋈ per-big cost) is skew-split with the same
+    * `headGrams` broadcast-head as unigramNll/bigramNll. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      lmPred: Column, headGrams: Int = 4096): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val base = df.select(col(idCol).as("doc"), lmPred.as("_lm"),
+      tokens(col(textCol)).as("_tk"))
+    def grams(d: DataFrame) = d.select(col("doc"), explode(expr(
+        "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
+          " (w, i) -> struct(w AS prev," +
+          " concat(w, ' ', element_at(_tk, i + 2)) AS big," +
+          " element_at(_tk, i + 2) AS cur))")).as("x"))
+      .select(col("doc"), col("x.prev").as("prev"), col("x.big").as("big"),
+        col("x.cur").as("cur"))
+    val tf = grams(base).groupBy(col("doc"), col("prev"), col("big"),
+      col("cur")).agg(count(lit(1)).as("tf"))
+    val lm = grams(base.where(col("_lm")))
+    val c2 = lm.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val c1 = lm.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val u = base.where(col("_lm"))
+      .select(explode(col("_tk")).as("cur"))
+      .groupBy(col("cur")).agg(count(lit(1)).as("u"))
+    val n = u.agg(sum(col("u")).as("n_lm"))
+    val cost = tf.select(col("prev"), col("big"), col("cur")).distinct()
+      .join(c2, Seq("big"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(u, Seq("cur"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("big"),
+        when(col("c2").isNotNull,
+          log(col("c1").cast("double") / col("c2")))
+          .otherwise(log((col("n_lm") + 1).cast("double") /
+            (lit(0.4) * (coalesce(col("u"), lit(0L)) + 1)))).as("cost"),
+        col("c2").isNull.cast("long").as("oov"))
+    val mass = tf.groupBy(col("big")).agg(sum(col("tf")).as("_m"))
+    val head = mass.orderBy(col("_m").desc, col("big")).limit(headGrams)
+      .select(col("big")).join(cost, "big")
+    val hot = tf.join(broadcast(head), Seq("big"))
+    val tail = tf.join(broadcast(head.select(col("big"))), Seq("big"), "left_anti")
+      .join(cost, Seq("big"))
+    hot.select(col("doc"), col("tf"), col("cost"), col("oov"))
+      .unionByName(tail.select(col("doc"), col("tf"), col("cost"), col("oov")))
+      .withColumn("_contrib", round(col("tf") * col("cost"), 6).cast(dec6))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("_contrib")).cast("double") /
+          sum(col("tf")).cast("double"), 6).as("nll"),
+        round(sum(col("tf") * col("oov")).cast("double") /
+          sum(col("tf")).cast("double"), 6).as("oov_frac"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 split each
     * language's corpus into head/middle/tail by LM-score terciles before
     * training-data selection): per-stratum EXACT interpolated tercile

@@ -1573,6 +1573,25 @@ class ExtSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("lmScore: known bigrams cost ln(c1/c2), OOV takes the backoff, oov_frac honest") {
+    import graft.ext.TextAnalysis
+    // LM = doc 1 ("a b a b a b"): c2(ab)=3, c2(ba)=2, c1(a)=3, c1(b)=2,
+    // N=6. doc 2's bigrams are all known at probability 1 → nll 0;
+    // doc 3 is fully OOV → every token costs ln((6+1)/(0.4·1)) = ln 17.5
+    val d = Seq((1L, "a b a b a b", true), (2L, "a b a b", false),
+      (3L, "x y x y", false)).toDF("doc_id", "text", "is_lm")
+    val out = TextAnalysis.lmScore(d, "doc_id", "text", col("is_lm"))
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ln175 = math.floor(math.log(17.5) * 1e6 + 0.5) / 1e6 // 2.862201
+    assert(out.toSeq == Seq((1L, 5L, 0.0, 0.0), (2L, 3L, 0.0, 0.0),
+      (3L, 3L, ln175, 1.0)), s"got ${out.toSeq}")
+    val rep = TextAnalysis.lmScore(d.repartition(5), "doc_id", "text",
+        col("is_lm")).orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("containmentPairs finds the planted fragment-in-host pair Jaccard misses") {
     import graft.ext.Dedup
     // doc 1 is a 12-word fragment; doc 2 embeds it verbatim inside 28
