@@ -769,6 +769,34 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q3 (shipping priority): the canonical 3-way selective join —
+    // filters push to all three scans, the pruned customer key set
+    // broadcasts, lineitem (the fact) never shuffles before its
+    // aggregate, and the top-10 is a TakeOrdered, not a global sort.
+    // Revenue sums are exact decimals of the row-local double product
+    // (engine-identical), so the top-k cut is deterministic.
+    "rel_q3_shipping" -> ((s, dir) => {
+      val cut = lit("1995-03-15").cast("date")
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .as("orderdate"), col("o_orderpriority").as("priority"), col("revenue"))
+    }),
+
     // broadcast-join chain + aggregate (orders ⋈ customer ⋈ nation)
     "rel_revenue_by_nation" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -2141,6 +2169,57 @@ object SparkEntry {
         r6(col("mean_value")).as("mean_value")), "event_type", "win_start")
     }),
 
+    // STREAMING foreign-LM scoring — the production shape: incoming docs
+    // score against a FROZEN LM (static count frames from the trusted
+    // batch subset). Row-local gram explode → two stateless
+    // stream-static joins → ONE streaming aggregate per doc (streaming
+    // allows a single stateful agg, so contributions round
+    // PER-OCCURRENCE — the oracle declares exactly that form).
+    "stream_lm_score" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dec6 = DecimalType(38, 6)
+      def grams(d: DataFrame) = d.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
+            " (w, i) -> struct(w AS prev," +
+            " concat(w, ' ', element_at(_tk, i + 2)) AS big," +
+            " element_at(_tk, i + 2) AS cur))")).as("x"))
+        .select(col("doc_id"), col("x.prev").as("prev"),
+          col("x.big").as("big"), col("x.cur").as("cur"))
+      val lmDocs = t(s, dir, "documents").where(col("lang") === "en")
+      val lmG = grams(lmDocs)
+      val known = lmG.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+        .join(lmG.groupBy(col("prev")).agg(count(lit(1)).as("c1")),
+          expr("split(big, ' ')[0] = prev"))
+        .select(col("big"),
+          log(col("c1").cast("double") / col("c2")).as("known_cost"))
+        .cache()
+      val uF = lmDocs.select(explode(TextAnalysis.tokens(col("text"))).as("cur"))
+        .groupBy(col("cur")).agg(count(lit(1)).as("u")).cache()
+      val nLm = uF.agg(sum(col("u"))).collect()(0).getLong(0)
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_lm_result",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        grams(st)
+          .join(known, Seq("big"), "left")
+          .join(uF, Seq("cur"), "left")
+          .select(col("doc_id"),
+            when(col("known_cost").isNotNull, col("known_cost"))
+              .otherwise(log(lit(nLm + 1).cast("double") /
+                (lit(0.4) * (coalesce(col("u"), lit(0L)) + 1)))).as("cost"),
+            col("known_cost").isNull.cast("long").as("oov"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(round(col("cost"), 6).cast(dec6)).as("_c"),
+            sum(col("oov")).as("_o"))
+      }
+      sortBig(res.select(col("doc_id"), col("n_bigrams"),
+        r6(col("_c").cast("double") / col("n_bigrams")).as("nll"),
+        r6(col("_o").cast("double") / col("n_bigrams")).as("oov_frac")),
+        "doc_id")
+    }),
+
     // stream-stream interval join: signups and purchases replay as TWO
     // independent streams through the symmetric-hash-join operator with
     // per-side watermark state, matched on user within a 7-day
@@ -3362,6 +3441,22 @@ object SparkEntry {
         |  floor(CAST(mov AS DOUBLE) / nd * 1000000.0 + 0.5) / 1000000.0 AS avg_rev_7d
         |FROM w ORDER BY 1, 2""".stripMargin,
 
+    // identical filters, exact-decimal revenue, rounded-value top-10 cut
+    "rel_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority AS priority,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
     "rel_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
@@ -3430,6 +3525,37 @@ object SparkEntry {
          |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same frozen-LM lookups; contributions round per OCCURRENCE (the
+    // single-streaming-aggregate form)
+    "stream_lm_score" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |    unnest([{'prev': w[i], 'big': w[i] || ' ' || w[i+1], 'cur': w[i+1]}
+        |            for i in generate_series(1, len(w) - 1)]) AS x
+        |  FROM toks),
+        |c2 AS (SELECT x.big AS big, COUNT(*) AS c2 FROM g
+        |       WHERE lang = 'en' GROUP BY 1),
+        |c1 AS (SELECT x.prev AS prev, COUNT(*) AS c1 FROM g
+        |       WHERE lang = 'en' GROUP BY 1),
+        |u AS (SELECT cur, COUNT(*) AS u FROM
+        |        (SELECT unnest(w) AS cur FROM toks WHERE lang = 'en')
+        |      GROUP BY 1),
+        |n AS (SELECT SUM(u) AS n_lm FROM u),
+        |occ AS (SELECT g.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL THEN ln(c1.c1::DOUBLE / c2.c2)
+        |         ELSE ln((n.n_lm + 1)::DOUBLE / (0.4 * (COALESCE(u.u, 0) + 1)))
+        |    END AS cost,
+        |    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM g LEFT JOIN c2 ON g.x.big = c2.big
+        |  LEFT JOIN c1 ON g.x.prev = c1.prev
+        |  LEFT JOIN u ON g.x.cur = u.cur CROSS JOIN n)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  floor(CAST(SUM(CAST(round(cost, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+        |  floor(CAST(SUM(oov) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS oov_frac
+        |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // sliding windows ≡ two shifted tumbling buckets per event (2 h / 1 h)
     "stream_sliding_rollup" ->
