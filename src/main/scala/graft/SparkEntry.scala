@@ -132,6 +132,11 @@ object SparkEntry {
   private val dedupSinkPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of streaming-file-sink materializations
+    * (stream_sink_rollup): checkpointed foreachBatch parquet output. */
+  private val streamSinkPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of materialized CURATED corpora (doc_curate_sink):
     * quality filter → language filter → repetition filter → near-dup
     * keep-join → lang-partitioned write, once per (JVM, sf dir). */
@@ -2169,6 +2174,45 @@ object SparkEntry {
         r6(col("mean_value")).as("mean_value")), "event_type", "win_start")
     }),
 
+    // STREAMING FILE SINK (checkpointed foreachBatch materialization):
+    // the Complete-mode rollup lands as event_type-partitioned parquet —
+    // each committed micro-batch rewrites the directory exactly-once
+    // under the checkpoint, the last committed batch owns the files, and
+    // the declared query AUDITS THE FILES ON DISK (read back, not the
+    // in-memory result) against the batch oracle.
+    "stream_sink_rollup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = streamSinkPath.getOrElseUpdate(dir, {
+        val p = "/tmp/graft_stream_sink_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val cp = p + "_ckpt"
+        // deterministic rebuild per JVM: a stale checkpoint would mark
+        // the source processed and never fire the batch
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(cp)); rm(new java.io.File(p))
+        graft.streaming.StreamingDedup.replayForeachBatch(
+          s, s"$dir/events.parquet", cp,
+          org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+          Observations.normalizeEventTs(st)
+            .groupBy(col("event_type"),
+              window(col("ts"), "10800 seconds").as("_w"))
+            .agg(count(lit(1)).as("n_events"),
+              Resample.detMean(col("value")).as("mean_value"))
+            .select(col("event_type"), col("_w").getField("start").as("ws"),
+              col("n_events"), col("mean_value"))
+        } { (batch, _) =>
+          batch.write.mode("overwrite").partitionBy("event_type").parquet(p)
+        }
+        p
+      })
+      sortSmall(s.read.parquet(path)
+        .select(col("event_type"), fmtTs(col("ws")).as("bucket_ts"),
+          col("n_events"), r6(col("mean_value")).as("mean_value")),
+        "event_type", "bucket_ts")
+    }),
+
     // STREAMING foreign-LM scoring — the production shape: incoming docs
     // score against a FROZEN LM (static count frames from the trusted
     // batch subset). Row-local gram explode → two stateless
@@ -3525,6 +3569,14 @@ object SparkEntry {
          |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the disk contents must equal the direct batch rollup
+    "stream_sink_rollup" ->
+      s"""SELECT event_type,
+         |  strftime(time_bucket(INTERVAL '10800 seconds', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         |  COUNT(*) AS n_events,
+         |  floor(($DetMeanSql) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same frozen-LM lookups; contributions round per OCCURRENCE (the
     // single-streaming-aggregate form)

@@ -417,4 +417,44 @@ object StreamingDedup {
     }
     spark.table(queryName)
   }
+
+  /** Bounded replay into a `foreachBatch` FILE materialization — the
+    * production pattern for landing a Complete-mode streaming rollup as
+    * files: each committed micro-batch rewrites the directory, the
+    * checkpoint makes the commit exactly-once (a crashed batch replays,
+    * a committed one never re-fires), and the LAST committed batch owns
+    * the final contents. Same replay/session-conf discipline as
+    * [[replayDocs]]. */
+  def replayForeachBatch(spark: SparkSession, parquetPath: String,
+      checkpoint: String, outputMode: OutputMode)
+      (probe: DataFrame => DataFrame)
+      (write: (DataFrame, Long) => Unit): Unit = {
+    val schema = cachedSchema(spark, parquetPath)
+    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
+    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileName).parquet(dir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val qr = probe(stream).writeStream
+        .outputMode(outputMode)
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }
