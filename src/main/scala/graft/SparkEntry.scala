@@ -2052,7 +2052,11 @@ object SparkEntry {
         .mapPartitions(_.map { case (id, text) =>
           val seed = java.security.MessageDigest.getInstance("MD5")
             .digest(text.getBytes("UTF-8"))
-          (id, graft.ext.MultimodalCodecs.syntheticImage(seed,
+          // 18×16 payloads: the fixture-synthesis cost (PNG encode) is
+          // NOT the operator under test — keep it small so the timed
+          // number tracks decode+hash+banding; phash200k carries the
+          // full-size codec-throughput evidence
+          (id, graft.ext.MultimodalCodecs.syntheticImage(seed, w = 18, h = 16,
             brightness = (id % 33).toInt))
         }).toDF("doc_id", "payload")
       val hashed = graft.ext.Multimodal.dHashes(media, "doc_id", "payload")
