@@ -377,6 +377,11 @@ object MultimodalCodecs {
   def videoFrameCount(b: Array[Byte]): Option[Long] =
     mp4Meta(b).map(_._2)
 
+  // All payloads are in-memory byte arrays: ImageIO's default FILE-backed
+  // stream cache writes a temp file per read/write — pure /tmp churn here
+  // (and the dominant variance in codec-bound timings). Disable once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
     catch { case _: Exception => None }
