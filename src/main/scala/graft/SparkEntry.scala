@@ -2064,6 +2064,32 @@ object SparkEntry {
         "doc_a", "doc_b")
     }),
 
+    // AUDIO fingerprint near-dup pairs (content-level audio dedup): the
+    // gain-invariant RMS-delta-sign fingerprint over REAL decoded PCM
+    // (javax.sound), same Manku-banded hamming search as the image path.
+    // Planted twins render the SAME seed at a power-of-two gain apart —
+    // byte-different WAV files (sha256 differs), identical fingerprints.
+    "multimodal_audio_fp_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = docs.unionByName(copies)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          (id, graft.ext.MultimodalCodecs.syntheticWav(seed,
+            gainShift = if (id >= 1000000L) 1 else 0))
+        }).toDF("doc_id", "payload")
+      val fps = graft.ext.Multimodal.audioFps(media, "doc_id", "payload")
+      sortSmall(graft.ext.Multimodal.phashPairs(fps, maxHamming = 3),
+        "doc_a", "doc_b")
+    }),
+
     // E6/E7/E8 persistence round trip: pipeline → save (parquet + JSON
     // catalog) → load → query the reloaded data; matching the oracle's
     // direct computation proves data fidelity through the sink
@@ -4837,6 +4863,19 @@ object SparkEntry {
     // same pattern ⇒ dHash equal (hamming 0) despite byte-different
     // payloads; different md5 ⇒ independent patterns, far beyond 6 bits
     "multimodal_phash_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents
+        |           WHERE doc_id % 20 = 7),
+        |t AS (SELECT doc_id, md5(text) AS m FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM t a JOIN t b ON a.m = b.m AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same planted set as the image path: twins are the gain-shifted
+    // renders, content-equal ⇒ hamming 0
+    "multimodal_audio_fp_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           UNION ALL
         |           SELECT doc_id + 1000000, text FROM documents

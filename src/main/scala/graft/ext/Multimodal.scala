@@ -126,6 +126,21 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** Gain-invariant audio fingerprint per payload (null for non-WAV) —
+    * [[MultimodalCodecs.audioFp64]] through the same partition-local
+    * batch shape as [[dHashes]]; feed the result to [[phashPairs]] (the
+    * banded hamming search is fingerprint-agnostic). */
+  def audioFps(df: DataFrame, idCol: String, payloadCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, MultimodalCodecs.audioFp64(payload))
+      })
+      .toDF("doc_id", "dhash")
+  }
+
   /** Image near-dup pairs over a (doc_id, dhash) frame: hamming(dHash) ≤
     * `maxHamming`, found WITHOUT an all-pairs scan — the same Manku
     * COMBINATION banding the simhash text path uses ([[Dedup.simhashBands]]:
@@ -548,6 +563,63 @@ object MultimodalCodecs {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit audio fingerprint: the sign of each delta between 65
+    * consecutive RMS-energy windows of the decoded PCM — the standard
+    * energy-contour fingerprint for audio near-dup detection. EXACTLY
+    * invariant under power-of-two gain (all the float ops — x/32768,
+    * x², the sum fold, sqrt — scale by exact powers of two, so every
+    * window RMS scales exactly and no sign flips), while the payload
+    * bytes (and sha256) change: the audio twin of [[dHash64]]'s
+    * brightness invariance. None for non-WAV payloads. */
+  def audioFp64(b: Array[Byte]): Option[Long] =
+    wavSamples(b).map { samples =>
+      val w = rmsWindows(samples, 65)
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (w(i + 1) > w(i)) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+  /** Deterministic procedural WAV (mono 16-bit PCM, 8 kHz) from a seed —
+    * the audio-corpus stand-in (same role as [[syntheticImage]]).
+    * Samples are splitmix64 noise in [−4096, 4095] shifted LEFT by
+    * `gainShift` (power-of-two gain, exact in int16 up to shift 2), so
+    * two renders of the same seed at different gains are byte-different
+    * files with identical [[audioFp64]] fingerprints. */
+  def syntheticWav(seed: Array[Byte], nSamples: Int = 6600,
+      gainShift: Int = 0): Array[Byte] = {
+    require(gainShift >= 0 && gainShift <= 2, "gainShift in [0, 2]")
+    var s0 = 0L
+    var i = 0
+    while (i < seed.length) { s0 = s0 * 31 + (seed(i) & 0xff); i += 1 }
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val pcm = new Array[Short](nSamples)
+    i = 0
+    while (i < nSamples) {
+      val base = ((mix(s0 + i) & 0x1fffL) - 4096L).toInt
+      pcm(i) = (base << gainShift).toShort
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pcm.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

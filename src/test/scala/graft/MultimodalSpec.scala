@@ -245,4 +245,29 @@ class MultimodalSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("audioFp64 is exactly gain-invariant, byte-sensitive, far for unrelated audio") {
+    val seedA = java.security.MessageDigest.getInstance("MD5")
+      .digest("track A".getBytes("UTF-8"))
+    val seedB = java.security.MessageDigest.getInstance("MD5")
+      .digest("a different track".getBytes("UTF-8"))
+    val quiet = MultimodalCodecs.syntheticWav(seedA, gainShift = 0)
+    val loud = MultimodalCodecs.syntheticWav(seedA, gainShift = 1)
+    val other = MultimodalCodecs.syntheticWav(seedB, gainShift = 0)
+    assert(!java.util.Arrays.equals(quiet, loud)) // sha-level dedup misses it
+    val (fq, fl, fo) = (MultimodalCodecs.audioFp64(quiet).get,
+      MultimodalCodecs.audioFp64(loud).get, MultimodalCodecs.audioFp64(other).get)
+    assert(fq == fl, "power-of-two gain must not flip any RMS-delta sign")
+    assert(java.lang.Long.bitCount(fq ^ fo) > 12,
+      s"unrelated hamming ${java.lang.Long.bitCount(fq ^ fo)}")
+    assert(MultimodalCodecs.audioFp64(pngBytes(4, 4, 0)).isEmpty)
+    // end-to-end: the banded pair search finds exactly the gain twin
+    import spark.implicits._
+    val fps = Multimodal.audioFps(
+      Seq((1L, quiet), (2L, loud), (3L, other)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    val pairs2 = Multimodal.phashPairs(fps, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((1L, 2L)), s"got $pairs2")
+  }
 }
