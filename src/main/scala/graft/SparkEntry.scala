@@ -591,6 +591,45 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // RFM segmentation (recency / frequency / monetary quintiles): the
+    // classic behavioral-scoring rollup. One per-user aggregate; the
+    // quintile CUTOFFS are exact interpolated percentiles over the
+    // per-user frame (tiny — O(users)) rounded 6 dp and broadcast back,
+    // so membership is a row-local threshold CASE — no per-segment
+    // ntile sort of the corpus, and the scores are engine-portable.
+    // All three scores are quintile indexes by ASCENDING value.
+    "event_rfm" -> ((s, dir) => {
+      val e = events(s, dir)
+      val perUser = e.groupBy(col("user_id").cast("string").as("series_key"))
+        .agg(max(EventOps.epochS(col("ts"))).as("last_s"),
+          count(lit(1)).as("freq"),
+          r6(sum(col("value").cast(DecimalType(27, 8))).cast("double"))
+            .as("monetary"))
+      val refTs = e.agg(max(EventOps.epochS(col("ts"))).as("_ref"))
+      val rfm = perUser.crossJoin(broadcast(refTs))
+        .withColumn("recency_days",
+          ((col("_ref") - col("last_s")) - pmod(col("_ref") - col("last_s"),
+            lit(86400L))) / lit(86400L))
+        .withColumn("recency_days", col("recency_days").cast("long"))
+      def cuts(c: String) = rfm.agg(
+        r6(expr(s"percentile($c, 0.2)")).as(s"${c}_20"),
+        r6(expr(s"percentile($c, 0.4)")).as(s"${c}_40"),
+        r6(expr(s"percentile($c, 0.6)")).as(s"${c}_60"),
+        r6(expr(s"percentile($c, 0.8)")).as(s"${c}_80"))
+      def score(c: String) =
+        (lit(1L) + (col(c) > col(s"${c}_20")).cast("long") +
+          (col(c) > col(s"${c}_40")).cast("long") +
+          (col(c) > col(s"${c}_60")).cast("long") +
+          (col(c) > col(s"${c}_80")).cast("long")).as(s"${c.take(1)}_score")
+      rfm.crossJoin(broadcast(cuts("recency_days")))
+        .crossJoin(broadcast(cuts("freq")))
+        .crossJoin(broadcast(cuts("monetary")))
+        .select(col("series_key"), col("recency_days"), col("freq"),
+          col("monetary"), score("recency_days"), score("freq"),
+          score("monetary"))
+        .orderBy("series_key")
+    }),
+
     // per-series CUSUM changepoint — WHERE the level moved (z-score/MAD
     // only say THAT outliers exist): argmax of the exact integer-scaled
     // |n·S_k − k·S_n| (decimal running sums, no float before the
@@ -3077,6 +3116,47 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical per-user rollup, identical 6-dp quantile_cont cutoffs,
+    // identical ascending-quintile threshold CASEs
+    "event_rfm" ->
+      """WITH pu AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS series_key,
+        |    MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+        |    COUNT(*) AS freq,
+        |    floor(CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS monetary
+        |  FROM events GROUP BY 1),
+        |ref AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS r FROM events),
+        |rfm AS (SELECT series_key,
+        |    CAST(((ref.r - last_s) - (ref.r - last_s) % 86400) / 86400 AS BIGINT)
+        |      AS recency_days,
+        |    freq, monetary
+        |  FROM pu CROSS JOIN ref),
+        |c AS (SELECT
+        |    floor(quantile_cont(recency_days, 0.2) * 1000000.0 + 0.5) / 1000000.0 AS r20,
+        |    floor(quantile_cont(recency_days, 0.4) * 1000000.0 + 0.5) / 1000000.0 AS r40,
+        |    floor(quantile_cont(recency_days, 0.6) * 1000000.0 + 0.5) / 1000000.0 AS r60,
+        |    floor(quantile_cont(recency_days, 0.8) * 1000000.0 + 0.5) / 1000000.0 AS r80,
+        |    floor(quantile_cont(freq, 0.2) * 1000000.0 + 0.5) / 1000000.0 AS f20,
+        |    floor(quantile_cont(freq, 0.4) * 1000000.0 + 0.5) / 1000000.0 AS f40,
+        |    floor(quantile_cont(freq, 0.6) * 1000000.0 + 0.5) / 1000000.0 AS f60,
+        |    floor(quantile_cont(freq, 0.8) * 1000000.0 + 0.5) / 1000000.0 AS f80,
+        |    floor(quantile_cont(monetary, 0.2) * 1000000.0 + 0.5) / 1000000.0 AS m20,
+        |    floor(quantile_cont(monetary, 0.4) * 1000000.0 + 0.5) / 1000000.0 AS m40,
+        |    floor(quantile_cont(monetary, 0.6) * 1000000.0 + 0.5) / 1000000.0 AS m60,
+        |    floor(quantile_cont(monetary, 0.8) * 1000000.0 + 0.5) / 1000000.0 AS m80
+        |  FROM rfm)
+        |SELECT series_key, recency_days, freq, monetary,
+        |  1 + CAST(recency_days > r20 AS BIGINT) + CAST(recency_days > r40 AS BIGINT)
+        |    + CAST(recency_days > r60 AS BIGINT) + CAST(recency_days > r80 AS BIGINT)
+        |    AS r_score,
+        |  1 + CAST(freq > f20 AS BIGINT) + CAST(freq > f40 AS BIGINT)
+        |    + CAST(freq > f60 AS BIGINT) + CAST(freq > f80 AS BIGINT) AS f_score,
+        |  1 + CAST(monetary > m20 AS BIGINT) + CAST(monetary > m40 AS BIGINT)
+        |    + CAST(monetary > m60 AS BIGINT) + CAST(monetary > m80 AS BIGINT)
+        |    AS m_score
+        |FROM rfm CROSS JOIN c ORDER BY 1""".stripMargin,
 
     // identical exact decimal running sums and integer-scaled argmax
     "ts_changepoint" ->
