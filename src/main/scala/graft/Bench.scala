@@ -13,7 +13,7 @@ object Bench {
     // Time the approximate operators ALONE: the declared queries' recall
     // instrumentation embeds exact references that are benchmarked
     // standalone anyway (doc_jaccard_pairs, emb_cosine_topk,
-    // emb_top_pairs), and rel_sketches' exact countDistinct/percentile
+    // emb_top_pairs_slice), and rel_sketches' exact countDistinct/percentile
     // twins are Verify-time error-bound evidence, not bench workload —
     // Verify keeps recall on for the correctness gate.
     sys.props("graft.recall") = "off"

@@ -166,8 +166,21 @@ object CrossStats {
       .withColumn("_sk", sum(dec(col(valCol))).over(wRun))
       .withColumn("_n", count(lit(1)).over(wAll))
       .withColumn("_sn", sum(dec(col(valCol))).over(wAll))
-      // exact integer-scaled statistic: no float before the argmax
-      .withColumn("_stat", abs(col("_n") * col("_sk") - col("_k") * col("_sn")))
+      // exact integer-scaled statistic: no float before the argmax.
+      // Precision envelope: n·S needs digits(n) + digits(S) ≤ 38, i.e.
+      // with 6-dp sums the product holds while n·Σ|x| < 10^32 (e.g. 10^9
+      // rows of |x| ≤ 10^14). Beyond that Spark's non-ANSI decimal math
+      // NULLs the product silently and the argmax would pick an
+      // arbitrary row — so overflow fails LOUDLY instead (ADVICE r9):
+      // raise_error only evaluates when the product overflowed to null
+      // on non-null inputs.
+      .withColumn("_stat",
+        when(col("_sk").isNull || col("_sn").isNull,
+          lit(null).cast(DecimalType(38, 6)))
+        .otherwise(coalesce(
+          abs(col("_n") * col("_sk") - col("_k") * col("_sn")),
+          raise_error(lit("cusumChangepoint: n*sum exceeded DECIMAL(38,6) " +
+            "precision — series too large/extreme for the exact statistic")))))
     val wPick = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("_stat").desc, col("_k"))
     scored.withColumn("_r", row_number().over(wPick)).where(col("_r") === 1)

@@ -258,7 +258,11 @@ object Dedup {
     * verification packs both sorted sets and counts the intersection
     * row-locally, gated by the size precondition nb ≥ ceil(t·na). */
   def containmentPairs(shIn: DataFrame, minC: Double): DataFrame = {
-    val sh = shIn.cache()
+    // localCheckpoint (eager), not cache(): repeated invocations in one
+    // JVM would otherwise accumulate storage memory relying on LRU
+    // eviction (ADVICE r9); checkpoint blocks are freed by the
+    // ContextCleaner as soon as the frame is unreferenced.
+    val sh = shIn.localCheckpoint(true)
     val pref = jaccardPrefixes(sh, minC)
     val cand = pref.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))

@@ -154,9 +154,11 @@ object Multimodal {
     * doc_a < doc_b. */
   def phashPairs(hashedIn: DataFrame, maxHamming: Int = 3,
       nBlocks: Int = 6): DataFrame = {
-    // both sides of the band self-join read this frame — cache the two
-    // fixed-width columns so the (codec-bound) upstream runs ONCE
-    val hashed = hashedIn.cache()
+    // both sides of the band self-join read this frame — materialize the
+    // two fixed-width columns once (eager localCheckpoint, not cache:
+    // repeated invocations would accumulate storage memory relying on
+    // LRU eviction, ADVICE r9) so the (codec-bound) upstream runs ONCE
+    val hashed = hashedIn.localCheckpoint(true)
     val sim = hashed.where(col("dhash").isNotNull)
       .select(col("doc_id").as("doc"), col("dhash").as("simhash"))
     Dedup.dupPairsFromSim(sim, maxHamming, nBlocks)

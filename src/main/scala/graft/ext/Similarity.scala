@@ -35,6 +35,14 @@ object Similarity {
   private def asDouble(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn(vecCol, col(vecCol).cast("array<double>"))
 
+  /** Portable 6-dp half-up round: floor(x·1e6 + 0.5)/1e6 — the same IEEE
+    * op sequence on every engine. Used wherever a rounded value feeds a
+    * COMPARISON (argmin/argmax/ranking) rather than native `round`: Spark
+    * Round (shortest-decimal HALF_UP) and DuckDB round (float
+    * multiply-and-round) can disagree on exact .5 boundaries, which would
+    * flip the decision. */
+  private def r6p(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
   /** Element-wise mean vector per key — the class-centroid /
     * cluster-representative primitive (mean-pooling a group of
     * embeddings). Emits the FLAT (key, dim, mean) frame: posexplode +
@@ -79,8 +87,10 @@ object Similarity {
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
     val d2 = ex.join(broadcast(cents), "dim")
       .groupBy(col(idCol), col("_ckey"))
-      .agg(round(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
-          .cast(DecimalType(38, 12))).cast("double"), 6).as("dist2"))
+      // r6p, not round: this value feeds the argmin below, so the
+      // rounding op sequence must be engine-identical (ADVICE r9)
+      .agg(r6p(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
+          .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("dist2"), col("_ckey"))
     d2.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
