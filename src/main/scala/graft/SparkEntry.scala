@@ -119,6 +119,12 @@ object SparkEntry {
   private val ivfCentsCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
+  /** Per-JVM registry of per-list pruning radii (emb_ivf_topk's exact
+    * probe) — index metadata derived once per (JVM, sf dir), like the
+    * centroids they bound. */
+  private val ivfRadiiCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Double]]
+
   /** Per-JVM registry of persisted IVF indexes (stream_ivf_topk), same
     * contract as pqIndexPath. */
   private val ivfIndexPath =
@@ -1688,28 +1694,28 @@ object SparkEntry {
     // here (recall 0.975 at sf0.01); real clustered corpora route at
     // small fractions (ScaleSmoke ann1m: recall 1.0 at 3.1% scan).
     // Index built once per (JVM, sf dir) like the stream-dedup band
-    // index; quality pinned in-engine by overlap with exact top-k.
+    // index. The declared output is GUARANTEED-EXACT (r9 VERDICT task 1):
+    // stage 1 times the ordinary approximate IVFADC+R probe (nProbe =
+    // 12/16, rerankR = 100), whose kth cosine then drives the
+    // triangle-inequality + reconstruction-error bounds that admit every
+    // point the probe could have missed (Similarity.ivfPqProbeExact), so
+    // the result hash-matches a brute-force DuckDB oracle while the scan
+    // stays codes-only and list-pruned wherever the corpus clusters.
+    // Distinct query slice (vec_id 48..55) so the gate is not a literal
+    // re-run of the other ANN anchors.
     "emb_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 8)
+      val queries = emb.where(col("vec_id") >= 48 && col("vec_id") < 56)
       val idx = pqIndexPath.getOrElseUpdate(dir, {
         val p = s"$scratchBase/graft_ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
         Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
           nLists = 16, m = 16, pqK = 64, iters = 2)
         p
       })
-      val pq = Similarity.ivfPqProbeRerank(s, idx, queries, "vec_id",
+      sortSmall(Similarity.ivfPqProbeExact(s, idx, queries, "vec_id",
           "embedding", k = 5, nProbe = 12, rerankR = 100)
-        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
-      if (!recallOn) sortSmall(pq, "query_id", "rank")
-      else {
-        val exact = Similarity.cosineTopK(emb, queries, "vec_id",
-            "embedding", k = 5)
-          .select(col("query_id"), col("candidate_id"))
-        sortSmall(withRecall(pq, exact,
-            Seq("query_id", "candidate_id"), "exact_hit", "recall_at_k"),
-          "query_id", "rank")
-      }
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // IVFADC+R at EXHAUSTIVE routing (nProbe = nLists) — the oracle-pinned
@@ -1737,34 +1743,30 @@ object SparkEntry {
         "query_id", "rank")
     }),
 
-    // learned-centroid IVF top-k (rows-only: approximate, nProbe < nLists)
-    // Quality pinned in-engine: `exact_hit`/`recall_at_k` measure overlap
-    // with the brute-force exact top-k for the same query set.
+    // learned-centroid IVF top-k, GUARANTEED-EXACT (r9 VERDICT task 1):
+    // the nProbe = 4/16 probe still runs and is timed, but its kth-best
+    // cosine now drives a triangle-inequality completeness pass
+    // (Similarity.ivfTopKExact) that scans exactly the lists whose
+    // centroid bound admits a better candidate — so the declared output
+    // is brute-force top-k bit-for-bit (DuckDB brute-force oracle
+    // hash-matches) for ANY centroid quality, and the probe's recall
+    // trade becomes a scan-fraction trade instead. Centroids + radii
+    // trained/derived ONCE per (JVM, sf dir) — the realistic train-once /
+    // probe-many shape (same contract as pqIndexPath). Distinct query
+    // slice (vec_id 32..39, k = 6) so the gate is not a literal re-run
+    // of the other ANN anchors.
     "emb_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 8)
-      // centroids trained ONCE per (JVM, sf dir) — the realistic
-      // train-once / probe-many shape (same contract as pqIndexPath);
-      // each rep still pays the full corpus assignment + probe scan
+      val queries = emb.where(col("vec_id") >= 32 && col("vec_id") < 40)
       val cents = ivfCentsCache.getOrElseUpdate(dir,
         Similarity.learnCentroidArrays(emb, "vec_id", "embedding",
           k = 16, iters = 3))
-      val ivf = Similarity.ivfTopKLearned(emb, queries, "vec_id",
-          "embedding", k = 5, nLists = 16, nProbe = 4,
-          precomputedCents = Some(cents))
-        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine"))
-      if (!recallOn) sortSmall(ivf, "query_id", "rank")
-      else {
-        // the exact reference is one LINEAR scan per query batch (the
-        // honest recall@k baseline) — kept in Verify, gated out of Bench
-        // so the timed cost is the IVF path alone
-        val exact = Similarity.cosineTopK(emb, queries, "vec_id",
-            "embedding", k = 5)
-          .select(col("query_id"), col("candidate_id"))
-        sortSmall(withRecall(ivf, exact,
-            Seq("query_id", "candidate_id"), "exact_hit", "recall_at_k"),
-          "query_id", "rank")
-      }
+      val radii = ivfRadiiCache.getOrElseUpdate(dir,
+        Similarity.listRadii(emb, "vec_id", "embedding", cents))
+      sortSmall(Similarity.ivfTopKExact(emb, queries, "vec_id",
+          "embedding", k = 6, nProbe = 4, cents, Some(radii))
+        .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // learned-centroid IVF at EXHAUSTIVE routing (nProbe = nLists) — the
@@ -4646,6 +4648,43 @@ object SparkEntry {
         |     sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))), 6) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    // the exact pruned IVF probe returns brute-force top-k by the
+    // triangle-inequality completeness argument (Similarity.ivfTopKExact
+    // scaladoc), so the oracle is brute force over the 32..39 query
+    // slice with the engine's (cosine desc, candidate) tie order
+    "emb_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 32 AND q.vec_id < 40 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 6 ORDER BY query_id, rank""".stripMargin,
+
+    // the exact pruned IVFADC probe (list bound + per-point
+    // reconstruction-error bound + exact rescore) likewise returns
+    // brute-force top-k — brute-force oracle over the 48..55 slice
+    "emb_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id >= 48 AND q.vec_id < 56 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // exhaustive-routing learned-centroid IVF ≡ brute-force exact top-k
     // (every list probed ⇒ every candidate scored with the exact cosine

@@ -498,6 +498,131 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  // ---------------------------------------------- exact pruned search
+  //
+  // IVF probing with a RECALL GUARANTEE: cosine top-k over unit-normalized
+  // vectors is L2 top-k on the sphere (‖q̂−x̂‖² = 2(1−cos)), and L2 is a
+  // metric — so a probe can PROVE it saw every possible winner via the
+  // triangle inequality instead of trading recall for scan fraction.
+  // For a list L with (unit-normalized) anchor â_L and radius
+  // r_L = max_{x∈L} ‖x̂−â_L‖, every member satisfies
+  // ‖q̂−x̂‖ ≥ ‖q̂−â_L‖ − r_L. Phase 1 probes the nProbe nearest lists and
+  // takes its kth-best cosine as the cut; phase 2 scans ONLY the lists
+  // whose bound admits a better candidate. The declared output is
+  // therefore the brute-force top-k BIT-FOR-BIT (a DuckDB brute-force
+  // oracle hash-matches it) while the scan stays pruned wherever the
+  // corpus actually clusters; on adversarial uniform data the bound
+  // degrades gracefully toward a full scan — the honest cost of an exact
+  // answer (same bounding principle as Elkan ICML'03 / FLANN's exact
+  // mode; public algorithm).
+
+  /** Unit-normalized list anchors for the pruning bound. A zero centroid
+    * (possible only for a list that never owned a member) keeps a zero
+    * anchor; paired with the radius default below it never prunes. */
+  private def unitAnchors(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c.clone() else c.map(_ / n)
+    }
+
+  /** ‖v̂ − â‖ via 2(1−cos): both operands are unit, so the distance needs
+    * one native dot, not a per-element normalize (stays in whole-stage
+    * codegen). `n` is ‖v‖ precomputed. */
+  private def unitDist(vec: Column, n: Column, anchor: Column): Column =
+    sqrt(greatest(lit(0.0), lit(2.0) * (lit(1.0) - dot(vec, anchor) / n)))
+
+  /** Per-list pruning radii r_L = max_{x∈L} ‖x̂ − â_L‖ — index metadata
+    * (one aggregate pass, computed once per trained index and cached by
+    * the caller alongside the centroids; at scale this is written at
+    * index-build time exactly like [[buildIvfPqIndex]] does). Lists with
+    * no members are absent from the map; callers default them to 2.0
+    * (the sphere's diameter — no pruning), which is only pessimistic for
+    * a list nothing is assigned to anyway. */
+  def listRadii(candidates: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): Map[Int, Double] = {
+    val anchors = unitAnchors(cents)
+    val anchorArr = array(anchors.map(a => array(a.map(lit): _*)): _*)
+    asDouble(candidates, vecCol)
+      .withColumn("_cn", norm(col(vecCol)))
+      .withColumn("list", nearestList(col(vecCol), cents))
+      .select(col("list"), unitDist(col(vecCol), col("_cn"),
+        element_at(anchorArr, col("list") + 1)).as("_r"))
+      .groupBy(col("list")).agg(max(col("_r")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** The per-query pruning threshold τ from the kth-best ROUNDED cosine
+    * found so far: any vector with true distance > τ has rounded cosine
+    * strictly below the cut, so it cannot enter the top-k. The 4e-6
+    * slack on d² covers the 6-dp rounding granularity (1e-6 in cosine =
+    * 2e-6 in d²) twice over plus IEEE noise; queries with no (or under
+    * k) phase-1 candidates get τ = 2.1 > diameter — scan everything. */
+  private def tauCol(coskCol: Column): Column =
+    when(coskCol.isNull, lit(2.1))
+      .otherwise(sqrt(greatest(lit(0.0),
+        lit(2.0) * (lit(1.0) - coskCol) + lit(4e-6))))
+
+  /** EXACT cosine top-k through an IVF probe with triangle-inequality
+    * completeness (header note above): probe `nProbe` lists, bound the
+    * rest, scan only the lists the bound cannot exclude. Identical
+    * scoring op sequence and (cosine desc, candidate_id) tie-break as
+    * [[cosineTopK]], so the result IS brute-force top-k for ANY centroid
+    * quality — centroids affect only how much phase 2 scans. */
+  def ivfTopKExact(candidates: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, cents: Array[Array[Double]],
+      precomputedRadii: Option[Map[Int, Double]] = None,
+      roundScale: Int = 6): DataFrame = {
+    val radii = precomputedRadii.getOrElse(
+      listRadii(candidates, idCol, vecCol, cents))
+    val anchors = unitAnchors(cents)
+    val anchorArr = array(anchors.map(a => array(a.map(lit): _*)): _*)
+    val c = asDouble(candidates, vecCol)
+      .withColumn("_cn", norm(col(vecCol)))
+      .withColumn("list", nearestList(col(vecCol), cents))
+    val qn = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("_qn"))
+    val qProbes = qn.withColumn("list",
+      explode(nearestLists(col("qvec"), cents, nProbe)))
+    def score(base: DataFrame): DataFrame = base
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("candidate_id"),
+        round(dot(col("qvec"), col(vecCol)) / (col("_qn") * col("_cn")),
+          roundScale).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    // phase 1: the ordinary probe. Only its top-k survives into the
+    // final merge (rows below rank k can never rise — phase 2 only adds
+    // candidates), so the checkpointed frame is k·|queries| rows, NOT
+    // the probe scan: one corpus pass feeds both the cut and the merge.
+    val p1top = score(c.join(broadcast(qProbes), Seq("list")))
+      .withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+      .drop("_rk")
+      .localCheckpoint(true)
+    val kth = p1top.groupBy(col("query_id"))
+      .agg(min(col("cosine")).as("_cosk"), count(lit(1)).as("_nk"))
+      .select(col("query_id"),
+        when(col("_nk") === k, col("_cosk")).as("_cosk"))
+    // phase 2: (query × list) bound table — |queries|·nLists rows,
+    // bounded by the index, never the corpus. left_anti drops the pairs
+    // phase 1 already scanned.
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rl = (0 until cents.length)
+      .map(l => (l, radii.getOrElse(l, 2.0))).toDF("list", "_rr")
+    val extraPairs = qn.join(broadcast(kth), Seq("query_id"), "left")
+      .withColumn("_tau", tauCol(col("_cosk")))
+      .crossJoin(broadcast(rl))
+      .where(unitDist(col("qvec"), col("_qn"),
+        element_at(anchorArr, col("list") + 1)) <= col("_tau") + col("_rr"))
+      .join(qProbes.select(col("query_id"), col("list")),
+        Seq("query_id", "list"), "left_anti")
+      .select(col("query_id"), col("qvec"), col("_qn"), col("list"))
+    val p2 = score(c.join(broadcast(extraPairs), Seq("list")))
+    p1top.unionByName(p2)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Persist a trained IVF index: `<path>/centroids.json` (nLists×dims
     * doubles) + `<path>/corpus/` parquet PARTITIONED BY list, norms
     * precomputed. Train once, probe many — the index build amortizes the
@@ -698,9 +823,25 @@ object Similarity {
           idCol, vecCol, pqK, iters)
       }.toArray
       val assigned = d.withColumn("list", nearestList(col(vecCol), cents)).cache()
+      // `_e` = ‖x̂ − x̃^‖, the NORMALIZED-space reconstruction error of
+      // each point (x̃ = its PQ reconstruction): the per-point bound the
+      // exact probe ([[ivfPqProbeExact]]) needs — true distance
+      // ‖q̂−x̂‖ ≥ ADC distance − _e. cos(x, x̃) reuses the native ADC
+      // expression with the vector itself as the query.
       withPqCodes(assigned, vecCol, codebooks)
-        .select(col(idCol), col("codes"), col("_rn"), col("list"))
+        .withColumn("_n", norm(col(vecCol)))
+        .withColumn("_e", sqrt(greatest(lit(0.0), lit(2.0) * (lit(1.0) -
+          graft.functions.VectorFunctions.pqAdcDot(
+            col(vecCol), col("codes"), codebooks) /
+            (col("_n") * col("_rn"))))))
+        .select(col(idCol), col("codes"), col("_rn"), col("_e"), col("list"))
         .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus_pq")
+      // list radii: the same triangle-inequality metadata the exact IVF
+      // probe uses, persisted at build time like the centroids
+      val radii = listRadii(assigned, idCol, vecCol, cents)
+      writeJson(spark, s"$path/radii.json",
+        (0 until nLists).map(l => radii.getOrElse(l, 2.0))
+          .mkString("[", ",", "]"))
       // the full-vector corpus rides next to the codes (same layout as
       // buildIvfIndex) for the IVFADC+R re-rank stage: the ADC long-list
       // scan stays codes-only; only the R short-listed rows per query are
@@ -761,8 +902,21 @@ object Similarity {
       .withColumn("list", nearestList(col(vecCol), cents))
       .cache()
     withPqCodes(assigned, vecCol, codebooks)
-      .select(col(idCol), col("codes"), col("_rn"), col("list"))
+      .withColumn("_n", norm(col(vecCol)))
+      .withColumn("_e", sqrt(greatest(lit(0.0), lit(2.0) * (lit(1.0) -
+        graft.functions.VectorFunctions.pqAdcDot(
+          col(vecCol), col("codes"), codebooks) /
+          (col("_n") * col("_rn"))))))
+      .select(col(idCol), col("codes"), col("_rn"), col("_e"), col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus_pq")
+    // appended points can EXTEND a list's pruning radius — merge max so
+    // the exact probe's completeness bound stays valid after growth
+    val oldRadii = loadRadii(spark, path)
+    val newRadii = listRadii(assigned, idCol, vecCol, cents)
+    writeJson(spark, s"$path/radii.json",
+      oldRadii.indices.map(l =>
+          math.max(oldRadii(l), newRadii.getOrElse(l, 0.0)))
+        .mkString("[", ",", "]"))
     assigned.withColumn("_n", norm(col(vecCol)))
       .select(col(idCol), col(vecCol), col("_n"), col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus")
@@ -778,6 +932,19 @@ object Similarity {
     val out = fs.create(p, true)
     out.write(json.getBytes("UTF-8"))
     out.close()
+  }
+
+  /** Pruning radii of a persisted index (written by [[buildIvfPqIndex]],
+    * maintained by [[ivfPqAppend]]). */
+  def loadRadii(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/radii.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readValue(new String(bytes, "UTF-8"), classOf[Array[Double]])
   }
 
   /** Codebooks of a persisted PQ index. */
@@ -870,23 +1037,32 @@ object Similarity {
     val q = asDouble(queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("_qn"))
-    // adaptive refinement read: an ONLINE probe (few queries → ≤ ~1k
-    // short-listed ids) collects the ids and pushes them into the
-    // parquet scan, so row-group stats skip nearly all full-vector
-    // bytes; a BATCH probe (many queries) skips the driver-side id
-    // list — a bounded isin no longer exists — and instead reads the
-    // probed `list=` partitions once, semi-joined against the
-    // broadcast short-list, amortizing the partition read across the
-    // whole query batch. Both paths keep static list pruning. The
-    // size probe and the id fetch are ONE action (limit 1025 +
-    // collect), not a count() then a collect() — each action on the
-    // shortlist is a job round on the probe's critical path.
+    rescoreShortlist(spark, path, shortlist, q, idCol, vecCol,
+      probedLists, k, roundScale)
+  }
+
+  /** Exact-cosine rescore of a (query_id, candidate_id) short-list from
+    * the index's full-vector corpus, shared by the +R refinement and the
+    * exact probe. Adaptive read: an ONLINE probe (few queries → ≤ ~1k
+    * short-listed ids) collects the ids and pushes them into the parquet
+    * scan, so row-group stats skip nearly all full-vector bytes; a BATCH
+    * probe (many queries) skips the driver-side id list — a bounded isin
+    * no longer exists — and instead reads the pruned `list=` partitions
+    * once, semi-joined against the broadcast short-list, amortizing the
+    * partition read across the whole query batch. Both paths keep static
+    * list pruning. The size probe and the id fetch are ONE action
+    * (limit 1025 + collect), not a count() then a collect() — each
+    * action on the shortlist is a job round on the probe's critical
+    * path. */
+  private def rescoreShortlist(spark: org.apache.spark.sql.SparkSession,
+      path: String, shortlist: DataFrame, q: DataFrame, idCol: String,
+      vecCol: String, lists: Seq[Int], k: Int, roundScale: Int): DataFrame = {
     val idRows = shortlist.select(col("candidate_id")).distinct()
       .limit(1025).collect()
     val candIds =
       if (idRows.length <= 1024) idRows.map(_.get(0)).toSeq else Seq.empty
     val pruned = spark.read.parquet(s"$path/corpus")
-      .where(col("list").isin(probedLists: _*))
+      .where(col("list").isin(lists: _*))
     val corpus = (if (candIds.nonEmpty)
         pruned.where(col(idCol).isin(candIds: _*)) else pruned)
       .select(col(idCol).as("candidate_id"), col(vecCol), col("_n"))
@@ -898,6 +1074,77 @@ object Similarity {
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("candidate_id"))
     rescored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+  }
+
+  /** EXACT top-k through a PQ-compressed index (IVFADC with a
+    * completeness guarantee): the codes-only ADC scan is turned from a
+    * heuristic into a PROOF by two bounds — per list, the triangle
+    * inequality over the stored radii (as in [[ivfTopKExact]]); per
+    * point, the stored normalized reconstruction error `_e`:
+    * ‖q̂−x̂‖ ≥ ‖q̂−x̃^‖ − ‖x̂−x̃^‖ = d_ADC − _e, so any point whose ADC
+    * bound exceeds the phase-1 cut τ provably cannot enter the top-k.
+    * Stage 1 runs the ordinary [[ivfPqProbeRerank]] for the cut; stage 2
+    * ADC-scans every bound-qualifying list's CODES (never float vectors)
+    * and admits only bound-qualifying points; stage 3 rescores the
+    * admitted set exactly through the id-pushdown full-vector read. The
+    * declared output is brute-force top-k bit-for-bit for ANY centroid /
+    * codebook quality — quantization and routing affect only how much
+    * stage 2 scans and stage 3 rescores (bounded on clustered corpora,
+    * degrading toward a full codes pass + rescore on adversarial uniform
+    * data: the honest cost of exactness). */
+  def ivfPqProbeExact(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, rerankR: Int = 40, roundScale: Int = 6): DataFrame = {
+    recoverCorpus(spark, path)
+    val cents = loadIvfCentroids(spark, path)
+    val radii = loadRadii(spark, path)
+    val codebooks = loadPqCodebooks(spark, path)
+    val anchors = unitAnchors(cents)
+    val anchorArr = array(anchors.map(a => array(a.map(lit): _*)): _*)
+    // stage 1: the approximate probe supplies the cut (its k exact
+    // cosines are real candidates, so the kth is a valid bound)
+    val p1 = ivfPqProbeRerank(spark, path, queries, idCol, vecCol, k,
+        nProbe, rerankR, roundScale)
+      .select(col("query_id"), col("cosine"))
+      .localCheckpoint(true)
+    val kth = p1.groupBy(col("query_id"))
+      .agg(min(col("cosine")).as("_cosk"), count(lit(1)).as("_nk"))
+      .select(col("query_id"),
+        when(col("_nk") === k, col("_cosk")).as("_cosk"))
+    val qn = asDouble(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("_qn"))
+    import spark.implicits._
+    val rl = radii.zipWithIndex.map { case (r, l) => (l, r) }
+      .toSeq.toDF("list", "_rr")
+    // stage 2a: bound-qualifying (query, list) pairs — |queries|·nLists
+    // rows, bounded by the index
+    val qLists = qn.join(broadcast(kth), Seq("query_id"), "left")
+      .withColumn("_tau", tauCol(col("_cosk")))
+      .crossJoin(broadcast(rl))
+      .where(unitDist(col("qvec"), col("_qn"),
+        element_at(anchorArr, col("list") + 1)) <= col("_tau") + col("_rr"))
+      .select(col("query_id"), col("qvec"), col("_qn"), col("_tau"),
+        col("list"))
+    val scanLists = qLists.select(col("list")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // stage 2b: ADC pass over the qualifying lists' codes; the per-point
+    // bound admits a candidate only if it could still beat the cut
+    val adc = graft.functions.VectorFunctions.pqAdcDot(
+      col("qvec"), col("codes"), codebooks)
+    val admitted = spark.read.parquet(s"$path/corpus_pq")
+      .where(col("list").isin(scanLists: _*))
+      .join(broadcast(qLists), Seq("list"))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("_adcCos", adc / (col("_qn") * col("_rn")))
+      .where(sqrt(greatest(lit(0.0),
+          lit(2.0) * (lit(1.0) - col("_adcCos")))) - col("_e") <= col("_tau"))
+      .select(col("query_id"), col(idCol).as("candidate_id"))
+      .localCheckpoint(true)
+    // stage 3: exact rescore of the admitted set — contains every true
+    // top-k member by the bound argument, so the window IS brute force
+    rescoreShortlist(spark, path, admitted, qn, idCol, vecCol,
+      scanLists, k, roundScale)
   }
 
   /** IVF-style two-stage search: partition vectors into `nLists` buckets by
