@@ -1476,6 +1476,57 @@ object SparkEntry {
         chunkTokens = 16), "doc")
     }),
 
+    // HTML → text extraction (the CommonCrawl ingest step ahead of every
+    // quality gate): synthetic HTML is built DETERMINISTICALLY from the
+    // documents table — real text wrapped in chrome with planted
+    // boilerplate (nav link farm, sponsored aside, rights-reserved
+    // footer, script/style bodies) — then HtmlExtract strips tags,
+    // applies the block text-density + boilerplate-phrase rules, and
+    // reassembles. text_md5 pins every extracted byte; the oracle
+    // replays construction AND extraction with the same RE2-safe
+    // regexps.
+    "doc_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>body {font-size:12px}</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><div><p>"),
+        col("text"),
+        lit("</p><p>Continued article body with additional narrative " +
+          "content for extraction quality.</p></div>" +
+          "<aside><a href=\"/ads\">Sponsored</a> " +
+          "<a href=\"/more\">More</a></aside>" +
+          "<footer>Copyright 2024 Example Corp. All rights reserved. " +
+          "<a href=\"/privacy\">Privacy</a></footer>" +
+          "<script>var tracking = 1;</script></body></html>"))
+      sortBig(graft.ext.HtmlExtract.extract(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .drop("text"), "doc")
+    }),
+
+    // exact substring dedup (Lee et al. 2022): verbatim ≥ 8-token runs
+    // occurring more than once in the corpus, AT ANY OFFSET, merged into
+    // per-doc maximal duplicate spans — the arbitrary-offset leak class
+    // chunk dedup (fixed boundaries) and line dedup (whole frequent
+    // lines) both miss. The fixture plants exactly that: every
+    // doc_id % 37 == 0 doc re-appears under doc_id + 100000 behind a
+    // 5-token prefix, so the whole text is a duplicated run at SHIFTED
+    // offsets in the two copies. The oracle replays window hashes +
+    // gaps-and-islands span merge verbatim.
+    "doc_substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("planted leak prefix alpha beta "), col("text"))
+            .as("text"))
+      sortBig(Dedup.substringDupSpans(docs.unionByName(planted),
+          "doc_id", "text", k = 8)
+        .select(col("doc"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows")),
+        "doc", "span_start")
+    }),
+
     // C4-style corpus-frequency line filter: every 8-token chunk present
     // in >2 distinct documents is removed from ALL of them (boilerplate-
     // by-repetition, Raffel et al. 2020 §2.2) and the survivors are
@@ -4174,6 +4225,83 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN len(string_split(chunk_text, ' '))
         |           ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical HTML construction, script/style removal, block split,
+    // tag strip, density + phrase rules, and ORDER BY-bidx reassembly
+    "doc_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>body {font-size:12px}</style></head><body>' ||
+        |    '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+        |    '<a href="/contact">Contact</a></nav><div><p>' || text ||
+        |    '</p><p>Continued article body with additional narrative ' ||
+        |    'content for extraction quality.</p></div>' ||
+        |    '<aside><a href="/ads">Sponsored</a> ' ||
+        |    '<a href="/more">More</a></aside>' ||
+        |    '<footer>Copyright 2024 Example Corp. All rights reserved. ' ||
+        |    '<a href="/privacy">Privacy</a></footer>' ||
+        |    '<script>var tracking = 1;</script></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(html,
+        |    '(?i)<(?:script|style)[^>]*>[\s\S]*?</(?:script|style)>',
+        |    ' ', 'g') AS nh FROM h),
+        |sg AS (SELECT doc_id, string_split_regex(nh,
+        |    '(?i)</?(?:p|div|li|ul|ol|nav|aside|footer|header|h[1-6]|br|table|tr|td|section|article)[^>]*>')
+        |    AS segs FROM c),
+        |b AS (SELECT doc_id, u.i AS bidx, u.raw FROM (
+        |    SELECT doc_id, unnest([{'i': i - 1, 'raw': segs[i]}
+        |      for i in generate_series(1, len(segs))]) AS u FROM sg) z),
+        |x AS (SELECT doc_id, bidx,
+        |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS txt, len(raw) AS rawlen FROM b),
+        |f AS (SELECT doc_id, bidx, txt,
+        |    len(string_split(txt, ' ')) AS words,
+        |    CAST(len(txt) AS DOUBLE) / greatest(rawlen, 1) AS density
+        |  FROM x WHERE txt <> ''),
+        |k AS (SELECT doc_id, bidx, txt,
+        |    (words >= 5 AND density >= 0.55 AND NOT regexp_matches(txt,
+        |      '(?i)(all rights reserved|privacy policy|terms of (use|service)|cookie|copyright)'))
+        |      AS keep
+        |  FROM f)
+        |SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+        |  CAST(COALESCE(len(string_agg(CASE WHEN keep THEN txt END, ' '
+        |    ORDER BY bidx)), 0) AS BIGINT) AS n_chars,
+        |  md5(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY bidx))
+        |    AS text_md5
+        |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical plant, window hashes (md5 of the space-joined 8-token
+    // window over \S+ tokens), ≥2 corpus-wide count, and
+    // gaps-and-islands span merge
+    "doc_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'planted leak prefix alpha beta ' || text
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM d),
+        |w AS (SELECT doc_id, u.pos AS pos, md5(u.s) AS whash FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1,
+        |        's': array_to_string(toks[i:i+7], ' ')}
+        |      for i in generate_series(1, len(toks) - 7)]) AS u
+        |    FROM t WHERE len(toks) >= 8) x),
+        |dups AS (SELECT whash FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
+        |m AS (SELECT w.doc_id, w.pos FROM w JOIN dups USING (whash)),
+        |b AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           IS NULL THEN 1
+        |         WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+        |           ORDER BY pos) + 8 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM m),
+        |i AS (SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM b)
+        |SELECT doc_id AS doc, MIN(pos) AS span_start,
+        |  MAX(pos) + 7 AS span_end, COUNT(*) AS n_windows
+        |FROM i GROUP BY doc_id, isl ORDER BY doc, span_start""".stripMargin,
 
     // identical chunking, corpus document-frequency > 2 membership, and
     // in-order reassembly (string_agg ORDER BY ≡ the sorted-struct fold)

@@ -138,6 +138,65 @@ object Dedup {
       .toDF("doc", "chunk_idx", "chunk_text")
   }
 
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — public algorithm): find every
+    * verbatim run of ≥ k tokens that occurs more than once in the
+    * corpus, at ANY offset, and emit the per-doc MERGED duplicate spans.
+    * This is the family chunk dedup ([[chunkDedup]], fixed-boundary) and
+    * line dedup (frequent whole lines) both miss: an offset-shifted
+    * verbatim leak crosses chunk boundaries and spans many lines.
+    *
+    * Shape (the suffix-array of the paper re-expressed relationally):
+    * every doc explodes to its overlapping k-token window hashes — a
+    * row-local projection, |tokens| windows per doc, linear in corpus
+    * bytes; one hash-keyed count (map-side combinable) marks the
+    * windows occurring ≥ 2× corpus-wide; marked windows join back
+    * (hash-keyed shuffle, candidates ∝ duplicated text, not corpus²)
+    * and a per-doc gaps-and-islands window merges overlapping /
+    * adjacent marked windows (same pos ⇒ coverage [pos, pos+k−1];
+    * islands break when pos > prev + k) into maximal spans. No
+    * corpus-global order, no driver state.
+    *
+    * Determinism/portability: tokens are `\S+` runs (regexp_extract_all
+    * on both engines), window hash is md5 of the space-joined window —
+    * engine-portable string hashing, so a DuckDB oracle replays the
+    * whole lifecycle bit-for-bit.
+    *
+    * Output: (doc, span_start, span_end, n_windows) — token-index
+    * inclusive span bounds of every merged duplicate region. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val windows = df
+      .select(col(idCol).as("doc"), toks.as("_t"))
+      .where(size(col("_t")) >= k)
+      .select(col("doc"), explode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k)))).as("whash"))))
+        .as("_w"))
+      .select(col("doc"), col("_w.pos").as("pos"),
+        col("_w.whash").as("whash"))
+    val dups = windows.groupBy(col("whash"))
+      .agg(count(lit(1)).as("_c")).where(col("_c") >= 2)
+      .select(col("whash"))
+    val marked = windows.join(dups, "whash")
+      .select(col("doc"), col("pos"))
+    val wd = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    marked
+      .withColumn("_brk",
+        when(col("pos") > lag(col("pos"), 1).over(wd) + k, 1)
+          .when(lag(col("pos"), 1).over(wd).isNull, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("_isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 16): DataFrame = {
     val chunks = chunkRows(df, idCol, textCol, chunkTokens)

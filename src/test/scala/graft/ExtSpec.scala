@@ -80,6 +80,40 @@ class ExtSpec extends SparkSpec {
     assert(banded.nonEmpty, "fixture should contain hamming<=3 near-dups")
   }
 
+  test("html extraction keeps the article body and drops the chrome") {
+    val html = "<html><head><title>T</title><style>p {c:1}</style></head>" +
+      "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div><p>The actual article body has many informative words in " +
+      "plain prose form.</p></div>" +
+      "<footer>Copyright 2024 Example. All rights reserved.</footer>" +
+      "<script>var x = {a:1};</script></body></html>"
+    val out = graft.ext.HtmlExtract.extract(
+      Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+    val row = out.select("doc", "kept_blocks", "text").as[(Long, Long, String)].head()
+    assert(row._1 == 7L && row._2 == 1L)
+    assert(row._3 ==
+      "The actual article body has many informative words in plain prose form.")
+    // the extracted text column feeds the existing quality gates directly
+    val q = graft.ext.TextAnalysis.qualityScore(
+      out.select(col("doc"), col("text")), "doc", "text")
+    assert(q.count() == 1L)
+  }
+
+  test("substring dedup finds offset-shifted verbatim runs as merged spans") {
+    // the leak class fixed-boundary chunk dedup misses: a 12-token
+    // verbatim run at DIFFERENT offsets in two docs. All five of its
+    // 8-token windows are duplicated and must merge into ONE span per
+    // doc covering exactly the run — nothing from the surrounding text.
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val a = "alpha beta gamma " + shared + " delta"
+    val b = "x " + shared + " y z"
+    val c = "unrelated words only nothing here at all repeated never once"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(df, "doc_id", "text", 8)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(spans == Set((1L, 3, 14, 5L), (2L, 1, 12, 5L)))
+  }
+
   test("exact pruned IVF/PQ search == brute force on adversarial uniform data") {
     // the embeddings fixture is near-orthogonal uniform noise — ANN's
     // statistically hardest case, where the triangle-inequality bound
