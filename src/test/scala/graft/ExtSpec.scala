@@ -80,6 +80,20 @@ class ExtSpec extends SparkSpec {
     assert(banded.nonEmpty, "fixture should contain hamming<=3 near-dups")
   }
 
+  test("BPE training is deterministic and application resolves chained overlaps") {
+    // word dict: aa×2, ab×1, aaaa×1. Round 1: pair (a,a) counts 2+3=5 >
+    // (a,b)=1 → merge (a,a). Round 2: (aa,aa)=1 ties (a,b)=1 → min-left
+    // tie-break picks (a,b). Round 3: (aa,aa). Applying to "aaaa"
+    // exercises the chained-overlap case the multi-pass replace exists
+    // for: " a a a a " → " aa aa " → " aaaa " = ONE token.
+    val df = Seq((1L, "aa aa ab"), (2L, "aaaa")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.trainMerges(df, "text", m = 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "aa")))
+    val tc = graft.ext.Bpe.tokenCounts(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tc == Set((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
   test("html extraction keeps the article body and drops the chrome") {
     val html = "<html><head><title>T</title><style>p {c:1}</style></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
