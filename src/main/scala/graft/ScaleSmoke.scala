@@ -34,6 +34,7 @@ object ScaleSmoke {
     if (args.headOption.contains("contain1m")) { contain1m(); return }
     if (args.headOption.contains("phash200k")) { phash200k(); return }
     if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
+    if (args.headOption.contains("heavy10x")) { heavy10x(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -1615,6 +1616,141 @@ object ScaleSmoke {
       println(f"SCALEANN lsh-recall              $lshRecall%.3f ($planted of $nPlanted planted)")
       if (lshRecall < 0.9) failed = true
       vecs.unpersist()
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Heavy-query 10× tier (`runMain graft.ScaleSmoke heavy10x`), r9
+    * VERDICT task 7: the five bench-heaviest queries re-run on synthetic
+    * inputs at the sf0.1 document count (5k) and at 10× (50k), pinning
+    * the sub-quadratic claims their plan comments make. Each family uses
+    * the shape that isolates PLAN scaling from workload scaling:
+    * LM scoring / bigram NLL / streaming LM over vocab-bounded word-soup
+    * docs (gram-type counts saturate, occurrence volume scales 10×);
+    * containment over unique-token fragment/host plants (candidates =
+    * planted set at both sizes — the contain1m construction); audio
+    * fingerprints over synthetic WAV payloads with planted gain-shifted
+    * copies (banded pair mining, codec-bound). Fails (exit 1) if any
+    * 10× wall exceeds 15× + 10 s of its 1× wall — a quadratic plan
+    * lands at ~100×. */
+  private def heavy10x(): Unit = {
+    import graft.ext.{Dedup, Multimodal, TextAnalysis}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+
+    val langs = array(lit("en"), lit("zh"), lit("es"), lit("de"), lit("fr"))
+    // vocab-bounded word soup: 2000 types, 60 tokens/doc, lang by id%5
+    def synthDocs(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      element_at(langs, pmod(col("id"), lit(5L)).cast("int") + 1).as("lang"),
+      array_join(transform(sequence(lit(0), lit(59)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(2000L)))), " ")
+        .as("text"))
+
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var failed = false
+    def tier(name: String)(run: Long => Unit): Unit = {
+      val walls = Seq(5000L, 50000L).map { n =>
+        val t0 = System.nanoTime()
+        run(n)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ratio = walls(1) / math.max(walls(0), 0.001)
+      println(f"SCALEHEAVY $name%-16s 5k=${walls(0)}%6.1f s  " +
+        f"50k=${walls(1)}%6.1f s  ratio=$ratio%5.1f")
+      if (walls(1) > 15 * walls(0) + 10) {
+        println(s"SCALEHEAVY $name super-linear wall"); failed = true
+      }
+    }
+
+    tier("text_lm_score") { n =>
+      val docs = synthDocs(n).localCheckpoint(true)
+      exec(TextAnalysis.lmScore(docs, "doc_id", "text", col("lang") === "en"))
+    }
+    tier("text_bigram_nll") { n =>
+      val docs = synthDocs(n).localCheckpoint(true)
+      exec(TextAnalysis.bigramNll(docs, "doc_id", "text"))
+    }
+    tier("containment") { n =>
+      // unique-token fragment/host plants (contain1m construction):
+      // candidate volume tracks the planted 1%, not n²
+      val half = n / 2
+      def fragToks(id: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(11)), j =>
+          concat(lit("w"), xxhash64(id, j)))
+      val hostBase = transform(sequence(lit(0), lit(19)), j =>
+        concat(lit("w"), xxhash64(col("id"), j + 100)))
+      val filler = transform(sequence(lit(0), lit(11)), j =>
+        concat(lit("w"), xxhash64(col("id"), j + 200)))
+      val planted = pmod(col("id") - half, lit(100L)) === 0L
+      val docs = spark.range(n).select(col("id"),
+        when(col("id") < half, array_join(fragToks(col("id")), " "))
+          .otherwise(array_join(concat(hostBase,
+            when(planted, fragToks(col("id") - half)).otherwise(filler)), " "))
+          .as("text")).localCheckpoint(true)
+      exec(Dedup.containmentPairs(
+        Dedup.hashedShingles(docs, "id", "text", 3), 0.9))
+    }
+    tier("stream_lm_score") { n =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_heavy_stream_").toString
+      // replayDocs takes a single-FILE path (testdata layout): write one
+      // part and rename it to a stable name
+      synthDocs(n).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val docsFile = new java.io.File(tmp, "docs.parquet")
+      require(part.renameTo(docsFile), s"rename failed in $tmp")
+      val docs = spark.read.parquet(docsFile.getAbsolutePath)
+      def grams(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
+            " (w, i) -> struct(w AS prev," +
+            " concat(w, ' ', element_at(_tk, i + 2)) AS big," +
+            " element_at(_tk, i + 2) AS cur))")).as("x"))
+        .select(col("doc_id"), col("x.prev").as("prev"),
+          col("x.big").as("big"), col("x.cur").as("cur"))
+      val lmG = grams(docs.where(col("lang") === "en"))
+      val known = lmG.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+        .join(lmG.groupBy(col("prev")).agg(count(lit(1)).as("c1")),
+          expr("split(big, ' ')[0] = prev"))
+        .select(col("big"),
+          log(col("c1").cast("double") / col("c2")).as("known_cost"))
+        .localCheckpoint(true)
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        spark, docsFile.getAbsolutePath, s"heavy_stream_lm_$n",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        grams(st).join(known, Seq("big"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("known_cost"), lit(20.0))).as("_c"))
+      }
+      exec(res)
+    }
+    tier("audio_fp_pairs") { n =>
+      val media = synthDocs(n)
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val seed = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8"))
+          (id, graft.ext.MultimodalCodecs.syntheticWav(seed,
+            gainShift = if (id % 20 == 7) 1 else 0))
+        }).toDF("doc_id", "payload")
+      exec(Multimodal.phashPairs(
+        Multimodal.audioFps(media, "doc_id", "payload"), maxHamming = 3))
     }
     spark.stop()
     if (failed) sys.exit(1)

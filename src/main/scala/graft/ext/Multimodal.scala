@@ -180,9 +180,14 @@ object Multimodal {
     * Info/Duration) via pure container-header byte parsing
     * ([[MultimodalCodecs.videoDurationMs]]); only formats whose duration
     * genuinely needs a codec fall to the deterministic stand-in. Frame
-    * EXTRACTION stays the clearly-marked stub — no JVM video codec exists
-    * in this container; an ffmpeg/JavaCV binding slots into
-    * [[MultimodalCodecs]] without touching this dataflow. */
+    * EXTRACTION decodes through [[ExternalVideoDecoder]] when a decoder
+    * process is available on the host (gated per executor JVM, one temp
+    * file + one process per frame, stdout captured, bounded wait),
+    * falling back to the deterministic stub bytes when no decoder exists
+    * or the decode fails — this container ships no decoder, so the
+    * DECLARED queries never depend on frame bytes (they pin metadata and
+    * frame keys), while the external-process plumbing itself is spec'd
+    * through an injected fake decoder. */
   def sampleFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L,
       maxFrames: Int = 8)(implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
@@ -194,12 +199,75 @@ object Multimodal {
         val n = math.min(maxFrames.toLong,
           math.max(1L, durMs / everyMs)).toInt
         (0 until n).iterator.map { i =>
-          FrameRow(r.doc_id, i, i * everyMs,
-            MultimodalStubs.frameStub(r.payload, i), r.meta)
+          val frame = ExternalVideoDecoder
+            .extractFrame(r.payload, i * everyMs)
+            .getOrElse(MultimodalStubs.frameStub(r.payload, i))
+          FrameRow(r.doc_id, i, i * everyMs, frame, r.meta)
         }
       }
     }
   }
+}
+
+/** External-process video frame extraction — the honest way to decode
+  * video on a JVM-only cluster: shell out to a host decoder (ffmpeg by
+  * default) when one exists, per executor. The command template is
+  * injectable (`graft.videoDecoder` system property, `{IN}` → input
+  * file, `{SEC}` → seek seconds) so a cluster image with a different
+  * decoder — or a spec with a fake one — slots in without code change.
+  * No decoder present → [[extractFrame]] is None and callers keep their
+  * deterministic fallback, so results never silently depend on host
+  * software for the declared (hashed) outputs. */
+object ExternalVideoDecoder {
+
+  /** Default ffmpeg template: one PNG frame at the seek point on
+    * stdout. */
+  private val FfmpegTemplate =
+    "ffmpeg -hide_banner -loglevel error -ss {SEC} -i {IN} " +
+      "-frames:v 1 -f image2 -c:v png pipe:1"
+
+  /** Detect per property value (memoized — PATH is probed once per
+    * distinct setting, not per frame): explicit template property wins;
+    * else ffmpeg if present on PATH; else None (fallback mode). */
+  private val detected =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
+  def commandTemplate: Option[Seq[String]] = {
+    val key = sys.props.getOrElse("graft.videoDecoder", "")
+    detected.computeIfAbsent(key, k =>
+      if (k.nonEmpty) Some(k.split("\\s+").toSeq)
+      else {
+        val onPath = sys.env.getOrElse("PATH", "").split(":").exists(d =>
+          new java.io.File(d, "ffmpeg").canExecute)
+        if (onPath) Some(FfmpegTemplate.split("\\s+").toSeq) else None
+      })
+  }
+
+  /** Decode ONE frame at `offsetMs`: payload → temp file → decoder
+    * process → stdout bytes. None when no decoder is configured, the
+    * process fails/times out, or emits nothing — callers must fall
+    * back. Temp file always deleted; wait bounded (20 s) so a hung
+    * decoder cannot wedge an executor core forever. */
+  def extractFrame(payload: Array[Byte], offsetMs: Long,
+      timeoutSec: Long = 20L): Option[Array[Byte]] =
+    commandTemplate.flatMap { tmpl =>
+      val f = java.io.File.createTempFile("graft_vid_", ".bin")
+      try {
+        java.nio.file.Files.write(f.toPath, payload)
+        val cmd = tmpl.map(_
+          .replace("{IN}", f.getAbsolutePath)
+          .replace("{SEC}", (offsetMs / 1000.0).toString))
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        p.getOutputStream.close()
+        val out = p.getInputStream.readAllBytes()
+        val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); None }
+        else if (p.exitValue() == 0 && out.nonEmpty) Some(out)
+        else None
+      } catch { case _: Exception => None }
+      finally { f.delete(): Unit }
+    }
 }
 
 /** Real in-JVM codecs: `javax.imageio` (PNG/JPEG/BMP/GIF) and

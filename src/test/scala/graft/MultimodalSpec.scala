@@ -164,6 +164,41 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalCodecs.videoFrameCount(mkv).isEmpty)
   }
 
+  test("external video decode: gated detection, real process plumbing, clean fallback") {
+    import graft.ext.ExternalVideoDecoder
+    // this container ships no decoder: detection must be None and
+    // extractFrame must defer to the caller's fallback (the stub-based
+    // sampling determinism the other tests pin)
+    sys.props.remove("graft.videoDecoder")
+    assert(ExternalVideoDecoder.commandTemplate.isEmpty)
+    assert(ExternalVideoDecoder.extractFrame(Array[Byte](1, 2, 3), 0L).isEmpty)
+    // inject a FAKE decoder (a script emitting deterministic bytes) to
+    // exercise the real plumbing end-to-end: temp-file handoff, {SEC}
+    // substitution, process exec, stdout capture, exit-code gate
+    val script = java.io.File.createTempFile("graft_fake_dec_", ".sh")
+    java.nio.file.Files.writeString(script.toPath,
+      "#!/bin/sh\nprintf 'FRAME@%s:' \"$2\"\ncat \"$1\" | head -c 4\n")
+    script.setExecutable(true)
+    try {
+      sys.props("graft.videoDecoder") = s"${script.getAbsolutePath} {IN} {SEC}"
+      val out = ExternalVideoDecoder.extractFrame("MKV1rest".getBytes, 1500L)
+      assert(out.map(new String(_)).contains("FRAME@1.5:MKV1"))
+      // a failing decoder (exit != 0) falls back to None, not an error
+      sys.props("graft.videoDecoder") = "/bin/false {IN} {SEC}"
+      assert(ExternalVideoDecoder.extractFrame(Array[Byte](9), 0L).isEmpty)
+      // and sampleFrames routes frame bytes through the decoder when on
+      sys.props("graft.videoDecoder") = s"${script.getAbsolutePath} {IN} {SEC}"
+      val fr = Multimodal.sampleFrames(
+        media((9L, "VIDEOPAYLOAD".getBytes, "video")),
+        everyMs = 60000L, maxFrames = 1).collect()
+      assert(fr.length == 1 &&
+        new String(fr(0).frame) == "FRAME@0.0:VIDE")
+    } finally {
+      sys.props.remove("graft.videoDecoder")
+      script.delete()
+    }
+  }
+
   test("frame sampling uses the real mp4 duration, stub only for unparseable formats") {
     val mp4 = mp4Bytes(1000L, 2600L, Seq((65L, 40L)), 64, 48)
     val frames = Multimodal.sampleFrames(media((3L, mp4, "video")),
