@@ -35,6 +35,7 @@ object ScaleSmoke {
     if (args.headOption.contains("phash200k")) { phash200k(); return }
     if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
     if (args.headOption.contains("heavy10x")) { heavy10x(); return }
+    if (args.headOption.contains("exactann1m")) { exactann1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -1617,6 +1618,97 @@ object ScaleSmoke {
       if (lshRecall < 0.9) failed = true
       vecs.unpersist()
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Exact pruned ANN at 1M (`runMain graft.ScaleSmoke exactann1m`):
+    * the r10 guaranteed-exact IVF probe on a CLUSTERED corpus — the
+    * regime the triangle-inequality bound exists for. 64 tight planted
+    * clusters (spread 0.02 around xxhash-derived centers), 1M vectors,
+    * 100 queries: ivfTopKExact must return EXACTLY brute-force top-10
+    * (set equality, 1 000 rows) while the bound-qualifying scan stays a
+    * small fraction of the corpus and the wall beats the brute-force
+    * scan. Red (exit 1) on any mismatch, on scan fraction > 0.5, or on
+    * pruned wall > brute wall. */
+  private def exactann1m(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 1000000L; val cClusters = 64; val k = 10; val nProbe = 4
+    def synthClustered(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        ((pmod(xxhash64(pmod(col("id"), lit(cClusters.toLong)), i),
+            lit(2001L)) - 1000L).cast("double") / 1000.0)
+          + ((pmod(xxhash64(col("id"), i, lit(7L)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0) * 0.02).as("embedding"))
+    val vecs = synthClustered(n).cache(); vecs.count()
+    val queries = vecs.where(col("vec_id") < 100L).cache(); queries.count()
+    var failed = false
+    var t0 = System.nanoTime()
+    val cents = Similarity.learnCentroidArrays(
+      vecs, "vec_id", "embedding", cClusters, 2)
+    println(f"SCALEEXACTANN train-kmeans   ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    t0 = System.nanoTime()
+    val radii = Similarity.listRadii(vecs, "vec_id", "embedding", cents)
+    println(f"SCALEEXACTANN list-radii     ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    t0 = System.nanoTime()
+    val pruned = Similarity.ivfTopKExact(vecs, queries, "vec_id",
+        "embedding", k, nProbe, cents, Some(radii))
+      .select(col("query_id"), col("rank"), col("candidate_id"),
+        col("cosine"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tPruned = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEEXACTANN pruned-exact   $tPruned%6.1f s (${pruned.size} rows)")
+    t0 = System.nanoTime()
+    val brute = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("rank"), col("candidate_id"),
+        col("cosine"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEEXACTANN brute-force    $tBrute%6.1f s (${brute.size} rows)")
+    if (pruned != brute) { println("SCALEEXACTANN MISMATCH vs brute"); failed = true }
+    // post-hoc bound audit: the fraction of the corpus the bound admits
+    // (phase-1 probed lists ∪ bound-qualifying lists), from the exact
+    // kth cosines — the number that holds at 1000 executors
+    val anchors = cents.map { c =>
+      val nn = math.sqrt(c.map(x => x * x).sum)
+      if (nn == 0.0) c else c.map(_ / nn)
+    }
+    val listSz = vecs
+      .withColumn("list", Similarity.nearestList(col("embedding"), cents))
+      .groupBy("list").agg(count(lit(1)).as("sz"))
+      .as[(Int, Long)].collect().toMap
+    val kth = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).min }
+    val qv = queries.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val fracs = qv.map { case (qid, v) =>
+      val qn = math.sqrt(v.map(x => x * x).sum)
+      val qh = v.map(_ / qn).toArray
+      val tau = math.sqrt(2.0 * (1.0 - kth(qid)) + 4e-6)
+      val probed = anchors.indices.sortBy { l =>
+        anchors(l).zip(qh).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.take(nProbe).toSet
+      val admitted = anchors.indices.filter { l =>
+        val qa = math.sqrt(
+          qh.zip(anchors(l)).map { case (a, b) => (a - b) * (a - b) }.sum)
+        probed(l) || qa <= tau + radii.getOrElse(l, 2.0)
+      }
+      admitted.map(l => listSz.getOrElse(l, 0L)).sum.toDouble / n
+    }
+    val avgFrac = fracs.sum / fracs.length
+    println(f"SCALEEXACTANN scan-fraction  $avgFrac%6.3f (avg over ${qv.length} queries)")
+    if (avgFrac > 0.5) { println("SCALEEXACTANN bound admits too much"); failed = true }
+    if (tPruned > tBrute) { println("SCALEEXACTANN no speedup over brute"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }
