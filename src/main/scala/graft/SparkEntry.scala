@@ -1431,6 +1431,21 @@ object SparkEntry {
         seqLen = 256L, bucketWidth = 64L), "doc")
     }),
 
+    // sequence packing keyed on REAL learned-BPE token counts (the
+    // budget a training loader actually fills) instead of the
+    // whitespace approximation — the trained merge table feeds the same
+    // decomposed prefix-sum packing; the oracle composes the generated
+    // BPE replay with the packing arithmetic.
+    "doc_seq_pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergesCache.getOrElseUpdate(dir,
+        graft.ext.Bpe.trainMerges(docs, "text", m = 8))
+      val counts = graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .select(col("doc"), col("bpe_tokens").as("n_tokens"))
+      sortBig(Corpus.packSequencesFromCounts(counts, seqLen = 256L,
+        bucketWidth = 64L), "doc")
+    }),
+
     // deterministic stratified Bernoulli sampling — the training-mix
     // rebalancing step: per-lang keep rates in basis points, keep iff
     // the portable md5-derived sampling hash of doc_id falls under the
@@ -1530,6 +1545,22 @@ object SparkEntry {
         .select(col("doc"), col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"), col("n_windows")),
         "doc", "span_start")
+    }),
+
+    // the REMOVAL half of substring dedup (same plant as
+    // doc_substring_dedup): earliest occurrence of every duplicated
+    // 8-token run survives, every other occurrence's covered tokens are
+    // stripped and the survivor text rebuilt in order — kept_md5 pins
+    // every surviving byte, so the keeper decision, coverage arithmetic,
+    // and reassembly are all on the gate.
+    "doc_substring_strip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("planted leak prefix alpha beta "), col("text"))
+            .as("text"))
+      sortBig(Dedup.substringStrip(docs.unionByName(planted),
+        "doc_id", "text", k = 8), "doc")
     }),
 
     // C4-style corpus-frequency line filter: every 8-token chunk present
@@ -4198,6 +4229,23 @@ object SparkEntry {
         |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc""".stripMargin,
 
+    // the generated BPE replay (bpe CTE) composed with the identical
+    // packing arithmetic, keyed on real token counts
+    "doc_seq_pack_bpe" -> (graft.ext.Bpe.oracleCountsCte(8) +
+      """,
+        |c AS (SELECT doc, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM bpe)
+        |SELECT doc, n_tokens, start_offset,
+        |  CAST(start_offset // 256 AS BIGINT) AS seq_start,
+        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS seq_end,
+        |  CAST(start_offset % 256 AS BIGINT) AS offset_in_seq,
+        |  CAST((start_offset + n_tokens - 1) // 256
+        |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc""".stripMargin),
+
     // string-gram recomputation of the hashed-gram contamination join,
     // same planted leaks
     "doc_decontaminate" ->
@@ -4290,6 +4338,43 @@ object SparkEntry {
         |  md5(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY bidx))
         |    AS text_md5
         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical plant and window hashes; keeper = min(doc·10⁶+pos) per
+    // duplicated hash, coverage via generate_series, ORDER BY-pos
+    // reassembly of the survivors
+    "doc_substring_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'planted leak prefix alpha beta ' || text
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM d),
+        |w AS (SELECT doc_id, u.pos AS pos, md5(u.s) AS whash FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1,
+        |        's': array_to_string(toks[i:i+7], ' ')}
+        |      for i in generate_series(1, len(toks) - 7)]) AS u
+        |    FROM t WHERE len(toks) >= 8) x),
+        |dups AS (SELECT whash, MIN(doc_id * 1000000 + pos) AS kord
+        |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
+        |rem AS (SELECT w.doc_id, w.pos FROM w JOIN dups USING (whash)
+        |  WHERE w.doc_id * 1000000 + w.pos <> dups.kord),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+        |  FROM rem) y),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
+        |      for i in generate_series(1, len(toks))]) AS u FROM t) z),
+        |fl AS (SELECT tok.doc_id, tok.pos, tok.tok,
+        |    cov.p IS NOT NULL AS covered
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.p)
+        |SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed_tokens,
+        |  CASE WHEN COUNT(*) > SUM(CASE WHEN covered THEN 1 ELSE 0 END)
+        |    THEN md5(string_agg(CASE WHEN NOT covered THEN tok END, ' '
+        |      ORDER BY pos)) END AS kept_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc""".stripMargin,
 
     // identical plant, window hashes (md5 of the space-joined 8-token
     // window over \S+ tokens), ≥2 corpus-wide count, and

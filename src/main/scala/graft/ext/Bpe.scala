@@ -109,7 +109,32 @@ object Bpe {
     * applies the same `passes`-fold replace. Generated, not
     * hand-written, so engine and oracle can never drift on round
     * count. */
-  def oracleSql(m: Int, passes: Int = 6): String = {
+  def oracleSql(m: Int, passes: Int = 6): String =
+    oracleCtePrefix(m, passes) + s"""
+      |SELECT d.doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(string_split(trim(r$m.rep), ' '))) AS BIGINT)
+      |    AS bpe_tokens
+      |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+      |      FROM documents) d
+      |JOIN r$m ON d.word = r$m.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The training replay + per-doc BPE token counts as a CTE block
+    * ending in `bpe(doc, n_tokens)` — composable into downstream
+    * oracles (packing keyed on real tokens). */
+  def oracleCountsCte(m: Int, passes: Int = 6): String =
+    oracleCtePrefix(m, passes) + s""",
+      |bpe AS MATERIALIZED (
+      |  SELECT d.doc_id AS doc,
+      |    CAST(SUM(len(string_split(trim(r$m.rep), ' '))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+      |        FROM documents) d
+      |  JOIN r$m ON d.word = r$m.word
+      |  GROUP BY 1)""".stripMargin
+
+  /** The `WITH w0 … r<m>` training-replay chain shared by the oracles. */
+  private def oracleCtePrefix(m: Int, passes: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS MATERIALIZED (
@@ -135,14 +160,6 @@ object Bpe {
         |r$i AS MATERIALIZED (SELECT word, freq, ${nestedReplace(passes)} AS rep
         |  FROM $prev, b$i)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT d.doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_words,
-      |  CAST(SUM(len(string_split(trim(r$m.rep), ' '))) AS BIGINT)
-      |    AS bpe_tokens
-      |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
-      |      FROM documents) d
-      |JOIN r$m ON d.word = r$m.word
-      |GROUP BY 1 ORDER BY 1""".stripMargin)
     sb.toString
   }
 

@@ -37,11 +37,22 @@ object Corpus {
     * Counts use whitespace tokens ([[TextAnalysis.tokens]]); all
     * arithmetic is exact integers — engine-portable with no rounding. */
   def packShards(df: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+      budgetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame =
+    packShardsFromCounts(
+      df.select(col(idCol).cast("long").as("doc"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")),
+      budgetTokens, bucketWidth)
+
+  /** [[packShards]] over a precomputed per-doc token-count frame
+    * (doc, n_tokens) — the counting rule becomes a parameter, so a REAL
+    * tokenizer ([[Bpe.tokenCounts]]) keys the budget arithmetic instead
+    * of the whitespace approximation. Same decomposed prefix sum. */
+  def packShardsFromCounts(counts: DataFrame, budgetTokens: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
     require(budgetTokens > 0 && bucketWidth > 0,
       "budgetTokens and bucketWidth must be positive")
-    val base = df.select(col(idCol).cast("long").as("doc"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val base = counts.select(col("doc").cast("long").as("doc"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("_bucket", floor(col("doc") / lit(bucketWidth)))
     val bucketTotals = base.groupBy(col("_bucket"))
       .agg(sum(col("n_tokens")).as("_btok"))
@@ -77,14 +88,25 @@ object Corpus {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    packShards(df, idCol, textCol, seqLen, bucketWidth)
+    seqSpanCols(packShards(df, idCol, textCol, seqLen, bucketWidth), seqLen)
+  }
+
+  /** [[packSequences]] over a precomputed (doc, n_tokens) frame — see
+    * [[packShardsFromCounts]]. */
+  def packSequencesFromCounts(counts: DataFrame, seqLen: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    seqSpanCols(packShardsFromCounts(counts, seqLen, bucketWidth), seqLen)
+  }
+
+  private def seqSpanCols(packed: DataFrame, seqLen: Long): DataFrame =
+    packed
       .select(col("doc"), col("n_tokens"), col("start_offset"),
         col("shard_id").as("seq_start"),
         floor((col("start_offset") + col("n_tokens") - 1) / lit(seqLen))
           .as("seq_end"),
         (col("start_offset") % lit(seqLen)).as("offset_in_seq"))
       .withColumn("n_seqs", col("seq_end") - col("seq_start") + 1)
-  }
 
   /** Benchmark CONTAMINATION detection — the decontamination step a
     * training pipeline runs before shipping a corpus: find every

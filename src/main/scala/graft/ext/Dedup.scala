@@ -164,11 +164,14 @@ object Dedup {
     *
     * Output: (doc, span_start, span_end, n_windows) — token-index
     * inclusive span bounds of every merged duplicate region. */
-  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+  /** The overlapping k-token window-hash frame (doc, pos, whash) —
+    * shared by [[substringDupSpans]] (reporting) and [[substringStrip]]
+    * (removal). Row-local: |tokens| windows per doc, linear in corpus
+    * bytes. */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val windows = df
-      .select(col(idCol).as("doc"), toks.as("_t"))
+    df.select(col(idCol).as("doc"), toks.as("_t"))
       .where(size(col("_t")) >= k)
       .select(col("doc"), explode(transform(
         sequence(lit(0), size(col("_t")) - k),
@@ -177,6 +180,11 @@ object Dedup {
         .as("_w"))
       .select(col("doc"), col("_w.pos").as("pos"),
         col("_w.whash").as("whash"))
+  }
+
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val windows = windowHashes(df, idCol, textCol, k)
     val dups = windows.groupBy(col("whash"))
       .agg(count(lit(1)).as("_c")).where(col("_c") >= 2)
       .select(col("whash"))
@@ -195,6 +203,52 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc"), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  /** The REMOVAL half of Lee et al. 2022 substring dedup: keep ONE
+    * occurrence of every duplicated ≥k-token run (the globally earliest
+    * (doc, pos), encoded doc·10⁶+pos like [[chunkDedup]]'s keeper) and
+    * strip the covered tokens from every other occurrence, rebuilding
+    * the surviving text in order. [[substringDupSpans]] reports where
+    * the duplicates are; this emits the deduplicated corpus accounting —
+    * (doc, n_tokens, removed_tokens, kept_md5), the md5 pinning every
+    * surviving byte.
+    *
+    * Shape: window hashes (row-local) → keeper decision (one hash-keyed
+    * aggregate) → covered-position explode (∝ duplicated tokens, not
+    * corpus²) → one (doc, pos)-keyed left join against the exploded
+    * token frame → per-doc sorted-struct fold. All joins hash-keyed;
+    * no corpus-global order. */
+  def substringStrip(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val windows = windowHashes(df, idCol, textCol, k)
+    val keepers = windows.groupBy(col("whash"))
+      .agg(count(lit(1)).as("_c"),
+        min(col("doc") * lit(1000000L) + col("pos")).as("_kord"))
+      .where(col("_c") >= 2)
+      .select(col("whash"), col("_kord"))
+    val removable = windows.join(keepers, "whash")
+      .where(col("doc") * lit(1000000L) + col("pos") =!= col("_kord"))
+      .select(col("doc"), col("pos"))
+    val covered = removable
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+      .withColumn("_cov", lit(1))
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val tokens = df.select(col(idCol).as("doc"), toks.as("_t"))
+      .select(col("doc"), posexplode(col("_t")).as(Seq("pos", "tok")))
+    tokens.join(covered, Seq("doc", "pos"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_cov"), lit(0))).cast("long").as("removed_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("_cov").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("_kept"))
+      .select(col("doc"), col("n_tokens"), col("removed_tokens"),
+        when(col("n_tokens") > col("removed_tokens"), md5(col("_kept")))
+          .as("kept_md5"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,

@@ -94,6 +94,24 @@ class ExtSpec extends SparkSpec {
     assert(tc == Set((1L, 3L, 3L), (2L, 1L, 1L)))
   }
 
+  test("substring strip keeps the earliest occurrence, rebuilds the rest") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val a = "alpha beta gamma " + shared + " delta"   // 16 tokens, keeper
+    val b = "x " + shared + " y z"                    // 15 tokens, stripped
+    val c = "unrelated words only nothing here at all repeated never once"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.substringStrip(df, "doc_id", "text", 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 is the keeper of every duplicated window: nothing removed.
+    // doc 2 loses exactly the 12 shared tokens (positions 1..12),
+    // keeping "x y z". doc 3 untouched.
+    assert(out(0) == ((1L, 16L, 0L, md5hex(a))))
+    assert(out(1) == ((2L, 15L, 12L, md5hex("x y z"))))
+    assert(out(2) == ((3L, 10L, 0L, md5hex(c))))
+  }
+
   test("html extraction keeps the article body and drops the chrome") {
     val html = "<html><head><title>T</title><style>p {c:1}</style></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
