@@ -200,29 +200,6 @@ object SparkEntry {
       cl
     }
 
-  /** In-engine quality evidence for the approximate (rows-only-checked)
-    * queries: marks each result row present in the exact reference with
-    * `hitCol`=1 and attaches a constant `recallCol` =
-    * |result ∩ reference| / |reference|, so the driver's row-count check
-    * also pins answer quality. Both inputs are persisted: each feeds two
-    * actions (the join and its own count) and their children are the
-    * expensive candidate pipelines. Reference keys are deduped so an
-    * accidental duplicate can't fan out the join or double-count a hit;
-    * an EMPTY reference defines recall as 1.0 (nothing to recover). */
-  private[graft] def withRecall(res: DataFrame, ref: DataFrame, keys: Seq[String],
-      hitCol: String, recallCol: String): DataFrame = {
-    val refK = ref.select(keys.map(col): _*).distinct().persist()
-    val joined = res.join(refK.withColumn(hitCol, lit(1)), keys, "left")
-      .withColumn(hitCol, coalesce(col(hitCol), lit(0)))
-      .persist()
-    val stats = joined.agg(sum(hitCol).cast("double").as("_hits"))
-      .crossJoin(refK.agg(count(lit(1)).as("_total")))
-    joined.crossJoin(broadcast(stats))
-      .withColumn(recallCol, when(col("_total") === 0, lit(1.0))
-        .otherwise(r6(col("_hits") / col("_total"))))
-      .drop("_hits", "_total")
-  }
-
   /** Portable round-half-up at 6 places via explicit float arithmetic —
     * used where interpolation's dyadic time fractions can land values
     * exactly on x.xxxxxx5 halfway points (native round() semantics differ

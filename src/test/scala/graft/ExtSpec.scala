@@ -1073,29 +1073,6 @@ class ExtSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
   }
 
-  test("withRecall: duplicated reference keys neither fan out nor overcount") {
-    import spark.implicits._
-    val res = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
-    val ref = Seq("a", "a", "a", "b").toDF("k") // dup'd reference slice
-    val out = SparkEntry.withRecall(res, ref, Seq("k"), "hit", "recall")
-      .orderBy("k").collect()
-    assert(out.length == 3, "duplicated reference keys fanned out the join")
-    val hits = out.map(r => r.getAs[String]("k") -> r.getAs[Int]("hit")).toSeq
-    assert(hits == Seq("a" -> 1, "b" -> 1, "c" -> 0))
-    // recall = |res ∩ ref| / |distinct ref| = 2/2
-    assert(out.forall(_.getAs[Double]("recall") == 1.0))
-  }
-
-  test("withRecall: empty reference slice defines recall as 1.0, not null") {
-    import spark.implicits._
-    val res = Seq(("a", 1)).toDF("k", "v")
-    val ref = Seq.empty[String].toDF("k")
-    val out = SparkEntry.withRecall(res, ref, Seq("k"), "hit", "recall").collect()
-    assert(out.length == 1)
-    assert(out.head.getAs[Int]("hit") == 0)
-    assert(out.head.getAs[Double]("recall") == 1.0)
-  }
-
   test("packShards: concat-then-chunk offsets and shards on a hand fixture") {
     import graft.ext.Corpus
     // token counts 3, 4, 5, 2 → exclusive cumsum 0, 3, 7, 12; budget 5
