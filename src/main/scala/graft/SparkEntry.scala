@@ -1408,6 +1408,26 @@ object SparkEntry {
         seqLen = 256L, bucketWidth = 64L), "doc")
     }),
 
+    // per-language tokenizer FERTILITY (BPE tokens per word) — the
+    // cross-lingual tokenizer-fairness metric a multilingual corpus
+    // audit reports (a language with high fertility pays more context
+    // budget per word). Same cached merge table; one tiny per-lang
+    // aggregate on top of the per-doc counts.
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergesCache.getOrElseUpdate(dir,
+        graft.ext.Bpe.trainMerges(docs, "text", m = 8))
+      graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
+        .withColumn("fertility",
+          r6(col("bpe_tokens").cast("double") / col("n_words")))
+        .orderBy("lang")
+    }),
+
     // sequence packing keyed on REAL learned-BPE token counts (the
     // budget a training loader actually fills) instead of the
     // whitespace approximation — the trained merge table feeds the same
@@ -4205,6 +4225,18 @@ object SparkEntry {
         |  CAST((start_offset + n_tokens - 1) // 256
         |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc""".stripMargin,
+
+    // the generated BPE replay composed with the per-lang fertility
+    // aggregate (same floor-round division as the engine)
+    "text_bpe_fertility" -> (graft.ext.Bpe.oracleCountsCte(8) +
+      """
+        |SELECT documents.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bpe.n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(bpe.n_tokens) AS BIGINT) AS bpe_tokens,
+        |  floor(CAST(SUM(bpe.n_tokens) AS DOUBLE) / SUM(bpe.n_words)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS fertility
+        |FROM bpe JOIN documents ON bpe.doc = documents.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // the generated BPE replay (bpe CTE) composed with the identical
     // packing arithmetic, keyed on real token counts

@@ -120,12 +120,13 @@ object Bpe {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The training replay + per-doc BPE token counts as a CTE block
-    * ending in `bpe(doc, n_tokens)` — composable into downstream
-    * oracles (packing keyed on real tokens). */
+    * ending in `bpe(doc, n_words, n_tokens)` — composable into
+    * downstream oracles (packing keyed on real tokens, per-lang
+    * fertility). */
   def oracleCountsCte(m: Int, passes: Int = 6): String =
     oracleCtePrefix(m, passes) + s""",
       |bpe AS MATERIALIZED (
-      |  SELECT d.doc_id AS doc,
+      |  SELECT d.doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_words,
       |    CAST(SUM(len(string_split(trim(r$m.rep), ' '))) AS BIGINT)
       |      AS n_tokens
       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
