@@ -32,7 +32,9 @@ object PlanAudit {
         s" BroadcastHashJoin=${c("BroadcastHashJoin")}" +
         s" SortMergeJoin=${c("SortMergeJoin")}" +
         s" ShuffledHashJoin=${c("ShuffledHashJoin")}" +
-        s" Exchange=${c("Exchange ")}" +
+        // negative lookbehind: "BroadcastExchange " must not inflate the
+        // SHUFFLE-exchange count (r10 review)
+        s" Exchange=${c("(?<!Broadcast)Exchange ")}" +
         // NOTE: under AQE the pre-execution plan carries no codegen
         // markers (isFinalPlan=false) — this counter only reads >0 when
         // AQE is off or the plan was executed; the join/exchange

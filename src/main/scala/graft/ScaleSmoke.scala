@@ -1695,8 +1695,13 @@ object ScaleSmoke {
       val qn = math.sqrt(v.map(x => x * x).sum)
       val qh = v.map(_ / qn).toArray
       val tau = math.sqrt(2.0 * (1.0 - kth(qid)) + 4e-6)
-      val probed = anchors.indices.sortBy { l =>
-        anchors(l).zip(qh).map { case (a, b) => (a - b) * (a - b) }.sum
+      // phase-1 probe set replayed the way the ENGINE routes: RAW-vector
+      // distance to RAW centroids with the (score, list) tie order of
+      // nearestLists — unit anchors enter only the phase-2 bound (r10
+      // review: auditing a unit-anchor probe set could measure a
+      // different scan than the one that ran)
+      val probed = cents.indices.sortBy { l =>
+        (v.zip(cents(l)).map { case (a, b) => (a - b) * (a - b) }.sum, l)
       }.take(nProbe).toSet
       val admitted = anchors.indices.filter { l =>
         val qa = math.sqrt(

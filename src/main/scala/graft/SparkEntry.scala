@@ -4348,8 +4348,9 @@ object SparkEntry {
         |    AS text_md5
         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
 
-    // identical plant and window hashes; keeper = min(doc·10⁶+pos) per
-    // duplicated hash, coverage via generate_series, ORDER BY-pos
+    // identical plant and window hashes; keeper = lexicographic-min
+    // (doc, pos) STRUCT per duplicated hash, keeper-occurrence positions
+    // protected from removal, coverage via generate_series, ORDER BY-pos
     // reassembly of the survivors
     "doc_substring_strip" ->
       """WITH d AS (
@@ -4363,13 +4364,22 @@ object SparkEntry {
         |        's': array_to_string(toks[i:i+7], ' ')}
         |      for i in generate_series(1, len(toks) - 7)]) AS u
         |    FROM t WHERE len(toks) >= 8) x),
-        |dups AS (SELECT whash, MIN(doc_id * 1000000 + pos) AS kord
+        |dups AS (SELECT whash,
+        |    MIN(struct_pack(d := doc_id, p := pos)) AS k
         |  FROM w GROUP BY 1 HAVING COUNT(*) >= 2),
         |rem AS (SELECT w.doc_id, w.pos FROM w JOIN dups USING (whash)
-        |  WHERE w.doc_id * 1000000 + w.pos <> dups.kord),
-        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  WHERE NOT (w.doc_id = dups.k.d AND w.pos = dups.k.p)),
+        |keepw AS (SELECT w.doc_id, w.pos FROM w JOIN dups USING (whash)
+        |  WHERE w.doc_id = dups.k.d AND w.pos = dups.k.p),
+        |prot AS (SELECT DISTINCT doc_id, p FROM (
         |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
-        |  FROM rem) y),
+        |  FROM keepw) y0),
+        |cov AS (SELECT r.doc_id, r.p FROM (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+        |    FROM rem) y1) r
+        |  LEFT JOIN prot ON r.doc_id = prot.doc_id AND r.p = prot.p
+        |  WHERE prot.p IS NULL),
         |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
         |    SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
         |      for i in generate_series(1, len(toks))]) AS u FROM t) z),

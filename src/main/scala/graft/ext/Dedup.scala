@@ -184,7 +184,10 @@ object Dedup {
 
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val windows = windowHashes(df, idCol, textCol, k)
+    // eager localCheckpoint: two consumers (dup count + join back) would
+    // otherwise run the per-token explode + md5 twice (r10 review; same
+    // discipline as containmentPairs)
+    val windows = windowHashes(df, idCol, textCol, k).localCheckpoint(true)
     val dups = windows.groupBy(col("whash"))
       .agg(count(lit(1)).as("_c")).where(col("_c") >= 2)
       .select(col("whash"))
@@ -206,34 +209,54 @@ object Dedup {
   }
 
   /** The REMOVAL half of Lee et al. 2022 substring dedup: keep ONE
-    * occurrence of every duplicated ≥k-token run (the globally earliest
-    * (doc, pos), encoded doc·10⁶+pos like [[chunkDedup]]'s keeper) and
-    * strip the covered tokens from every other occurrence, rebuilding
-    * the surviving text in order. [[substringDupSpans]] reports where
-    * the duplicates are; this emits the deduplicated corpus accounting —
-    * (doc, n_tokens, removed_tokens, kept_md5), the md5 pinning every
-    * surviving byte.
+    * occurrence of every duplicated ≥k-token run — the globally earliest
+    * (doc, pos), compared as a STRUCT so no doc/pos packing can overflow
+    * (r10 review: a doc·10⁶+pos ordinal picks wrong keepers past 10⁶
+    * tokens per doc) — and strip the covered tokens from every other
+    * occurrence, rebuilding the surviving text in order.
     *
-    * Shape: window hashes (row-local) → keeper decision (one hash-keyed
-    * aggregate) → covered-position explode (∝ duplicated tokens, not
-    * corpus²) → one (doc, pos)-keyed left join against the exploded
-    * token frame → per-doc sorted-struct fold. All joins hash-keyed;
-    * no corpus-global order. */
+    * Keeper PROTECTION (r10 review): positions covered by any KEEPER
+    * occurrence are never stripped, even when a DIFFERENT duplicated
+    * hash's removable occurrence overlaps them — without the carve-out,
+    * chained cross-doc overlaps could strip a run from EVERY document
+    * (keeper of run B loses its tokens to the removal of overlapping
+    * run A). With it, every duplicated run survives verbatim in its
+    * keeper doc; the cost is conservative (protected positions may keep
+    * a few additionally-duplicated tokens).
+    *
+    * [[substringDupSpans]] reports where the duplicates are; this emits
+    * the deduplicated corpus accounting — (doc, n_tokens,
+    * removed_tokens, kept_md5), the md5 pinning every surviving byte.
+    *
+    * Shape: window hashes (row-local, materialized once — two consumers
+    * below) → keeper decision (one hash-keyed map-side-combinable
+    * struct-min aggregate) → covered/protected-position explodes
+    * (∝ duplicated tokens, not corpus²) → one (doc, pos)-keyed left
+    * join against the exploded token frame → per-doc sorted-struct
+    * fold. All joins hash-keyed; no corpus-global order. */
   def substringStrip(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val windows = windowHashes(df, idCol, textCol, k)
+    // eager localCheckpoint: the frame feeds the keeper aggregate AND
+    // the join back — without it the per-token explode + md5 over the
+    // whole corpus executes twice (same discipline as containmentPairs)
+    val windows = windowHashes(df, idCol, textCol, k).localCheckpoint(true)
     val keepers = windows.groupBy(col("whash"))
       .agg(count(lit(1)).as("_c"),
-        min(col("doc") * lit(1000000L) + col("pos")).as("_kord"))
+        min(struct(col("doc"), col("pos"))).as("_k"))
       .where(col("_c") >= 2)
-      .select(col("whash"), col("_kord"))
-    val removable = windows.join(keepers, "whash")
-      .where(col("doc") * lit(1000000L) + col("pos") =!= col("_kord"))
-      .select(col("doc"), col("pos"))
-    val covered = removable
+      .select(col("whash"), col("_k.doc").as("_kdoc"),
+        col("_k.pos").as("_kpos"))
+    val keyed = windows.join(keepers, "whash")
+    val isKeeper = col("doc") === col("_kdoc") && col("pos") === col("_kpos")
+    def coverage(occ: DataFrame): DataFrame = occ
       .select(col("doc"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
+    val protectedPos = coverage(keyed.where(isKeeper)
+      .select(col("doc"), col("pos")))
+    val covered = coverage(keyed.where(!isKeeper)
+        .select(col("doc"), col("pos")))
+      .join(protectedPos, Seq("doc", "pos"), "left_anti")
       .withColumn("_cov", lit(1))
     val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     val tokens = df.select(col(idCol).as("doc"), toks.as("_t"))

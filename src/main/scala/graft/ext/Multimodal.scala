@@ -193,16 +193,34 @@ object Multimodal {
     import spark.implicits._
     require(everyMs > 0 && maxFrames > 0, "everyMs and maxFrames must be positive")
     ds.mapPartitions { rows =>
+      // resolve the decoder ONCE per partition; with none configured the
+      // stub path below stays a pure in-memory iterator
+      val tmpl = ExternalVideoDecoder.commandTemplate
       rows.flatMap { r =>
         val durMs = MultimodalCodecs.videoDurationMs(r.payload)
           .getOrElse(MultimodalStubs.durationMsStub(r))
         val n = math.min(maxFrames.toLong,
           math.max(1L, durMs / everyMs)).toInt
-        (0 until n).iterator.map { i =>
-          val frame = ExternalVideoDecoder
-            .extractFrame(r.payload, i * everyMs)
-            .getOrElse(MultimodalStubs.frameStub(r.payload, i))
-          FrameRow(r.doc_id, i, i * everyMs, frame, r.meta)
+        tmpl match {
+          case None =>
+            (0 until n).iterator.map { i =>
+              FrameRow(r.doc_id, i, i * everyMs,
+                MultimodalStubs.frameStub(r.payload, i), r.meta)
+            }
+          case Some(t) =>
+            // ONE payload write per video shared by all its frame
+            // decodes (r10 review: the per-frame temp file rewrote the
+            // payload n times). Frames for a row materialize inside the
+            // file's scope — bounded by maxFrames, so per-row memory
+            // stays constant-bounded.
+            ExternalVideoDecoder.withPayloadFile(r.payload) { path =>
+              (0 until n).map { i =>
+                val frame = ExternalVideoDecoder
+                  .extractFrameFromFile(t, path, i * everyMs)
+                  .getOrElse(MultimodalStubs.frameStub(r.payload, i))
+                FrameRow(r.doc_id, i, i * everyMs, frame, r.meta)
+              }
+            }.iterator
         }
       }
     }
@@ -249,25 +267,59 @@ object ExternalVideoDecoder {
     * decoder cannot wedge an executor core forever. */
   def extractFrame(payload: Array[Byte], offsetMs: Long,
       timeoutSec: Long = 20L): Option[Array[Byte]] =
-    commandTemplate.flatMap { tmpl =>
-      val f = java.io.File.createTempFile("graft_vid_", ".bin")
-      try {
-        java.nio.file.Files.write(f.toPath, payload)
-        val cmd = tmpl.map(_
-          .replace("{IN}", f.getAbsolutePath)
-          .replace("{SEC}", (offsetMs / 1000.0).toString))
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
-        val p = pb.start()
-        p.getOutputStream.close()
-        val out = p.getInputStream.readAllBytes()
-        val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { p.destroyForcibly(); None }
-        else if (p.exitValue() == 0 && out.nonEmpty) Some(out)
-        else None
-      } catch { case _: Exception => None }
-      finally { f.delete(): Unit }
-    }
+    commandTemplate.flatMap(tmpl =>
+      withPayloadFile(payload)(
+        extractFrameFromFile(tmpl, _, offsetMs, timeoutSec)))
+
+  /** Write `payload` to a temp file for the scope of `f`, always
+    * deleting after — lets a multi-frame caller pay the payload write
+    * ONCE per video instead of once per frame. */
+  def withPayloadFile[T](payload: Array[Byte])(f: String => T): T = {
+    val file = java.io.File.createTempFile("graft_vid_", ".bin")
+    try {
+      java.nio.file.Files.write(file.toPath, payload)
+      f(file.getAbsolutePath)
+    } finally { file.delete(): Unit }
+  }
+
+  /** Decode ONE frame at `offsetMs` from an on-disk payload. None when
+    * the process fails, times out, or emits nothing - callers must fall
+    * back. Two hazards of naive ProcessBuilder use are handled
+    * explicitly (r10 review): stderr drains on a daemon thread (an
+    * unread full stderr pipe deadlocks the child against our stdout
+    * read), and a daemon WATCHDOG destroys the process at the deadline
+    * even while stdout is still open - a bare `readAllBytes` would
+    * block forever on a hung decoder and a later `waitFor(timeout)`
+    * would never be reached, making the bound meaningless. */
+  def extractFrameFromFile(tmpl: Seq[String], path: String, offsetMs: Long,
+      timeoutSec: Long = 20L): Option[Array[Byte]] =
+    try {
+      val cmd = tmpl.map(_
+        .replace("{IN}", path)
+        .replace("{SEC}", (offsetMs / 1000.0).toString))
+      val p = new ProcessBuilder(cmd: _*).start()
+      p.getOutputStream.close()
+      val errDrain = new Thread(() => {
+        try {
+          val buf = new Array[Byte](8192)
+          val es = p.getErrorStream
+          while (es.read(buf) != -1) ()
+        } catch { case _: Exception => () }
+      })
+      errDrain.setDaemon(true); errDrain.start()
+      val killer = new Thread(() => {
+        try {
+          if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+            p.destroyForcibly(); ()
+          }
+        } catch { case _: InterruptedException => () }
+      })
+      killer.setDaemon(true); killer.start()
+      val out = p.getInputStream.readAllBytes()
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (done && p.exitValue() == 0 && out.nonEmpty) Some(out)
+      else { if (!done) p.destroyForcibly(); None }
+    } catch { case _: Exception => None }
 }
 
 /** Real in-JVM codecs: `javax.imageio` (PNG/JPEG/BMP/GIF) and

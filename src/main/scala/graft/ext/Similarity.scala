@@ -539,14 +539,23 @@ object Similarity {
     * (the sphere's diameter — no pruning), which is only pessimistic for
     * a list nothing is assigned to anyway. */
   def listRadii(candidates: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): Map[Int, Double] =
+    listRadiiAssigned(
+      asDouble(candidates, vecCol)
+        .withColumn("list", nearestList(col(vecCol), cents)),
+      vecCol, cents)
+
+  /** [[listRadii]] over a frame that ALREADY carries its `list`
+    * assignment — index builds/appends have paid the nLists×dims argmin
+    * once and must not pay it again for the radii pass (r10 review). */
+  def listRadiiAssigned(assigned: DataFrame, vecCol: String,
       cents: Array[Array[Double]]): Map[Int, Double] = {
     val anchors = unitAnchors(cents)
     val anchorArr = array(anchors.map(a => array(a.map(lit): _*)): _*)
-    asDouble(candidates, vecCol)
-      .withColumn("_cn", norm(col(vecCol)))
-      .withColumn("list", nearestList(col(vecCol), cents))
-      .select(col("list"), unitDist(col(vecCol), col("_cn"),
-        element_at(anchorArr, col("list") + 1)).as("_r"))
+    assigned
+      .withColumn("_rcn", norm(col(vecCol).cast("array<double>")))
+      .select(col("list"), unitDist(col(vecCol).cast("array<double>"),
+        col("_rcn"), element_at(anchorArr, col("list") + 1)).as("_r"))
       .groupBy(col("list")).agg(max(col("_r")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
@@ -838,7 +847,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("list").parquet(s"$path/corpus_pq")
       // list radii: the same triangle-inequality metadata the exact IVF
       // probe uses, persisted at build time like the centroids
-      val radii = listRadii(assigned, idCol, vecCol, cents)
+      val radii = listRadiiAssigned(assigned, vecCol, cents)
       writeJson(spark, s"$path/radii.json",
         (0 until nLists).map(l => radii.getOrElse(l, 2.0))
           .mkString("[", ",", "]"))
@@ -912,7 +921,7 @@ object Similarity {
     // appended points can EXTEND a list's pruning radius — merge max so
     // the exact probe's completeness bound stays valid after growth
     val oldRadii = loadRadii(spark, path)
-    val newRadii = listRadii(assigned, idCol, vecCol, cents)
+    val newRadii = listRadiiAssigned(assigned, vecCol, cents)
     writeJson(spark, s"$path/radii.json",
       oldRadii.indices.map(l =>
           math.max(oldRadii(l), newRadii.getOrElse(l, 0.0)))

@@ -112,6 +112,23 @@ class ExtSpec extends SparkSpec {
     assert(out(2) == ((3L, 10L, 0L, md5hex(c))))
   }
 
+  test("substring strip: keeper protection survives chained cross-doc overlaps") {
+    // the r10-review counterexample: keeper("a b") lives in d1, so d2's
+    // "a b" is removable and covers d2 positions {0,1}; but d2 is the
+    // KEEPER of "b c" (positions {1,2}) — without protection, stripping
+    // {0,1} would destroy "b c" in its own keeper doc and the run would
+    // survive NOWHERE. Protection carves the keeper occurrence out of
+    // the removal, so d2 keeps "b c" and only loses position 0.
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "b c")).toDF("doc_id", "text")
+    val out = Dedup.substringStrip(df, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0) == ((1L, 2L, 0L, md5hex("a b"))))
+    assert(out(1) == ((2L, 3L, 1L, md5hex("b c"))))
+    assert(out(2) == ((3L, 2L, 2L, null)))
+  }
+
   test("html extraction keeps the article body and drops the chrome") {
     val html = "<html><head><title>T</title><style>p {c:1}</style></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
