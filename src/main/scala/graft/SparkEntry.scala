@@ -144,6 +144,13 @@ object SparkEntry {
   private val bloomReplayPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of substring-probe replay tables
+    * (stream_substring_dedup): probe slice + planted offset-shifted
+    * leaks, written once per (JVM, sf dir) — same contract as
+    * bloomReplayPath. */
+  private val substringReplayPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of sessionization replay tables (stream_sessions):
     * the user-sliced obs frame plus one per-key SENTINEL event far past
     * the data, written once per (JVM, sf dir). The sentinel closes each
@@ -2749,6 +2756,54 @@ object SparkEntry {
       sortSmall(res.select(col("doc"), col("maybe_dup")), "doc")
     }),
 
+    // STREAMING substring dedup: incoming docs probe a persisted
+    // DISTINCT window-hash index of the corpus — the ingest-time twin of
+    // doc_substring_dedup for ARBITRARY-OFFSET verbatim leaks, which the
+    // chunk index (fixed boundaries) structurally misses. Planted
+    // shifted-prefix copies of corpus docs guarantee hits whose windows
+    // sit at offsets no chunk grid aligns with. Stateless stream-static
+    // join; per-doc accounting aggregated batch-side after the bounded
+    // replay; oracle replays index + probe with the same md5 windows.
+    "stream_substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = streamDedupIndex.getOrElseUpdate("window:" + dir, {
+        val p = s"$scratchBase/graft_stream_window_idx_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.streaming.StreamingDedup.buildWindowIndex(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", p, k = 8)
+        p
+      })
+      val rp = substringReplayPath.getOrElseUpdate(dir, {
+        val p = s"$scratchBase/graft_substr_replay_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        docs.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.where(col("doc_id") % 5 =!= 0 &&
+              col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(lit("planted leak prefix alpha beta "), col("text"))
+                .as("text")))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      })
+      val hits = graft.streaming.StreamingDedup.replayDocs(
+        s, rp, "stream_substr_hits") { st =>
+        graft.streaming.StreamingDedup.windowHitStream(
+          s, st, "doc_id", "text", idx, k = 8)
+      }
+      val tot = Dedup.windowHashes(s.read.parquet(rp), "doc_id", "text", 8)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).cast("long").as("n_windows"))
+      val dup = hits.groupBy(col("doc_new").as("doc"))
+        .agg(count(lit(1)).cast("long").as("dup_windows"))
+      sortBig(tot.join(dup, Seq("doc"), "left")
+        .select(col("doc"), col("n_windows"),
+          coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+          (col("n_windows") - coalesce(col("dup_windows"), lit(0L)))
+            .as("clean_windows")), "doc")
+    }),
+
     // streaming ANN serving against the persisted IVF index: queries
     // REPLAY as a stream probing the batch-built index (update-style
     // micro-batch top-k via StreamingAnn.ivfProbeStream). Probed
@@ -4302,6 +4357,35 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN len(string_split(chunk_text, ' '))
         |           ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY doc_id ORDER BY doc""".stripMargin,
+
+    // identical corpus window-hash index (distinct md5 8-token windows
+    // of the %5<>0 slice), identical probe slice + planted
+    // shifted-prefix leaks, LEFT JOIN membership accounting
+    "stream_substring_dedup" ->
+      """WITH cw AS (SELECT DISTINCT md5(u.s) AS whash FROM (
+        |    SELECT unnest([{'s': array_to_string(toks[i:i+7], ' ')}
+        |      for i in generate_series(1, len(toks) - 7)]) AS u
+        |    FROM (SELECT regexp_extract_all(text, '\S+') AS toks
+        |          FROM documents WHERE doc_id % 5 <> 0) t0
+        |    WHERE len(toks) >= 8) x),
+        |p AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 100000,
+        |        'planted leak prefix alpha beta ' || text
+        |      FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 3),
+        |pt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |       FROM p),
+        |pw AS (SELECT doc_id, md5(u.s) AS whash FROM (
+        |    SELECT doc_id, unnest([{'s': array_to_string(toks[i:i+7], ' ')}
+        |      for i in generate_series(1, len(toks) - 7)]) AS u
+        |    FROM pt WHERE len(toks) >= 8) y)
+        |SELECT pw.doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(CASE WHEN cw.whash IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_windows,
+        |  CAST(COUNT(*) - SUM(CASE WHEN cw.whash IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS clean_windows
+        |FROM pw LEFT JOIN cw ON pw.whash = cw.whash
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical HTML construction, script/style removal, block split,
     // tag strip, density + phrase rules, and ORDER BY-bidx reassembly

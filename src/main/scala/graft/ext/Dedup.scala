@@ -165,10 +165,12 @@ object Dedup {
     * Output: (doc, span_start, span_end, n_windows) — token-index
     * inclusive span bounds of every merged duplicate region. */
   /** The overlapping k-token window-hash frame (doc, pos, whash) —
-    * shared by [[substringDupSpans]] (reporting) and [[substringStrip]]
-    * (removal). Row-local: |tokens| windows per doc, linear in corpus
-    * bytes. */
-  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+    * shared by [[substringDupSpans]] (reporting), [[substringStrip]]
+    * (removal), and the streaming window index
+    * ([[graft.streaming.StreamingDedup.buildWindowIndex]]). Row-local:
+    * |tokens| windows per doc, linear in corpus bytes; md5 window
+    * hashes so any SQL engine replays them byte-for-byte. */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     df.select(col(idCol).as("doc"), toks.as("_t"))

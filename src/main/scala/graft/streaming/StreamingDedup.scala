@@ -256,6 +256,37 @@ object StreamingDedup {
     writeMetaFile(df.sparkSession, s"$path.meta.json", nBuckets)
   }
 
+  /** Persist the DISTINCT k-token window-hash set of a corpus — the
+    * substring-dedup twin of [[buildChunkIndex]] for ARBITRARY-OFFSET
+    * verbatim runs (an offset-shifted leak crosses every fixed chunk
+    * boundary, so the chunk index misses it; the overlapping-window
+    * index cannot). One distinct aggregate over the row-local
+    * [[graft.ext.Dedup.windowHashes]] frame; hashes stay md5 STRINGS so
+    * a SQL oracle replays the probe byte-for-byte. */
+  def buildWindowIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 8): Unit = {
+    graft.ext.Dedup.windowHashes(df, idCol, textCol, k)
+      .select(col("whash")).distinct()
+      .sortWithinPartitions("whash")
+      .write.mode("overwrite").parquet(path)
+    writeMetaFile(df.sparkSession, s"$path.meta.json", 0)
+  }
+
+  /** Probe a stream of new documents against a [[buildWindowIndex]]
+    * index: emits (doc_new, pos) for every k-token window the corpus
+    * already contains AT ANY OFFSET. Fully STATELESS — windowing is
+    * row-local and the corpus side is a static distinct-key frame
+    * (join multiplicity 1, no dedup state; the window hash IS the
+    * decision, like [[chunkHitStream]]). */
+  def windowHitStream(spark: SparkSession, stream: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      k: Int = 8): DataFrame = {
+    val index = spark.read.parquet(indexPath).select(col("whash"))
+    graft.ext.Dedup.windowHashes(stream, idCol, textCol, k)
+      .join(index, "whash")
+      .select(col("doc").as("doc_new"), col("pos"))
+  }
+
   /** Persist the portable Bloom filter of a corpus for ingest-time
     * dedup: the distinct set-bit frame of
     * [[graft.ext.Dedup.bloomBuild]] — ≤ m rows whatever the corpus

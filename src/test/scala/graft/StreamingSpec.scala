@@ -456,6 +456,47 @@ class StreamingSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("stream_substring_dedup equals batch window join; planted leaks fully flagged") {
+    import graft.ext.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("stream_substring_dedup")(spark, dir)
+    // independent batch recomputation over the same window frame: a
+    // probe window is a dup iff its hash exists anywhere in the corpus
+    // split — replayed with Dedup.windowHashes directly (no index, no
+    // stream)
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docsAll.where(col("doc_id") % 5 =!= 0)
+    val probe = docsAll.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("planted leak prefix alpha beta "), col("text"))
+            .as("text")))
+    val cw = Dedup.windowHashes(corpus, "doc_id", "text", 8)
+      .select(col("whash")).distinct()
+    val pw = Dedup.windowHashes(probe, "doc_id", "text", 8).cache()
+    val dup = pw.join(cw, Seq("whash"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).cast("long").as("dup_windows"))
+    val expected = pw.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_windows"))
+      .join(dup, Seq("doc"), "left")
+      .select(col("doc"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (col("n_windows") - coalesce(col("dup_windows"), lit(0L)))
+          .as("clean_windows"))
+    assert(streamed.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(streamed).count() == 0)
+    // every planted shifted copy is FULLY flagged (all its original-text
+    // windows are corpus windows) — the arbitrary-offset guarantee the
+    // fixed-boundary chunk index cannot give for a 5-token shift
+    val planted = streamed.where(col("doc") >= 100000L)
+    assert(planted.count() > 0, "no planted leaks — fixture degenerate")
+    // the planted doc's windows = 5 prefix-spanning + all original
+    // windows; the original windows are all dups, so clean_windows ≤ 5
+    assert(planted.where(col("clean_windows") > 5).count() == 0)
+    pw.unpersist()
+  }
+
   test("stream-stream interval join over a bounded replay equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_stream_join")(spark, dir)
