@@ -36,6 +36,7 @@ object ScaleSmoke {
     if (args.headOption.contains("linefreq1m")) { linefreq1m(); return }
     if (args.headOption.contains("heavy10x")) { heavy10x(); return }
     if (args.headOption.contains("exactann1m")) { exactann1m(); return }
+    if (args.headOption.contains("substr1m")) { substr1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -1714,6 +1715,75 @@ object ScaleSmoke {
     println(f"SCALEEXACTANN scan-fraction  $avgFrac%6.3f (avg over ${qv.length} queries)")
     if (avgFrac > 0.5) { println("SCALEEXACTANN bound admits too much"); failed = true }
     if (tPruned > tBrute) { println("SCALEEXACTANN no speedup over brute"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Substring-dedup scale tier (`runMain graft.ScaleSmoke substr1m`):
+    * spans + strip at 250k and 1M docs. Unique-token docs (30 tokens,
+    * xxhash-derived per doc) with 1% planted SHIFTED copies — doc i
+    * (i % 100 == 1 in the upper half) carries a 5-token shared prefix
+    * plus doc (i−1)'s token stream — so duplicated windows track the
+    * planted set, not n². Exactness is asserted in closed form: each
+    * planted pair yields exactly one span (0, 29, 23 windows) in the
+    * original and one (5, 34, 23) in the copy, nothing else; strip
+    * removes exactly 30 tokens per copy and zero elsewhere. Wall must
+    * stay near-linear 250k → 1M (red above 6× + 10 s). */
+  private def substr1m(): Unit = {
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def docToks(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), xxhash64(id, j)))
+    def synth(n: Long) = {
+      val planted = col("id") >= n / 2 && pmod(col("id"), lit(100L)) === 1L
+      spark.range(n).select(col("id"),
+        when(planted, concat_ws(" ",
+            lit("p0 p1 p2 p3 p4"), array_join(docToks(col("id") - 1), " ")))
+          .otherwise(array_join(docToks(col("id")), " ")).as("text"))
+    }
+    var failed = false
+    val walls = Seq(250000L, 1000000L).map { n =>
+      val nPlanted = spark.range(n).where(col("id") >= n / 2 &&
+        pmod(col("id"), lit(100L)) === 1L).count()
+      val docs = synth(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val spans = Dedup.substringDupSpans(docs, "id", "text", 8)
+        .localCheckpoint(true)
+      val tSpans = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val strip = Dedup.substringStrip(docs, "id", "text", 8)
+        .agg(sum(col("removed_tokens")), count(lit(1))).collect()(0)
+      val tStrip = (System.nanoTime() - t1) / 1e9
+      println(f"SCALESUBSTR n=$n%8d spans=$tSpans%6.1f s strip=$tStrip%6.1f s")
+      val t = tSpans + tStrip
+      val nSpans = spans.count()
+      val badSpans = spans.where(
+        !(col("span_start") === 0 && col("span_end") === 29 &&
+            col("n_windows") === 23) &&
+        !(col("span_start") === 5 && col("span_end") === 34 &&
+            col("n_windows") === 23)).count()
+      val removed = strip.getLong(0)
+      println(f"SCALESUBSTR n=$n%8d planted=$nPlanted spans=$nSpans " +
+        f"bad=$badSpans removed=$removed $t%6.1f s")
+      if (nSpans != 2 * nPlanted || badSpans != 0 ||
+          removed != 30 * nPlanted) {
+        println("SCALESUBSTR planted accounting mismatch"); failed = true
+      }
+      t
+    }
+    if (walls(1) > 6 * walls(0) + 10) {
+      println(f"SCALESUBSTR super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
+      failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

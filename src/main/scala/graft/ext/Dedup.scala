@@ -186,10 +186,7 @@ object Dedup {
 
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    // eager localCheckpoint: two consumers (dup count + join back) would
-    // otherwise run the per-token explode + md5 twice (r10 review; same
-    // discipline as containmentPairs)
-    val windows = windowHashes(df, idCol, textCol, k).localCheckpoint(true)
+    val windows = windowHashes(df, idCol, textCol, k)
     val dups = windows.groupBy(col("whash"))
       .agg(count(lit(1)).as("_c")).where(col("_c") >= 2)
       .select(col("whash"))
@@ -230,35 +227,42 @@ object Dedup {
     * the deduplicated corpus accounting — (doc, n_tokens,
     * removed_tokens, kept_md5), the md5 pinning every surviving byte.
     *
-    * Shape: window hashes (row-local, materialized once — two consumers
-    * below) → keeper decision (one hash-keyed map-side-combinable
+    * Shape: window hashes (row-local; RECOMPUTED per consumer, not
+    * materialized — a corpus-scale localCheckpoint measured SLOWER than
+    * re-running the cheap regex+md5 projection at both sf0.1 and 1M,
+    * and at 100 TB there is nowhere to park the frame anyway) → keeper
+    * decision (one hash-keyed map-side-combinable
     * struct-min aggregate) → covered/protected-position explodes
     * (∝ duplicated tokens, not corpus²) → one (doc, pos)-keyed left
     * join against the exploded token frame → per-doc sorted-struct
     * fold. All joins hash-keyed; no corpus-global order. */
   def substringStrip(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    // eager localCheckpoint: the frame feeds the keeper aggregate AND
-    // the join back — without it the per-token explode + md5 over the
-    // whole corpus executes twice (same discipline as containmentPairs)
-    val windows = windowHashes(df, idCol, textCol, k).localCheckpoint(true)
+    val windows = windowHashes(df, idCol, textCol, k)
     val keepers = windows.groupBy(col("whash"))
       .agg(count(lit(1)).as("_c"),
         min(struct(col("doc"), col("pos"))).as("_k"))
       .where(col("_c") >= 2)
       .select(col("whash"), col("_k.doc").as("_kdoc"),
         col("_k.pos").as("_kpos"))
+    // duplicated-hash occurrences with their keeper flag — ONE coverage
+    // explode + ONE (doc, pos) aggregate decides both sides of the rule
+    // (removable-covered AND not keeper-protected) instead of two
+    // explodes + distinct + anti-join; keyed is consumed once, so
+    // nothing needs materializing
     val keyed = windows.join(keepers, "whash")
-    val isKeeper = col("doc") === col("_kdoc") && col("pos") === col("_kpos")
-    def coverage(occ: DataFrame): DataFrame = occ
+      .select(col("doc"), col("pos"),
+        (col("doc") === col("_kdoc") && col("pos") === col("_kpos"))
+          .as("_isk"))
+    val covered = keyed
       .select(col("doc"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
-      .distinct()
-    val protectedPos = coverage(keyed.where(isKeeper)
-      .select(col("doc"), col("pos")))
-    val covered = coverage(keyed.where(!isKeeper)
-        .select(col("doc"), col("pos")))
-      .join(protectedPos, Seq("doc", "pos"), "left_anti")
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"),
+        col("_isk"))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(when(col("_isk"), 1).otherwise(0)).as("_p"),
+        max(when(!col("_isk"), 1).otherwise(0)).as("_r"))
+      .where(col("_r") === 1 && col("_p") === 0)
+      .select(col("doc"), col("pos"))
       .withColumn("_cov", lit(1))
     val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     val tokens = df.select(col(idCol).as("doc"), toks.as("_t"))
