@@ -1688,14 +1688,45 @@ object ScaleSmoke {
       .withColumn("list", Similarity.nearestList(col("embedding"), cents))
       .groupBy("list").agg(count(lit(1)).as("sz"))
       .as[(Int, Long)].collect().toMap
-    val kth = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).min }
+    // r11 advice: τ must come from the PHASE-1 probe's kth cosine — the
+    // cut the engine actually evaluates — not from brute force's kth
+    // (probe kth ≤ brute kth ⇒ probe τ ≥ brute τ, so a brute-derived
+    // audit could understate what the engine admits). Replay phase 1
+    // exactly: probe the nProbe lists with the engine's routing, score
+    // with the engine's rounded cosine, take the kth of that set.
+    val aud = vecs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("list", Similarity.nearestList(col("embedding"), cents))
+      .withColumn("_cn", Similarity.norm(col("embedding")))
+    val qProbesAud = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qvec"))
+      .withColumn("_qn", Similarity.norm(col("qvec")))
+      .withColumn("list",
+        explode(Similarity.nearestLists(col("qvec"), cents, nProbe)))
+    val wAud = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("candidate_id"))
+    val p1kth = aud.join(broadcast(qProbesAud), Seq("list"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("candidate_id"),
+        round(Similarity.dot(col("qvec"), col("embedding")) /
+          (col("_qn") * col("_cn")), 6).as("cosine"))
+      .withColumn("_rk", row_number().over(wAud)).where(col("_rk") <= k)
+      .groupBy(col("query_id"))
+      .agg(min(col("cosine")).as("cosk"), count(lit(1)).as("nk"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (q, ck, nk) => q -> (if (nk == k) Some(ck) else None) }
+      .toMap
     val qv = queries.select(col("vec_id"),
         col("embedding").cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
     val fracs = qv.map { case (qid, v) =>
       val qn = math.sqrt(v.map(x => x * x).sum)
       val qh = v.map(_ / qn).toArray
-      val tau = math.sqrt(2.0 * (1.0 - kth(qid)) + 4e-6)
+      val tau = p1kth.getOrElse(qid, None) match {
+        case Some(ck) => math.sqrt(2.0 * (1.0 - ck) + 4e-6)
+        case None => 2.1
+      }
       // phase-1 probe set replayed the way the ENGINE routes: RAW-vector
       // distance to RAW centroids with the (score, list) tie order of
       // nearestLists — unit anchors enter only the phase-2 bound (r10

@@ -246,13 +246,23 @@ object ExternalVideoDecoder {
 
   /** Detect per property value (memoized — PATH is probed once per
     * distinct setting, not per frame): explicit template property wins;
-    * else ffmpeg if present on PATH; else None (fallback mode). */
+    * else ffmpeg if present on PATH; else None (fallback mode).
+    *
+    * Two template encodings (r10 advice — a space-split-only form could
+    * not express a binary path containing spaces): a JSON string array
+    * (`["/opt/my decoder/bin","-i","{IN}"]` — delimiter-safe, any argv
+    * may contain spaces) when the property starts with `[`, else plain
+    * whitespace splitting (convenient for typical space-free
+    * commands). */
   private val detected =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[String]]]()
   def commandTemplate: Option[Seq[String]] = {
     val key = sys.props.getOrElse("graft.videoDecoder", "")
     detected.computeIfAbsent(key, k =>
-      if (k.nonEmpty) Some(k.split("\\s+").toSeq)
+      if (k.startsWith("["))
+        Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(k, classOf[Array[String]]).toSeq)
+      else if (k.nonEmpty) Some(k.split("\\s+").toSeq)
       else {
         val onPath = sys.env.getOrElse("PATH", "").split(":").exists(d =>
           new java.io.File(d, "ffmpeg").canExecute)

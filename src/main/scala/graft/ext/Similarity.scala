@@ -919,8 +919,10 @@ object Similarity {
       .select(col(idCol), col("codes"), col("_rn"), col("_e"), col("list"))
       .write.mode("append").partitionBy("list").parquet(s"$path/corpus_pq")
     // appended points can EXTEND a list's pruning radius — merge max so
-    // the exact probe's completeness bound stays valid after growth
-    val oldRadii = loadRadii(spark, path)
+    // the exact probe's completeness bound stays valid after growth.
+    // Pre-radii indexes degrade to all-2.0 (no pruning) instead of
+    // failing the append.
+    val oldRadii = loadRadiiOrDefault(spark, path, cents.length)
     val newRadii = listRadiiAssigned(assigned, vecCol, cents)
     writeJson(spark, s"$path/radii.json",
       oldRadii.indices.map(l =>
@@ -954,6 +956,19 @@ object Similarity {
     in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     mapper.readValue(new String(bytes, "UTF-8"), classOf[Array[Double]])
+  }
+
+  /** [[loadRadii]] with graceful degradation for indexes persisted
+    * before radii existed (or built externally): a missing radii.json
+    * yields all-2.0 — the sphere diameter, i.e. no pruning — so append
+    * and the exact probe keep working (just without the bound's
+    * speedup) instead of throwing (r10 advice). */
+  def loadRadiiOrDefault(spark: org.apache.spark.sql.SparkSession,
+      path: String, nLists: Int): Array[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/radii.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) loadRadii(spark, path)
+    else Array.fill(nLists)(2.0)
   }
 
   /** Codebooks of a persisted PQ index. */
@@ -1106,15 +1121,17 @@ object Similarity {
       nProbe: Int = 4, rerankR: Int = 40, roundScale: Int = 6): DataFrame = {
     recoverCorpus(spark, path)
     val cents = loadIvfCentroids(spark, path)
-    val radii = loadRadii(spark, path)
+    val radii = loadRadiiOrDefault(spark, path, cents.length)
     val codebooks = loadPqCodebooks(spark, path)
     val anchors = unitAnchors(cents)
     val anchorArr = array(anchors.map(a => array(a.map(lit): _*)): _*)
     // stage 1: the approximate probe supplies the cut (its k exact
-    // cosines are real candidates, so the kth is a valid bound)
+    // cosines are real candidates, so the kth is a valid bound). Its
+    // candidate ids are also kept and unioned into the rescore set
+    // below, so exactness never rests solely on the per-point bound.
     val p1 = ivfPqProbeRerank(spark, path, queries, idCol, vecCol, k,
         nProbe, rerankR, roundScale)
-      .select(col("query_id"), col("cosine"))
+      .select(col("query_id"), col("candidate_id"), col("cosine"))
       .localCheckpoint(true)
     val kth = p1.groupBy(col("query_id"))
       .agg(min(col("cosine")).as("_cosk"), count(lit(1)).as("_nk"))
@@ -1141,14 +1158,25 @@ object Similarity {
     // bound admits a candidate only if it could still beat the cut
     val adc = graft.functions.VectorFunctions.pqAdcDot(
       col("qvec"), col("codes"), codebooks)
+    // A degenerate point whose selected codebook centroids are all zero
+    // has `_rn` = 0 → NaN bound; NaN comparisons are false, which would
+    // silently DROP the point and void the exactness claim (r10
+    // advice). Such a point carries no usable ADC information, so a
+    // non-finite bound ADMITS — correctness over scan width.
+    val bound = sqrt(greatest(lit(0.0),
+      lit(2.0) * (lit(1.0) - col("_adcCos")))) - col("_e")
     val admitted = spark.read.parquet(s"$path/corpus_pq")
       .where(col("list").isin(scanLists: _*))
       .join(broadcast(qLists), Seq("list"))
       .where(col(idCol) =!= col("query_id"))
       .withColumn("_adcCos", adc / (col("_qn") * col("_rn")))
-      .where(sqrt(greatest(lit(0.0),
-          lit(2.0) * (lit(1.0) - col("_adcCos")))) - col("_e") <= col("_tau"))
+      .where(isnan(bound) || bound <= col("_tau"))
       .select(col("query_id"), col(idCol).as("candidate_id"))
+      // belt-and-braces: the stage-1 shortlist is re-rescored too (as
+      // ivfTopKExact unions p1top), so a bound bug can at worst cost
+      // recall parity with the plain probe, never below it
+      .union(p1.select(col("query_id"), col("candidate_id")))
+      .distinct()
       .localCheckpoint(true)
     // stage 3: exact rescore of the admitted set — contains every true
     // top-k member by the bound argument, so the window IS brute force

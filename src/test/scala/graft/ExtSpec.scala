@@ -186,6 +186,33 @@ class ExtSpec extends SparkSpec {
     assert(pq == exact, "ivfPqProbeExact != brute force")
   }
 
+  test("pre-radii IVF-PQ index degrades to no-pruning instead of failing") {
+    // an index persisted before radii.json existed (or built externally)
+    // must still append and probe-exactly — with all-2.0 radii (no
+    // pruning), not an exception (r10 advice).
+    val p = "/tmp/graft_test_noradii_pq_idx"
+    val head = emb.where(col("vec_id") < 48)
+    Similarity.buildIvfPqIndex(head, "vec_id", "embedding", p,
+      nLists = 8, m = 16, pqK = 64, iters = 2)
+    val fs = new org.apache.hadoop.fs.Path(s"$p/radii.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$p/radii.json"), false))
+    val stats = Similarity.ivfPqAppend(spark,
+      p, emb.where(col("vec_id") >= 48), "vec_id", "embedding")
+    assert(stats.nAppended > 0)
+    // radii.json regenerated by the append (max of 2.0 defaults and the
+    // appended batch — still a valid, if loose, completeness bound)
+    assert(Similarity.loadRadii(spark, p).forall(r => r >= 0.0 && r <= 2.0))
+    val queries = emb.where(col("vec_id") >= 32 && col("vec_id") < 36)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    val pq = Similarity.ivfPqProbeExact(spark, p, queries, "vec_id",
+        "embedding", k = 5, nProbe = 4, rerankR = 40)
+      .select(cols.map(col): _*).as[(Long, Int, Long, Double)].collect().toSet
+    assert(pq == exact, "no-radii ivfPqProbeExact != brute force")
+  }
+
   test("exact pruned search: the bound actually prunes on clustered data") {
     // tight planted clusters — the regime the pruning exists for. Members
     // are deterministic small perturbations of 4 base embeddings; every
