@@ -37,6 +37,8 @@ object ScaleSmoke {
     if (args.headOption.contains("heavy10x")) { heavy10x(); return }
     if (args.headOption.contains("exactann1m")) { exactann1m(); return }
     if (args.headOption.contains("substr1m")) { substr1m(); return }
+    if (args.headOption.contains("bpe1k")) { bpe1k(); return }
+    if (args.headOption.contains("winappend1m")) { winappend1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -1815,6 +1817,176 @@ object ScaleSmoke {
       println(f"SCALESUBSTR super-linear wall: ${walls(0)}%.1f -> ${walls(1)}%.1f s")
       failed = true
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Window-hash index growth tier (`runMain graft.ScaleSmoke
+    * winappend1m`), r10 VERDICT task 4: the substring-dedup index must
+    * grow incrementally at corpus scale, never by rebuild. 1M unique-
+    * token docs (the substr1m construction): build on the first half,
+    * append the second half, compact — the grown index must hold
+    * exactly the rebuild's distinct hash set and a batch probe must hit
+    * identically against both. Scale assertion: appending a SMALL batch
+    * (10k docs) to the full-size index costs a fraction of a rebuild —
+    * red if it exceeds half the 1M rebuild wall (an append that rescans
+    * the corpus lands at ~1×). */
+  private def winappend1m(): Unit = {
+    import graft.streaming.StreamingDedup
+    import graft.ext.Dedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = 1000000L
+    def docToks(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), xxhash64(id, j)))
+    val all = spark.range(n).select(col("id"),
+        array_join(docToks(col("id")), " ").as("text"))
+      .localCheckpoint(true)
+    val a = all.where(col("id") < n / 2)
+    val b = all.where(col("id") >= n / 2)
+    // 10k fresh docs beyond the corpus id range, plus 10k verbatim
+    // copies of indexed docs — the probe must hit only the copies
+    val probe = all.where(pmod(col("id"), lit(97L)) === 0L).limit(10000)
+      .select((col("id") + 2 * n).as("id"), col("text"))
+      .unionByName(all.where(pmod(col("id"), lit(101L)) === 0L).limit(10000)
+        .select((col("id") + 3 * n).as("id"), col("text")))
+      .localCheckpoint(true)
+    var failed = false
+    val rebuilt = "/tmp/graft_scale_winidx_rebuilt"
+    val grown = "/tmp/graft_scale_winidx_grown"
+    var t0 = System.nanoTime()
+    StreamingDedup.buildWindowIndex(all, "id", "text", rebuilt)
+    val tRebuild = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEWINAPPEND rebuild-1m    $tRebuild%6.1f s")
+    t0 = System.nanoTime()
+    StreamingDedup.buildWindowIndex(a, "id", "text", grown)
+    val tBuildHalf = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val (before, appended) =
+      StreamingDedup.appendWindowIndex(b, "id", "text", grown)
+    val tAppend = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEWINAPPEND build-500k    $tBuildHalf%6.1f s " +
+      f"append-500k $tAppend%6.1f s (before=$before appended=$appended)")
+    t0 = System.nanoTime()
+    StreamingDedup.compactWindowIndex(spark, grown)
+    val tCompact = (System.nanoTime() - t0) / 1e9
+    val nGrown = spark.read.parquet(grown).count()
+    val nRebuilt = spark.read.parquet(rebuilt).count()
+    println(f"SCALEWINAPPEND compact       $tCompact%6.1f s " +
+      f"(grown=$nGrown rebuilt=$nRebuilt)")
+    if (nGrown != nRebuilt) {
+      println("SCALEWINAPPEND grown index != rebuild"); failed = true
+    }
+    // batch-shape probe replay (the streaming probe is this exact
+    // semi-join per micro-batch): identical hits on both indexes, all
+    // of them from the verbatim-copy half
+    def hits(path: String): Long =
+      Dedup.windowHashes(probe, "id", "text", 8)
+        .join(spark.read.parquet(path), Seq("whash"), "left_semi")
+        .count()
+    val (hG, hR) = (hits(grown), hits(rebuilt))
+    val expectedHits = 23L * 10000L // 23 windows per 30-token copied doc
+    println(f"SCALEWINAPPEND probe hits    grown=$hG rebuilt=$hR " +
+      f"expected=$expectedHits")
+    if (hG != hR || hG != expectedHits) {
+      println("SCALEWINAPPEND probe mismatch"); failed = true
+    }
+    // incremental-growth claim: a 10k-doc append to the 1M index must
+    // not cost like a rebuild
+    val small = all.where(pmod(col("id"), lit(103L)) === 7L).limit(10000)
+      .select((col("id") + 4 * n).as("id"), col("text"))
+    t0 = System.nanoTime()
+    StreamingDedup.appendWindowIndex(small, "id", "text", grown)
+    val tSmall = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEWINAPPEND append-10k    $tSmall%6.1f s (rebuild $tRebuild%6.1f s)")
+    if (tSmall > 0.5 * tRebuild + 5) {
+      println("SCALEWINAPPEND small append costs like a rebuild"); failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Production-merge-count BPE tier (`runMain graft.ScaleSmoke bpe1k`),
+    * r10 VERDICT task 2: 1 000 merges trained (batched, B=64 → ~16
+    * driver rounds instead of 1 000) and applied TYPE-LEVEL over 250k
+    * docs (10M occurrences, 30k word types of 8 chars over a 4-letter
+    * alphabet — enough pair structure to sustain 1k merges). Asserts:
+    * the full merge budget is reachable; token totals sit inside the
+    * [n_words, n_symbols] bracket; more merges never inflate the total
+    * (monotone compression 100 → 1 000 merges); apply batch size is
+    * semantics-free (batch=32 ≡ batch=128 totals); and the walls stay
+    * inside generous reds (train 420 s, apply 180 s — a merge-count
+    * quadratic would blow through both). */
+  private def bpe1k(): Unit = {
+    import graft.ext.Bpe
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 250000L; val vocab = 30000L; val wordsPerDoc = 39
+    // word text = 8 base-4 digits of the word id, spelled a..d
+    def wordExpr(wid: org.apache.spark.sql.Column) =
+      concat_ws("", transform(sequence(lit(0), lit(7)), d =>
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+          (pmod(floor(wid.cast("double") / pow(lit(4.0), d.cast("double")))
+            .cast("long"), lit(4L)) + 1).cast("int"))))
+    val docs = spark.range(n).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(wordsPerDoc)), j =>
+          wordExpr(pmod(xxhash64(col("id"), j), lit(vocab)))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    var failed = false
+    var t0 = System.nanoTime()
+    val merges = Bpe.trainMergesBatched(docs, "text", m = 1000,
+      batchSize = 64)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEBPE train-1k       $tTrain%6.1f s (${merges.length} merges)")
+    if (merges.length < 1000) {
+      println("SCALEBPE merge budget not reached"); failed = true
+    }
+    t0 = System.nanoTime()
+    val tot = Bpe.tokenCountsTyped(docs, "id", "text", merges)
+      .agg(sum(col("n_words")).cast("long"),
+        sum(col("bpe_tokens")).cast("long"))
+      .as[(Long, Long)].head()
+    val tApply = (System.nanoTime() - t0) / 1e9
+    val nOcc = n * (wordsPerDoc + 1)
+    println(f"SCALEBPE apply-typed    $tApply%6.1f s " +
+      f"(words=${tot._1} tokens=${tot._2} symbols=${nOcc * 8})")
+    if (tot._1 != nOcc || tot._2 < nOcc || tot._2 > nOcc * 8) {
+      println("SCALEBPE token totals outside [n_words, n_symbols]")
+      failed = true
+    }
+    val tot100 = Bpe.tokenCountsTyped(docs, "id", "text", merges.take(100))
+      .agg(sum(col("bpe_tokens")).cast("long")).as[Long].head()
+    println(f"SCALEBPE tokens@100     $tot100%d vs @1000 ${tot._2}%d")
+    if (tot._2 > tot100) {
+      println("SCALEBPE more merges inflated the token total"); failed = true
+    }
+    // apply batching must be pure plumbing: identical per-doc counts on
+    // a slice regardless of projection batch size
+    val slice = docs.where(col("id") < 5000L)
+    val a32 = Bpe.tokenCountsTyped(slice, "id", "text", merges, batch = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    val a128 = Bpe.tokenCountsTyped(slice, "id", "text", merges, batch = 128)
+      .as[(Long, Long, Long)].collect().toSet
+    if (a32 != a128) {
+      println("SCALEBPE apply batch size changed results"); failed = true
+    }
+    if (tTrain > 420) { println("SCALEBPE train wall red"); failed = true }
+    if (tApply > 180) { println("SCALEBPE apply wall red"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -2073,9 +2073,45 @@ object SparkEntry {
         "doc")
     }),
 
+    // the production-merge-count apply path (r10 VERDICT task 2): the
+    // replace chain runs once per word TYPE in bounded-depth batches,
+    // occurrence counts join back by word — same merges, same oracle,
+    // same hashes as text_bpe_tokens, different physical plan
+    "text_bpe_tokens_typed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergesCache.getOrElseUpdate(dir,
+        graft.ext.Bpe.trainMerges(docs, "text", m = 8))
+      sortBig(graft.ext.Bpe.tokenCountsTyped(docs, "doc_id", "text", merges),
+        "doc")
+    }),
+
     // corpus token frequencies (top 50)
     "text_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(t(s, dir, "documents"), "text", 50)
+    }),
+
+    // CJK tokenization honesty (r10 VERDICT task 3): a planted CJK
+    // stratum (every 20th doc deterministically transliterated to Han
+    // characters with whitespace removed — built identically in the
+    // oracle, so both engines see the same no-whitespace text) is ONE
+    // whitespace token per doc; the character-class fallback
+    // segmentation recovers per-character tokens, while Latin docs'
+    // counts are provably unchanged (ws_tokens = seg_tokens there).
+    "text_token_cjk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{replace => sreplace}
+      val cjk26 = (0x4E00 until 0x4E1A).map(_.toChar).mkString
+      val planted = pmod(col("doc_id"), lit(20L)) === 0L
+      val txt = when(planted, sreplace(
+          translate(lower(substring(col("text"), 1, 120)),
+            "abcdefghijklmnopqrstuvwxyz", cjk26),
+          lit(" "), lit("")))
+        .otherwise(col("text"))
+      def nTok(c: Column) =
+        size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+      sortBig(t(s, dir, "documents").select(col("doc_id").as("doc"),
+        planted.cast("long").as("is_cjk"),
+        nTok(txt).as("ws_tokens"),
+        nTok(TextAnalysis.segmentCjk(txt)).as("seg_tokens")), "doc")
     }),
 
     // rolling-hash document fingerprint
@@ -5198,10 +5234,35 @@ object SparkEntry {
     // the word dict + the same 6-pass replace application
     "text_bpe_tokens" -> graft.ext.Bpe.oracleSql(8),
 
+    // the type-level apply path must be the SAME function — identical
+    // generated oracle, so the dict-once + join-back plan is pinned to
+    // the row-local semantics by DuckDB, not just by the unit spec
+    "text_bpe_tokens_typed" -> graft.ext.Bpe.oracleSql(8),
+
     "text_token_stats" ->
       """SELECT token, COUNT(*) AS c
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY c DESC, token LIMIT 50""".stripMargin,
+
+    // same planted transliteration + the same literal character-class
+    // ranges (TextAnalysis.CjkClass interpolated verbatim — Java regex
+    // and RE2 agree on literal char ranges); RE2 replacement uses \1
+    // and needs the 'g' flag for global
+    "text_token_cjk" -> {
+      val cjk26 = (0x4E00 until 0x4E1A).map(_.toChar).mkString
+      val cls = graft.ext.TextAnalysis.CjkClass
+      s"""SELECT doc_id AS doc,
+        |  CAST(doc_id % 20 = 0 AS BIGINT) AS is_cjk,
+        |  CAST(len(regexp_extract_all(txt, '\\S+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(txt, '($cls)', ' \\1 ', 'g'), '\\S+')) AS BIGINT)
+        |    AS seg_tokens
+        |FROM (SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN
+        |    replace(translate(lower(substr(text, 1, 120)),
+        |      'abcdefghijklmnopqrstuvwxyz', '$cjk26'), ' ', '')
+        |  ELSE text END AS txt FROM documents)
+        |ORDER BY doc""".stripMargin
+    },
 
     "text_fingerprint" ->
       """SELECT doc_id,

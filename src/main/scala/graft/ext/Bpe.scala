@@ -29,12 +29,34 @@ import org.apache.spark.sql.functions._
   * (ONE row) reaches the driver per round. Ties break (count desc,
   * left asc, right asc) — binary UTF-8 string order on both engines.
   *
-  * Apply shape: the merge list rides as plan literals; token counting
-  * is a codegen'd replace chain per word occurrence (zero shuffle
-  * until the per-doc sum). The type-level alternative — apply on the
-  * dict, join occurrences back — trades that CPU for a string-keyed
-  * shuffle join with heavy-hitter skew; row-local wins until the merge
-  * list is huge. */
+  * Apply shape, two paths sharing one semantics:
+  * - [[tokenCounts]] (row-local): the merge list rides as plan
+  *   literals; token counting is a codegen'd replace chain per word
+  *   OCCURRENCE (zero shuffle until the per-doc sum). Wins for small
+  *   merge lists — no join, no dict materialization.
+  * - [[tokenCountsTyped]] (type-level, the production-merge-count
+  *   path): the replace chain runs ONCE per word TYPE over the dict,
+  *   in bounded-depth projection batches (a 6·m-deep expression tree
+  *   at m=30k would break planning; batches of ~32 merges keep each
+  *   projection codegen-sized and a localCheckpoint between batches
+  *   truncates lineage), then per-(doc, word) occurrence counts join
+  *   back by word. The join input is pre-aggregated to (doc, word)
+  *   pairs — a stop word contributes one row per doc, not one per
+  *   occurrence — so the string-keyed shuffle is bounded by doc
+  *   vocabulary, and the dict side is vocab-sized (AQE broadcast-able
+  *   for real corpora).
+  *
+  * Training, two modes: [[trainMerges]] is textbook sequential BPE —
+  * one driver-synchronized round per merge, the oracle-replayable
+  * semantics. [[trainMergesBatched]] amortizes driver rounds for
+  * production merge counts: each Spark round selects the top-B
+  * NON-INTERACTING pairs (greedy by the same (count desc, l, r) order;
+  * a pair is skipped if either symbol, or its concatenation, was
+  * touched by an earlier selection in the batch — so within a batch no
+  * replace can create or consume another's match) and applies them in
+  * one projection. B=1 degenerates to exactly [[trainMerges]]; B>1 is
+  * the public "batch BPE" approximation — deterministic, but counts
+  * between batch members are not refreshed mid-batch. */
 object Bpe {
 
   /** Symbolized word-frequency dict: (word, freq, rep). */
@@ -99,6 +121,97 @@ object Bpe {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("_nt")).cast("long").as("bpe_tokens"))
+  }
+
+  /** Train `m` merges with `batchSize` selections per Spark round — the
+    * production-merge-count mode (30k merges = ~1k rounds at B=32, not
+    * 30k). Selection per round: pair-count aggregate (optionally over a
+    * deterministic hash-sample of word TYPES when `sampleFraction` < 1 —
+    * sampling types, not occurrences, keeps freq weights unbiased within
+    * the sample), collect the top 4·B rows, greedily keep pairs whose
+    * symbols and concatenation don't collide with an earlier selection
+    * in the batch, apply all kept merges in ONE projection +
+    * localCheckpoint. B=1 reproduces [[trainMerges]] exactly (same
+    * argmax, same order). */
+  def trainMergesBatched(df: DataFrame, textCol: String, m: Int,
+      batchSize: Int = 32, passes: Int = 6,
+      sampleFraction: Double = 1.0): Seq[(String, String)] = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    var rep = wordDict(df, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < m && !exhausted) {
+      val s = split(trim(col("rep")), " ")
+      val base =
+        if (sampleFraction >= 1.0) rep
+        else rep.where(pmod(xxhash64(col("word")), lit(1000000L)) <
+          lit((sampleFraction * 1000000L).toLong))
+      val want = math.min(batchSize, m - merges.length)
+      val top = base.where(size(s) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(0), size(s) - 2),
+          i => struct(element_at(s, i + 1).as("l"),
+            element_at(s, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(want * 4 + 4).collect()
+      // greedy non-interacting selection: the first row always
+      // qualifies (used is empty), so sel is empty iff top is —
+      // progress per round is guaranteed while pairs remain
+      val used = scala.collection.mutable.Set.empty[String]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      top.iterator.takeWhile(_ => sel.length < want).foreach { row =>
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (!used(l) && !used(r) && !used(l + r)) {
+          sel += ((l, r)); used += l; used += r; used += (l + r)
+        }
+      }
+      if (sel.isEmpty) exhausted = true
+      else {
+        merges ++= sel
+        rep = rep.withColumn("rep", sel.foldLeft(col("rep")) {
+            case (c, (l, r)) => applyMerge(c, l, r, passes) })
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a merge list over a `rep`-carrying dict in bounded-depth
+    * projection batches: `batch` merges (6·batch nested replaces) per
+    * projection, localCheckpoint between batches so neither the
+    * expression tree nor the lineage grows with m. */
+  private def applyMergesBatched(dict: DataFrame,
+      merges: Seq[(String, String)], passes: Int, batch: Int): DataFrame =
+    merges.grouped(batch).foldLeft(dict) { (d, g) =>
+      d.withColumn("rep", g.foldLeft(col("rep")) {
+          case (c, (l, r)) => applyMerge(c, l, r, passes) })
+        .localCheckpoint(true)
+    }
+
+  /** [[tokenCounts]] by the type-level path (header note): replace
+    * chain once per word TYPE, occurrence counts joined back by word.
+    * Identical output to [[tokenCounts]] for any merge list; the path
+    * for production merge counts, where a per-occurrence 6·m replace
+    * chain is both CPU-wasteful and (at m in the thousands) too deep to
+    * plan as one expression. */
+  def tokenCountsTyped(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], passes: Int = 6,
+      batch: Int = 32): DataFrame = {
+    val occ = df.select(col(idCol).as("doc"),
+        explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .as("word"))
+      .groupBy(col("doc"), col("word")).agg(count(lit(1)).as("occ"))
+    val dict0 = occ.select(col("word")).distinct()
+      .withColumn("rep", concat(lit(" "),
+        concat_ws(" ", regexp_extract_all(col("word"), lit("."), lit(0))),
+        lit(" ")))
+    val dict = applyMergesBatched(dict0, merges, passes, batch)
+      .select(col("word"), size(split(trim(col("rep")), " ")).as("_nt"))
+    occ.join(dict, Seq("word"))
+      .groupBy(col("doc"))
+      .agg(sum(col("occ")).cast("long").as("n_words"),
+        sum(col("occ") * col("_nt")).cast("long").as("bpe_tokens"))
   }
 
   /** The DuckDB oracle for [[trainMerges]] + [[tokenCounts]], generated

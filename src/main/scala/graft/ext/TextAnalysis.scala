@@ -90,6 +90,31 @@ object TextAnalysis {
     df.select(col(idCol), fp.as("fingerprint"))
   }
 
+  /** CJK character class for [[segmentCjk]] — explicit public Unicode
+    * block ranges (CJK Unified Ideographs + Extension A + Compatibility
+    * Ideographs, Hiragana, Katakana, Hangul syllables), spelled as
+    * literal char ranges so the identical class works in Java regex
+    * (Spark) and RE2 (the DuckDB oracle). */
+  val CjkClass: String = {
+    def r(a: Int, b: Int) = s"${a.toChar}-${b.toChar}"
+    "[" + r(0x3400, 0x4DBF) + r(0x4E00, 0x9FFF) + r(0xF900, 0xFAFF) +
+      r(0x3040, 0x30FF) + r(0xAC00, 0xD7AF) + "]"
+  }
+
+  /** Character-class fallback segmentation for no-whitespace scripts
+    * (r10 VERDICT task 3): every CJK codepoint becomes its own
+    * whitespace-delimited token (the public convention BERT's basic
+    * tokenizer uses for Han; extended to kana + hangul so ja/ko text
+    * doesn't collapse into one giant token either). Pure ASCII text is
+    * untouched — the surrounding-space padding only fires on CJK chars,
+    * so Latin-script counters keep their exact values. Row-local
+    * codegen'd regex; compose it UNDER any `\S+` counter
+    * ([[tokenCounts]], [[Bpe.wordDict]]-based budgets, fertility) to
+    * make them honest on CJK strata: without it a Chinese document is
+    * ONE token and every budget derived from it is silently wrong. */
+  def segmentCjk(text: Column): Column =
+    regexp_replace(text, s"($CjkClass)", " $1 ")
+
   /** Per-document token counts under both tokenizers: whitespace and the
     * BPE-ish regex (lowercase word/number/apostrophe runs) — the pair of
     * counting modes an LLM-data pipeline budget check needs. */

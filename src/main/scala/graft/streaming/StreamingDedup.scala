@@ -272,18 +272,84 @@ object StreamingDedup {
     writeMetaFile(df.sparkSession, s"$path.meta.json", 0)
   }
 
+  /** Append a new batch's window hashes to a persisted
+    * [[buildWindowIndex]] index WITHOUT rebuilding — the
+    * [[graft.ext.Similarity.ivfAppend]] lifecycle discipline applied to
+    * the dedup index (r10 VERDICT task 4): at 100 TB the window-hash
+    * set grows incrementally with each ingested shard, never by
+    * re-scanning the corpus. Cost ∝ the NEW batch only (one row-local
+    * windowing pass + one distinct over the batch); hashes the index
+    * already holds are appended again rather than anti-joined away —
+    * correctness is unaffected because [[windowHitStream]] probes with
+    * a LEFT SEMI join (multiplicity-free for any index layout), and
+    * [[compactWindowIndex]] restores the global-distinct sorted layout
+    * when the small appended files accumulate. Returns (index rows
+    * before, rows appended — the batch's distinct count, an upper
+    * bound on truly-new hashes). */
+  def appendWindowIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 8): (Long, Long) = {
+    val spark = df.sparkSession
+    recoverWindowIndex(spark, path)
+    val before = spark.read.parquet(path).count()
+    graft.ext.Dedup.windowHashes(df, idCol, textCol, k)
+      .select(col("whash")).distinct()
+      .sortWithinPartitions("whash")
+      .write.mode("append").parquet(path)
+    val after = spark.read.parquet(path).count()
+    (before, after - before)
+  }
+
+  /** Rewrite a window-hash index back to global-distinct sorted form
+    * after many [[appendWindowIndex]] batches (cross-batch duplicate
+    * hashes + small-file accumulation). Probe results are unchanged —
+    * the semi-join probe never saw the duplicates; this reclaims bytes
+    * and file handles. Same rename-aside crash discipline as
+    * [[graft.ext.Similarity.ivfCompact]]: a crash between the two
+    * renames strands the live index under `<path>_old`, which
+    * [[recoverWindowIndex]] renames back on the next touch. */
+  def compactWindowIndex(spark: SparkSession, path: String): Unit = {
+    recoverWindowIndex(spark, path)
+    val tmp = s"${path}_compacting"
+    spark.read.parquet(path).select(col("whash")).distinct()
+      .sortWithinPartitions("whash")
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    val fs = dst.getFileSystem(conf)
+    fs.delete(old, true) // leftover from a prior crashed compaction
+    fs.rename(dst, old)
+    fs.rename(src, dst)
+    fs.delete(old, true)
+  }
+
+  /** Crash recovery for [[compactWindowIndex]]'s swap (the
+    * recoverCorpus pattern): index missing + `<path>_old` present means
+    * a crash landed between the renames — restore automatically. */
+  private def recoverWindowIndex(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst) && fs.exists(old)) { fs.rename(old, dst): Unit }
+  }
+
   /** Probe a stream of new documents against a [[buildWindowIndex]]
     * index: emits (doc_new, pos) for every k-token window the corpus
     * already contains AT ANY OFFSET. Fully STATELESS — windowing is
-    * row-local and the corpus side is a static distinct-key frame
-    * (join multiplicity 1, no dedup state; the window hash IS the
-    * decision, like [[chunkHitStream]]). */
+    * row-local and the corpus side is a static frame probed with a
+    * LEFT SEMI join: multiplicity 1 whether the index is freshly built
+    * (globally distinct) or carries cross-batch duplicates from
+    * [[appendWindowIndex]]; no dedup state either way (the window hash
+    * IS the decision, like [[chunkHitStream]]). */
   def windowHitStream(spark: SparkSession, stream: DataFrame,
       idCol: String, textCol: String, indexPath: String,
       k: Int = 8): DataFrame = {
+    recoverWindowIndex(spark, indexPath)
     val index = spark.read.parquet(indexPath).select(col("whash"))
     graft.ext.Dedup.windowHashes(stream, idCol, textCol, k)
-      .join(index, "whash")
+      .join(index, Seq("whash"), "left_semi")
       .select(col("doc").as("doc_new"), col("pos"))
   }
 

@@ -94,6 +94,62 @@ class ExtSpec extends SparkSpec {
     assert(tc == Set((1L, 3L, 3L), (2L, 1L, 1L)))
   }
 
+  test("CJK fallback segmentation: per-char tokens, ASCII counts untouched") {
+    val df = Seq(
+      (1L, "hello world"),                       // pure ASCII: no-op
+      (2L, "你好世界"),          // Han, no whitespace
+      (3L, "abcカナdef"),                // katakana embedded in ASCII
+      (4L, "한국어 ok")              // hangul + ASCII word
+    ).toDF("id", "text")
+    def n(c: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+    val out = df.select(col("id"), n(col("text")).as("ws"),
+        n(graft.ext.TextAnalysis.segmentCjk(col("text"))).as("seg"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2, 2)), "ASCII text must be untouched")
+    assert(out(2L) == ((1, 4)), "Han doc was ONE ws token, 4 chars")
+    assert(out(3L) == ((1, 4)))  // abc, KA, NA, def
+    assert(out(4L) == ((2, 4)))  // HAN, GUK, EO, ok
+  }
+
+  test("type-level BPE apply == row-local; batched training B=1 == sequential") {
+    val df = Seq((1L, "aa aa ab"), (2L, "aaaa"),
+      (3L, "ab aa ba aaaa aab baa")).toDF("doc_id", "text")
+    val seqM = graft.ext.Bpe.trainMerges(df, "text", m = 5)
+    // batch size 1 must reproduce the sequential algorithm exactly —
+    // same per-round argmax, same (count desc, l, r) tie order
+    assert(graft.ext.Bpe.trainMergesBatched(df, "text", m = 5,
+      batchSize = 1) == seqM)
+    // the typed path (dict-once apply + occurrence join-back) is the
+    // same function as the row-local chain for any merge list; batch=2
+    // forces multiple checkpointed projection batches
+    val rl = graft.ext.Bpe.tokenCounts(df, "doc_id", "text", seqM)
+      .as[(Long, Long, Long)].collect().toSet
+    val tl = graft.ext.Bpe.tokenCountsTyped(df, "doc_id", "text", seqM,
+        batch = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tl == rl, "typed apply != row-local apply")
+    // B>1 batched mode: deterministic across runs, and its merges still
+    // compress (typed tokens strictly below the no-merge word-symbol
+    // count on this fixture)
+    val b1 = graft.ext.Bpe.trainMergesBatched(df, "text", m = 6, batchSize = 3)
+    assert(b1 ==
+      graft.ext.Bpe.trainMergesBatched(df, "text", m = 6, batchSize = 3))
+    assert(b1.nonEmpty && b1.distinct.length == b1.length)
+    val none = graft.ext.Bpe.tokenCountsTyped(df, "doc_id", "text", Nil)
+      .agg(sum(col("bpe_tokens"))).as[Long].head()
+    val after = graft.ext.Bpe.tokenCountsTyped(df, "doc_id", "text", b1)
+      .agg(sum(col("bpe_tokens"))).as[Long].head()
+    assert(after < none, "batched merges failed to compress")
+    // and on the real corpus fixture: typed == row-local again
+    val mr = graft.ext.Bpe.trainMerges(docs, "text", m = 4)
+    val rlD = graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", mr)
+      .as[(Long, Long, Long)].collect().toSet
+    val tlD = graft.ext.Bpe.tokenCountsTyped(docs, "doc_id", "text", mr)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tlD == rlD)
+  }
+
   test("substring strip keeps the earliest occurrence, rebuilds the rest") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
     val a = "alpha beta gamma " + shared + " delta"   // 16 tokens, keeper

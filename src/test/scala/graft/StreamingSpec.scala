@@ -497,6 +497,51 @@ class StreamingSpec extends SparkSpec {
     pw.unpersist()
   }
 
+  test("window-index append lifecycle: probe-after-append == rebuild; compact is a no-op") {
+    import graft.streaming.StreamingDedup
+    implicit val s = spark
+    val docsAll = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusA = docsAll.where(col("doc_id") % 3 === 0)
+    val corpusB = docsAll.where(col("doc_id") % 3 === 1)
+    val probeDocs = docsAll.where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val grown = "/tmp/graft_test_winidx_grown"
+    val rebuilt = "/tmp/graft_test_winidx_rebuilt"
+    StreamingDedup.buildWindowIndex(corpusA, "doc_id", "text", grown)
+    val (before, appended) =
+      StreamingDedup.appendWindowIndex(corpusB, "doc_id", "text", grown)
+    assert(before > 0 && appended > 0)
+    StreamingDedup.buildWindowIndex(
+      corpusA.unionByName(corpusB), "doc_id", "text", rebuilt)
+    def probeHits(path: String, name: String): Set[(Long, Int)] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark, 1)
+      val q = StreamingDedup.windowHitStream(spark,
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text", path)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      input.addData(probeDocs: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table(name).as[(Long, Int)].collect().toSet
+    }
+    val hitsGrown = probeHits(grown, "winidx_grown_tbl")
+    val hitsRebuilt = probeHits(rebuilt, "winidx_rebuilt_tbl")
+    assert(hitsGrown == hitsRebuilt, "append-grown probe != rebuild probe")
+    assert(hitsGrown.nonEmpty, "degenerate fixture: no window hits at all")
+    // re-appending the SAME batch plants cross-batch duplicates; the
+    // semi-join probe must not double-report
+    StreamingDedup.appendWindowIndex(corpusB, "doc_id", "text", grown)
+    assert(probeHits(grown, "winidx_dup_tbl") == hitsRebuilt)
+    // compaction reclaims the duplicates without changing probe results
+    StreamingDedup.compactWindowIndex(spark, grown)
+    val rows = spark.read.parquet(grown)
+    assert(rows.count() == rows.distinct().count(),
+      "compact left duplicate hashes")
+    assert(rows.count() == spark.read.parquet(rebuilt).count())
+    assert(probeHits(grown, "winidx_compact_tbl") == hitsRebuilt)
+  }
+
   test("stream-stream interval join over a bounded replay equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_stream_join")(spark, dir)
