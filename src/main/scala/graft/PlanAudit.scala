@@ -8,11 +8,46 @@ package graft
   *
   *   sbt "runMain graft.PlanAudit <sfDir> q1,q2,..."
   *   sbt "runMain graft.PlanAudit <sfDir> q1 --full"
+  *   sbt "runMain graft.PlanAudit <sfDir> --record plan_shapes.json"
+  *
+  * `--record` snapshots the counters of EVERY declared query to a JSON
+  * baseline; [[QueryProbe]]'s `--guard` replays the snapshot and goes
+  * red when a query grows a CartesianProduct / BroadcastNestedLoop /
+  * extra shuffle Exchange / extra shuffle-side join relative to it
+  * (r10 VERDICT task 5 — a plan regression is a red build, not a
+  * next-round forensic exercise).
   */
 object PlanAudit {
+
+  /** The guarded plan-shape counters, from an executedPlan string.
+    * Codegen spans are NOT here: under AQE the pre-execution plan
+    * carries no codegen markers (isFinalPlan=false), so they'd record
+    * as zero and guard nothing — the join/exchange structure is the
+    * reliable, deterministic part of a pre-execution audit. */
+  def counters(plan: String): Map[String, Int] = {
+    def c(re: String) = re.r.findAllIn(plan).length
+    Map(
+      "cart" -> c("CartesianProduct"),
+      "bnl" -> c("BroadcastNestedLoop"),
+      "bhj" -> c("BroadcastHashJoin"),
+      "smj" -> c("SortMergeJoin"),
+      "shj" -> c("ShuffledHashJoin"),
+      // negative lookbehind: "BroadcastExchange " must not inflate the
+      // SHUFFLE-exchange count (r10 review)
+      "exch" -> c("(?<!Broadcast)Exchange "))
+  }
+
+  /** Pre-execution plan string of one declared query (the point both
+    * `--record` and the guard sample, so the two always compare plans
+    * captured at the same lifecycle stage). */
+  def planOf(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val record = args(1) == "--record"
     val full = args.contains("--full")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -22,26 +57,32 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- names) {
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      val p = df.queryExecution.executedPlan.toString
-      def c(re: String) = re.r.findAllIn(p).length
-      println(s"=== $n ===")
-      println(s"  CartesianProduct=${c("CartesianProduct")}" +
-        s" BroadcastNestedLoop=${c("BroadcastNestedLoop")}" +
-        s" BroadcastHashJoin=${c("BroadcastHashJoin")}" +
-        s" SortMergeJoin=${c("SortMergeJoin")}" +
-        s" ShuffledHashJoin=${c("ShuffledHashJoin")}" +
-        // negative lookbehind: "BroadcastExchange " must not inflate the
-        // SHUFFLE-exchange count (r10 review)
-        s" Exchange=${c("(?<!Broadcast)Exchange ")}" +
-        // NOTE: under AQE the pre-execution plan carries no codegen
-        // markers (isFinalPlan=false) — this counter only reads >0 when
-        // AQE is off or the plan was executed; the join/exchange
-        // structure checks are the reliable part of this audit
-        s" WholeStageCodegen=${c("\\*\\(")}")
-      if (full) println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    if (record) {
+      val out = args(2)
+      val rows = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+        val m = counters(planOf(spark, sfDir, n))
+        println(s"[plans] $n $m")
+        s"""  "$n": {${m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        rows.mkString("{\n", ",\n", "\n}\n"))
+      println(s"[plans] recorded ${rows.size} queries -> $out")
+    } else {
+      val names = args(1).split(",").toSeq
+      for (n <- names) {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val m = counters(df.queryExecution.executedPlan.toString)
+        println(s"=== $n ===")
+        println(s"  CartesianProduct=${m("cart")}" +
+          s" BroadcastNestedLoop=${m("bnl")}" +
+          s" BroadcastHashJoin=${m("bhj")}" +
+          s" SortMergeJoin=${m("smj")}" +
+          s" ShuffledHashJoin=${m("shj")}" +
+          s" Exchange=${m("exch")}")
+        if (full) println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
     }
     spark.stop()
   }

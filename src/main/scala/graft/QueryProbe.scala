@@ -22,6 +22,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *    red-flag on whole-second host jitter — making a regression a red
   *    build, not a next-round forensic exercise. Documented in
   *    README §bench.
+  *
+  * The guard ALSO audits plan shapes (r10 VERDICT task 5): when
+  * `plan_shapes.json` exists (recorded by `PlanAudit --record`), each
+  * guarded query's pre-execution plan counters are compared against the
+  * snapshot — a CartesianProduct or BroadcastNestedLoop appearing, a
+  * shuffle Exchange count growing, or a broadcast join degrading to a
+  * shuffle-side join (smj+shj growth) is a red build even if the wall
+  * time still squeaks under the 2× timing slack. New queries absent
+  * from the snapshot only warn — re-record to enroll them.
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
@@ -96,12 +105,39 @@ object QueryProbe {
     val names = SparkEntry.queries.keys.toSeq.filter(recorded.contains)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val crashed = scala.collection.mutable.Map.empty[String, String]
+    // plan-shape snapshot (PlanAudit --record); absent file = timing-only
+    val shapeFile = new java.io.File("plan_shapes.json")
+    val shapes: Map[String, Map[String, Int]] =
+      if (!shapeFile.exists()) Map.empty
+      else mapper.readValue(shapeFile, classOf[java.util.Map[String, Object]])
+        .asScala.toMap.map { case (q, m) =>
+          q -> m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+            .map { case (k, v) => k -> v.asInstanceOf[Number].intValue } }
+    val planRegressions = scala.collection.mutable.ArrayBuffer.empty[String]
     // interleave reps like Bench: min spans different host-noise windows
     for (rep <- 1 to reps; name <- names) {
       try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // audit the same pre-execution plan PlanAudit --record sampled;
+        // rep 1 only (the plan is deterministic per (query, sfDir))
+        if (rep == 1 && shapes.contains(name)) {
+          val base = shapes(name)
+          val now = PlanAudit.counters(df.queryExecution.executedPlan.toString)
+          if (now("cart") > base("cart") || now("bnl") > base("bnl"))
+            planRegressions += s"$name: cartesian/nested-loop join appeared " +
+              s"(cart ${base("cart")}->${now("cart")}, bnl ${base("bnl")}->${now("bnl")})"
+          if (now("exch") > base("exch"))
+            planRegressions += s"$name: shuffle Exchange count grew " +
+              s"${base("exch")}->${now("exch")}"
+          if (now("smj") + now("shj") > base("smj") + base("shj"))
+            planRegressions += s"$name: shuffle-side join count grew " +
+              s"${base("smj") + base("shj")}->${now("smj") + now("shj")}" +
+              " (broadcast lost?)"
+        } else if (rep == 1 && shapes.nonEmpty)
+          println(s"[guard] WARN $name not in plan_shapes.json — " +
+            "re-record with PlanAudit --record to enroll it")
         val t = time(s"$name#$rep") {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
+          df.write.format("noop").mode("overwrite").save()
         }
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
       } catch { case e: Throwable =>
@@ -139,7 +175,11 @@ object QueryProbe {
     }
     println(f"[guard] ${names.size - failures.size}/${names.size} queries within " +
       "2x of the recorded bench")
+    if (shapes.nonEmpty)
+      println(s"[guard] plan shapes: ${planRegressions.size} regressions " +
+        s"against ${shapes.size}-query snapshot")
     failures.foreach(f => println(s"[guard] REGRESSION $f"))
-    if (failures.isEmpty) 0 else 1
+    planRegressions.foreach(f => println(s"[guard] PLAN-REGRESSION $f"))
+    if (failures.isEmpty && planRegressions.isEmpty) 0 else 1
   }
 }

@@ -39,6 +39,7 @@ object ScaleSmoke {
     if (args.headOption.contains("substr1m")) { substr1m(); return }
     if (args.headOption.contains("bpe1k")) { bpe1k(); return }
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
+    if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -1819,6 +1820,148 @@ object ScaleSmoke {
     }
     spark.stop()
     if (failed) sys.exit(1)
+  }
+
+  /** Synthesize a 10× copy of an sf directory: every fact table becomes
+    * ten key-shifted copies (stride 10^8 — far above any real or
+    * query-planted key), so join fan-outs, group sizes, and duplicate /
+    * near-duplicate group structure are PRESERVED per copy while
+    * cardinality grows 10× — the shape of real corpus growth (new
+    * shards bring new users/docs/vectors, not denser hot keys).
+    * Dimension tables (region, nation) stay fixed, as TPC-H scaling
+    * does. Cross-copy content is decorrelated on purpose:
+    *  - documents: copies ≥ 1 tag every token (`tok` → `x3tok`), so
+    *    intra-copy exact/near/substring duplicate relations replicate
+    *    exactly but NO token, shingle, or window hash matches across
+    *    copies — without this, 10 verbatim copies of each doc would
+    *    turn every planted duplicate group into a 10×-bigger group and
+    *    quadratic-in-group-size pair miners would red on DATA shape,
+    *    not plan shape.
+    *  - embeddings: copy i is circularly shifted by i positions — a
+    *    permutation (orthogonal), so all intra-copy inner products are
+    *    preserved bit-for-bit while cross-copy vectors decorrelate.
+    *  - events: users shift (10× users at the same per-user density),
+    *    timestamps keep their window/session structure. */
+  private def make10x(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    val K = 100000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until 10).map(i => copy(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    def sh(c: String, i: Int): Column = col(c) + lit(i * K)
+    for (d <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$d.parquet")
+    tenfold("customer")((df, i) => df.withColumn("c_custkey", sh("c_custkey", i)))
+    tenfold("supplier")((df, i) => df.withColumn("s_suppkey", sh("s_suppkey", i)))
+    tenfold("part")((df, i) => df.withColumn("p_partkey", sh("p_partkey", i)))
+    tenfold("orders")((df, i) => df
+      .withColumn("o_orderkey", sh("o_orderkey", i))
+      .withColumn("o_custkey", sh("o_custkey", i)))
+    tenfold("lineitem")((df, i) => df
+      .withColumn("l_orderkey", sh("l_orderkey", i))
+      .withColumn("l_partkey", sh("l_partkey", i))
+      .withColumn("l_suppkey", sh("l_suppkey", i)))
+    tenfold("events")((df, i) => df
+      .withColumn("event_id", sh("event_id", i))
+      .withColumn("user_id", sh("user_id", i)))
+    tenfold("documents")((df, i) => {
+      val txt = if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"x$i$$1")
+      df.withColumn("doc_id", sh("doc_id", i))
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(txt).cast("int"))
+    })
+    tenfold("embeddings")((df, i) => {
+      val e = col("embedding")
+      val rolled = if (i == 0) e
+        else concat(slice(e, lit(i + 1), size(e) - i), slice(e, lit(1), lit(i)))
+      df.withColumn("vec_id", sh("vec_id", i)).withColumn("embedding", rolled)
+    })
+  }
+
+  /** Full-surface 10× sweep (`runMain graft.ScaleSmoke all10x [reps]`),
+    * r10 VERDICT task 1: EVERY declared query timed at sf0.1 and at a
+    * synthetic 10× of sf0.1 ([[make10x]]), per-query wall ratios
+    * recorded, RED on any query whose ratio exceeds 15 (a linear-with-
+    * shuffle query lands well under 15×; a quietly-quadratic one blows
+    * through even from a cheap 1× base) — the heavy10x tier only
+    * watched the 5 bench-heaviest queries, so a super-linear CHEAP
+    * query could hide. Ratio noise containment: interleaved best-of-
+    * `reps` (default 2) at both scales, and queries whose 10× wall
+    * stays under 1 s are reported but never red (sub-second walls on
+    * this host are scheduling noise, not asymptotics). Crashes at
+    * either scale are red. Writes the full table to
+    * /tmp/graft_all10x.json for BASELINE.md. */
+  private def all10x(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.props("graft.recall") = "off" // bench conditions
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_scale_sf10x"
+    var t0 = System.nanoTime()
+    make10x(spark, src, dst)
+    println(f"SCALEALL10X synth        ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[(String, String), Double]
+    val crashed = scala.collection.mutable.Map.empty[(String, String), String]
+    for (rep <- 1 to reps; (tag, dir) <- Seq("1x" -> src, "10x" -> dst);
+         name <- names) {
+      t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        best((name, tag)) =
+          math.min(best.getOrElse((name, tag), Double.MaxValue), t)
+      } catch { case e: Throwable =>
+        crashed((name, tag)) = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200)
+      }
+      spark.catalog.clearCache()
+    }
+    var failed = false
+    val rows = names.map { n =>
+      val miss = Seq("1x", "10x").filter(tg =>
+        !best.contains((n, tg)) && crashed.contains((n, tg)))
+      if (miss.nonEmpty) {
+        failed = true
+        println(s"SCALEALL10X $n CRASHED at ${miss.mkString(",")}: " +
+          crashed((n, miss.head)))
+        s""""$n": {"t1": -1, "t10": -1, "ratio": -1}"""
+      } else {
+        val (t1, t10) = (best((n, "1x")), best((n, "10x")))
+        val ratio = t10 / math.max(t1, 0.05)
+        val red = t10 >= 1.0 && ratio > 15.0
+        if (red) failed = true
+        println(f"SCALEALL10X $n%-28s 1x $t1%7.2f s  10x $t10%7.2f s  " +
+          f"ratio $ratio%6.2f${if (red) "  RED" else ""}")
+        f""""$n": {"t1": $t1%.3f, "t10": $t10%.3f, "ratio": $ratio%.2f}"""
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_all10x.json"),
+      rows.mkString("{\n", ",\n", "\n}\n"))
+    val ratios = names.flatMap(n => best.get((n, "1x")).zip(best.get((n, "10x")))
+      .map { case (a, b) => b / math.max(a, 0.05) })
+    if (ratios.nonEmpty) {
+      val srt = ratios.sorted
+      println(f"SCALEALL10X ${ratios.size} queries  median ratio " +
+        f"${srt(srt.size / 2)}%4.2f  p90 ${srt((srt.size * 9) / 10)}%4.2f  " +
+        f"max ${srt.last}%4.2f")
+    }
+    spark.stop()
+    if (failed) { println("SCALEALL10X RED"); sys.exit(1) }
   }
 
   /** Window-hash index growth tier (`runMain graft.ScaleSmoke

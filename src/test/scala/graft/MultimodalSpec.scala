@@ -199,6 +199,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real-ffmpeg integration: a genuine MP4 decodes to PNG frames (skips when no decoder)") {
+    // r10 VERDICT task 6: the external-decoder template has only been
+    // proven against a fake script; when the host actually has ffmpeg,
+    // prove it against a real process and a real container. Cancels
+    // (not fails) on hosts without ffmpeg — the declared (hashed)
+    // queries never depend on it either way.
+    import graft.ext.ExternalVideoDecoder
+    val ffmpeg = sys.env.getOrElse("PATH", "").split(":")
+      .map(d => new java.io.File(d, "ffmpeg")).find(_.canExecute)
+    assume(ffmpeg.isDefined, "no ffmpeg on PATH — real-decoder path not testable here")
+    // synthesize a real 2s 64x48 test-pattern MP4 with ffmpeg itself
+    val mp4File = java.io.File.createTempFile("graft_real_", ".mp4")
+    val gen = new ProcessBuilder(ffmpeg.get.getAbsolutePath, "-hide_banner",
+      "-loglevel", "error", "-y", "-f", "lavfi",
+      "-i", "testsrc=duration=2:size=64x48:rate=5",
+      "-pix_fmt", "yuv420p", mp4File.getAbsolutePath).inheritIO().start()
+    assert(gen.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      && gen.exitValue() == 0, "ffmpeg fixture synthesis failed")
+    try {
+      val payload = java.nio.file.Files.readAllBytes(mp4File.toPath)
+      assert(MultimodalCodecs.sniff(payload).contains("video/mp4"))
+      // auto-detection must find PATH ffmpeg with no property set
+      sys.props.remove("graft.videoDecoder")
+      assert(ExternalVideoDecoder.commandTemplate.isDefined)
+      val frame = ExternalVideoDecoder.extractFrame(payload, 1000L)
+      assert(frame.isDefined, "real ffmpeg returned no frame")
+      val png = frame.get
+      assert(png.length > 8 && (png(0) & 0xff) == 0x89 &&
+        new String(png.slice(1, 4)) == "PNG",
+        "decoded frame is not a PNG")
+      // and through the distributed seam: sampleFrames routes every
+      // sampled offset through the real decoder (duration from the real
+      // mvhd box -> 2 frames at 1s sampling)
+      val fr = Multimodal.sampleFrames(media((11L, payload, "video")),
+        everyMs = 1000L, maxFrames = 8).collect()
+      assert(fr.length == 2 && fr.forall(f => (f.frame(0) & 0xff) == 0x89))
+      assert(fr.map(_.offset_ms).sorted.toSeq == Seq(0L, 1000L))
+    } finally {
+      sys.props.remove("graft.videoDecoder")
+      mp4File.delete()
+    }
+  }
+
   test("frame sampling uses the real mp4 duration, stub only for unparseable formats") {
     val mp4 = mp4Bytes(1000L, 2600L, Seq((65L, 40L)), 64, 48)
     val frames = Multimodal.sampleFrames(media((3L, mp4, "video")),
