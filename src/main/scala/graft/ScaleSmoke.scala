@@ -1902,6 +1902,15 @@ object ScaleSmoke {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      // These fixtures are megabytes, so at the DEFAULT 128 MB split /
+      // 4 MB open-cost both scales pack every scan into ONE task and a
+      // ratio measures serial work growth under frozen parallelism —
+      // the first run of this tier showed row-local scans at ~12×
+      // (text_token_counts) purely from that packing. A real cluster
+      // splits 10× the bytes into 10× the tasks; 2 MB splits restore
+      // that proportionality here so ratios measure ASYMPTOTICS.
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -117,6 +117,14 @@ object SparkEntry {
   private val jsonlPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Fixed BM25 retrieval query set (text_bm25) — interpolated into the
+    * generated oracle, so engine and oracle always score the same
+    * terms. */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("hash", "table"),
+    3 -> Seq("window", "agg"))
+
   /** Per-JVM registry of trained IVF centroids (emb_ivf_topk), same
     * train-once / probe-per-rep contract as the persisted indexes. Plain
     * driver-side arrays — session-independent, so no session-binding
@@ -2216,6 +2224,18 @@ object SparkEntry {
           "doc_id", "text", topN = 3)
         .select(col("doc").as("doc_id"), col("rank"), col("term"),
           col("tfidf")), "doc_id", "rank")
+    }),
+
+    // BM25 ranked retrieval for a fixed query set — the retrieval
+    // sibling of text_tfidf (Lucene idf form, k1=1.2, b=0.75): corpus
+    // pays one row-local tokenize + one explode filtered to the query
+    // terms; contributions rounded-then-decimal-summed so ranks are
+    // partition- and engine-invariant
+    "text_bm25" -> ((s, dir) => {
+      sortSmall(TextAnalysis.bm25TopK(t(s, dir, "documents"),
+          "doc_id", "text", Bm25Queries, k1 = 1.2, b = 0.75, topK = 10)
+        .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+          col("score")), "query_id", "rank")
     }),
 
     // JSON property extraction (multimodal sidecar) + rollup per type
@@ -5398,6 +5418,41 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, rank, term, tfidf FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // GENERATED from Bm25Queries so engine and oracle score identical
+    // terms; arithmetic mirrors TextAnalysis.bm25TopK token-for-token
+    // (same literals, same association) so both engines evaluate the
+    // same IEEE expression tree before the round-then-decimal-sum
+    "text_bm25" -> {
+      val vals = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      val inList = Bm25Queries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+        |base AS (SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+        |         FROM documents),
+        |stats AS (SELECT count(*) AS n, sum(len(t)) AS sumdl FROM base),
+        |toks AS (SELECT doc, len(t) AS dl, unnest(t) AS term FROM base),
+        |tfc AS (SELECT doc, term, dl, count(*) AS tf FROM toks
+        |        WHERE term IN ($inList) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |contrib AS (SELECT q.query_id, tfc.doc,
+        |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl)
+        |          / (CAST(sumdl AS DOUBLE) / n))), 6) AS c
+        |  FROM tfc JOIN dfreq USING (term) JOIN q USING (term)
+        |  CROSS JOIN stats),
+        |score AS (SELECT query_id, doc AS doc_id,
+        |    CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM score)
+        |SELECT query_id, rank, doc_id, score FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     "json_props" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -475,14 +475,34 @@ object StreamingDedup {
       _ => spark.read.parquet(parquetPath).schema)
   }
 
+  /** File-source stream over a parquet TABLE path, whichever layout the
+    * producer used: a DIRECTORY of part files (the only layout that
+    * exists at cluster scale — every distributed writer emits parts;
+    * the source's default hidden-file rule skips _SUCCESS/_metadata) is
+    * streamed directly, while a bare single-file fixture keeps the
+    * parent-dir + pathGlobFilter form (a file stream source wants a
+    * directory to list). Before r11 only the single-file form existed,
+    * and a directory table silently streamed ZERO files — the all10x
+    * tier caught every stream query finishing instantly at 10×. */
+  private[streaming] def streamSource(spark: SparkSession,
+      parquetPath: String): DataFrame = {
+    val schema = cachedSchema(spark, parquetPath)
+    val p = new org.apache.hadoop.fs.Path(parquetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(schema).parquet(parquetPath)
+    else {
+      val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
+      val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileName).parquet(dir)
+    }
+  }
+
   def replayDocs(spark: SparkSession, parquetPath: String, queryName: String,
       outputMode: OutputMode = OutputMode.Append)
       (probe: DataFrame => DataFrame): DataFrame = {
-    val schema = cachedSchema(spark, parquetPath)
-    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(dir)
+    val stream = streamSource(spark, parquetPath)
     spark.catalog.dropTempView(queryName)
     // a bounded replay's stateful ops (candidate-pair dedup) commit one
     // state-store partition per shuffle partition per micro-batch; at the
@@ -526,11 +546,7 @@ object StreamingDedup {
       checkpoint: String, outputMode: OutputMode)
       (probe: DataFrame => DataFrame)
       (write: (DataFrame, Long) => Unit): Unit = {
-    val schema = cachedSchema(spark, parquetPath)
-    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(dir)
+    val stream = streamSource(spark, parquetPath)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .getOption("spark.sql.streaming.noDataMicroBatches.enabled")

@@ -37,12 +37,8 @@ object StreamingOps {
   def replayResample(spark: SparkSession, parquetPath: String,
       toObs: DataFrame => DataFrame, sec: Long,
       queryName: String): DataFrame = {
-    val schema = StreamingDedup.cachedSchema(spark, parquetPath)
-    // the file source wants a directory; glob-filter down to the table file
-    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(dir)
+    // single-file fixture or part-file directory — streamSource branches
+    val stream = StreamingDedup.streamSource(spark, parquetPath)
     val agg = resampleStream(toObs(stream), sec)
     // reuse the sink name across invocations: drop the previous run's
     // memory table so repeated replays don't accumulate result copies
@@ -199,11 +195,7 @@ object StreamingOps {
   def replayTwoStreams(spark: SparkSession, parquetPath: String,
       queryName: String)
       (probe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val schema = StreamingDedup.cachedSchema(spark, parquetPath)
-    val dir = parquetPath.substring(0, parquetPath.lastIndexOf('/'))
-    val fileName = parquetPath.substring(parquetPath.lastIndexOf('/') + 1)
-    def mkStream() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileName).parquet(dir)
+    def mkStream() = StreamingDedup.streamSource(spark, parquetPath)
     spark.catalog.dropTempView(queryName)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf

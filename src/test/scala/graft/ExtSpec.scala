@@ -94,6 +94,29 @@ class ExtSpec extends SparkSpec {
     assert(tc == Set((1L, 3L, 3L), (2L, 1L, 1L)))
   }
 
+  test("BM25 top-k: tf/dl trade-off ranks right, absent terms score nothing") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c")).toDF("id", "text")
+    val out = graft.ext.TextAnalysis.bm25TopK(df, "id", "text",
+        Seq(1 -> Seq("a"), 2 -> Seq("b", "c")), topK = 10)
+      .as[(Int, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // query 'a': doc 1 (tf=2) must outrank doc 2 (tf=1, shorter);
+    // doc 3 has no 'a' and must be ABSENT, not zero-scored
+    assert(out(1).map(r => (r._2, r._3)) == Seq((1, 1L), (2, 2L)))
+    assert(out(1).forall(_._4 > 0))
+    assert(out(1)(0)._4 > out(1)(1)._4)
+    // multi-term query sums contributions: doc 3 (b + c·2) tops b+c
+    assert(out(2).map(_._3) == Seq(3L, 1L, 2L) ||
+      out(2).map(_._3).head == 3L)
+    assert(out(2).length == 3)
+    // partition invariance: the decimal-sum + rounded contributions make
+    // scores independent of layout
+    val rep = graft.ext.TextAnalysis.bm25TopK(df.repartition(7), "id", "text",
+        Seq(1 -> Seq("a"), 2 -> Seq("b", "c")), topK = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(rep == out.values.flatten.toSet)
+  }
+
   test("CJK fallback segmentation: per-char tokens, ASCII counts untouched") {
     val df = Seq(
       (1L, "hello world"),                       // pure ASCII: no-op

@@ -497,6 +497,26 @@ class StreamingSpec extends SparkSpec {
     pw.unpersist()
   }
 
+  test("file-source replay accepts directory tables, not just single-file fixtures") {
+    // at cluster scale every table is a DIRECTORY of part files; before
+    // r11 the glob-filter source streamed ZERO files from one (all10x
+    // caught it: every stream query finished instantly at 10x)
+    import graft.streaming.StreamingDedup
+    val dir = "/tmp/graft_test_dir_table/docs.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(3) // several part files + _SUCCESS
+      .write.mode("overwrite").parquet(dir)
+    val streamed = StreamingDedup.replayDocs(spark, dir, "dir_table_tbl",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+      st.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }
+    val batch = spark.read.parquet(dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed.as[(String, Long)].collect().toSet == batch)
+  }
+
   test("window-index append lifecycle: probe-after-append == rebuild; compact is a no-op") {
     import graft.streaming.StreamingDedup
     implicit val s = spark
