@@ -2003,10 +2003,14 @@ object ScaleSmoke {
       .localCheckpoint(true)
     val a = all.where(col("id") < n / 2)
     val b = all.where(col("id") >= n / 2)
-    // 10k fresh docs beyond the corpus id range, plus 10k verbatim
-    // copies of indexed docs — the probe must hit only the copies
-    val probe = all.where(pmod(col("id"), lit(97L)) === 0L).limit(10000)
-      .select((col("id") + 2 * n).as("id"), col("text"))
+    // 10k fresh docs beyond the corpus id range (text DERIVED FROM THE
+    // NEW id — the first run of this tier copied the indexed text and
+    // mislabeled it "fresh", doubling the expected hit count), plus 10k
+    // verbatim copies of indexed docs: the probe must hit EVERY window
+    // of every copy and NO window of any fresh doc
+    val fresh = spark.range(2 * n, 2 * n + 10000L)
+      .select(col("id"), array_join(docToks(col("id")), " ").as("text"))
+    val probe = fresh
       .unionByName(all.where(pmod(col("id"), lit(101L)) === 0L).limit(10000)
         .select((col("id") + 3 * n).as("id"), col("text")))
       .localCheckpoint(true)
@@ -2039,15 +2043,27 @@ object ScaleSmoke {
     // batch-shape probe replay (the streaming probe is this exact
     // semi-join per micro-batch): identical hits on both indexes, all
     // of them from the verbatim-copy half
-    def hits(path: String): Long =
-      Dedup.windowHashes(probe, "id", "text", 8)
+    // split hit accounting: copies (id >= 3n) must hit on EVERY window,
+    // fresh docs (id < 3n) on NONE
+    def hits(path: String): (Long, Long) = {
+      val h = Dedup.windowHashes(probe, "id", "text", 8)
         .join(spark.read.parquet(path), Seq("whash"), "left_semi")
-        .count()
+        .agg(sum(when(col("doc") >= 3 * n, 1L).otherwise(0L)),
+          sum(when(col("doc") < 3 * n, 1L).otherwise(0L)))
+        .collect().head
+      (if (h.isNullAt(0)) 0L else h.getLong(0),
+        if (h.isNullAt(1)) 0L else h.getLong(1))
+    }
     val (hG, hR) = (hits(grown), hits(rebuilt))
-    val expectedHits = 23L * 10000L // 23 windows per 30-token copied doc
+    // 23 windows per 30-token copied doc, counted from the probe frame
+    // itself (only 9 901 ids in [0, n) divide 101, so the limit(10000)
+    // is not what bounds the copy half — the first run hard-coded 10k
+    // and flagged a perfectly exact engine)
+    val nCopies = probe.where(col("id") >= 3 * n).count()
+    val expectedHits = 23L * nCopies
     println(f"SCALEWINAPPEND probe hits    grown=$hG rebuilt=$hR " +
-      f"expected=$expectedHits")
-    if (hG != hR || hG != expectedHits) {
+      f"expected=($expectedHits, 0)")
+    if (hG != hR || hG != ((expectedHits, 0L))) {
       println("SCALEWINAPPEND probe mismatch"); failed = true
     }
     // incremental-growth claim: a 10k-doc append to the 1M index must
