@@ -4715,14 +4715,30 @@ object SparkEntry {
         |  FROM c GROUP BY doc_id),
         |sl AS (SELECT s.doc, d.lang, s.n_tokens, s.nll
         |  FROM s JOIN documents d ON s.doc = d.doc_id),
-        |q AS (SELECT lang,
-        |    quantile_cont(nll, CAST(1 AS DOUBLE)/3) AS q1,
-        |    quantile_cont(nll, CAST(2 AS DOUBLE)/3) AS q2
-        |  FROM sl GROUP BY lang)
+        |-- tercile cutoffs as EXACT order statistics + exact decimal
+        |-- comparison (nll <= lo + (hi-lo)*r/3  <=>  3*nll <= (3-r)*lo
+        |-- + r*hi): float-interpolated quantile_cont differed from
+        |-- Spark's percentile by one ulp and flipped a boundary doc at
+        |-- sf0.1
+        |q AS (SELECT lang, COUNT(*) AS n,
+        |    array_agg(nll ORDER BY nll) AS sv
+        |  FROM sl GROUP BY lang),
+        |b AS (SELECT lang,
+        |    CAST(sv[CAST((1*(n-1))//3 + 1 AS BIGINT)] AS DECIMAL(38,6)) AS q1lo,
+        |    CAST(sv[CAST(LEAST((1*(n-1))//3 + 2, n) AS BIGINT)]
+        |      AS DECIMAL(38,6)) AS q1hi,
+        |    (1*(n-1)) % 3 AS r1,
+        |    CAST(sv[CAST((2*(n-1))//3 + 1 AS BIGINT)] AS DECIMAL(38,6)) AS q2lo,
+        |    CAST(sv[CAST(LEAST((2*(n-1))//3 + 2, n) AS BIGINT)]
+        |      AS DECIMAL(38,6)) AS q2hi,
+        |    (2*(n-1)) % 3 AS r2
+        |  FROM q)
         |SELECT doc, lang, n_tokens, nll,
-        |  CAST(CASE WHEN nll <= q1 THEN 1 WHEN nll <= q2 THEN 2 ELSE 3 END
-        |    AS BIGINT) AS bucket
-        |FROM sl JOIN q USING (lang) ORDER BY doc""".stripMargin,
+        |  CAST(CASE
+        |    WHEN 3*CAST(nll AS DECIMAL(38,6)) <= (3-r1)*q1lo + r1*q1hi THEN 1
+        |    WHEN 3*CAST(nll AS DECIMAL(38,6)) <= (3-r2)*q2lo + r2*q2hi THEN 2
+        |    ELSE 3 END AS BIGINT) AS bucket
+        |FROM sl JOIN b USING (lang) ORDER BY doc""".stripMargin,
 
     // same plant, same RE2-compatible patterns, same
     // email->phone->ip->ssn->card replacement order; counts on the

@@ -594,15 +594,39 @@ object TextAnalysis {
     val nll = unigramNll(df, idCol, textCol)
       .join(df.select(col(idCol).as("doc"), col(strataCol)), "doc")
       .localCheckpoint(true)
+    // Tercile cutoffs as EXACT order statistics, compared in EXACT
+    // decimal arithmetic: interpolated-percentile cutoffs (Spark
+    // `percentile` vs DuckDB `quantile_cont`) evaluate `lo + (hi-lo)·g`
+    // in different float orders, and the sf0.1 gate caught a boundary
+    // doc landing between the two engines' cutoffs (one ulp apart).
+    // The linear interpolation at position (n-1)·p with p = t/3 has
+    // fraction r/3, r = (t·(n-1)) mod 3 ∈ {0,1,2}, so the bucket rule
+    //   nll ≤ lo + (hi-lo)·r/3  ⟺  3·nll ≤ (3-r)·lo + r·hi
+    // — and the right side is exact DECIMAL(38,6) arithmetic over
+    // round-6 values. Memory profile matches the exact `percentile`
+    // aggregate this replaces (both buffer the stratum's values).
+    val sorted = sort_array(collect_list(col("nll")))
+    def lo(t: Int, n: Column, s: Column) =
+      element_at(s, (floor(lit(t) * (n - 1) / 3) + 1).cast("int"))
+    def hi(t: Int, n: Column, s: Column) =
+      element_at(s, least(floor(lit(t) * (n - 1) / 3) + 2, n).cast("int"))
+    def r(t: Int, n: Column) = pmod(lit(t) * (n - 1), lit(3L))
     val cuts = nll.groupBy(col(strataCol))
-      .agg(expr("percentile(nll, array(cast(1 as double)/3, cast(2 as double)/3))")
-        .as("q"))
+      .agg(sorted.as("s"), count(lit(1)).as("n"))
       .select(col(strataCol),
-        element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q2"))
+        lo(1, col("n"), col("s")).cast("decimal(38,6)").as("q1lo"),
+        hi(1, col("n"), col("s")).cast("decimal(38,6)").as("q1hi"),
+        r(1, col("n")).as("r1"),
+        lo(2, col("n"), col("s")).cast("decimal(38,6)").as("q2lo"),
+        hi(2, col("n"), col("s")).cast("decimal(38,6)").as("q2hi"),
+        r(2, col("n")).as("r2"))
+    val nllD = col("nll").cast("decimal(38,6)")
     nll.join(broadcast(cuts), strataCol)
       .withColumn("bucket",
-        when(col("nll") <= col("q1"), lit(1L))
-          .when(col("nll") <= col("q2"), lit(2L))
+        when(nllD * 3 <= (lit(3) - col("r1")) * col("q1lo") +
+          col("r1") * col("q1hi"), lit(1L))
+          .when(nllD * 3 <= (lit(3) - col("r2")) * col("q2lo") +
+            col("r2") * col("q2hi"), lit(2L))
           .otherwise(lit(3L)))
       .select(col("doc"), col(strataCol), col("n_tokens"), col("nll"),
         col("bucket"))
