@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Corpus, Dedup, EventOps, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventOps, QualityModel, Similarity, Sketches, TextAnalysis}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1456,6 +1456,63 @@ object SparkEntry {
         .select(col("doc"), col("bpe_tokens").as("n_tokens"))
       sortBig(Corpus.packSequencesFromCounts(counts, seqLen = 256L,
         bucketWidth = 64L), "doc")
+    }),
+
+    // FUZZY decontamination — the near-dup completion of
+    // doc_decontaminate's exact 5-gram overlap: benchmark docs that were
+    // lightly EDITED before leaking into the train side (here: planted
+    // with the first word dropped, so exact-prefix matching breaks but
+    // shingle Jaccard stays high) are caught by a cross-corpus
+    // MinHash-LSH join. Bench bands + shingle sets broadcast; the train
+    // corpus is never shuffled on a content key. Decision layer: per
+    // train doc, how many benchmark docs it collides with and the worst
+    // exact Jaccard — the drop list a pipeline feeds back into curation.
+    "doc_fuzzy_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
+            .as("text"))
+      sortBig(Dedup.crossMinhashPairs(docs, bench, "doc_id", "text",
+          minJ = 0.5)
+        .groupBy(col("doc_a"))
+        .agg(count(lit(1)).as("n_bench"),
+          max(round(col("jaccard"), 6)).as("max_jaccard"))
+        .select(col("doc_a").as("doc"), col("n_bench"), col("max_jaccard")),
+        "doc")
+    }),
+
+    // model-in-the-loop quality gate: a linear classifier TRAINED
+    // INSIDE the engine (full-batch GD over hashed bag-of-words, 16
+    // rounds, Elliott rational sigmoid) then scored over every doc.
+    // Training aggregation is EXACT — weights/residuals live on the
+    // 2^-20 dyadic grid, counts are integers, so every float partial
+    // sum is exactly representable and order/partition-invariant; every
+    // remaining scalar op is IEEE correctly-rounded (no exp anywhere).
+    // The oracle therefore REPLAYS THE WHOLE TRAINING in DuckDB (the
+    // BPE generated-oracle discipline applied to gradient descent) and
+    // lands on the bit-identical model. One aggregate job per GD round
+    // (driver traffic O(d) doubles), row-local scoring — corpus scanned
+    // T times from cache, never shuffled on a token key.
+    "doc_quality_lr" -> ((s, dir) => {
+      sortBig(QualityModel.quality(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en"), "doc")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023) — select raw docs
+    // whose hashed-unigram profile looks like the TARGET slice:
+    // add-1-smoothed per-bucket log mass ratio (ONE ln per bucket over
+    // an exact int64 ratio, rounded to 6 dp before any use), per-doc
+    // importance = exact-decimal Σ c_j·λ_j, keep the top 20% by
+    // (score, doc). Target membership is a row-local predicate carried
+    // through the one bow aggregate — the target slice is corpus-sized
+    // and is never broadcast or re-joined; the d-row weight table is
+    // the only broadcast. The global rank is exact here; at 100 TB the
+    // keep decision becomes a quantile threshold on score (same
+    // weights, no total order needed).
+    "doc_dsir_sample" -> ((s, dir) => {
+      sortBig(QualityModel.dsirSample(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en"), "doc")
     }),
 
     // deterministic stratified Bernoulli sampling — the training-mix
@@ -5269,6 +5326,45 @@ object SparkEntry {
     // generated replay of the full BPE lifecycle: 8 training rounds over
     // the word dict + the same 6-pass replace application
     "text_bpe_tokens" -> graft.ext.Bpe.oracleSql(8),
+
+    // cross-corpus exact-Jaccard replay: the oracle brute-forces every
+    // (train, bench) pair over the STRING shingles (pinning the hashed
+    // engine path), with the bench side rebuilt by the same
+    // drop-first-word edit
+    "doc_fuzzy_decon" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |be AS (SELECT doc_id + 1000000 AS doc_id, w[2:] AS w
+        |       FROM w WHERE doc_id % 20 = 7),
+        |sha AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM w),
+        |shb AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM be),
+        |cna AS (SELECT doc_id, COUNT(*) n FROM sha GROUP BY 1),
+        |cnb AS (SELECT doc_id, COUNT(*) n FROM shb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sha a JOIN shb b ON a.s = b.s GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b,
+        |    CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS j
+        |  FROM inter JOIN cna ca ON doc_a = ca.doc_id
+        |  JOIN cnb cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+        |SELECT doc_a AS doc, CAST(COUNT(*) AS BIGINT) AS n_bench,
+        |  MAX(round(j, 6)) AS max_jaccard
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // generated training-replay oracle (the BPE discipline applied to
+    // gradient descent): DuckDB re-runs all 16 GD rounds — sound
+    // because every aggregate in the loop is exact dyadic arithmetic
+    // and every scalar op is IEEE correctly-rounded (see QualityModel)
+    "doc_quality_lr" -> QualityModel.qualityOracleSql(
+      "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)"),
+
+    "doc_dsir_sample" -> QualityModel.dsirOracleSql("lang = 'en'"),
 
     // the type-level apply path must be the SAME function — identical
     // generated oracle, so the dict-once + join-back plan is pinned to

@@ -578,6 +578,59 @@ object Dedup {
     verifyPairsWithSets(cand, docSets, minJ)
   }
 
+  /** Cross-corpus near-dup join — FUZZY decontamination, the near-dup
+    * completion of [[Corpus.contamination]]'s exact n-gram overlap (a
+    * benchmark doc that was lightly edited before leaking into the train
+    * set shares few exact 5-grams but a high shingle Jaccard): near-dup
+    * pairs between a corpus-sized TRAIN side and a small BENCHMARK side,
+    * with the same shingle/signature/banding machinery and recall curve
+    * as [[minhashDupPairs]].
+    *
+    * The asymmetry does all the scale work: the benchmark's bands and
+    * shingle sets BROADCAST, so the candidate join is map-side against
+    * the train side's row-local banded projection — the train corpus is
+    * never shuffled on a content key. Verification joins the
+    * collision-bounded candidate set back to the train shingle arrays
+    * (shuffle-hash, candidate build side — the [[verifyPairsWithSets]]
+    * estimate-poisoning discipline) and to the broadcast bench sets,
+    * then filters on exact Jaccard. Emits (doc_a = train, doc_b = bench,
+    * jaccard >= minJ). */
+  def crossMinhashPairs(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minJ: Double, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("doc"),
+      shingleArray(split(col(textCol), " "), n).as("_shs"))
+    val rows = numHashes / bands
+    val be = prep(bench).localCheckpoint(true)
+    val beBand = minhashBands(
+      be.select(col("doc"),
+        minhashSignature(col("_shs"), numHashes).as("sig")), bands, rows)
+      .select(col("doc").as("doc_b"), col("band"), col("bandhash"))
+    val beSets = be.select(col("doc").as("doc_b"),
+      sort_array(col("_shs")).as("shb"),
+      size(col("_shs")).cast("long").as("nb"))
+    val tr = prep(train)
+    val trBand = tr.select(col("doc").as("doc_a"),
+        posexplode(minhashBandKeys(
+          minhashSignature(col("_shs"), numHashes), bands, rows)))
+      .toDF("doc_a", "band", "bandhash")
+    val cand = trBand.join(broadcast(beBand), Seq("band", "bandhash"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint(true)
+    val trSets = tr.select(col("doc").as("doc_a"),
+      sort_array(col("_shs")).as("sha"),
+      size(col("_shs")).cast("long").as("na"))
+    cand.hint("shuffle_hash").join(trSets, "doc_a")
+      .join(broadcast(beSets), "doc_b")
+      .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
+      .withColumn("i", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens, computed row-locally with
     * array folds (no explode, no shuffle): per bit, sign of Σ ±1 over
     * token hashes. Near-dup = small Hamming distance; pair generation via

@@ -1869,6 +1869,33 @@ class ExtSpec extends SparkSpec {
     assert(con == Set((1L, 2L, 1.0)), s"got $con")
   }
 
+  test("crossMinhashPairs catches the edited leak, ignores foreign bench " +
+      "docs, and never pairs within a side") {
+    import graft.ext.Dedup
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (1L, base),                                       // leaked (edited) below
+      (2L, (101 to 130).map(i => s"a$i").mkString(" ")), // unrelated
+      (3L, base)                                         // near-dup of 1 INSIDE train: must not pair
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // doc 1 with the first word dropped — exact-prefix matching breaks,
+      // shingle Jaccard stays ~ (m-1)/m
+      (1000001L, (2 to 30).map(i => s"tok$i").mkString(" ")),
+      (1000002L, (501 to 530).map(i => s"q$i").mkString(" "))) // foreign
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossMinhashPairs(train, bench, "doc_id", "text",
+        minJ = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // both verbatim variants of the base text match the edited leak;
+    // nothing matches the foreign doc, no train-train / bench-bench pair
+    assert(pairs === Set((1L, 1000001L), (3L, 1000001L)), s"got $pairs")
+    val j = Dedup.crossMinhashPairs(train, bench, "doc_id", "text", 0.5)
+      .where($"doc_a" === 1L).select("jaccard").as[Double].collect().head
+    // 30 tokens → 28 distinct shingles; dropping w1 removes exactly 1
+    assert(math.abs(j - 27.0 / 28.0) < 1e-9, s"jaccard $j")
+  }
+
   test("packSequences spans cuts correctly and is bucketWidth-invariant") {
     import graft.ext.Corpus
     // token counts 3, 5, 4 with seqLen 4:

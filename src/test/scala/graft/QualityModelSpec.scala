@@ -1,0 +1,99 @@
+package graft
+
+import graft.ext.QualityModel
+import org.apache.spark.sql.functions._
+
+/** In-engine trained quality classifier + DSIR importance resampling. */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable corpus: class 1 speaks vocab A, class 0 vocab B,
+  // with a shared filler token so buckets overlap
+  private def fixture = {
+    val a = (0 until 20).map(i =>
+      (i.toLong, s"alpha beta gamma alpha shared tok$i", 1.0))
+    val b = (0 until 20).map(i =>
+      (100L + i, s"delta epsilon zeta zeta shared tok$i", 0.0))
+    (a ++ b).toDF("doc_id", "text", "label")
+  }
+
+  test("gridQ snaps to the 2^-20 dyadic grid and is idempotent") {
+    val xs = Seq(0.3, -1.7, 0.123456789, 1e-9, 123.456)
+    for (x <- xs) {
+      val q = QualityModel.gridQ(x)
+      assert(QualityModel.gridQ(q) === q)
+      val scaled = q * QualityModel.Grid
+      assert(scaled === math.rint(scaled), s"$x -> $q not on grid")
+    }
+  }
+
+  test("trainLogReg separates a separable corpus; scoring is consistent") {
+    val df = fixture
+    val labels = df.select(col("doc_id").as("doc"), col("label").as("y"))
+    val feat = QualityModel.denseFeatures(
+      QualityModel.hashedBow(df, "doc_id", "text", 64), labels, 64).cache()
+    val m = QualityModel.trainLogReg(feat, d = 64, iters = 40, lr = 0.125)
+    assert(m.n === 40L)
+    val scored = QualityModel.scoreLogReg(feat, m).collect()
+    assert(scored.length === 40)
+    // fully separable vocabularies -> every prediction right
+    scored.foreach { r =>
+      assert(r.getAs[Int]("pred").toDouble === r.getAs[Double]("y"),
+        s"doc ${r.getAs[Long]("doc")} misclassified")
+    }
+    feat.unpersist(true)
+  }
+
+  test("trained weights are bit-identical across partitionings") {
+    val df = fixture
+    val labels = df.select(col("doc_id").as("doc"), col("label").as("y"))
+    def weightsAt(parts: Int) = {
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(df.repartition(parts), "doc_id", "text", 64),
+        labels, 64).cache()
+      val m = QualityModel.trainLogReg(feat, d = 64, iters = 16, lr = 0.125)
+      feat.unpersist(true)
+      (m.w.toSeq, m.b)
+    }
+    val (w1, b1) = weightsAt(1)
+    val (w7, b7) = weightsAt(7)
+    // EXACT double equality — the dyadic-grid argument, not approximate
+    assert(w1 === w7)
+    assert(b1 === b7)
+  }
+
+  test("quality end-to-end emits one scored row per doc with 0/1 preds") {
+    val out = QualityModel.quality(fixture, "doc_id", "text",
+      col("label") === 1.0, d = 64, iters = 8).collect()
+    assert(out.length === 40)
+    assert(out.forall(r => Set(0, 1).contains(r.getAs[Int]("pred"))))
+  }
+
+  test("dsirSample ranks target-vocabulary docs first and keeps exactly " +
+      "the top keepBp share") {
+    val df = fixture
+    val out = QualityModel.dsirSample(df, "doc_id", "text",
+      col("label") === 1.0, d = 128, keepBp = 2500L)
+    val rows = out.collect()
+    assert(rows.length === 40)
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+    assert(selected.length === 10) // 40 * 2500bp
+    // every selected doc speaks the target vocabulary
+    assert(selected.forall(_.getAs[Long]("doc") < 100L))
+    // scores of target docs strictly beat non-target docs
+    val minTgt = rows.filter(_.getAs[Long]("doc") < 100L)
+      .map(_.getAs[Double]("score")).min
+    val maxRaw = rows.filter(_.getAs[Long]("doc") >= 100L)
+      .map(_.getAs[Double]("score")).max
+    assert(minTgt > maxRaw)
+  }
+
+  test("dsirSample scores are partition-invariant (exact decimal sums)") {
+    val df = fixture
+    def scores(parts: Int) =
+      QualityModel.dsirSample(df.repartition(parts), "doc_id", "text",
+          col("label") === 1.0)
+        .select("doc", "score").as[(Long, Double)].collect().sortBy(_._1)
+    assert(scores(1).toSeq === scores(7).toSeq)
+  }
+}
