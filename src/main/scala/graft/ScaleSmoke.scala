@@ -40,6 +40,7 @@ object ScaleSmoke {
     if (args.headOption.contains("bpe1k")) { bpe1k(); return }
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
+    if (args.headOption.contains("qmodel1m")) { qmodel1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2290,6 +2291,149 @@ object ScaleSmoke {
       exec(Multimodal.phashPairs(
         Multimodal.audioFps(media, "doc_id", "payload"), maxHamming = 3))
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Model-in-the-loop curation at scale
+    * (`runMain graft.ScaleSmoke qmodel1m`): the r11 trained-classifier /
+    * DSIR / fuzzy-decon family at 1M synthetic docs.
+    *
+    *  - LR training (d=64, 16 GD rounds): wall at 1M, corpus-linearity
+    *    vs 250k (T fixed ⇒ wall ratio ≲ data ratio; the per-round job
+    *    count is ITERATIONS, not data), and the exactness claim AT
+    *    SCALE — weights bit-identical when the 1M-doc feature frame is
+    *    repartitioned (the dyadic-grid argument measured, not argued).
+    *  - learnability: disjoint class vocabularies ⇒ held-in accuracy 1.
+    *  - DSIR at 1M: weights + exact-decimal scoring + global rank.
+    *  - fuzzy decon: 1M train × 5k edited bench docs — planted
+    *    accounting exact (every bench doc hits exactly its source;
+    *    random 60-of-2000-token soup makes natural j ≥ 0.5 collisions
+    *    vanishingly rare), candidate join broadcast, corpus unshuffled.
+    */
+  private def qmodel1m(): Unit = {
+    import graft.ext.{Dedup, QualityModel}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // LR/DSIR fixture: class 1 (id%2==0) carries markers em0..em9, the
+    // rest wm0..wm9, plus 50 shared-soup tokens. Separability must
+    // survive HASHING: the two marker sets land in disjoint md5 buckets
+    // (checked offline; a 2000-type disjoint-vocab corpus is NOT
+    // separable after 64-bucket hashing — every bucket mixes classes).
+    // Classes are BALANCED so the shared soup is gradient-neutral —
+    // under a 1:4 imbalance the soup buckets soak up a large common
+    // negative weight (a distributed bias) whose per-doc count variance
+    // drowns the marker margin within 16 rounds (measured: acc 0.95).
+    def synthLabeled(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      (pmod(col("id"), lit(2L)) === 0L).cast("double").as("y"),
+      concat_ws(" ",
+        // markers ×3: tf=3 triples the marker gradient/margin so 16
+        // rounds leave the per-doc soup-count noise far behind (at tf=1
+        // the margin reached only ~5x the noise — acc 0.996, not 1.0)
+        array_join(transform(sequence(lit(0), lit(29)), j =>
+          concat(when(pmod(col("id"), lit(2L)) === 0L, lit("em"))
+            .otherwise(lit("wm")), pmod(j, lit(10)).cast("string"))), " "),
+        array_join(transform(sequence(lit(0), lit(49)), j =>
+          concat(lit("s"), pmod(xxhash64(col("id"), j), lit(2000L)))), " "))
+        .as("text"))
+    // decon fixture: pure random soup (no shared marker runs — those
+    // would hand every same-class pair ~9 common shingles and inflate
+    // the LSH candidate set with sub-threshold pairs)
+    def synthDocs(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(59)), j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), j), lit(2000L)))), " ")
+        .as("text"))
+    var failed = false
+
+    def trainAt(n: Long, parts: Int): (QualityModel.LinearModel, Double) = {
+      val docs = synthLabeled(n).repartition(parts).localCheckpoint(true)
+      val labels = docs.select(col("doc_id").as("doc"), col("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+        .persist()
+      feat.count()
+      val t0 = System.nanoTime()
+      val m = QualityModel.trainLogReg(feat, d = 64, iters = 16, lr = 0.125)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val acc = QualityModel.scoreLogReg(feat, m)
+        .select(avg((col("pred").cast("double") === col("y"))
+          .cast("double"))).as[Double].head()
+      feat.unpersist(true)
+      if (acc < 0.999) {
+        println(f"SCALEQM accuracy $acc%.4f at n=$n — separable corpus " +
+          "not separated"); failed = true
+      }
+      (m, wall)
+    }
+    val (m250, t250) = trainAt(250000L, 32)
+    val (m1a, t1m) = trainAt(1000000L, 32)
+    val (m1b, _) = trainAt(1000000L, 7)
+    println(f"SCALEQM lr-train        250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)")
+    if (!(m1a.w.toSeq == m1b.w.toSeq && m1a.b == m1b.b)) {
+      println("SCALEQM weights differ across partitionings at 1M " +
+        "— exactness claim broken"); failed = true
+    }
+    if (m250.w.toSeq == m1a.w.toSeq)
+      println("SCALEQM note: 250k and 1M models coincide (fine)")
+    if (t1m > 12 * t250 + 10) {
+      println("SCALEQM train scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 300) { println("SCALEQM train wall red"); failed = true }
+
+    var t0 = System.nanoTime()
+    val lab1m = synthLabeled(1000000L).localCheckpoint(true)
+    val sel = QualityModel.dsirSample(lab1m, "doc_id", "text",
+        col("y") === 1.0, d = 128, keepBp = 2000L)
+      .agg(sum(when(col("selected"), 1L).otherwise(0L)),
+        sum(when(col("selected") && col("doc") % 2 === 0L, 1L)
+          .otherwise(0L))).as[(Long, Long)].head()
+    val tDsir = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEQM dsir-1m         $tDsir%6.1f s " +
+      f"(selected=${sel._1} target-class=${sel._2})")
+    if (sel._1 != 200000L) {
+      println("SCALEQM dsir keep count wrong"); failed = true
+    }
+    if (sel._2 != 200000L) {
+      // disjoint vocabularies: every selected doc must be target-class
+      println("SCALEQM dsir selected non-target docs"); failed = true
+    }
+    if (tDsir > 120) { println("SCALEQM dsir wall red"); failed = true }
+
+    t0 = System.nanoTime()
+    val docs1m = synthDocs(1000000L).localCheckpoint(true)
+    val bench = docs1m.where(col("doc_id") % 200 === 0L)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
+          .as("text"))
+    val pairs = Dedup.crossMinhashPairs(docs1m, bench, "doc_id", "text",
+        minJ = 0.5)
+      .agg(count(lit(1)), sum(when(col("doc_a") + 10000000L ===
+        col("doc_b"), 1L).otherwise(0L)), min(col("jaccard")))
+      .as[(Long, Long, Double)].head()
+    val tDecon = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEQM fuzzydecon-1m   $tDecon%6.1f s " +
+      f"(pairs=${pairs._1} planted=${pairs._2} minJ=${pairs._3}%.3f)")
+    if (pairs._2 != 5000L) {
+      println("SCALEQM planted leak recall below 5000/5000"); failed = true
+    }
+    if (pairs._1 != pairs._2)
+      println(f"SCALEQM note: ${pairs._1 - pairs._2} natural cross " +
+        "matches beyond the plant (informational)")
+    if (pairs._3 < 0.8) {
+      println("SCALEQM planted jaccard below 0.8 — edit model wrong")
+      failed = true
+    }
+    if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

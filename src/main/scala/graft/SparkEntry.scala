@@ -1499,6 +1499,34 @@ object SparkEntry {
         col("lang") === "en"), "doc")
     }),
 
+    // streaming quality gate: the SAME in-engine-trained classifier
+    // applied at INGEST as a STATELESS stream stage — one weight lookup
+    // per token, folded row-locally. Every term is a dyadic-grid
+    // element, so the fold equals the batch margin bit-for-bit: stream
+    // scoring ≡ batch scoring ≡ the training-replay oracle. No feature
+    // frame, no aggregate, no state store — frozen-model scoring rides
+    // any ingest topology for free.
+    "stream_quality_lr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("doc"),
+        (col("lang") === "en").cast("double").as("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+        .persist()
+      val m =
+        try QualityModel.trainLogReg(feat, d = 64, iters = 16, lr = 0.125)
+        finally { feat.unpersist(false): Unit }
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_qlr_result") { st =>
+        st.select(col("doc_id").as("doc"),
+          (col("lang") === "en").cast("double").as("y"),
+          QualityModel.scoreText(col("text"), m).as("score"))
+          .withColumn("pred", (col("score") > lit(0.0)).cast("int"))
+      }
+      sortBig(res.select(col("doc"), col("y"), col("score"), col("pred")),
+        "doc")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023) — select raw docs
     // whose hashed-unigram profile looks like the TARGET slice:
     // add-1-smoothed per-bucket log mass ratio (ONE ln per bucket over
@@ -5362,6 +5390,11 @@ object SparkEntry {
     // because every aggregate in the loop is exact dyadic arithmetic
     // and every scalar op is IEEE correctly-rounded (see QualityModel)
     "doc_quality_lr" -> QualityModel.qualityOracleSql(
+      "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)"),
+
+    // the streamed scoring must land on the batch result bit-for-bit
+    // (stateless dyadic fold) — same generated training-replay oracle
+    "stream_quality_lr" -> QualityModel.qualityOracleSql(
       "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)"),
 
     "doc_dsir_sample" -> QualityModel.dsirOracleSql("lang = 'en'"),

@@ -140,6 +140,20 @@ object QualityModel {
     LinearModel(w, b, n)
   }
 
+  /** Row-local frozen-model scoring on RAW TEXT — the stateless
+    * streaming path: one weight lookup per token, folded with plain
+    * double addition. Every term is a grid element (w_j lives on the
+    * 2^-20 grid and appears once per token occurrence), so any fold
+    * order lands on the IDENTICAL double as [[marginCol]] over the
+    * aggregated counts — stream scoring ≡ batch scoring bit-for-bit,
+    * with no feature frame, no aggregate, no state store. */
+  def scoreText(textCol: Column, m: LinearModel): Column =
+    aggregate(
+      transform(TextAnalysis.tokens(textCol), tok =>
+        element_at(typedLit(m.w.toSeq),
+          (tokenBucket(tok, m.w.length) + lit(1L)).cast("int"))),
+      lit(m.b), (acc, x) => acc + x)
+
   /** Score a dense feature frame against a trained (or frozen) model:
     * row-local, weights plan-literal — the broadcast-free scoring path a
     * streaming probe shares. Emits (doc, y, score, pred). */

@@ -62,6 +62,23 @@ class QualityModelSpec extends SparkSpec {
     assert(b1 === b7)
   }
 
+  test("scoreText (stateless streaming fold) equals the dense-feature " +
+      "margin bit-for-bit") {
+    val df = fixture
+    val labels = df.select(col("doc_id").as("doc"), col("label").as("y"))
+    val feat = QualityModel.denseFeatures(
+      QualityModel.hashedBow(df, "doc_id", "text", 64), labels, 64).cache()
+    val m = QualityModel.trainLogReg(feat, d = 64, iters = 8, lr = 0.125)
+    val batch = QualityModel.scoreLogReg(feat, m)
+      .select("doc", "score").as[(Long, Double)].collect().sortBy(_._1)
+    val text = df.select(col("doc_id").as("doc"),
+        QualityModel.scoreText(col("text"), m).as("score"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    // exact double equality: per-token grid terms sum exactly in any order
+    assert(text.toSeq === batch.toSeq)
+    feat.unpersist(true)
+  }
+
   test("quality end-to-end emits one scored row per doc with 0/1 preds") {
     val out = QualityModel.quality(fixture, "doc_id", "text",
       col("label") === 1.0, d = 64, iters = 8).collect()
