@@ -41,6 +41,7 @@ object ScaleSmoke {
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
     if (args.headOption.contains("qmodel1m")) { qmodel1m(); return }
+    if (args.headOption.contains("kmeans1m")) { kmeans1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2434,6 +2435,125 @@ object ScaleSmoke {
       failed = true
     }
     if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** k-means + SemDeDup at scale (`runMain graft.ScaleSmoke kmeans1m`).
+    *
+    *  - trainFast (k = 32, d = 64, 3 Lloyd rounds) at 250k vs 1M
+    *    clustered vectors: the serving-path trainer's wall must scale
+    *    ≲ linearly in the corpus (rounds are a fixed job count; the
+    *    literal-argmin pass is row-local, the update one hash
+    *    aggregate), trained centroids must be BIT-IDENTICAL when the 1M
+    *    corpus is repartitioned (the decimal + 6-dp-grid update claim
+    *    measured at scale), and the final assignment must recover the
+    *    planted anchor structure exactly (seeds = ids 0..31 are one
+    *    per anchor, separation ≫ jitter).
+    *  - SemDeDup (fast path) at FIXED ~316-vector cluster size across a
+    *    4× corpus step (25k/k=79 → 100k/k=316): with s = N/k held
+    *    constant the intra-cluster pair stage is N·s/2 cosines — linear
+    *    in N — so the wall ratio must stay ≲ the data ratio plus
+    *    overhead; planted exact copies (1%) must be recovered exactly
+    *    (identical vectors assign identically → same cluster → pair),
+    *    with every copy's keeper being its original (centroid-distance
+    *    tie breaks to the lower id).
+    */
+  private def kmeans1m(): Unit = {
+    import graft.ext.Kmeans
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    var failed = false
+
+    // kA anchors in [0,1)^64 (hash-derived, pairwise distance ~ sqrt(d/6)
+    // ≈ 3.3), jitter ±0.005 — separation ≫ jitter, so Lloyd converges in
+    // one round and purity is exact. id % kA == anchor; ids 0..kA-1 seed
+    // one cluster per anchor IN ORDER, so cluster index == anchor id.
+    val kA = 32
+    def synthVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        pmod(xxhash64(pmod(col("id"), lit(kA.toLong)), j), lit(1000L))
+          .cast("double") / 1000.0 +
+        pmod(xxhash64(col("id"), j, lit(7)), lit(100L)).cast("double")
+          / 10000.0).as("embedding"))
+
+    def trainAt(n: Long, parts: Int): (Kmeans.Model, Double) = {
+      val df = synthVecs(n).repartition(parts).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val m = Kmeans.trainFast(df, "vec_id", "embedding", k = kA, iters = 3)
+      ((m, (System.nanoTime() - t0) / 1e9))
+    }
+    val (m250, t250) = trainAt(250000L, 32)
+    val (m1a, t1m) = trainAt(1000000L, 32)
+    val (m1b, _) = trainAt(1000000L, 7)
+    println(f"SCALEKM train           250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)")
+    if (!(m1a.cents.map(_.toSeq).toSeq == m1b.cents.map(_.toSeq).toSeq)) {
+      println("SCALEKM centroids differ across partitionings at 1M " +
+        "— exactness claim broken"); failed = true
+    }
+    if (m250.cents.map(_.toSeq).toSeq != m1a.cents.map(_.toSeq).toSeq)
+      println("SCALEKM note: 250k and 1M centroids differ (fine — " +
+        "different corpora)")
+    if (t1m > 12 * t250 + 10) {
+      println("SCALEKM train scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 180) { println("SCALEKM train wall red"); failed = true }
+
+    var t0 = System.nanoTime()
+    val impure = Kmeans.assignServing(synthVecs(1000000L), "vec_id",
+        "embedding", m1a)
+      .where(col("cluster") =!= pmod(col("vec_id"), lit(kA.toLong)))
+      .count()
+    val tAssign = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEKM assign-1m       $tAssign%6.1f s (impure=$impure)")
+    if (impure != 0L) {
+      println("SCALEKM assignment missed the planted anchors"); failed = true
+    }
+    if (tAssign > 60) { println("SCALEKM assign wall red"); failed = true }
+
+    // SemDeDup at fixed cluster size s ≈ N/k: 1% planted exact copies
+    def semAt(n: Long, k: Int): (Long, Long, Long, Double) = {
+      val base = synthVecs(n)
+      val copies = base.where(col("vec_id") % 100 === 0L)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val all = base.unionByName(copies).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = Kmeans.semDedup(all, "vec_id", "embedding", k = k,
+        iters = 2, minCosine = 0.999999, fast = true)
+      val r = out.agg(
+        count(lit(1)),
+        sum(when(col("keep"), 1L).otherwise(0L)),
+        sum(when(col("vec_id") >= 10000000L &&
+          col("keeper") === col("vec_id") - 10000000L, 1L).otherwise(0L)))
+        .as[(Long, Long, Long)].head()
+      ((r._1, r._2, r._3, (System.nanoTime() - t0) / 1e9))
+    }
+    val (rows25, keep25, planted25, tSem25) = semAt(25000L, 79)
+    val (rows100, keep100, planted100, tSem100) = semAt(100000L, 316)
+    println(f"SCALEKM semdedup        25k=$tSem25%6.1f s  100k=$tSem100%6.1f s " +
+      f"(ratio ${tSem100 / tSem25}%.2f)")
+    if (rows25 != 25250L || keep25 != 25000L || planted25 != 250L) {
+      println(s"SCALEKM semdedup 25k accounting wrong: " +
+        s"rows=$rows25 keep=$keep25 planted=$planted25"); failed = true
+    }
+    if (rows100 != 101000L || keep100 != 100000L || planted100 != 1000L) {
+      println(s"SCALEKM semdedup 100k accounting wrong: " +
+        s"rows=$rows100 keep=$keep100 planted=$planted100"); failed = true
+    }
+    if (tSem100 > 10 * tSem25 + 10) {
+      println("SCALEKM semdedup scaling red (super-linear at fixed " +
+        "cluster size)"); failed = true
+    }
+    if (tSem100 > 240) { println("SCALEKM semdedup wall red"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Corpus, Dedup, EventOps, QualityModel, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventOps, Kmeans, QualityModel, Similarity, Sketches, TextAnalysis}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1985,6 +1985,50 @@ object SparkEntry {
     "emb_label_centroids" -> ((s, dir) => {
       sortSmall(Similarity.meanVectorByKey(t(s, dir, "embeddings"),
         "label", "embedding"), "label", "dim")
+    }),
+
+    // in-engine Lloyd k-means, trained BY the engine and pinned BY the
+    // oracle: the QualityModel generated-oracle discipline applied to
+    // clustering — every Lloyd round's assignment argmin runs on
+    // 6-dp-portably-rounded exact-decimal distances and every centroid
+    // update is an exact decimal sum + one IEEE division snapped to the
+    // 6-dp grid, so a DuckDB replay of all 3 rounds (4 CTEs per round)
+    // lands on bit-identical centroids. Seeds = the k smallest-id
+    // vectors (no RNG); empty clusters carry forward. Output: final
+    // centroids + final-assignment cluster sizes (k·d rows). Scale: the
+    // working set is the cached flat (id, dim, x) frame; each round is
+    // one broadcast join + two hash aggregates with O(k·d) driver
+    // traffic — corpus-size-independent rounds (see Kmeans object doc).
+    "emb_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = Kmeans.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val af = Kmeans.assignFinal(emb, "vec_id", "embedding", m)
+      val sizes = af.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      sortSmall(Kmeans.centroidFrame(s, m)
+        .join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+          col("dim"), col("c")),
+        "cluster", "dim")
+    }),
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup at the embedding
+    // level: k-means-cluster the corpus (the in-engine exact Lloyd
+    // above), mine cosine-near-dup pairs ONLY within clusters (the
+    // paper's point: clustering bounds pair work to Σ|cluster|², never
+    // the corpus square — k scales ∝ N / target-cluster-size), resolve
+    // connected components (pointer-doubling), keep the member CLOSEST
+    // TO ITS CLUSTER CENTROID per component (the paper's keep rule,
+    // ties to the smaller id). Planted exact copies (vec_id % 10 == 0,
+    // shifted +100000 — the emb_dedup_clusters fixture) make the dup
+    // structure non-trivial; the oracle replays training, pairing, and
+    // a recursive-CTE closure. One row per vector:
+    // (vec_id, cluster, root, keeper, keep).
+    "doc_semdedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      sortBig(Kmeans.semDedup(base.unionByName(planted), "vec_id",
+        "embedding", k = 8, iters = 3, minCosine = 0.95), "vec_id")
     }),
 
     // nearest-centroid assignment (prototype classification / DCLM-style
@@ -5064,6 +5108,62 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(u.val AS DECIMAL(38,12))) AS DOUBLE)
         |    / COUNT(*), 6) AS mean
         |FROM x GROUP BY label, u.dim ORDER BY label, dim""".stripMargin,
+
+    // generated training replay: 3 Lloyd rounds as CTE chains (distance /
+    // argmin / update / carry-forward), exact-decimal aggregates + the
+    // portable floor-round — lands on bit-identical centroids (the
+    // QualityModel generated-oracle discipline applied to clustering)
+    "emb_kmeans" ->
+      (Kmeans.oracleCtes(8, 3,
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings") +
+      """,
+        |sz AS (SELECT cl, COUNT(*) AS n FROM af GROUP BY 1)
+        |SELECT c.cl AS cluster, COALESCE(sz.n, 0) AS n, c.dim AS dim,
+        |  c.cv AS c
+        |FROM c3 c LEFT JOIN sz ON c.cl = sz.cl
+        |ORDER BY cluster, dim""".stripMargin),
+
+    // same training replay over base ∪ planted copies, then intra-cluster
+    // cosine pairs (identical list-fold + portable round), recursive-CTE
+    // closure, keeper = argmin (dist-to-centroid, id) per component
+    "doc_semdedup" ->
+      (Kmeans.oracleCtes(8, 3,
+        """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, embedding::DOUBLE[]
+          |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+        recursive = true) +
+      """,
+        |pr AS MATERIALIZED (
+        |  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b
+        |  FROM af aa JOIN af bb ON aa.cl = bb.cl AND aa.vec_id < bb.vec_id
+        |  JOIN e ea ON ea.vec_id = aa.vec_id
+        |  JOIN e eb ON eb.vec_id = bb.vec_id
+        |  WHERE floor(
+        |      list_sum([ea.v[i] * eb.v[i]
+        |                for i in generate_series(1, len(ea.v))])
+        |      / (sqrt(list_sum([ea.v[i] * ea.v[i]
+        |                for i in generate_series(1, len(ea.v))]))
+        |       * sqrt(list_sum([eb.v[i] * eb.v[i]
+        |                for i in generate_series(1, len(eb.v))])))
+        |      * 1000000.0 + 0.5) / 1000000.0 >= 0.95),
+        |edges AS (SELECT id_a AS x, id_b AS y FROM pr
+        |          UNION SELECT id_b, id_a FROM pr
+        |          UNION SELECT id_a, id_a FROM pr
+        |          UNION SELECT id_b, id_b FROM pr),
+        |reach(x, y) AS (SELECT x, y FROM edges
+        |  UNION SELECT r.x, g.y FROM reach r JOIN edges g ON r.y = g.x),
+        |comp AS (SELECT x AS vec_id, MIN(y) AS root FROM reach GROUP BY x),
+        |wr AS (SELECT af.vec_id, af.cl,
+        |         COALESCE(comp.root, af.vec_id) AS root, af.dist2
+        |       FROM af LEFT JOIN comp USING (vec_id)),
+        |kp AS (SELECT root, vec_id AS keeper FROM (
+        |    SELECT root, vec_id, row_number() OVER (
+        |      PARTITION BY root ORDER BY dist2, vec_id) AS rn FROM wr)
+        |  WHERE rn = 1)
+        |SELECT wr.vec_id, wr.cl AS cluster, wr.root, kp.keeper,
+        |  wr.vec_id = kp.keeper AS keep
+        |FROM wr JOIN kp USING (root) ORDER BY wr.vec_id""".stripMargin),
 
     // identical sign matrix from md5("i:j") first-hex-digit parity,
     // identical sequential fold, 6-dp round

@@ -1,0 +1,347 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** In-engine Lloyd k-means over an embedding corpus, with the exactness
+  * discipline that makes iterative float training replayable by a DuckDB
+  * oracle (the [[QualityModel]] generated-oracle pattern applied to
+  * clustering), plus SemDeDup-style semantic deduplication on top
+  * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", 2023).
+  *
+  * == Exact float discipline (why clustering is reproducible) ==
+  *
+  * Every cross-row aggregation in a Lloyd round is EXACT decimal
+  * arithmetic, so it is order- and partition-invariant:
+  *
+  *  - distances accumulate the IEEE `(x − c)²` terms as DECIMAL(38,12)
+  *    (each term is one correctly-rounded double op, cast to decimal by
+  *    the engines' agreed half-up rule — the [[Similarity.nearestCentroid]]
+  *    discipline), are cast back to double and 6-dp-rounded with the
+  *    portable `floor(x·1e6 + 0.5)/1e6` op sequence BEFORE the argmin,
+  *    so the assignment decision is bit-stable across engines;
+  *  - centroid updates sum the raw components as DECIMAL(38,12)
+  *    (float32 inputs widened to double are exact there — the
+  *    [[Similarity.meanVectorByKey]] rule), take ONE correctly-rounded
+  *    IEEE division by the member count, and snap onto the same 6-dp
+  *    grid, so the next round's centroids are identical doubles on any
+  *    engine;
+  *  - seeds are the vectors of the k smallest ids, components snapped to
+  *    the 6-dp grid — deterministic, no RNG.
+  *
+  * A DuckDB SQL replay of all `iters` rounds (4 CTEs per round —
+  * distance, argmin, update, carry-forward) therefore lands on the
+  * bit-identical centroids and assignment, and the driver's hash gate
+  * pins the whole training loop, not just a final score.
+  *
+  * == Scale shape ==
+  *
+  * The working set is the flat (id, dim, x) frame — posexplode once,
+  * cache, reuse every round; no vector is ever re-assembled on a single
+  * task. Each round is: one BROADCAST join against the k·d centroid
+  * frame + one map-side-combinable (id, cluster) hash aggregate + one
+  * per-id window over k rows (assignment), then one (cluster, dim) hash
+  * aggregate collecting k·d rows to the driver (update) — driver traffic
+  * O(k·d·iters) doubles, independent of corpus size, the
+  * [[QualityModel.trainLogReg]] contract. Empty clusters keep their
+  * previous centroid (no re-seed RNG). At 100 TB the same loop runs with
+  * k in the thousands: the centroid frame stays a broadcast (k·d ≤ a few
+  * hundred MB), and the per-round shuffle is one narrow aggregate of the
+  * exploded frame — the canonical distributed-Lloyd layout.
+  */
+object Kmeans {
+
+  /** Portable 6-dp half-up round (column form): floor(x·1e6 + 0.5)/1e6 —
+    * the same IEEE op sequence on every engine (see [[Similarity]]). */
+  private def r6p(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Driver-side twin of [[r6p]] — used to snap seed components so the
+    * literal seed grid is the value the oracle's SQL computes. */
+  private def r6p(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  /** Trained model: k × d centroid components on the 6-dp grid, cluster
+    * index = rank of the seed vector's id. */
+  final case class Model(cents: Array[Array[Double]])
+
+  /** Flat (id, dim, x) working set — posexplode of the widened vector. */
+  private def longForm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("_kid"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "_x")))
+
+  /** k·d centroid frame (cluster, dim, component) from driver arrays —
+    * broadcast into every assignment join. */
+  private def centLong(spark: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      cl <- cents.indices
+      j <- cents(cl).indices
+    } yield (cl.toLong, j, cents(cl)(j))
+    rows.toDF("_cl", "dim", "_c")
+  }
+
+  /** Public (cluster, dim, c) frame of a trained model. */
+  def centroidFrame(spark: SparkSession, m: Model): DataFrame =
+    centLong(spark, m.cents)
+      .select(col("_cl").as("cluster"), col("dim"), col("_c").as("c"))
+
+  /** Exact-decimal distance + portable argmin: (id, cluster, dist2),
+    * ties toward the smaller cluster index. */
+  private def assignAgainst(ex: DataFrame, cdf: DataFrame): DataFrame = {
+    val d2 = ex.join(broadcast(cdf), "dim")
+      .groupBy(col("_kid"), col("_cl"))
+      .agg(r6p(sum(((col("_x") - col("_c")) * (col("_x") - col("_c")))
+        .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
+    val w = Window.partitionBy(col("_kid")).orderBy(col("dist2"), col("_cl"))
+    d2.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("_kid"), col("_cl"), col("dist2"))
+  }
+
+  /** Grid-snapped seed centroids: the k smallest-id vectors. */
+  private def seedCents(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Double]] =
+    df.select(col(idCol).cast("long").as("_kid"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(col("_kid")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray.map(r6p))
+
+  /** Serving/throughput assignment: centroids enter the plan as LITERAL
+    * arrays, each distance is a row-local left-to-right double fold, and
+    * the argmin is `array_min` over (dist2, cluster) structs — zero
+    * explode, zero join, zero shuffle, whole-stage codegen. This is the
+    * form that scales in k: the relational [[assignFinal]] materializes
+    * N·k aggregate groups (fine for the oracle-pinned k = 8 queries; the
+    * audit form), while this one does O(k·d) codegen'd FLOPs per row.
+    * Distances take the same portable 6-dp round before the argmin;
+    * assignment is bit-stable across partitionings (row-local), though
+    * near-exact distance TIES may resolve differently than the decimal
+    * path — on separated data the two paths agree exactly
+    * (KmeansSpec pins it on the fixture). Past k ≈ a few thousand,
+    * route with an IVF shortlist ([[Similarity.nearestLists]]) before
+    * the exact argmin instead of widening the literal array. */
+  def assignServing(df: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame = {
+    // native codegen'd argmin loop (graft.functions.NearestCentroid):
+    // the centroid matrix rides as one reference object, the per-row
+    // cost is a tight primitive k×d loop, and the op sequence is
+    // bit-identical to [[assignServingHof]] (spec-pinned)
+    val best = graft.functions.VectorFunctions.nearestCentroidNative(
+      col(vecCol).cast("array<double>"), m.cents)
+    df.select(col(idCol).cast("long").as(idCol),
+      best.getField("cluster").as("cluster"),
+      best.getField("dist2").as("dist2"))
+  }
+
+  /** Higher-order-function formulation of [[assignServing]] — kept as the
+    * reference implementation (bit-identical results; the whole k×d
+    * centroid matrix is ONE literal node and the argmin one nested fold,
+    * so even this form stays O(1) in expression size) and for engines
+    * without the native expression. ~20× slower per row than the native
+    * loop (per-element lambda dispatch). */
+  def assignServingHof(df: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame = {
+    val mat = typedLit(m.cents.map(_.toSeq).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    val best = aggregate(
+      sequence(lit(0), lit(m.cents.length - 1)),
+      struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("cluster")),
+      (acc, j) => {
+        val d2 = r6p(aggregate(
+          zip_with(v, element_at(mat, j + 1), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, x) => a + x))
+        // strict < keeps the FIRST minimum, so exact-distance ties break
+        // toward the smaller cluster index like the relational argmin
+        when(d2 < acc.getField("dist2"),
+          struct(d2.as("dist2"), j.cast("long").as("cluster")))
+          .otherwise(acc)
+      })
+    df.select(col(idCol).cast("long").as(idCol),
+      best.getField("cluster").as("cluster"),
+      best.getField("dist2").as("dist2"))
+  }
+
+  /** Lloyd training on the serving-path assignment — the production
+    * trainer. Per round: one row-local literal-argmin pass (no N·k
+    * blowup) + one (cluster, dim) exact-decimal hash aggregate
+    * collecting k·d rows; centroid updates share [[train]]'s
+    * decimal + 6-dp-grid discipline, so trained centroids remain
+    * BIT-IDENTICAL across partitionings (the update is the only
+    * cross-row arithmetic). Not oracle-replayable only because the
+    * distance fold is double, not decimal — semantics match [[train]]
+    * whenever no assignment lands on an exact distance tie. */
+  def trainFast(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Model = {
+    val vdf = df.select(col(idCol).cast("long").as("_kid"),
+      col(vecCol).cast("array<double>").as("_v")).persist()
+    try {
+      var cents = seedCents(df, idCol, vecCol, k)
+      for (_ <- 1 to iters) {
+        val a = assignServing(vdf, "_kid", "_v", Model(cents))
+          .select(col("_kid"), col("cluster").as("_cl"))
+        val upd = vdf.join(a, "_kid")
+          .select(col("_cl"), posexplode(col("_v")).as(Seq("dim", "_x")))
+          .groupBy(col("_cl"), col("dim"))
+          .agg(r6p(sum(col("_x").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1))).as("_c"))
+          .collect()
+        val next = cents.map(_.clone)
+        upd.foreach { r =>
+          next(r.getAs[Long]("_cl").toInt)(r.getAs[Int]("dim")) =
+            r.getAs[Double]("_c")
+        }
+        cents = next
+      }
+      Model(cents)
+    } finally { vdf.unpersist(false): Unit }
+  }
+
+  /** `iters` Lloyd rounds over `df`'s `vecCol`, seeded by the k smallest
+    * `idCol` vectors. Cache-once / scan-per-round; see object doc for the
+    * exactness and scale contracts. */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Model = {
+    val spark = df.sparkSession
+    val ex = longForm(df, idCol, vecCol).persist()
+    try {
+      var cents = seedCents(df, idCol, vecCol, k)
+      for (_ <- 1 to iters) {
+        val a = assignAgainst(ex, centLong(spark, cents))
+        val upd = ex.join(a.select(col("_kid"), col("_cl")), "_kid")
+          .groupBy(col("_cl"), col("dim"))
+          .agg(r6p(sum(col("_x").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1))).as("_c"))
+          .collect()
+        // empty clusters keep their previous centroid (the oracle's
+        // COALESCE carry-forward) — populated clusters always emit all
+        // d dims, so the merge is per-cluster all-or-nothing
+        val next = cents.map(_.clone)
+        upd.foreach { r =>
+          next(r.getAs[Long]("_cl").toInt)(r.getAs[Int]("dim")) =
+            r.getAs[Double]("_c")
+        }
+        cents = next
+      }
+      Model(cents)
+    } finally { ex.unpersist(false): Unit }
+  }
+
+  /** Assignment of every vector against a trained model's (final)
+    * centroids: (idCol, cluster, dist2). One explode + broadcast join +
+    * hash aggregate + per-id window — no training state needed. */
+  def assignFinal(df: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame =
+    assignAgainst(longForm(df, idCol, vecCol), centLong(df.sparkSession, m.cents))
+      .select(col("_kid").as(idCol), col("_cl").as("cluster"), col("dist2"))
+
+  /** SemDeDup (Abbas et al. 2023): cluster the corpus, mine near-duplicate
+    * pairs ONLY within clusters (cosine ≥ `minCosine` on the 6-dp portable
+    * round), resolve connected components, and keep one representative per
+    * component — the member CLOSEST TO ITS CLUSTER CENTROID (ties toward
+    * the smaller id), the paper's "low distance to centroid" keep rule.
+    * Emits one row per vector: (idCol, cluster, root, keeper, keep).
+    *
+    * Scale shape: clustering bounds the pair search — candidates join on
+    * the cluster key, so pair work is Σ|cluster|², controlled by k (pick
+    * k ∝ N / target-cluster-size; the paper uses ~100k clusters at
+    * web scale), never the corpus square. Components resolve with
+    * [[Dedup.dedupClusters]] (pointer-doubling, log-diameter rounds). The
+    * assignment frame is checkpointed once (id, cluster, dist2 — a few
+    * dozen bytes/row, not the vectors) and reused by both pair sides and
+    * the output join. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, minCosine: Double, fast: Boolean = false): DataFrame = {
+    val m = if (fast) trainFast(df, idCol, vecCol, k, iters)
+            else train(df, idCol, vecCol, k, iters)
+    val af = (if (fast) assignServing(df, idCol, vecCol, m)
+              else assignFinal(df, idCol, vecCol, m)).localCheckpoint(true)
+    val vecs = df.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val a = af.select(col(idCol).as("id_a"), col("cluster"))
+      .join(vecs.select(col("_vid").as("id_a"), col("_v").as("_va")), "id_a")
+    val b = af.select(col(idCol).as("id_b"), col("cluster"))
+      .join(vecs.select(col("_vid").as("id_b"), col("_v").as("_vb")), "id_b")
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        r6p(Similarity.dot(col("_va"), col("_vb"))
+          / (Similarity.norm(col("_va")) * Similarity.norm(col("_vb"))))
+          .as("_cos"))
+      .where(col("_cos") >= lit(minCosine))
+    val comp = Dedup.dedupClusters(pairs, "id_a", "id_b")
+    val withRoot = af
+      .join(comp.select(col("doc").as(idCol), col("root")), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("root"), col(idCol)).as("root"), col("dist2"))
+    val wk = Window.partitionBy(col("root"))
+      .orderBy(col("dist2"), col(idCol))
+    val keepers = withRoot.withColumn("_rn", row_number().over(wk))
+      .where(col("_rn") === 1)
+      .select(col("root"), col(idCol).as("keeper"))
+    withRoot.join(keepers, Seq("root"))
+      .select(col(idCol), col("cluster"), col("root"), col("keeper"),
+        (col(idCol) === col("keeper")).as("keep"))
+  }
+
+  /** DuckDB replay of [[train]] + [[assignFinal]]: the shared CTE prefix.
+    * `eSql` must produce `(vec_id, v DOUBLE[])` for the same input frame
+    * the engine clusters. Ends with `c$iters` (final centroids, columns
+    * cl/dim/cv) and `af` (final assignment, columns vec_id/cl/dist2).
+    * Set `recursive` when the caller appends recursive CTEs. */
+  def oracleCtes(k: Int, iters: Int, eSql: String,
+      recursive: Boolean = false): String = {
+    val sb = new StringBuilder
+    val rec = if (recursive) "RECURSIVE " else ""
+    sb.append(
+      s"""WITH ${rec}e AS MATERIALIZED ($eSql),
+         |x AS MATERIALIZED (SELECT vec_id,
+         |    unnest([{'dim': i - 1, 'val': v[i]}
+         |            for i in generate_series(1, len(v))]) AS u
+         |  FROM e),
+         |seed AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
+         |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+         |c0 AS MATERIALIZED (
+         |  SELECT s.cl, x.u.dim AS dim,
+         |    floor(x.u.val * 1000000.0 + 0.5) / 1000000.0 AS cv
+         |  FROM seed s JOIN x ON s.vec_id = x.vec_id)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT x.vec_id, c.cl,
+         |    floor(CAST(SUM(CAST((x.u.val - c.cv) * (x.u.val - c.cv)
+         |        AS DECIMAL(38,12))) AS DOUBLE) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS dist2
+         |  FROM x JOIN c$p c ON x.u.dim = c.dim GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, cl, dist2 FROM (
+         |    SELECT vec_id, cl, dist2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cl) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT a.cl, x.u.dim AS dim,
+         |    floor((CAST(SUM(CAST(x.u.val AS DECIMAL(38,12))) AS DOUBLE)
+         |        / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+         |  FROM x JOIN a$i a USING (vec_id) GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cl, p.dim, COALESCE(u.cv, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN u$i u ON p.cl = u.cl AND p.dim = u.dim)""".stripMargin)
+    }
+    sb.append(s""",
+       |dfin AS MATERIALIZED (
+       |  SELECT x.vec_id, c.cl,
+       |    floor(CAST(SUM(CAST((x.u.val - c.cv) * (x.u.val - c.cv)
+       |        AS DECIMAL(38,12))) AS DOUBLE) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS dist2
+       |  FROM x JOIN c$iters c ON x.u.dim = c.dim GROUP BY 1, 2),
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, cl, dist2 FROM (
+       |    SELECT vec_id, cl, dist2, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2, cl) AS rn FROM dfin)
+       |  WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+}

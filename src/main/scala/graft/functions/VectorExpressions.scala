@@ -576,12 +576,89 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment of an `array<double>` vector against a
+  * literal k×d centroid matrix: returns `struct(dist2 double, cluster
+  * long)` where dist2 is the portable 6-dp floor-round of the
+  * left-to-right Σ(x−c)² fold and the argmin keeps the FIRST minimum
+  * under strict < (ties → lower cluster index) — the exact op sequence
+  * of [[graft.ext.Kmeans]]'s HOF serving fold, bit-for-bit, compiled to
+  * a tight primitive loop (the HOF nested fold pays per-element lambda
+  * dispatch twice over: measured ~47 s for 1M×32×64 vs ~2 s here). */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist2", DoubleType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  // NULL on a null element / dims mismatch — see DotProduct.nullable
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.NearestCentroid.assign($a, $centsRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** (dist2, cluster) InternalRow, or null on null element / length
+    * mismatch — shared by interpreted eval and generated code. Keeps the
+    * HOF fold's exact IEEE op order: sequential Σ(x−c)² from 0.0, then
+    * floor(d·1e6 + 0.5)/1e6, then strict-< first-min argmin. */
+  def assign(vec: ArrayData,
+      cents: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.length
+    val dims = cents(0).length
+    if (vec.numElements() != dims) return null
+    var j = 0
+    while (j < dims) { if (vec.isNullAt(j)) return null; j += 1 }
+    var bestD = Double.MaxValue
+    var bestJ = -1L
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      var d = 0.0
+      j = 0
+      while (j < dims) {
+        val t = vec.getDouble(j) - c(j)
+        d += t * t
+        j += 1
+      }
+      d = math.floor(d * 1000000.0 + 0.5) / 1000000.0
+      if (d < bestD) { bestD = d; bestJ = i }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestJ))
+  }
+}
+
 object VectorFunctions {
   /** Dot product of two `array<double>` columns as a codegen'd native
     * expression. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Nearest-centroid (dist2, cluster) struct of an `array<double>`
+    * vector against a literal centroid matrix. */
+  def nearestCentroidNative(vec: Column, cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), cents))
 
   /** Intersection count of two sorted `array<long>` columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ext.Kmeans
+import org.apache.spark.sql.functions._
+
+/** In-engine exact Lloyd k-means + SemDeDup semantic dedup. */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated anchor clouds in R^4, deterministic offsets (no
+  // RNG): even ids orbit anchor A, odd ids orbit anchor B. ids 0 and 1
+  // (the two seeds) land one per cloud, so k=2 converges immediately.
+  private def cloud(n: Int) = (0 until n).map { i =>
+    val g = i % 2
+    val base = if (g == 0) Array(10.0, 0.0, 0.0, 1.0)
+               else Array(0.0, 10.0, 5.0, -1.0)
+    val off = 0.1 * (i / 2)
+    (i.toLong, base.zipWithIndex.map { case (b, j) => b + off * (j + 1) / 4.0 }.toSeq, g)
+  }.toDF("vec_id", "embedding", "g")
+
+  test("train + assignFinal recover the two planted clouds") {
+    val df = cloud(20)
+    val m = Kmeans.train(df, "vec_id", "embedding", k = 2, iters = 3)
+    val af = Kmeans.assignFinal(df, "vec_id", "embedding", m)
+      .join(df.select(col("vec_id"), col("g")), "vec_id")
+      .collect()
+    assert(af.length === 20)
+    af.foreach { r =>
+      assert(r.getAs[Long]("cluster") === r.getAs[Int]("g").toLong,
+        s"vec ${r.getAs[Long]("vec_id")} assigned off-cloud")
+    }
+  }
+
+  test("centroids are bit-identical across partitionings") {
+    val df = cloud(40)
+    def at(parts: Int) =
+      Kmeans.train(df.repartition(parts), "vec_id", "embedding",
+        k = 2, iters = 3).cents
+    val a = at(1)
+    val b = at(7)
+    for (cl <- a.indices; j <- a(cl).indices)
+      assert(java.lang.Double.doubleToLongBits(a(cl)(j)) ===
+             java.lang.Double.doubleToLongBits(b(cl)(j)),
+        s"centroid ($cl,$j) differs across partitionings")
+  }
+
+  test("an empty cluster carries its seed centroid forward") {
+    // id 1 duplicates id 0's vector: in round 1 every point ties between
+    // clusters 0 and 1 or prefers 0/2, the argmin tie-break sends ties to
+    // the lower index, so cluster 1 receives NO members and must keep its
+    // (quantized) seed vector as centroid, while 0 and 2 move to the
+    // means of their members. (In later rounds the carried-forward seed
+    // legitimately wins back the points cluster 0's update moved away
+    // from — correct Lloyd dynamics, not tested here.)
+    def q6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val pts = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(-5.0, -5.0, 1.0, 1.0)),
+      (3L, Seq(1.1, 0.9, 0.0, 0.0)),
+      (4L, Seq(-5.2, -4.8, 1.0, 1.0))).toDF("vec_id", "embedding")
+    val m = Kmeans.train(pts, "vec_id", "embedding", k = 3, iters = 1)
+    assert(m.cents(1).toSeq === Seq(1.0, 1.0, 0.0, 0.0))
+    assert(m.cents(0).toSeq === Seq(q6(3.1 / 3), q6(2.9 / 3), 0.0, 0.0))
+    assert(m.cents(2).toSeq === Seq(q6(-10.2 / 2), q6(-9.8 / 2), 1.0, 1.0))
+  }
+
+  test("fast (literal-fold) path matches the exact relational path") {
+    val df = cloud(30)
+    val me = Kmeans.train(df, "vec_id", "embedding", k = 2, iters = 3)
+    val mf = Kmeans.trainFast(df, "vec_id", "embedding", k = 2, iters = 3)
+    for (cl <- me.cents.indices; j <- me.cents(cl).indices)
+      assert(java.lang.Double.doubleToLongBits(me.cents(cl)(j)) ===
+             java.lang.Double.doubleToLongBits(mf.cents(cl)(j)),
+        s"fast/exact centroid ($cl,$j) diverge on a tie-free fixture")
+    val ae = Kmeans.assignFinal(df, "vec_id", "embedding", me)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val as = Kmeans.assignServing(df, "vec_id", "embedding", mf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ae === as)
+  }
+
+  test("native nearest-centroid expression ≡ the HOF reference fold") {
+    val df = cloud(40)
+    val m = Kmeans.train(df, "vec_id", "embedding", k = 2, iters = 2)
+    def dump(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(dump(Kmeans.assignServing(df, "vec_id", "embedding", m)) ===
+           dump(Kmeans.assignServingHof(df, "vec_id", "embedding", m)))
+  }
+
+  test("semDedup drops planted exact copies, keeps everything else") {
+    val base = cloud(20).select(col("vec_id"), col("embedding"))
+    val copies = base.where(col("vec_id") < 4)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val out = Kmeans.semDedup(base.unionByName(copies), "vec_id",
+      "embedding", k = 2, iters = 3, minCosine = 0.999999).collect()
+    assert(out.length === 24)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    for (i <- 0L until 4L) {
+      // copy pairs share a component rooted and kept at the original
+      // (equal centroid distance -> id tie-break)
+      assert(byId(i + 1000L).getAs[Long]("root") === byId(i).getAs[Long]("root"))
+      assert(byId(i).getAs[Boolean]("keep"))
+      assert(!byId(i + 1000L).getAs[Boolean]("keep"))
+      assert(byId(i + 1000L).getAs[Long]("keeper") === i)
+    }
+    // unduplicated vectors are their own singleton components
+    for (i <- 4L until 20L) {
+      assert(byId(i).getAs[Long]("root") === i)
+      assert(byId(i).getAs[Boolean]("keep"))
+    }
+    assert(out.count(_.getAs[Boolean]("keep")) === 20)
+  }
+}
