@@ -159,6 +159,14 @@ object SparkEntry {
   private val substringReplayPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of trained k-means models + streaming-probe replay
+    * tables (stream_semdedup): train-once / probe-per-rep, same contract
+    * as ivfCentsCache / substringReplayPath. */
+  private val kmModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Kmeans.Model]
+  private val semReplayPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of sessionization replay tables (stream_sessions):
     * the user-sliced obs frame plus one per-key SENTINEL event far past
     * the data, written once per (JVM, sf dir). The sentinel closes each
@@ -1684,6 +1692,21 @@ object SparkEntry {
           col("sample_bucket")), "doc_id")
     }),
 
+    // temperature-reweighted source mixing (the multi-corpus pretraining
+    // sampler): per-source keep rates ∝ sqrt(n_s)/n_s at a 50% overall
+    // budget — rare sources boosted, hot sources cut, α = 1/2 chosen
+    // because sqrt is the one correctly-rounded IEEE power (no pow() in
+    // the portable arithmetic). Rates are one tiny source aggregate +
+    // an exact-decimal weight sum + one broadcast; the keep decision is
+    // the row-local md5 sample bucket — shuffle-free, scan-pushable,
+    // rerun-stable (Corpus.temperatureMixSample).
+    "doc_mix_temperature" -> ((s, dir) => {
+      sortBig(Corpus.temperatureMixSample(t(s, dir, "documents"), "doc_id",
+          "source", keepBp = 5000L)
+        .select(col("doc_id"), col("source"), col("rate_bp"),
+          col("sample_bucket"), col("selected")), "doc_id")
+    }),
+
     // PII redaction — scrub emails / US phones / IPv4s / SSNs /
     // Luhn-valid credit cards to typed placeholders with per-doc counts.
     // Patterns live in the Java-regex ∩ RE2 common subset so both
@@ -3015,6 +3038,49 @@ object SparkEntry {
       }
       sortSmall(res.select(col("query_id"), col("rank").cast("long").as("rank"),
         col("candidate_id"), col("cosine")), "query_id", "rank")
+    }),
+
+    // streaming SemDeDup probe — semantic dedup at INGEST: arriving
+    // vectors are cluster-assigned ROW-LOCALLY against the frozen
+    // k-means model (the native serving argmin; the oracle replays the
+    // identical left-to-right double fold as a list comprehension — the
+    // cosine-topk precedent — so the decision is bit-stable with no
+    // state store), stream-static-joined to that ONE cluster's corpus
+    // members, flagged on cosine ≥ 0.95. BOTH sides assign through the
+    // same serving fold, so an exact copy provably lands in its
+    // original's cluster. Replay = planted exact copies (vec_id%10==0,
+    // +100000 → must flag their original) ∪ negated vectors
+    // (vec_id%10==5, +200000, −v → must stay clean). Fourth member of
+    // the in-engine-model streaming family (quality_lr / lm_score /
+    // ivf_topk / semdedup).
+    "stream_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = kmModelCache.getOrElseUpdate(dir,
+        Kmeans.train(emb, "vec_id", "embedding", k = 8, iters = 3))
+      val members = Kmeans.assignServing(emb, "vec_id", "embedding", m)
+        .join(emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("mv")), "vec_id")
+        .select(col("cluster"), col("vec_id").as("member_id"), col("mv"))
+      val rp = semReplayPath.getOrElseUpdate(dir, {
+        val p = s"$scratchBase/graft_stream_sem_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+          .unionByName(emb.where(col("vec_id") % 10 === 5)
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      })
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, rp, "stream_semdedup_result",
+        org.apache.spark.sql.streaming.OutputMode.Complete()) { st =>
+        Kmeans.semProbeStream(st, "vec_id", "embedding", m, members,
+          minCosine = 0.95)
+      }
+      sortBig(res.select(col("query_id"), col("n_dups"), col("first_dup")),
+        "query_id")
     }),
 
     // streaming gap sessionization over a bounded replay: per-key
@@ -4733,6 +4799,28 @@ object SparkEntry {
         |    % 10000 < rate_bp
         |ORDER BY doc_id""".stripMargin,
 
+    // identical rate arithmetic: 6-dp floor-round of each sqrt, exact
+    // DECIMAL(18,6) weight sum, one multiply chain + one division + one
+    // floor in the SAME IEEE order, then the same md5 bucket predicate
+    "doc_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS DECIMAL(18,6)) AS w6 FROM c),
+        |tot AS (SELECT SUM(w6) AS den, SUM(n) AS nn FROM w),
+        |r AS (SELECT source,
+        |    LEAST(10000, CAST(floor(5000.0 * tot.nn * CAST(w.w6 AS DOUBLE)
+        |      / (CAST(tot.den AS DOUBLE) * w.n)) AS BIGINT)) AS rate_bp
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |  CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 10000 AS BIGINT) AS sample_bucket,
+        |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 10000 < r.rate_bp AS selected
+        |FROM documents d JOIN r USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // identical rounded-contribution decimal sum + one final IEEE
     // division; ln ulp differences die in the 6 dp round
     "text_unigram_nll" ->
@@ -5164,6 +5252,61 @@ object SparkEntry {
         |SELECT wr.vec_id, wr.cl AS cluster, wr.root, kp.keeper,
         |  wr.vec_id = kp.keeper AS keep
         |FROM wr JOIN kp USING (root) ORDER BY wr.vec_id""".stripMargin),
+
+    // same corpus training replay; stream queries re-derived from e
+    // (copies + negations); BOTH query and member assignments replay the
+    // serving path's left-to-right double fold as list comprehensions
+    // (the cosine-topk fold precedent), then the same portable round +
+    // (dist2, cl) argmin; hits joined within the one cluster
+    "stream_semdedup" ->
+      (Kmeans.oracleCtes(8, 3,
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings") +
+      """,
+        |c3l AS MATERIALIZED (
+        |  SELECT cl, list(cv ORDER BY dim) AS cvec FROM c3 GROUP BY cl),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id + 100000 AS query_id, v FROM e WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, [-x for x in v] FROM e WHERE vec_id % 10 = 5),
+        |dq AS MATERIALIZED (
+        |  SELECT q.query_id, c.cl,
+        |    floor(list_sum([(q.v[i] - c.cvec[i]) * (q.v[i] - c.cvec[i])
+        |            for i in generate_series(1, len(q.v))])
+        |      * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        |  FROM q, c3l c),
+        |aq AS MATERIALIZED (
+        |  SELECT query_id, cl FROM (
+        |    SELECT query_id, cl, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dist2, cl) AS rn FROM dq)
+        |  WHERE rn = 1),
+        |dm AS MATERIALIZED (
+        |  SELECT e.vec_id, c.cl,
+        |    floor(list_sum([(e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])
+        |            for i in generate_series(1, len(e.v))])
+        |      * 1000000.0 + 0.5) / 1000000.0 AS dist2
+        |  FROM e, c3l c),
+        |am AS MATERIALIZED (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT vec_id, cl, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist2, cl) AS rn FROM dm)
+        |  WHERE rn = 1),
+        |hits AS MATERIALIZED (
+        |  SELECT aq.query_id, am.vec_id AS member_id
+        |  FROM aq JOIN am ON aq.cl = am.cl
+        |  JOIN e ON e.vec_id = am.vec_id
+        |  JOIN q ON q.query_id = aq.query_id
+        |  WHERE floor(
+        |      list_sum([q.v[i] * e.v[i]
+        |                for i in generate_series(1, len(q.v))])
+        |      / (sqrt(list_sum([q.v[i] * q.v[i]
+        |                for i in generate_series(1, len(q.v))]))
+        |       * sqrt(list_sum([e.v[i] * e.v[i]
+        |                for i in generate_series(1, len(e.v))])))
+        |      * 1000000.0 + 0.5) / 1000000.0 >= 0.95)
+        |SELECT q.query_id, COALESCE(h.n, 0) AS n_dups, h.fd AS first_dup
+        |FROM q LEFT JOIN (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(member_id) AS fd FROM hits GROUP BY 1) h USING (query_id)
+        |ORDER BY q.query_id""".stripMargin),
 
     // identical sign matrix from md5("i:j") first-hex-digit parity,
     // identical sequential fold, 6-dp round

@@ -209,6 +209,46 @@ object Corpus {
       .where(col("sample_bucket") < col("rate_bp"))
   }
 
+  /** Temperature-reweighted source mixing — the pretraining-mixture
+    * sampler (the "sampling temperature" of multi-corpus LM recipes):
+    * source shares are flattened from their natural n_s toward uniform
+    * by exponent α, here α = 1/2 so the weight is sqrt(n_s) (sqrt is the
+    * one power IEEE guarantees correctly rounded, which is what keeps
+    * the rate arithmetic engine-portable — no pow()). Each source's keep
+    * rate in basis points is
+    *
+    *   rate_s = floor(keepBp · N · w_s / (Σw · n_s)),  w_s = round6(√n_s)
+    *
+    * capped at 10000 — rare sources get boosted rates, hot sources get
+    * cut, expected total ≈ keepBp/10000 · N. The op sequence (6-dp
+    * floor-round of each √, exact DECIMAL(18,6) sum across the tiny
+    * source frame, then one multiply chain + one division + one floor —
+    * every step correctly rounded IEEE in the SAME order in both
+    * engines) makes the rate bit-identical, and the keep decision is the
+    * [[sampleBucket]] row-local hash predicate — shuffle-free,
+    * scan-pushable, reproducible. Emits input rows + (rate_bp,
+    * sample_bucket, selected). */
+  def temperatureMixSample(df: DataFrame, idCol: String, strataCol: String,
+      keepBp: Long): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000, "keepBp in [0, 10000]")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .withColumn("_w6",
+        (floor(sqrt(col("_n").cast("double")) * 1000000.0 + 0.5) / 1000000.0)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+    val tot = counts.agg(sum(col("_w6")).as("_den"),
+      sum(col("_n")).as("_nn"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        least(lit(10000L),
+          floor(lit(keepBp.toDouble) * col("_nn") * col("_w6").cast("double")
+            / (col("_den").cast("double") * col("_n"))).cast("long"))
+          .as("rate_bp"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .withColumn("selected", col("sample_bucket") < col("rate_bp"))
+  }
+
   /** Corpus snapshot diff — the data-versioning primitive for iterated
     * training-set builds: classify every doc id across two snapshots as
     * `added` / `removed` / `changed` / `unchanged` by full-outer-joining

@@ -236,6 +236,39 @@ object Kmeans {
     assignAgainst(longForm(df, idCol, vecCol), centLong(df.sparkSession, m.cents))
       .select(col("_kid").as(idCol), col("_cl").as("cluster"), col("dist2"))
 
+  /** Streaming SemDeDup probe — the ingest-time twin of [[semDedup]]:
+    * each arriving vector is assigned its cluster ROW-LOCALLY against the
+    * frozen model (the native serving argmin — no state store, no
+    * shuffle before the join; the oracle replays the identical
+    * left-to-right double fold as a DuckDB list comprehension, the
+    * [[Similarity]] dot-product precedent, so the assignment decision is
+    * bit-stable across engines), stream-static-joined to the corpus
+    * members of that cluster only, and flagged when any member's cosine
+    * clears `minCosine`. Emits one row per query: (query_id, n_dups,
+    * first_dup — smallest duplicate member id, NULL when clean).
+    *
+    * `members` must be the batch frame (cluster, member_id, mv) of corpus
+    * assignments + widened vectors. Scale: the join key is the cluster
+    * id, so each arriving vector compares against ONE cluster's members
+    * (the SemDeDup bound), and the static side partitions by cluster. */
+  def semProbeStream(queries: DataFrame, idCol: String, vecCol: String,
+      m: Model, members: DataFrame, minCosine: Double): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("cluster",
+        graft.functions.VectorFunctions.nearestCentroidNative(col("_qv"),
+          m.cents).getField("cluster"))
+    val joined = q.join(members, Seq("cluster"), "left")
+      .withColumn("_cos",
+        r6p(Similarity.dot(col("_qv"), col("mv"))
+          / (Similarity.norm(col("_qv")) * Similarity.norm(col("mv")))))
+    joined.groupBy(col("query_id"))
+      .agg(sum(when(col("_cos") >= lit(minCosine), 1L).otherwise(0L))
+          .as("n_dups"),
+        min(when(col("_cos") >= lit(minCosine), col("member_id")))
+          .as("first_dup"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): cluster the corpus, mine near-duplicate
     * pairs ONLY within clusters (cosine ≥ `minCosine` on the 6-dp portable
     * round), resolve connected components, and keep one representative per

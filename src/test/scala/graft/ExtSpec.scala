@@ -1309,6 +1309,26 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("temperatureMixSample boosts rare sources and cuts hot ones") {
+    import graft.ext.Corpus
+    // sources: hot (100 rows), rare (1 row); α=1/2 weights w=10, 1,
+    // den=11, N=101, keepBp=5000:
+    //   rate_rare = floor(5000·101·1/(11·1))/... = floor(45909.09) → cap 10000
+    //   rate_hot  = floor(5000·101·10/(11·100)) = floor(4590.909) = 4590
+    val df = ((0L until 100L).map(i => (i, "hot")) :+ ((1000L, "rare")))
+      .toDF("doc_id", "source")
+    val out = Corpus.temperatureMixSample(df, "doc_id", "source",
+      keepBp = 5000L).cache()
+    val rates = out.select("source", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("rare") === 10000L, s"rare not saturated: $rates")
+    assert(rates("hot") === 4590L, s"hot rate wrong: $rates")
+    // keep predicate is exactly bucket < rate
+    assert(out.where(col("selected") =!=
+      (col("sample_bucket") < col("rate_bp"))).count() === 0L)
+    out.unpersist()
+  }
+
   test("unigramNll ranks rare-token docs above common-token docs, partition-invariantly") {
     import graft.ext.TextAnalysis
     val df = Seq((1L, "a a a a"), (2L, "a a z q")).toDF("doc_id", "text")

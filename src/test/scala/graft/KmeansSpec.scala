@@ -92,6 +92,32 @@ class KmeansSpec extends SparkSpec {
            dump(Kmeans.assignServingHof(df, "vec_id", "embedding", m)))
   }
 
+  test("semProbeStream flags copies against members, clears fresh vectors") {
+    val base = cloud(20).select(col("vec_id"), col("embedding"))
+    val m = Kmeans.train(base, "vec_id", "embedding", k = 2, iters = 2)
+    val members = Kmeans.assignServing(base, "vec_id", "embedding", m)
+      .join(base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("mv")), "vec_id")
+      .select(col("cluster"), col("vec_id").as("member_id"), col("mv"))
+    val queries = base.where(col("vec_id") < 3)
+      .select((col("vec_id") + 500L).as("vec_id"), col("embedding"))
+      .unionByName(base.where(col("vec_id") === 4)
+        .select(lit(600L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    // batch evaluation of the streaming probe's plan (stream-static
+    // joins evaluate identically per micro-batch; the full streaming
+    // seam is pinned by the declared stream_semdedup oracle)
+    val out = Kmeans.semProbeStream(queries, "vec_id", "embedding", m,
+        members, minCosine = 0.999999).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_dups"), Option(r.get(2)))).toMap
+    for (i <- 0L until 3L) {
+      assert(out(i + 500L)._1 >= 1L, s"copy of $i not flagged")
+      assert(out(i + 500L)._2 === Some(i), s"first_dup of copy $i wrong")
+    }
+    assert(out(600L) === ((0L, None)), "negated vector must be clean")
+  }
+
   test("semDedup drops planted exact copies, keeps everything else") {
     val base = cloud(20).select(col("vec_id"), col("embedding"))
     val copies = base.where(col("vec_id") < 4)
