@@ -42,6 +42,7 @@ object ScaleSmoke {
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
     if (args.headOption.contains("qmodel1m")) { qmodel1m(); return }
     if (args.headOption.contains("kmeans1m")) { kmeans1m(); return }
+    if (args.headOption.contains("kmhof")) { kmhof(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2435,6 +2436,59 @@ object ScaleSmoke {
       failed = true
     }
     if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Uncontended native-vs-HOF serving-assignment measurement
+    * (`runMain graft.ScaleSmoke kmhof`) — the BASELINE figure for the
+    * `NearestCentroid` codegen gap. kmeans1m asserts correctness; this
+    * mode exists so the RATIO is measured on an otherwise idle JVM/host
+    * (the first recording ran under sbt-test contention). Asserts the
+    * two formulations agree on every row of the 1M corpus (cluster AND
+    * 6-dp dist2) before trusting either wall. */
+  private def kmhof(): Unit = {
+    import graft.ext.Kmeans
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val kA = 32
+    def synthVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        pmod(xxhash64(pmod(col("id"), lit(kA.toLong)), j), lit(1000L))
+          .cast("double") / 1000.0 +
+        pmod(xxhash64(col("id"), j, lit(7)), lit(100L)).cast("double")
+          / 10000.0).as("embedding"))
+    val corpus = synthVecs(1000000L).repartition(32).localCheckpoint(true)
+    val m = Kmeans.trainFast(corpus, "vec_id", "embedding", k = kA, iters = 1)
+    def wall(tag: String, df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEKMHOF $tag%-8s $t%6.1f s ($n rows)")
+      t
+    }
+    val tN = wall("native", Kmeans.assignServing(corpus, "vec_id", "embedding", m))
+    val tH = wall("hof", Kmeans.assignServingHof(corpus, "vec_id", "embedding", m))
+    println(f"SCALEKMHOF ratio    ${tH / tN}%6.1f x")
+    val mism = Kmeans.assignServing(corpus, "vec_id", "embedding", m)
+      .withColumnRenamed("cluster", "_cn").withColumnRenamed("dist2", "_dn")
+      .join(Kmeans.assignServingHof(corpus, "vec_id", "embedding", m), "vec_id")
+      .where(col("_cn") =!= col("cluster") || col("_dn") =!= col("dist2"))
+      .count()
+    if (mism != 0L) {
+      println(s"SCALEKMHOF formulations disagree on $mism rows"); failed = true
+    }
+    if (tH <= tN) {
+      println("SCALEKMHOF note: HOF not slower — ratio claim needs revisit")
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -167,6 +167,27 @@ object SparkEntry {
   private val semReplayPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of the trained quality-LR model (doc_quality_lr /
+    * stream_quality_lr / doc_lr_calibration): training is deterministic
+    * (exact dyadic GD), so train-once / score-many is a pure time save
+    * — same contract as bpeMergesCache. */
+  private val lrModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, QualityModel.LinearModel]
+
+  /** The (JVM-cached) quality-LR model for an sf dir: dense features +
+    * 16 GD rounds on first request. */
+  private def lrModelFor(s: SparkSession, dir: String): QualityModel.LinearModel =
+    lrModelCache.getOrElseUpdate(dir, {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("doc"),
+        (col("lang") === "en").cast("double").as("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+        .persist()
+      try QualityModel.trainLogReg(feat, d = 64, iters = 16, lr = 0.125)
+      finally { feat.unpersist(false): Unit }
+    })
+
   /** Per-JVM registry of sessionization replay tables (stream_sessions):
     * the user-sliced obs frame plus one per-key SENTINEL event far past
     * the data, written once per (JVM, sf dir). The sentinel closes each
@@ -1431,6 +1452,17 @@ object SparkEntry {
         seqLen = 256L, bucketWidth = 64L), "doc")
     }),
 
+    // seeded GLOBAL SHUFFLE + shard packing — the reproducible
+    // training-order step: shuffle key = md5(seed:doc), documents laid
+    // end to end in key order, cut every 1000 tokens. Same decomposed
+    // prefix sum as doc_pack_shards but bucketed by the key's first two
+    // hex digits (256 uniformly-loaded hash ranges — md5 balances them
+    // by construction, so the shuffle also FIXES any id skew).
+    "doc_shuffle_pack" -> ((s, dir) => {
+      sortBig(Corpus.shufflePack(t(s, dir, "documents"), "doc_id", "text",
+        seed = "shuf42", budgetTokens = 1000L), "doc")
+    }),
+
     // per-language tokenizer FERTILITY (BPE tokens per word) — the
     // cross-lingual tokenizer-fairness metric a multilingual corpus
     // audit reports (a language with high fertility pays more context
@@ -1503,8 +1535,31 @@ object SparkEntry {
     // (driver traffic O(d) doubles), row-local scoring — corpus scanned
     // T times from cache, never shuffled on a token key.
     "doc_quality_lr" -> ((s, dir) => {
-      sortBig(QualityModel.quality(t(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en"), "doc")
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("doc"),
+        (col("lang") === "en").cast("double").as("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+      sortBig(QualityModel.scoreLogReg(feat, lrModelFor(s, dir)), "doc")
+    }),
+
+    // calibration audit of the SAME trained gate (reliability bins):
+    // before a pipeline trusts classifier probabilities as sampling
+    // weights it must know whether 0.8 means 80 % — ten fixed-width
+    // probability bins, each with mean predicted probability vs
+    // observed positive fraction and their gap (the per-bin ECE term).
+    // The oracle replays training (shared generated CTEs) + the binning;
+    // probabilities use the same Elliott sigmoid, bin means use the
+    // 6-dp-round-then-exact-decimal-sum discipline.
+    "doc_lr_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("doc"),
+        (col("lang") === "en").cast("double").as("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+      sortSmall(QualityModel.calibrationBins(
+        QualityModel.scoreLogReg(feat, lrModelFor(s, dir))
+          .select(col("doc"), col("y"), col("score"))), "bin")
     }),
 
     // streaming quality gate: the SAME in-engine-trained classifier
@@ -1515,15 +1570,7 @@ object SparkEntry {
     // frame, no aggregate, no state store — frozen-model scoring rides
     // any ingest topology for free.
     "stream_quality_lr" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val labels = docs.select(col("doc_id").as("doc"),
-        (col("lang") === "en").cast("double").as("y"))
-      val feat = QualityModel.denseFeatures(
-        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
-        .persist()
-      val m =
-        try QualityModel.trainLogReg(feat, d = 64, iters = 16, lr = 0.125)
-        finally { feat.unpersist(false): Unit }
+      val m = lrModelFor(s, dir)
       val res = graft.streaming.StreamingDedup.replayDocs(
         s, s"$dir/documents.parquet", "stream_qlr_result") { st =>
         st.select(col("doc_id").as("doc"),
@@ -2204,6 +2251,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4 rule bundle (Raffel et al. 2020 §2.2) — the line-then-page
+    // heuristic filter the C4 corpus shipped with: terminal-punctuation
+    // / ≥3-word / no-"javascript" line keeps, then lorem-ipsum, curly
+    // brace, blocklist and ≥5-sentence page gates. kept_md5 pins the
+    // reassembled kept TEXT, not just counts. The fixture corpus is
+    // punctuation-free word salad, so the query derives a STRUCTURED
+    // twin first (same deterministic enrichment in the oracle — the
+    // text_token_cjk planting discipline): sentence breaks at ' line ',
+    // a terminal period, and planted lorem-ipsum / brace / javascript
+    // strata so every rule fires on a known doc subset. Pure row-local
+    // string work — the 100 TB form is a map over the scan.
+    "text_c4_rules" -> ((s, dir) => {
+      val base2 = concat(call_function("replace", col("text"),
+        lit(" line "), lit(".\n")), lit("."))
+      val suffix = concat(
+        when(col("doc_id") % 17 === 3,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 5, lit(" {code.}")).otherwise(lit("")),
+        when(col("doc_id") % 29 === 7,
+          lit("\nthis page uses javascript to render it.")).otherwise(lit("")))
+      val structured = t(s, dir, "documents")
+        .select(col("doc_id"), concat(base2, suffix).as("text"))
+      sortBig(TextAnalysis.c4Rules(structured, "doc_id", "text"), "doc_id")
+    }),
+
     // language ID heuristic
     "text_langid" -> ((s, dir) => {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
@@ -2351,6 +2423,19 @@ object SparkEntry {
     "text_bigram_nll" -> ((s, dir) => {
       sortBig(TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc").as("doc_id"), col("n_bigrams"), col("nll")),
+        "doc_id")
+    }),
+
+    // interpolated Kneser–Ney TRIGRAM NLL — the third-order LM score
+    // with proper continuation-count smoothing (the n-gram LM quality
+    // filters like CCNet actually use KN models): word salad built from
+    // plausible bigrams scores high here and not under text_bigram_nll.
+    // All statistics live on the distinct-trigram TYPE frame; the one
+    // token-mass join is skew-split (broadcast head). The oracle replays
+    // the identical type counts and operation-ordered float formula.
+    "text_kn3_nll" -> ((s, dir) => {
+      sortBig(TextAnalysis.kn3Nll(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_trigrams"), col("kn_nll")),
         "doc_id")
     }),
 
@@ -4514,6 +4599,23 @@ object SparkEntry {
         |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc""".stripMargin,
 
+    // hash-ordered twin of doc_pack_shards: the oracle orders by the
+    // same md5 shuffle key; the engine's 256-way hash-prefix bucket
+    // decomposition must land on the identical global offsets
+    "doc_shuffle_pack" ->
+      """WITH k AS (SELECT doc_id AS doc,
+        |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc, shuffle_key, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM k)
+        |SELECT doc, shuffle_key, n_tokens, start_offset,
+        |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
+        |FROM o ORDER BY doc""".stripMargin,
+
     // same prefix sum; span columns are integer divisions on top
     "doc_seq_pack" ->
       """WITH t AS (SELECT doc_id,
@@ -5585,6 +5687,47 @@ object SparkEntry {
         |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8) AS gopher_pass
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // C4 line/page rules: DuckDB list comprehension mirrors the Spark
+    // filter() lambda clause for clause; kept text reassembled with the
+    // same separator before the md5 pin
+    "text_c4_rules" ->
+      """WITH s0 AS (SELECT doc_id,
+        |    replace(text, ' line ', '.' || chr(10)) || '.'
+        |    || (CASE WHEN doc_id % 17 = 3
+        |          THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 23 = 5 THEN ' {code.}' ELSE '' END)
+        |    || (CASE WHEN doc_id % 29 = 7
+        |          THEN chr(10) || 'this page uses javascript to render it.'
+        |          ELSE '' END) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines FROM s0),
+        |k AS (SELECT doc_id, text, lines,
+        |  [l for l in lines if right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |     and len([w for w in string_split(l, ' ') if w <> '']) >= 3
+        |     and not contains(lower(l), 'javascript')] AS kept
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (contains(lower(text), 'damnedword')
+        |    OR contains(lower(text), 'obsceneword')) AS has_badword
+        |  FROM k),
+        |r AS (SELECT doc_id, n_lines, n_kept_lines,
+        |  CAST(length(kept_text) -
+        |    length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
+        |    AS n_sentences,
+        |  has_lorem, has_brace, has_badword, md5(kept_text) AS kept_md5
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+        |  has_brace, has_badword, kept_md5,
+        |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_badword) AS c4_keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "text_langid" -> LangIdOracle,
 
     "text_token_counts" ->
@@ -5633,6 +5776,11 @@ object SparkEntry {
     // because every aggregate in the loop is exact dyadic arithmetic
     // and every scalar op is IEEE correctly-rounded (see QualityModel)
     "doc_quality_lr" -> QualityModel.qualityOracleSql(
+      "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)"),
+
+    // same generated training CTEs, calibration tail: Elliott
+    // probabilities, ten fixed bins, 6-dp-round-then-decimal-sum means
+    "doc_lr_calibration" -> QualityModel.calibrationOracleSql(
       "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)"),
 
     // the streamed scoring must land on the batch result bit-for-bit
@@ -5764,6 +5912,50 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(round(tf.tf * ln(c1.c1::DOUBLE / c2.c2), 6)
         |    AS DECIMAL(38,6))) AS DOUBLE) / SUM(tf.tf), 6) AS nll
         |FROM tf JOIN c2 USING (big) JOIN c1 USING (prev)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // interpolated Kneser–Ney trigram replay: identical type-count CTEs
+    // (history / continuation / middle statistics all from the distinct
+    // trigram frame) and the SAME operation-ordered float expression —
+    // every count is exact integer, P is one fixed arithmetic tree, the
+    // per-type cost rounds to 6 dp before the exact-decimal per-doc sum
+    "text_kn3_nll" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tf AS MATERIALIZED (SELECT doc_id AS doc, tri, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w) - 2, 0))]) AS tri
+        |    FROM tk)
+        |  GROUP BY 1, 2),
+        |ty AS MATERIALIZED (SELECT tri, c3,
+        |    string_split(tri, ' ')[1] || ' ' || string_split(tri, ' ')[2] AS hist,
+        |    string_split(tri, ' ')[2] || ' ' || string_split(tri, ' ')[3] AS low,
+        |    string_split(tri, ' ')[2] AS mid,
+        |    string_split(tri, ' ')[3] AS cur
+        |  FROM (SELECT tri, SUM(tf) AS c3 FROM tf GROUP BY 1)),
+        |hs AS (SELECT hist, SUM(c3) AS ch, COUNT(*) AS n1h FROM ty GROUP BY 1),
+        |ls AS MATERIALIZED (SELECT low, COUNT(*) AS n1low,
+        |    string_split(low, ' ')[1] AS lmid, string_split(low, ' ')[2] AS lcur
+        |  FROM ty GROUP BY 1),
+        |ms AS (SELECT lmid AS mid, SUM(n1low) AS nmid, COUNT(*) AS n1mid
+        |  FROM ls GROUP BY 1),
+        |cs AS (SELECT lcur AS cur, COUNT(*) AS n1cur FROM ls GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM ls),
+        |sc AS MATERIALIZED (SELECT t.tri,
+        |    round(-ln(
+        |      greatest(CAST(t.c3 AS DOUBLE) - 0.75, 0.0) / CAST(hs.ch AS DOUBLE)
+        |      + 0.75 * CAST(hs.n1h AS DOUBLE) / CAST(hs.ch AS DOUBLE)
+        |        * (greatest(CAST(ls.n1low AS DOUBLE) - 0.75, 0.0)
+        |             / CAST(ms.nmid AS DOUBLE)
+        |           + 0.75 * CAST(ms.n1mid AS DOUBLE) / CAST(ms.nmid AS DOUBLE)
+        |             * (CAST(cs.n1cur AS DOUBLE) / CAST(nt.ntypes AS DOUBLE)))),
+        |      6) AS cost
+        |  FROM ty t JOIN hs ON t.hist = hs.hist JOIN ls ON t.low = ls.low
+        |    JOIN ms ON t.mid = ms.mid JOIN cs ON t.cur = cs.cur, nt)
+        |SELECT tf.doc AS doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_trigrams,
+        |  round(CAST(SUM(CAST(round(CAST(tf.tf AS DOUBLE) * sc.cost, 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / CAST(SUM(tf.tf) AS DOUBLE), 6)
+        |    AS kn_nll
+        |FROM tf JOIN sc ON tf.tri = sc.tri
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical tokenization (single-space split) and gram join

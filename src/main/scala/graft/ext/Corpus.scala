@@ -99,6 +99,48 @@ object Corpus {
     seqSpanCols(packShardsFromCounts(counts, seqLen, bucketWidth), seqLen)
   }
 
+  /** Deterministic seeded GLOBAL SHUFFLE + shard packing — the
+    * training-order step between curation and the loader: every epoch's
+    * document order must be (a) uniformly shuffled, (b) reproducible
+    * from a seed alone, and (c) computable without any single-machine
+    * sort. Each document's shuffle key is `md5(seed ':' doc)` (a pure
+    * row-local projection); documents are laid end to end in key order
+    * and cut every `budgetTokens` exactly like [[packShards]]. Emits
+    * (doc, shuffle_key, n_tokens, start_offset, shard_id).
+    *
+    * Scale shape: the same decomposed two-stage prefix sum as
+    * [[packShards]], but bucketed by the key's first two hex digits
+    * (256 order-preserving ranges of the hash space, uniformly loaded
+    * BY CONSTRUCTION — md5 is the balancer, so there is no skewed
+    * bucket even when doc ids are). No corpus-wide single-task window;
+    * changing the seed re-shuffles everything with zero code path
+    * difference. */
+  def shufflePack(df: DataFrame, idCol: String, textCol: String,
+      seed: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = df.select(col(idCol).cast("long").as("doc"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col("doc").cast("string"))))
+      .withColumn("_bucket", substring(col("shuffle_key"), 1, 2))
+    val bucketTotals = base.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_btok"))
+    val wBuckets = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .select(col("_bucket"),
+        coalesce(sum(col("_btok")).over(wBuckets), lit(0L)).as("_boff"))
+    val wInBucket = Window.partitionBy(col("_bucket"))
+      .orderBy(col("shuffle_key"), col("doc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "_bucket")
+      .select(col("doc"), col("shuffle_key"), col("n_tokens"),
+        (col("_boff") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+          .as("start_offset"))
+      .withColumn("shard_id", floor(col("start_offset") / lit(budgetTokens)))
+  }
+
   private def seqSpanCols(packed: DataFrame, seqLen: Long): DataFrame =
     packed
       .select(col("doc"), col("n_tokens"), col("start_offset"),

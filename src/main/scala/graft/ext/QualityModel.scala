@@ -177,13 +177,15 @@ object QualityModel {
     } finally { feat.unpersist(false): Unit }
   }
 
-  /** DuckDB replay of [[quality]]: the feature/label CTEs plus one
-    * (margin, residual, gradient, update) CTE quartet per iteration —
-    * the BPE generated-oracle discipline applied to float training,
-    * sound because every aggregate the SQL replays is exact dyadic
-    * arithmetic (see object doc). `labelSql` must be a 0.0/1.0 DOUBLE
-    * expression over `documents` columns mirroring `label`. */
-  def qualityOracleSql(labelSql: String, d: Int = 64, iters: Int = 16,
+  /** Generated CTE prefix replaying [[quality]]'s training in DuckDB:
+    * the feature/label CTEs plus one (margin, residual, gradient,
+    * update) CTE quartet per iteration — the BPE generated-oracle
+    * discipline applied to float training, sound because every
+    * aggregate the SQL replays is exact dyadic arithmetic (see object
+    * doc). `labelSql` must be a 0.0/1.0 DOUBLE expression over
+    * `documents` columns mirroring `label`. Ends with a `scored`
+    * (doc, y, score) CTE for the caller's tail select. */
+  def qualityOracleCtes(labelSql: String, d: Int = 64, iters: Int = 16,
       lr: Double = 0.125): String = {
     val g = Grid.toLong
     val sb = new StringBuilder
@@ -226,16 +228,69 @@ object QualityModel {
          |      AS b
          |  FROM b$p, (SELECT SUM(rq) AS gb FROM r$i) s, nn)""".stripMargin)
     }
-    sb.append(s"""
-       |SELECT lab.doc AS doc, lab.y AS y,
-       |  mm.m AS score, CASE WHEN mm.m > 0.0 THEN 1 ELSE 0 END AS pred
-       |FROM lab JOIN (
-       |  SELECT f.doc, SUM(f.c * w.w) + ANY_VALUE(b$iters.b) AS m
-       |  FROM f JOIN w$iters w USING (bucket), b$iters GROUP BY 1) mm
-       |  USING (doc)
-       |ORDER BY doc""".stripMargin)
+    sb.append(s""",
+       |scored AS MATERIALIZED (
+       |  SELECT lab.doc AS doc, lab.y AS y, mm.m AS score
+       |  FROM lab JOIN (
+       |    SELECT f.doc, SUM(f.c * w.w) + ANY_VALUE(b$iters.b) AS m
+       |    FROM f JOIN w$iters w USING (bucket), b$iters GROUP BY 1) mm
+       |    USING (doc))""".stripMargin)
     sb.toString
   }
+
+  /** DuckDB replay of [[quality]]: the generated training CTEs + the
+    * final scoring select. */
+  def qualityOracleSql(labelSql: String, d: Int = 64, iters: Int = 16,
+      lr: Double = 0.125): String =
+    qualityOracleCtes(labelSql, d, iters, lr) + s"""
+       |SELECT doc, y, score,
+       |  CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS pred
+       |FROM scored ORDER BY doc""".stripMargin
+
+  /** Reliability bins over a scored frame (doc, y, score) — the
+    * calibration audit a model-in-the-loop curation gate reports before
+    * its probabilities are trusted as sampling weights: probabilities
+    * via the same Elliott sigmoid, ten fixed-width bins, per bin the
+    * mean predicted probability vs the observed positive fraction and
+    * their gap (the per-bin ECE term). Float discipline: p is one IEEE
+    * division per row; the per-bin mean rounds p to 6 dp BEFORE an
+    * exact-decimal sum (unigramNll discipline), so bins are partition-
+    * and engine-invariant. One row-local projection + one 10-group
+    * aggregate — no joins, no window. */
+  def calibrationBins(scored: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val grouped = scored
+      .select(col("y"), elliott(col("score")).as("_p"))
+      .withColumn("bin", floor(col("_p") * lit(10.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        round(sum(round(col("_p"), 6).cast(dec6)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_prob"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6))
+    grouped.withColumn("gap",
+      round(abs(col("mean_prob") - col("frac_pos")), 6))
+  }
+
+  /** DuckDB replay of [[quality]] + [[calibrationBins]]. */
+  def calibrationOracleSql(labelSql: String, d: Int = 64, iters: Int = 16,
+      lr: Double = 0.125): String =
+    qualityOracleCtes(labelSql, d, iters, lr) + s"""
+       |SELECT bin, n_docs, n_pos, mean_prob, frac_pos,
+       |  round(abs(mean_prob - frac_pos), 6) AS gap
+       |FROM (
+       |  SELECT CAST(floor(p * 10.0) AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_prob,
+       |    round(CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+       |  FROM (SELECT y, 0.5 + 0.5 * score / (1.0 + abs(score)) AS p
+       |        FROM scored)
+       |  GROUP BY 1)
+       |ORDER BY bin""".stripMargin
 
   /** DSIR importance weights and resampling decision (Xie et al. 2023):
     * hashed-unigram bucket masses for the TARGET slice (`targetPred`)

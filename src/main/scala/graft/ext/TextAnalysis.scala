@@ -703,4 +703,147 @@ object TextAnalysis {
       size(validCcs).cast("long").as("n_ccs"),
       redacted.as("redacted"))
   }
+
+  /** Tiny stand-in blocklist for the C4 "bad words" page filter — the
+    * real pipeline plugs in the public List-of-Dirty-Naughty-Obscene
+    * list; the RULE (any blocklisted word anywhere on the page drops the
+    * page) is what's implemented and tested. */
+  private val c4BadWords = Seq("damnedword", "obsceneword")
+
+  /** C4 curation rule bundle (Raffel et al. 2020, §2.2 — the public
+    * heuristics behind the C4 corpus), line stage then page stage:
+    * keep a LINE only when it ends in terminal punctuation (. ! ? "),
+    * has ≥ 3 whitespace words, and doesn't mention "javascript";
+    * keep the PAGE only when the kept text still has ≥ 5 sentence
+    * terminators, no "lorem ipsum", no curly brace, and no blocklisted
+    * word. Emits per doc: line accounting, the page flags, an md5 of
+    * the reassembled kept text (so the filtered CONTENT is pinned, not
+    * just counts), and the final keep decision.
+    *
+    * Scale shape: pure row-local string work (split / filter /
+    * length-delta counting) inside whole-stage codegen — no shuffle, no
+    * state; the 100 TB form is a map over the scan, same as
+    * [[gopherRules]]. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    def lineOk(l: Column): Column = {
+      val tl = rtrim(l)
+      val nWords = size(filter(split(l, " "), w => w =!= ""))
+      substring(tl, -1, 1).isin(".", "!", "?", "\"") &&
+        nWords >= 3 && !lower(l).contains("javascript")
+    }
+    val kept = filter(lines, lineOk(_))
+    val keptText = array_join(kept, "\n")
+    // sentence proxy: terminal-punctuation characters in the kept text
+    // (portable length-delta counting; both engines strip [.!?])
+    val nSent = (length(keptText) -
+      length(regexp_replace(keptText, "[.!?]", ""))).cast("long")
+    val lowText = lower(text)
+    val hasBad = c4BadWords.map(w => lowText.contains(w))
+      .reduce(_ || _)
+    val hasLorem = lowText.contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasBad.as("has_badword"),
+      md5(keptText).as("kept_md5"),
+      (nSent >= 5L && !hasLorem && !hasBrace && !hasBad).as("c4_keep"))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 18, fixed discount D), self-estimated on the
+    * corpus — the third-order completion of [[bigramNll]]: a document
+    * of locally-plausible bigrams stitched into incoherent triples
+    * scores high here and not there. All lower-order distributions use
+    * CONTINUATION type counts derived from the distinct-trigram frame
+    * (the KN insight — "Francisco" is common but follows few
+    * histories):
+    *
+    *   P(w₃|w₁w₂) = max(c₃−D,0)/c(h) + D·N₁₊(h•)/c(h) · P(w₃|w₂)
+    *   P(w₃|w₂)  = max(N₁₊(•w₂w₃)−D,0)/N₁₊(•w₂•)
+    *                 + D·N₁₊(w₂•)/N₁₊(•w₂•) · P_cont(w₃)
+    *   P_cont(w₃) = N₁₊(•w₃)/N₁₊(••)
+    *
+    * with c(h) = Σ_w c₃(h,w) (histories defined over observed
+    * trigrams, so the model is self-consistent at document edges).
+    *
+    * Float discipline ≡ [[bigramNll]]: P is a fixed arithmetic
+    * expression over exact integer type counts (identical operation
+    * order in the oracle), the per-trigram-type cost −ln(P) multiplies
+    * an integer tf and rounds to 6 dp BEFORE the per-doc sum, which
+    * runs in exact DECIMAL — partition- and engine-invariant.
+    *
+    * Scale shape: gram construction is row-local (slice+transform, no
+    * pre-aggregate shuffle); every KN statistic lives on the TYPE level
+    * (distinct trigrams), so hot grams are single rows there; the one
+    * token-mass join (per-doc tf ⋈ per-type cost) is skew-split with
+    * the same broadcast top-`headGrams` head as [[bigramNll]]. */
+  def kn3Nll(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, headGrams: Int = 4096): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_tk"))
+      .select(col("doc"), explode(expr(
+        "transform(slice(_tk, 1, greatest(size(_tk) - 2, 0))," +
+          " (w, i) -> concat(w, ' ', element_at(_tk, i + 2)," +
+          " ' ', element_at(_tk, i + 3)))")).as("tri"))
+      .groupBy(col("doc"), col("tri"))
+      .agg(count(lit(1)).as("tf"))
+    // the TYPE frame: every distinct trigram with its token count and
+    // its decomposition (history = w1 w2, low = w2 w3, mid = w2, cur = w3)
+    val types = tf.groupBy(col("tri")).agg(sum(col("tf")).as("c3"))
+      .withColumn("_p", split(col("tri"), " "))
+      .select(col("tri"), col("c3"),
+        concat(element_at(col("_p"), 1), lit(" "),
+          element_at(col("_p"), 2)).as("hist"),
+        concat(element_at(col("_p"), 2), lit(" "),
+          element_at(col("_p"), 3)).as("low"),
+        element_at(col("_p"), 2).as("mid"),
+        element_at(col("_p"), 3).as("cur"))
+    val histStats = types.groupBy(col("hist"))
+      .agg(sum(col("c3")).as("ch"), count(lit(1)).as("n1h"))
+    // distinct (w1) per (w2,w3): the continuation count N1+(• w2 w3)
+    val lowStats = types.groupBy(col("low")).agg(count(lit(1)).as("n1low"))
+      .withColumn("_p2", split(col("low"), " "))
+      .select(col("low"), col("n1low"),
+        element_at(col("_p2"), 1).as("mid"),
+        element_at(col("_p2"), 2).as("cur"))
+    val midStats = lowStats.groupBy(col("mid"))
+      .agg(sum(col("n1low")).as("nmid"), count(lit(1)).as("n1mid"))
+    val curStats = lowStats.groupBy(col("cur")).agg(count(lit(1)).as("n1cur"))
+    val nTypes = lowStats.select(count(lit(1)).as("ntypes"))
+    val d = lit(discount)
+    // P evaluated with the exact operation order the oracle replays
+    val p3 =
+      greatest(col("c3").cast("double") - d, lit(0.0)) /
+        col("ch").cast("double") +
+      d * col("n1h").cast("double") / col("ch").cast("double") *
+        (greatest(col("n1low").cast("double") - d, lit(0.0)) /
+            col("nmid").cast("double") +
+          d * col("n1mid").cast("double") / col("nmid").cast("double") *
+            (col("n1cur").cast("double") / col("ntypes").cast("double")))
+    val scored = types
+      .join(histStats, "hist")
+      .join(lowStats.select(col("low"), col("n1low")), "low")
+      .join(midStats, "mid")
+      .join(curStats, "cur")
+      .crossJoin(broadcast(nTypes))
+      .select(col("tri"), col("c3"), round(-log(p3), 6).as("cost"))
+    val head = scored.orderBy(col("c3").desc, col("tri")).limit(headGrams)
+      .select(col("tri"), col("cost"))
+    val hot = tf.join(broadcast(head), Seq("tri"))
+    val tail = tf.join(broadcast(head.select(col("tri"))), Seq("tri"), "left_anti")
+      .join(scored.select(col("tri"), col("cost")), Seq("tri"))
+    hot.unionByName(tail)
+      .withColumn("_contrib",
+        round(col("tf").cast("double") * col("cost"), 6).cast(dec6))
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(sum(col("_contrib")).cast("double") /
+          sum(col("tf")).cast("double"), 6).as("kn_nll"))
+  }
 }

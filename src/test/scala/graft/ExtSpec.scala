@@ -1972,4 +1972,71 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out3.toSeq == Seq((5L, 0L), (6L, 0L)))
   }
+
+  test("c4Rules: line keeps and every page gate on a hand fixture") {
+    import graft.ext.TextAnalysis
+    val d1 = "This has four words.\nshort line.\n" +
+      "Nice use of javascript here.\n" +
+      "Another good sentence here. And more. Plus more. Four! Five? Six."
+    val d2 = "lorem ipsum dolor sit amet. Fine sentence two here. " +
+      "Three here. Four here. Plus a fifth one right here."
+    val d3 = "code with a { brace. And enough more sentences. Three. " +
+      "Four. Five here now."
+    val d4 = "a damnedword appears right here. second sentence is here. " +
+      "third one here. fourth one here. fifth one here."
+    val out = TextAnalysis.c4Rules(
+        Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    // line 2 (<3 words) and line 3 ("javascript") drop; 1 and 4 stay
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 2L, s"line keeps: $r1")
+    assert(r1.getLong(3) == 7L, s"sentence count: $r1")
+    assert(r1.getBoolean(8), s"clean page must keep: $r1")
+    assert(!out(1).getBoolean(8) && out(1).getBoolean(4), "lorem gate")
+    assert(!out(2).getBoolean(8) && out(2).getBoolean(5), "brace gate")
+    assert(!out(3).getBoolean(8) && out(3).getBoolean(6), "blocklist gate")
+  }
+
+  test("kn3Nll: repeated-trigram doc scores lower; partition-invariant") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // one trigram pattern, tf-heavy
+      (2L, "p q r s t u v w x"))   // every trigram unique
+    val run = (parts: Int) => TextAnalysis.kn3Nll(
+        Seq(docs: _*).toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text")
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run(1)
+    assert(a.map(_._2) == Seq(7L, 7L), s"trigram counts: $a")
+    assert(a(0)._3 < a(1)._3, s"repetition must score lower: $a")
+    assert(a == run(7), "kn3Nll must be partition-invariant")
+  }
+
+  test("shufflePack: matches a single-window reference; seed reshuffles") {
+    import graft.ext.Corpus
+    val docs = (0L until 100L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val out = Corpus.shufflePack(df, "doc_id", "text", "s1", 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // driver-side reference: sort by (md5 key, doc), running sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(s"s1:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ref = docs.map { case (i, t) => (i, key(i), t.split(" ").length.toLong) }
+      .sortBy(x => (x._2, x._1))
+      .scanLeft((0L, "", 0L, 0L)) { case ((_, _, _, acc), (i, k, n)) =>
+        (i, k, n, acc + n) }
+      .drop(1)
+      .map { case (i, k, n, end) => (i, k, n, end - n, (end - n) / 10L) }
+      .sortBy(_._1)
+    assert(out.toSeq == ref, "decomposed prefix sum != single-window reference")
+    val out2 = Corpus.shufflePack(df, "doc_id", "text", "s2", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(out.map(r => (r._1, r._4)).toSeq != out2.toSeq,
+      "different seed must produce a different order")
+  }
 }

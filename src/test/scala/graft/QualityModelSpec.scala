@@ -113,4 +113,21 @@ class QualityModelSpec extends SparkSpec {
         .select("doc", "score").as[(Long, Double)].collect().sortBy(_._1)
     assert(scores(1).toSeq === scores(7).toSeq)
   }
+
+  test("calibrationBins: hand-checked bins, means, fractions, gaps") {
+    // Elliott p: score 1.0 -> 0.75 (bin 7), -1.0 -> 0.25 (bin 2),
+    // 0.0 -> 0.5 (bin 5)
+    val scored = Seq(
+        (1L, 1.0, 1.0), (2L, 0.0, -1.0), (3L, 1.0, 0.0), (4L, 0.0, 1.0))
+      .toDF("doc", "y", "score")
+    val out = QualityModel.calibrationBins(scored).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      (2L, 1L, 0L, 0.25, 0.0, 0.25),
+      (5L, 1L, 1L, 0.5, 1.0, 0.5),
+      (7L, 2L, 1L, 0.75, 0.5, 0.25)), s"bins: $out")
+    // bins partition the corpus
+    assert(out.map(_._2).sum == 4L)
+  }
 }
