@@ -2468,11 +2468,14 @@ object ScaleSmoke {
           / 10000.0).as("embedding"))
     val corpus = synthVecs(1000000L).repartition(32).localCheckpoint(true)
     val m = Kmeans.trainFast(corpus, "vec_id", "embedding", k = kA, iters = 1)
+    // force the argmin per row: count() would let Catalyst prune the
+    // assignment expression entirely (first measurement did exactly
+    // that); summing the OUTPUT columns cannot be pruned
     def wall(tag: String, df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val r = df.agg(sum(col("cluster")), sum(col("dist2"))).head()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"SCALEKMHOF $tag%-8s $t%6.1f s ($n rows)")
+      println(f"SCALEKMHOF $tag%-8s $t%6.1f s (sum=${r.getLong(0)})")
       t
     }
     val tN = wall("native", Kmeans.assignServing(corpus, "vec_id", "embedding", m))

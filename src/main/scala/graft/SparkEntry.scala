@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Corpus, Dedup, EventOps, Kmeans, QualityModel, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventOps, Graph, Kmeans, QualityModel, Similarity, Sketches, TextAnalysis}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -116,6 +116,63 @@ object SparkEntry {
 
   private val jsonlPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** C4 rule-bundle oracle, shared by the batch and streaming
+    * queries (the streamed pass must equal the batch pass). */
+  private val C4RulesOracle: String =
+    """WITH s0 AS (SELECT doc_id,
+        |    replace(text, ' line ', '.' || chr(10)) || '.'
+        |    || (CASE WHEN doc_id % 17 = 3
+        |          THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 23 = 5 THEN ' {code.}' ELSE '' END)
+        |    || (CASE WHEN doc_id % 29 = 7
+        |          THEN chr(10) || 'this page uses javascript to render it.'
+        |          ELSE '' END) AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines FROM s0),
+        |k AS (SELECT doc_id, text, lines,
+        |  [l for l in lines if right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |     and len([w for w in string_split(l, ' ') if w <> '']) >= 3
+        |     and not contains(lower(l), 'javascript')] AS kept
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (contains(lower(text), 'damnedword')
+        |    OR contains(lower(text), 'obsceneword')) AS has_badword
+        |  FROM k),
+        |r AS (SELECT doc_id, n_lines, n_kept_lines,
+        |  CAST(length(kept_text) -
+        |    length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
+        |    AS n_sentences,
+        |  has_lorem, has_brace, has_badword, md5(kept_text) AS kept_md5
+        |  FROM m)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+        |  has_brace, has_badword, kept_md5,
+        |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_badword) AS c4_keep
+        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Deterministic STRUCTURED twin of the fixture text for the C4 rule
+    * queries (batch + streaming share it; the oracle builds the same
+    * string): the corpus is punctuation-free word salad, so sentence
+    * breaks are planted at ' line ', a terminal period added, and
+    * lorem-ipsum / curly-brace / javascript strata planted on fixed id
+    * residues so every C4 rule fires on a known doc subset. */
+  private def c4StructuredText: Column = {
+    val base2 = concat(call_function("replace", col("text"),
+      lit(" line "), lit(".\n")), lit("."))
+    concat(base2,
+      when(col("doc_id") % 17 === 3,
+        lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+      when(col("doc_id") % 23 === 5, lit(" {code.}")).otherwise(lit("")),
+      when(col("doc_id") % 29 === 7,
+        lit("\nthis page uses javascript to render it.")).otherwise(lit("")))
+  }
 
   /** Fixed BM25 retrieval query set (text_bm25) — interpolated into the
     * generated oracle, so engine and oracle always score the same
@@ -2263,17 +2320,48 @@ object SparkEntry {
     // strata so every rule fires on a known doc subset. Pure row-local
     // string work — the 100 TB form is a map over the scan.
     "text_c4_rules" -> ((s, dir) => {
-      val base2 = concat(call_function("replace", col("text"),
-        lit(" line "), lit(".\n")), lit("."))
-      val suffix = concat(
-        when(col("doc_id") % 17 === 3,
-          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
-        when(col("doc_id") % 23 === 5, lit(" {code.}")).otherwise(lit("")),
-        when(col("doc_id") % 29 === 7,
-          lit("\nthis page uses javascript to render it.")).otherwise(lit("")))
       val structured = t(s, dir, "documents")
-        .select(col("doc_id"), concat(base2, suffix).as("text"))
+        .select(col("doc_id"), c4StructuredText.as("text"))
       sortBig(TextAnalysis.c4Rules(structured, "doc_id", "text"), "doc_id")
+    }),
+
+    // the C4 bundle applied at INGEST: every rule is row-local string
+    // work, so the whole line-then-page filter runs as a fully
+    // STATELESS stream stage — no state store, no aggregate — and the
+    // streamed result equals the batch result row-for-row (same oracle
+    // pins stream ≡ batch ≡ replay).
+    "stream_c4_rules" -> ((s, dir) => {
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_c4_result") { st =>
+        TextAnalysis.c4Rules(
+          st.select(col("doc_id"), c4StructuredText.as("text")),
+          "doc_id", "text")
+      }
+      sortBig(res, "doc_id")
+    }),
+
+    // PageRank link analysis (Brin & Page 1998) — the crawl-graph
+    // centrality prior corpus curation ranks hosts/pages by (Common
+    // Crawl ships exactly this rank family). The link graph is
+    // deterministic synthetic over doc ids (out-degree 1 + id % 3,
+    // targets spread by a fixed affine rule — no self-loops, no
+    // dangling nodes), built identically in the oracle; 8 damped power
+    // iterations with the exact-decimal contribution discipline make
+    // ranks partition- AND engine-invariant, so the oracle replays
+    // every round bit-for-bit. Per round: one key-partitioned join +
+    // one map-side-combinable decimal aggregate — no driver traffic.
+    "doc_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1L),
+            lit(1L) + pmod(col("doc_id"), lit(3L)))).as("c"))
+        .select(col("src"),
+          pmod(col("src") + lit(1L) +
+            pmod(col("src") * 31L + col("c") * 97L, lit(n - 1L)),
+            lit(n)).as("dst"))
+      sortBig(Graph.pageRank(edges, docs, iters = 8), "node")
     }),
 
     // language ID heuristic
@@ -5690,43 +5778,26 @@ object SparkEntry {
     // C4 line/page rules: DuckDB list comprehension mirrors the Spark
     // filter() lambda clause for clause; kept text reassembled with the
     // same separator before the md5 pin
-    "text_c4_rules" ->
-      """WITH s0 AS (SELECT doc_id,
-        |    replace(text, ' line ', '.' || chr(10)) || '.'
-        |    || (CASE WHEN doc_id % 17 = 3
-        |          THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
-        |    || (CASE WHEN doc_id % 23 = 5 THEN ' {code.}' ELSE '' END)
-        |    || (CASE WHEN doc_id % 29 = 7
-        |          THEN chr(10) || 'this page uses javascript to render it.'
-        |          ELSE '' END) AS text
-        |  FROM documents),
-        |d AS (SELECT doc_id, text,
-        |    string_split(text, chr(10)) AS lines FROM s0),
-        |k AS (SELECT doc_id, text, lines,
-        |  [l for l in lines if right(rtrim(l), 1) IN ('.', '!', '?', '"')
-        |     and len([w for w in string_split(l, ' ') if w <> '']) >= 3
-        |     and not contains(lower(l), 'javascript')] AS kept
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  CAST(len(lines) AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
-        |  COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
-        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-        |  contains(text, '{') AS has_brace,
-        |  (contains(lower(text), 'damnedword')
-        |    OR contains(lower(text), 'obsceneword')) AS has_badword
-        |  FROM k),
-        |r AS (SELECT doc_id, n_lines, n_kept_lines,
-        |  CAST(length(kept_text) -
-        |    length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
-        |    AS n_sentences,
-        |  has_lorem, has_brace, has_badword, md5(kept_text) AS kept_md5
-        |  FROM m)
-        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
-        |  has_brace, has_badword, kept_md5,
-        |  (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
-        |    AND NOT has_badword) AS c4_keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_c4_rules" -> C4RulesOracle,
+
+    // the stateless streamed C4 pass must equal the batch pass
+    // row-for-row — same oracle
+    "stream_c4_rules" -> C4RulesOracle,
+
+    // generated power-iteration replay over the same deterministic
+    // synthetic link graph (affine spread, out-degree 1 + id % 3, no
+    // self-loops or dangling nodes); n and the teleport scalars are
+    // computed IN SQL with the engine's op order, so one oracle text
+    // serves every corpus size
+    "doc_pagerank" -> Graph.pageRankOracleSql(
+      """SELECT src, (src + 1 + ((src * 31 + c * 97) % (nn2.n - 1))) % nn2.n
+        |    AS dst
+        |  FROM (SELECT doc_id AS src,
+        |          unnest(generate_series(1, 1 + doc_id % 3)) AS c
+        |        FROM documents),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) nn2"""
+        .stripMargin,
+      "SELECT doc_id AS node FROM documents", iters = 8),
 
     "text_langid" -> LangIdOracle,
 

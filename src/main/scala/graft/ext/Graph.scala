@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-analysis operators for crawl curation: PageRank by power
+  * iteration — the host/page centrality signal large crawl-derived
+  * corpora rank and sample by (Common Crawl publishes exactly this
+  * family of link-graph ranks; a curation pipeline joins them back as a
+  * quality prior).
+  *
+  * == Exact float discipline ==
+  *
+  * The classic distributed PageRank is float-sum order-dependent; here
+  * every cross-row aggregation is EXACT so ranks are partition- and
+  * engine-invariant (the [[Kmeans]]/[[QualityModel]] replay discipline
+  * applied to graph iteration): per-edge contributions round to the
+  * 6-dp grid BEFORE an exact DECIMAL(38,6) sum, and the damping update
+  * is correctly-rounded IEEE ops re-snapped to the grid — evaluated in
+  * the identical operation order by the DuckDB oracle, which replays
+  * every iteration bit-for-bit ([[pageRankOracleSql]]). The scalar
+  * seeds (1/n teleport floor, (1−d)/n base) are single IEEE divisions
+  * over exact integers, spelled with the same op order in both engines.
+  *
+  * == Scale shape ==
+  *
+  * Per iteration: ONE equi-join (ranks ⋈ edges on src — both sides
+  * key-partitioned, the edge frame cached with its out-degree already
+  * attached) + ONE hash aggregate keyed by dst (map-side combinable
+  * decimal partials). The rank frame is localCheckpoint'ed each round,
+  * so the plan stays O(1) in iteration count — at cluster scale this
+  * becomes a reliably-replicated checkpoint every few rounds, the
+  * standard Pregel cadence. Driver traffic in the loop is zero rows.
+  */
+object Graph {
+
+  private val Dec6 = DecimalType(38, 6)
+
+  /** Portable 6-dp grid round (identical floor form in the oracle). */
+  private def r6p(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** PageRank over an integer-node edge list by `iters` damped
+    * power-iteration rounds. `nodes` is the (node) universe frame (one
+    * BIGINT column); nodes with no in-links hold the teleport floor;
+    * dangling nodes (no out-links) are permitted but leak their mass
+    * (the synthetic corpus graph has none — at ingest scale, pre-drop
+    * or self-loop them). One `nodes.count()` driver action seeds the
+    * 1/n scalars. Emits one row per node: (node, rank, in_deg,
+    * out_deg). */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodesN = nodes.select(col(nodes.columns.head).cast("long").as("node"))
+      .localCheckpoint(true)
+    val n = nodesN.count()
+    require(n > 0, "empty node universe")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree rides the cached edge frame: the per-round join touches
+    // ONE corpus-sized table, not two
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    // same op order as the oracle: 1.0/n, ×1e6, +0.5, floor, ÷1e6
+    val r0 = math.floor(1.0 / n * 1000000.0 + 0.5) / 1000000.0
+    val base = (1.0 - damping) / n
+    var ranks = nodesN.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          r6p(col("rank") / col("outdeg")).cast(Dec6).as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      ranks = nodesN
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          r6p(lit(base) + lit(damping) *
+            coalesce(col("_s").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    ranks
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), col("rank"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("outdeg"), lit(0L)).as("out_deg"))
+  }
+
+  /** DuckDB replay of [[pageRank]]: `edgeSql` must produce (src, dst)
+    * BIGINT rows and `nodeSql` the (node) universe, both identical to
+    * the engine's frames; `n`, the teleport scalars, and every
+    * iteration are computed IN SQL with the engine's operation order
+    * (one CTE pair per round: contribution-round → exact decimal sum →
+    * damped grid update), so the same oracle text replays any corpus
+    * size. `damping` is interpolated via Double.toString (shortest
+    * round-trip repr — DuckDB parses back the identical double). */
+  def pageRankOracleSql(edgeSql: String, nodeSql: String, iters: Int,
+      damping: Double = 0.85): String = {
+    val d = damping.toString
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED ($edgeSql),
+         |nodes AS MATERIALIZED (SELECT node FROM ($nodeSql)),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         |ed AS MATERIALIZED (
+         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+         |sc AS MATERIALIZED (SELECT
+         |  floor(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS r0,
+         |  (CAST(1.0 AS DOUBLE) - CAST($d AS DOUBLE)) / CAST(n AS DOUBLE)
+         |    AS base FROM nn),
+         |r0 AS MATERIALIZED (SELECT node, sc.r0 AS rank FROM nodes, sc)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+         |s$i AS MATERIALIZED (
+         |  SELECT ed.dst, SUM(CAST(floor(r.rank / ed.outdeg * 1000000.0 + 0.5)
+         |      / 1000000.0 AS DECIMAL(38,6))) AS s
+         |  FROM ed JOIN r$p r ON ed.src = r.node GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    floor((sc.base + CAST($d AS DOUBLE)
+         |        * COALESCE(CAST(s.s AS DOUBLE), 0.0))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS rank
+         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT n.node AS node, r$iters.rank AS rank,
+       |  COALESCE(i.in_deg, 0) AS in_deg, COALESCE(deg.outdeg, 0) AS out_deg
+       |FROM nodes n JOIN r$iters ON n.node = r$iters.node
+       |LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+       |           FROM e GROUP BY 1) i ON n.node = i.dst
+       |LEFT JOIN deg ON n.node = deg.src
+       |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+}

@@ -2014,6 +2014,31 @@ class ExtSpec extends SparkSpec {
     assert(a == run(7), "kn3Nll must be partition-invariant")
   }
 
+  test("pageRank: hand-computed one-round ranks; partition-invariant") {
+    import graft.ext.Graph
+    // 0 -> 1, 1 -> 0, 2 -> 0; n = 3, r0 = 0.333333, base = 0.15…/3
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val out = Graph.pageRank(edges, nodes, iters = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // node 0 receives 2 contributions of 0.333333: 0.05 + 0.85·0.666666
+    assert(out(0) == ((0L, 0.616666, 2L, 1L)), s"node 0: ${out.toSeq}")
+    assert(out(1) == ((1L, 0.333333, 1L, 1L)), s"node 1: ${out.toSeq}")
+    // node 2 has no in-links: the teleport floor
+    assert(out(2) == ((2L, 0.05, 0L, 1L)), s"node 2: ${out.toSeq}")
+    // exactness claim: 8 rounds over a 200-node graph, bit-equal across
+    // partitionings (decimal contribution sums; grid updates)
+    val big = (0L until 200L).flatMap(i =>
+      (1L to (1 + i % 3)).map(c => (i, (i + c * 17) % 200L)))
+      .toDF("src", "dst")
+    val bigNodes = (0L until 200L).toDF("node")
+    def run(parts: Int) = Graph.pageRank(big.repartition(parts), bigNodes,
+        iters = 8)
+      .orderBy("node").collect().map(_.getDouble(1)).toSeq
+    assert(run(1) == run(7), "ranks must be partition-invariant")
+  }
+
   test("shufflePack: matches a single-window reference; seed reshuffles") {
     import graft.ext.Corpus
     val docs = (0L until 100L).map(i =>
