@@ -43,6 +43,7 @@ object ScaleSmoke {
     if (args.headOption.contains("qmodel1m")) { qmodel1m(); return }
     if (args.headOption.contains("kmeans1m")) { kmeans1m(); return }
     if (args.headOption.contains("kmhof")) { kmhof(); return }
+    if (args.headOption.contains("pagerank1m")) { pagerank1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2436,6 +2437,81 @@ object ScaleSmoke {
       failed = true
     }
     if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** PageRank at scale (`runMain graft.ScaleSmoke pagerank1m`):
+    * 8 damped rounds over the affine synthetic graph (out-degree
+    * 1 + id % 3, ~2 edges/node) plus a planted hub (every id % 100 == 1
+    * also links to node 0) at 250k vs 1M nodes. Checks:
+    *  - wall scales ≲ linearly in edges (fixed round count; each round
+    *    is one key-partitioned join + one decimal hash aggregate);
+    *  - ranks BIT-IDENTICAL across partitionings at 1M — the
+    *    exact-decimal contribution claim measured at scale;
+    *  - the hub out-ranks the teleport floor by an order of magnitude
+    *    (semantic sanity), and total rank mass stays ≈ 1 within the
+    *    per-node 6-dp grid drift bound (leakless graph). */
+  private def pagerank1m(): Unit = {
+    import graft.ext.Graph
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    def edgesAt(n: Long, parts: Int) = {
+      val base = spark.range(n).select(col("id").as("src"),
+          explode(sequence(lit(1L), lit(1L) + pmod(col("id"), lit(3L)))).as("c"))
+        .select(col("src"),
+          pmod(col("src") + lit(1L) +
+            pmod(col("src") * 31L + col("c") * 97L, lit(n - 1L)),
+            lit(n)).as("dst"))
+      val hub = spark.range(n).where(pmod(col("id"), lit(100L)) === 1L)
+        .select(col("id").as("src"), lit(0L).as("dst"))
+      base.unionByName(hub).repartition(parts).localCheckpoint(true)
+    }
+    def runAt(n: Long, parts: Int): (Double, Seq[(Long, Double)], Double) = {
+      val nodes = spark.range(n).select(col("id").as("node"))
+      val e = edgesAt(n, parts)
+      val t0 = System.nanoTime()
+      val out = Graph.pageRank(e, nodes, iters = 8, gridDp = 9)
+        .localCheckpoint(true)
+      val mass = out.agg(sum(col("rank"))).head().getDouble(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      val top = out.orderBy(col("rank").desc, col("node")).limit(3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      ((t, top, mass))
+    }
+    val (t250, top250, _) = runAt(250000L, 32)
+    val (t1m, top1m, mass1m) = runAt(1000000L, 32)
+    println(f"SCALEPR wall            250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)  hub=${top1m.head}  mass=$mass1m%.4f")
+    if (top1m.head._1 != 0L || top1m.head._2 < 20.0 / 1000000.0) {
+      println(s"SCALEPR hub rank wrong: ${top1m.head}"); failed = true
+    }
+    if (math.abs(mass1m - 1.0) > 0.01) {
+      println(s"SCALEPR mass drifted: $mass1m"); failed = true
+    }
+    if (t1m > 10 * t250 + 10) {
+      println("SCALEPR scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 240) { println("SCALEPR wall red"); failed = true }
+    // exactness at scale: ranks bit-identical across partitionings
+    val nodes1m = spark.range(1000000L).select(col("id").as("node"))
+    val rA = Graph.pageRank(edgesAt(1000000L, 32), nodes1m, iters = 3,
+      gridDp = 9)
+    val rB = Graph.pageRank(edgesAt(1000000L, 7), nodes1m, iters = 3,
+      gridDp = 9)
+    val mism = rA.withColumnRenamed("rank", "_ra")
+      .select(col("node"), col("_ra"))
+      .join(rB.select(col("node"), col("rank")), "node")
+      .where(col("_ra") =!= col("rank")).count()
+    println(s"SCALEPR partition-invariance mismatches at 1M: $mism")
+    if (mism != 0L) { failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -2259,6 +2259,34 @@ object SparkEntry {
     // the exact all-pairs form audits a FIXED 1000-id slice — the same
     // bounded-slice discipline the recall_* columns use. `_slice` in the
     // name declares the scope.
+    // matryoshka-style dimension-truncation audit: recall@10 of
+    // prefix-truncated cosine search (8/16/32 of 64 dims) against the
+    // full-dimension top-10 — the serving cost/quality tradeoff an
+    // embedding-store operator reads before dropping dims at scale.
+    // Four bounded brute-force passes over the 32-query slice (the
+    // recall_* audit discipline); ranks on the 6-dp-rounded cosine with
+    // the id tie order, so the recall fractions are engine-exact.
+    "emb_dim_truncate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 32)
+      def proj(df: DataFrame, d: Int) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val full = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("candidate_id"))
+        .localCheckpoint(true)
+      Seq(8, 16, 32, 64).map { d =>
+        Similarity.cosineTopK(proj(emb, d), proj(q, d), "vec_id",
+            "embedding", k = 10)
+          .select(col("query_id"), col("candidate_id"))
+          .join(full, Seq("query_id", "candidate_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(d.toLong).as("dims"), col("hits"))
+      }.reduce(_ unionByName _)
+        .select(col("dims"), col("hits"),
+          round(col("hits").cast("double") / lit(320.0), 6).as("recall_at_10"))
+        .orderBy("dims")
+    }),
+
     "emb_top_pairs_slice" -> ((s, dir) => {
       Similarity.topPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 1000),
@@ -5563,6 +5591,34 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rank, candidate_id, cosine FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same brute-force replay per truncation width; the full-width
+    // top-10 is the dims = 64 slice of the same ranked frame
+    "emb_dim_truncate" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dd AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        |s AS MATERIALIZED (
+        |  SELECT dd.dims, q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, dd.dims)]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, dd.dims)])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, dd.dims)]))), 6)
+        |      AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 32 AND c.vec_id <> q.vec_id, dd),
+        |r AS MATERIALIZED (
+        |  SELECT dims, query_id, candidate_id, row_number() OVER (
+        |    PARTITION BY dims, query_id ORDER BY cosine DESC, candidate_id)
+        |    AS rank
+        |  FROM s),
+        |full10 AS (SELECT query_id, candidate_id FROM r
+        |           WHERE dims = 64 AND rank <= 10),
+        |h AS (SELECT r.dims, CAST(COUNT(*) AS BIGINT) AS hits
+        |      FROM r JOIN full10 USING (query_id, candidate_id)
+        |      WHERE r.rank <= 10 GROUP BY 1)
+        |SELECT CAST(dims AS BIGINT) AS dims, hits,
+        |  round(CAST(hits AS DOUBLE) / 320.0, 6) AS recall_at_10
+        |FROM h ORDER BY dims""".stripMargin,
 
     "emb_top_pairs_slice" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   * The classic distributed PageRank is float-sum order-dependent; here
   * every cross-row aggregation is EXACT so ranks are partition- and
   * engine-invariant (the [[Kmeans]]/[[QualityModel]] replay discipline
-  * applied to graph iteration): per-edge contributions round to the
-  * 6-dp grid BEFORE an exact DECIMAL(38,6) sum, and the damping update
-  * is correctly-rounded IEEE ops re-snapped to the grid — evaluated in
+  * applied to graph iteration): per-edge contributions round to a
+  * 10^-gridDp grid BEFORE an exact DECIMAL(38,gridDp) sum, and the
+  * damping update is correctly-rounded IEEE ops re-snapped to the grid
+  * (the grid must resolve the teleport floor — see [[pageRank]]'s
+  * gridDp note) — evaluated in
   * the identical operation order by the DuckDB oracle, which replays
   * every iteration bit-for-bit ([[pageRankOracleSql]]). The scalar
   * seeds (1/n teleport floor, (1−d)/n base) are single IEEE divisions
@@ -35,12 +37,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
-  private val Dec6 = DecimalType(38, 6)
-
-  /** Portable 6-dp grid round (identical floor form in the oracle). */
-  private def r6p(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-
   /** PageRank over an integer-node edge list by `iters` damped
     * power-iteration rounds. `nodes` is the (node) universe frame (one
     * BIGINT column); nodes with no in-links hold the teleport floor;
@@ -50,8 +46,20 @@ object Graph {
     * 1/n scalars. Emits one row per node: (node, rank, in_deg,
     * out_deg). */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, gridDp: Int = 6): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
+    require(gridDp >= 1 && gridDp <= 18, "gridDp out of range")
+    // the rounding grid must resolve the teleport floor: quantum 10^-dp
+    // must sit well below 1/n (at 1M nodes a 6-dp grid EQUALS the rank
+    // magnitude and the recursion collapses onto grid artifacts) — pick
+    // dp with ~3 spare digits; the declared corpus query uses 6 dp at
+    // 5k docs (ranks ~2e-4 = 200 quanta)
+    // exact decimal-string parse, not pow() (pow is not guaranteed
+    // correctly rounded; the parse is)
+    val scaleD = ("1" + "0" * gridDp + ".0").toDouble
+    val dec = DecimalType(38, gridDp)
+    def rp(c: Column): Column =
+      floor(c * lit(scaleD) + lit(0.5)) / lit(scaleD)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val nodesN = nodes.select(col(nodes.columns.head).cast("long").as("node"))
@@ -62,19 +70,19 @@ object Graph {
     // out-degree rides the cached edge frame: the per-round join touches
     // ONE corpus-sized table, not two
     val ed = e.join(deg, "src").localCheckpoint(true)
-    // same op order as the oracle: 1.0/n, ×1e6, +0.5, floor, ÷1e6
-    val r0 = math.floor(1.0 / n * 1000000.0 + 0.5) / 1000000.0
+    // same op order as the oracle: 1.0/n, ×scale, +0.5, floor, ÷scale
+    val r0 = math.floor(1.0 / n * scaleD + 0.5) / scaleD
     val base = (1.0 - damping) / n
     var ranks = nodesN.select(col("node"), lit(r0).as("rank"))
     for (_ <- 1 to iters) {
       val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
-          r6p(col("rank") / col("outdeg")).cast(Dec6).as("_c"))
+          rp(col("rank") / col("outdeg")).cast(dec).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
       ranks = nodesN
         .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          r6p(lit(base) + lit(damping) *
+          rp(lit(base) + lit(damping) *
             coalesce(col("_s").cast("double"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
     }
@@ -96,8 +104,9 @@ object Graph {
     * size. `damping` is interpolated via Double.toString (shortest
     * round-trip repr — DuckDB parses back the identical double). */
   def pageRankOracleSql(edgeSql: String, nodeSql: String, iters: Int,
-      damping: Double = 0.85): String = {
+      damping: Double = 0.85, gridDp: Int = 6): String = {
     val d = damping.toString
+    val sc = "1" + "0" * gridDp + ".0"
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS MATERIALIZED ($edgeSql),
@@ -107,8 +116,8 @@ object Graph {
          |ed AS MATERIALIZED (
          |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
          |sc AS MATERIALIZED (SELECT
-         |  floor(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
-         |    / 1000000.0 AS r0,
+         |  floor(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) * $sc + 0.5)
+         |    / $sc AS r0,
          |  (CAST(1.0 AS DOUBLE) - CAST($d AS DOUBLE)) / CAST(n AS DOUBLE)
          |    AS base FROM nn),
          |r0 AS MATERIALIZED (SELECT node, sc.r0 AS rank FROM nodes, sc)""".stripMargin)
@@ -116,14 +125,14 @@ object Graph {
       val p = i - 1
       sb.append(s""",
          |s$i AS MATERIALIZED (
-         |  SELECT ed.dst, SUM(CAST(floor(r.rank / ed.outdeg * 1000000.0 + 0.5)
-         |      / 1000000.0 AS DECIMAL(38,6))) AS s
+         |  SELECT ed.dst, SUM(CAST(floor(r.rank / ed.outdeg * $sc + 0.5)
+         |      / $sc AS DECIMAL(38,$gridDp))) AS s
          |  FROM ed JOIN r$p r ON ed.src = r.node GROUP BY 1),
          |r$i AS MATERIALIZED (
          |  SELECT n.node,
          |    floor((sc.base + CAST($d AS DOUBLE)
          |        * COALESCE(CAST(s.s AS DOUBLE), 0.0))
-         |        * 1000000.0 + 0.5) / 1000000.0 AS rank
+         |        * $sc + 0.5) / $sc AS rank
          |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc)""".stripMargin)
     }
     sb.append(s"""
