@@ -174,6 +174,32 @@ object SparkEntry {
         lit("\nthis page uses javascript to render it.")).otherwise(lit("")))
   }
 
+  /** The oracle's twin of [[syntheticEdges]] (n computed in SQL). */
+  private val SyntheticEdgeSql: String =
+    """SELECT src, (src + 1 + ((src * 31 + c * 97) % (nn2.n - 1))) % nn2.n
+      |    AS dst
+      |  FROM (SELECT doc_id AS src,
+      |          unnest(generate_series(1, 1 + doc_id % 3)) AS c
+      |        FROM documents),
+      |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) nn2"""
+      .stripMargin
+
+  /** Deterministic synthetic link graph over the doc-id universe
+    * (doc_pagerank / doc_curate_rank; the oracle builds the same affine
+    * rule): out-degree 1 + id % 3, targets spread by (src·31 + c·97)
+    * mod (n−1) shifted off src — no self-loops, no dangling nodes. One
+    * count() action sizes the id space. */
+  private def syntheticEdges(ids: DataFrame): DataFrame = {
+    val n = ids.count()
+    ids.select(col(ids.columns.head).as("src"),
+        explode(sequence(lit(1L),
+          lit(1L) + pmod(col(ids.columns.head), lit(3L)))).as("c"))
+      .select(col("src"),
+        pmod(col("src") + lit(1L) +
+          pmod(col("src") * 31L + col("c") * 97L, lit(n - 1L)),
+          lit(n)).as("dst"))
+  }
+
   /** Fixed BM25 retrieval query set (text_bm25) — interpolated into the
     * generated oracle, so engine and oracle always score the same
     * terms. */
@@ -2380,16 +2406,65 @@ object SparkEntry {
     // one map-side-combinable decimal aggregate — no driver traffic.
     "doc_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val n = docs.count()
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(1L),
-            lit(1L) + pmod(col("doc_id"), lit(3L)))).as("c"))
-        .select(col("src"),
-          pmod(col("src") + lit(1L) +
-            pmod(col("src") * 31L + col("c") * 97L, lit(n - 1L)),
-            lit(n)).as("dst"))
-      sortBig(Graph.pageRank(edges, docs, iters = 8), "node")
+      sortBig(Graph.pageRank(syntheticEdges(docs), docs, iters = 8), "node")
+    }),
+
+    // rank-prior CURATION composition — the decision a crawl pipeline
+    // actually ships: keep a page only when its link-graph centrality
+    // clears the exact 75th-percentile cutoff (percentile ≡ DuckDB
+    // quantile_cont, bit-identical — the ts_percentiles precedent; no
+    // global row_number over the corpus) AND it passes the Gopher
+    // format gates. Per-lang accounting with an md5 content checksum —
+    // the doc_curate_sink audit shape.
+    "doc_curate_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val pr = Graph.pageRank(syntheticEdges(ids), ids, iters = 8)
+        .select(col("node").as("doc_id"), col("rank"))
+      val cutoff = pr.agg(
+        expr("percentile(rank, 0.75)").as("_cut"))
+      val gp = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .where(col("gopher_pass")).select(col("doc_id"))
+      sortSmall(docs.join(pr, "doc_id").crossJoin(broadcast(cutoff))
+        .where(col("rank") >= col("_cut"))
+        .join(gp, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long"), lit(1000003L))).as("checksum")),
+        "lang")
+    }),
+
+    // LSH operating-point AUDIT: precision/recall of the portable
+    // 60-bit simhash hamming ≤ 3 detector against exact 3-gram
+    // Jaccard ≥ 0.5 ground truth (both sides exactly replayable — the
+    // methodological telemetry that justifies a banding threshold
+    // before it curates 100 TB). Planted drop-first-word edits make
+    // the truth set non-trivial; both sides run on the SAME corpus and
+    // the truth side is the bucketed PPJoin, never all-pairs.
+    "doc_lsh_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = docs.where(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
+            .as("text"))
+      val corpus = docs.unionByName(edited).localCheckpoint(true)
+      val truth = Dedup.jaccardPairs(
+          Dedup.hashedShingles(corpus, "doc_id", "text", 3), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val cand = Dedup.simhashDupPairsAtScalePortable(corpus, "doc_id",
+          "text", maxDist = 3, nBlocks = 6)
+        .select(col("doc_a"), col("doc_b"))
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_truth"), col("n_cand"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            col("n_cand").cast("double"), 6).as("precision"),
+          round(col("n_hits").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
     }),
 
     // language ID heuristic
@@ -5845,15 +5920,94 @@ object SparkEntry {
     // self-loops or dangling nodes); n and the teleport scalars are
     // computed IN SQL with the engine's op order, so one oracle text
     // serves every corpus size
-    "doc_pagerank" -> Graph.pageRankOracleSql(
-      """SELECT src, (src + 1 + ((src * 31 + c * 97) % (nn2.n - 1))) % nn2.n
-        |    AS dst
-        |  FROM (SELECT doc_id AS src,
-        |          unnest(generate_series(1, 1 + doc_id % 3)) AS c
-        |        FROM documents),
-        |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) nn2"""
-        .stripMargin,
+    "doc_pagerank" -> Graph.pageRankOracleSql(SyntheticEdgeSql,
       "SELECT doc_id AS node FROM documents", iters = 8),
+
+    // rank-prior curation replay: the pageRank CTE prefix + the exact
+    // quantile_cont cutoff (≡ Spark percentile, ts_percentiles
+    // precedent) + the Gopher pass CTEs + the curate_sink accounting
+    "doc_curate_rank" -> (Graph.pageRankOracleCtes(SyntheticEdgeSql,
+      "SELECT doc_id AS node FROM documents", iters = 8) +
+      """,
+        |cut AS (SELECT quantile_cont(rank, 0.75) AS c FROM r8),
+        |gd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  string_split(text, chr(10)) AS glines, text FROM documents),
+        |gm AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |  CAST(len(glines) AS BIGINT) AS n_lines,
+        |  CAST(len([l for l in glines if substr(ltrim(l), 1, 1) IN ('-', '*')]) AS BIGINT) AS n_bullet,
+        |  CAST(len([l for l in glines if rtrim(l) LIKE '%...']) AS BIGINT) AS n_ellline,
+        |  CAST(len([x for x in toks if length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0]) AS BIGINT) AS n_alphaword,
+        |  CAST(list_sum([length(x) for x in toks]) AS BIGINT) AS sum_word_len
+        |  FROM gd),
+        |gp AS (SELECT doc_id FROM (
+        |  SELECT doc_id, n_tokens,
+        |    round(CAST(sum_word_len AS DOUBLE) / n_tokens, 6) AS mwl,
+        |    round(CAST(n_hash + n_ell AS DOUBLE) / n_tokens, 6) AS swr,
+        |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS blf,
+        |    round(CAST(n_ellline AS DOUBLE) / n_lines, 6) AS elf,
+        |    round(CAST(n_alphaword AS DOUBLE) / n_tokens, 6) AS awf
+        |  FROM gm)
+        |  WHERE n_tokens BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8),
+        |kept AS (SELECT d.* FROM documents d
+        |  JOIN r8 ON d.doc_id = r8.node, cut
+        |  WHERE r8.rank >= cut.c
+        |    AND d.doc_id IN (SELECT doc_id FROM gp))
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(doc_id)::BIGINT AS sum_doc_id,
+        |  SUM(('0x' || substring(md5(text),1,15))::BIGINT % 1000003)::BIGINT
+        |    AS checksum
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // both audit sides replayed exactly: string-shingle Jaccard truth
+    // (the JaccardOracle construction over the planted-edit corpus) vs
+    // portable-simhash hamming <= 3 candidates (the doc_simhash_pairs
+    // construction), then set counts
+    "doc_lsh_audit" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(w[2:], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id % 20 = 7)),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t),1,15))::BIGINT AS v FROM toks),
+        |contrib AS (
+        |  SELECT doc_id, b.b AS b,
+        |    SUM(CASE WHEN ((v >> (59 - b.b)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0,59)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sim AS MATERIALIZED (SELECT doc_id,
+        |    SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (59 - b)) ELSE 0 END)::BIGINT
+        |      AS simhash
+        |  FROM contrib GROUP BY doc_id),
+        |cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+        |  round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 6) AS precision,
+        |  round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 6) AS recall""".stripMargin,
 
     "text_langid" -> LangIdOracle,
 

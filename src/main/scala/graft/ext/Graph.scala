@@ -104,6 +104,19 @@ object Graph {
     * size. `damping` is interpolated via Double.toString (shortest
     * round-trip repr — DuckDB parses back the identical double). */
   def pageRankOracleSql(edgeSql: String, nodeSql: String, iters: Int,
+      damping: Double = 0.85, gridDp: Int = 6): String =
+    pageRankOracleCtes(edgeSql, nodeSql, iters, damping, gridDp) + s"""
+       |SELECT n.node AS node, r$iters.rank AS rank,
+       |  COALESCE(i.in_deg, 0) AS in_deg, COALESCE(deg.outdeg, 0) AS out_deg
+       |FROM nodes n JOIN r$iters ON n.node = r$iters.node
+       |LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+       |           FROM e GROUP BY 1) i ON n.node = i.dst
+       |LEFT JOIN deg ON n.node = deg.src
+       |ORDER BY node""".stripMargin
+
+  /** The CTE prefix of [[pageRankOracleSql]], for callers composing the
+    * final rank frame (`r<iters>` over `nodes`) into a larger replay. */
+  def pageRankOracleCtes(edgeSql: String, nodeSql: String, iters: Int,
       damping: Double = 0.85, gridDp: Int = 6): String = {
     val d = damping.toString
     val sc = "1" + "0" * gridDp + ".0"
@@ -135,14 +148,6 @@ object Graph {
          |        * $sc + 0.5) / $sc AS rank
          |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc)""".stripMargin)
     }
-    sb.append(s"""
-       |SELECT n.node AS node, r$iters.rank AS rank,
-       |  COALESCE(i.in_deg, 0) AS in_deg, COALESCE(deg.outdeg, 0) AS out_deg
-       |FROM nodes n JOIN r$iters ON n.node = r$iters.node
-       |LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
-       |           FROM e GROUP BY 1) i ON n.node = i.dst
-       |LEFT JOIN deg ON n.node = deg.src
-       |ORDER BY node""".stripMargin)
     sb.toString
   }
 }
