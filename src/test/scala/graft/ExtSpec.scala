@@ -2039,6 +2039,26 @@ class ExtSpec extends SparkSpec {
     assert(run(1) == run(7), "ranks must be partition-invariant")
   }
 
+  test("pageRank: dangling node leaks mass but holds the teleport floor") {
+    import graft.ext.Graph
+    // node 2 has NO out-links (documented-permitted): its received mass
+    // leaks, everyone still gets the teleport floor; no crash, out_deg 0
+    val edges = Seq((0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val out = Graph.pageRank(edges, nodes, iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // iter1: r2 = 0.05 + 0.85·(2·0.333333) = 0.616666; r0 = r1 = 0.05
+    // iter2: r2 = 0.05 + 0.85·(2·0.05) = 0.135; sinks keep the floor
+    assert(out(2)._1 == 2L && out(2)._3 == 2L && out(2)._4 == 0L,
+      s"dangling node accounting: ${out.toSeq}")
+    assert(out(2)._2 == 0.135, s"dangling rank after two rounds: ${out.toSeq}")
+    assert(out(0)._2 == 0.05 && out(1)._2 == 0.05,
+      s"teleport floor must hold: ${out.toSeq}")
+    // total mass < 1: the documented leak
+    assert(out.map(_._2).sum < 1.0, s"mass must leak: ${out.toSeq}")
+  }
+
   test("shufflePack: matches a single-window reference; seed reshuffles") {
     import graft.ext.Corpus
     val docs = (0L until 100L).map(i =>
