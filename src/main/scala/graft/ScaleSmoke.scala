@@ -44,6 +44,7 @@ object ScaleSmoke {
     if (args.headOption.contains("kmeans1m")) { kmeans1m(); return }
     if (args.headOption.contains("kmhof")) { kmhof(); return }
     if (args.headOption.contains("pagerank1m")) { pagerank1m(); return }
+    if (args.headOption.contains("kn1m")) { kn1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2437,6 +2438,74 @@ object ScaleSmoke {
       failed = true
     }
     if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Kneser–Ney trigram scoring at scale (`runMain graft.ScaleSmoke
+    * kn1m`): 250k vs 1M synthetic 30-token docs (uniform 30k-word
+    * vocab — trigram types ≈ tokens, the worst case for the type
+    * frame) with a planted 1 % stratum of VERBATIM copies of doc 0
+    * (hot trigrams: tf ≈ n/100 each — exercises the broadcast-head
+    * skew split). Checks: wall ≲ linear in tokens (five type-frame
+    * aggregates + one skew-split token-mass join, all ∝ corpus);
+    * planted copies must score strictly below every unique-content doc
+    * (repetition ⇒ high P ⇒ low NLL — the semantic point of the
+    * score); per-doc NLLs BIT-IDENTICAL across partitionings at 1M
+    * (rounded-cost + exact-decimal-sum discipline at scale). */
+  private def kn1m(): Unit = {
+    import graft.ext.TextAnalysis
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(
+          // planted stratum: id % 100 == 0 reuses doc 0's token stream
+          when(pmod(col("id"), lit(100L)) === 0L, lit(0L)).otherwise(col("id")),
+          j), lit(30000L)))), " ").as("text"))
+    def runAt(n: Long, parts: Int): (Double, Seq[(Long, Long, Double)]) = {
+      val df = synth(n).repartition(parts).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.kn3Nll(df, "doc_id", "text").localCheckpoint(true)
+      val cnt = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (cnt != n) { println(s"SCALEKN row count $cnt != $n"); failed = true }
+      val planted = out.where(col("doc") % 100 === 0)
+        .agg(max(col("kn_nll"))).head().getDouble(0)
+      val uniqueMin = out.where(col("doc") % 100 =!= 0)
+        .agg(min(col("kn_nll"))).head().getDouble(0)
+      if (!(planted < uniqueMin)) {
+        println(f"SCALEKN planted copies must score lowest: " +
+          f"plantedMax=$planted%.4f uniqueMin=$uniqueMin%.4f"); failed = true
+      }
+      ((t, Seq.empty))
+    }
+    val (t250, _) = runAt(250000L, 32)
+    val (t1m, _) = runAt(1000000L, 32)
+    println(f"SCALEKN wall            250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)")
+    if (t1m > 10 * t250 + 10) {
+      println("SCALEKN scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 420) { println("SCALEKN wall red"); failed = true }
+    // exactness at scale: per-doc NLL bit-identical across partitionings
+    val a = TextAnalysis.kn3Nll(synth(1000000L).repartition(32),
+      "doc_id", "text")
+    val b = TextAnalysis.kn3Nll(synth(1000000L).repartition(7),
+      "doc_id", "text")
+    val mism = a.withColumnRenamed("kn_nll", "_na")
+      .select(col("doc"), col("_na"))
+      .join(b.select(col("doc"), col("kn_nll")), "doc")
+      .where(col("_na") =!= col("kn_nll")).count()
+    println(s"SCALEKN partition-invariance mismatches at 1M: $mism")
+    if (mism != 0L) { failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }
