@@ -45,6 +45,7 @@ object ScaleSmoke {
     if (args.headOption.contains("kmhof")) { kmhof(); return }
     if (args.headOption.contains("pagerank1m")) { pagerank1m(); return }
     if (args.headOption.contains("kn1m")) { kn1m(); return }
+    if (args.headOption.contains("shuffle1m")) { shuffle1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2438,6 +2439,84 @@ object ScaleSmoke {
       failed = true
     }
     if (tDecon > 240) { println("SCALEQM decon wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Seeded global shuffle + packing at scale (`runMain graft.ScaleSmoke
+    * shuffle1m`): the 256-hex-prefix-bucket decomposed prefix sum at
+    * 250k vs 1M docs must (a) EQUAL the corpus-wide single-task window
+    * reference row-for-row (exact integer offsets), (b) stay invariant
+    * across input partitionings, (c) scale ≲ linearly, and (d) show the
+    * md5 buckets uniformly loaded (max/min bucket token mass ≤ 1.2 at
+    * 1M — the no-skewed-bucket-by-construction claim, measured). */
+  private def shuffle1m(): Unit = {
+    import graft.ext.Corpus
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    // 5..14 tokens per doc, deterministic
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      array_join(transform(
+        sequence(lit(0), pmod(xxhash64(col("id")), lit(10L)) + 4L),
+        j => concat(lit("t"), xxhash64(col("id"), j))), " ").as("text"))
+    def runAt(n: Long, parts: Int): Double = {
+      val df = synth(n).repartition(parts).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = Corpus.shufflePack(df, "doc_id", "text", "s1m", 4096L)
+        .localCheckpoint(true)
+      val t = (System.nanoTime() - t0) / 1e9
+      // reference: ONE corpus-wide window (the tier's single-node
+      // luxury; the engine plan must never contain it)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("shuffle_key"), col("doc"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val ref = out.select(col("doc"), col("shuffle_key"), col("n_tokens"))
+        .withColumn("ref_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      val mism = out.join(ref.select(col("doc"), col("ref_off")), "doc")
+        .where(col("start_offset") =!= col("ref_off")).count()
+      if (mism != 0L) {
+        println(s"SCALESHUF offsets != single-window reference at $n: $mism")
+        failed = true
+      }
+      t
+    }
+    val t250 = runAt(250000L, 32)
+    val t1m = runAt(1000000L, 32)
+    println(f"SCALESHUF wall          250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)")
+    if (t1m > 10 * t250 + 10) {
+      println("SCALESHUF scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 120) { println("SCALESHUF wall red"); failed = true }
+    // partition invariance + bucket balance at 1M
+    val a = Corpus.shufflePack(synth(1000000L).repartition(32),
+      "doc_id", "text", "s1m", 4096L)
+    val b = Corpus.shufflePack(synth(1000000L).repartition(7),
+      "doc_id", "text", "s1m", 4096L)
+    val mism = a.withColumnRenamed("start_offset", "_oa")
+      .select(col("doc"), col("_oa"))
+      .join(b.select(col("doc"), col("start_offset")), "doc")
+      .where(col("_oa") =!= col("start_offset")).count()
+    println(s"SCALESHUF partition-invariance mismatches at 1M: $mism")
+    if (mism != 0L) { failed = true }
+    val balance = a
+      .groupBy(substring(col("shuffle_key"), 1, 2).as("_b"))
+      .agg(sum(col("n_tokens")).as("_m"))
+      .agg((max(col("_m")).cast("double") / min(col("_m")).cast("double"))
+        .as("_r")).head().getDouble(0)
+    println(f"SCALESHUF bucket max/min token mass at 1M: $balance%.3f")
+    if (balance > 1.2) {
+      println("SCALESHUF md5 buckets skewed — balance claim broken")
+      failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }
