@@ -121,7 +121,18 @@ object QueryProbe {
         val df = SparkEntry.queries(name)(spark, sfDir)
         // audit the same pre-execution plan PlanAudit --record sampled;
         // rep 1 only (the plan is deterministic per (query, sfDir))
-        if (rep == 1 && shapes.contains(name)) {
+        if (rep == 1 && shapes.contains(name) &&
+            !Seq("cart", "bnl", "exch", "smj", "shj")
+              .forall(shapes(name).contains)) {
+          // a malformed snapshot (hand-edited, or written by a different
+          // counters() shape) is a guard-CONFIG problem — surface it as
+          // one instead of letting Map.apply throw inside the rep loop
+          // and masquerade as a query crash
+          println(s"[guard] WARN $name snapshot missing counter keys " +
+            s"(${Seq("cart", "bnl", "exch", "smj", "shj")
+              .filterNot(shapes(name).contains).mkString(",")}) — " +
+            "re-record with PlanAudit --record")
+        } else if (rep == 1 && shapes.contains(name)) {
           val base = shapes(name)
           val now = PlanAudit.counters(df.queryExecution.executedPlan.toString)
           if (now("cart") > base("cart") || now("bnl") > base("bnl"))

@@ -1585,18 +1585,25 @@ object SparkEntry {
     // doc_decontaminate's exact 5-gram overlap: benchmark docs that were
     // lightly EDITED before leaking into the train side (here: planted
     // with the first word dropped, so exact-prefix matching breaks but
-    // shingle Jaccard stays high) are caught by a cross-corpus
-    // MinHash-LSH join. Bench bands + shingle sets broadcast; the train
-    // corpus is never shuffled on a content key. Decision layer: per
-    // train doc, how many benchmark docs it collides with and the worst
-    // exact Jaccard — the drop list a pipeline feeds back into curation.
+    // shingle Jaccard stays high) are caught by an EXACT cross-corpus
+    // shingle join (crossJaccardPairs): the bench side is small enough
+    // to broadcast — the decontamination case always is — so recall is
+    // 1.0 by construction and the brute-force oracle matches
+    // definitionally at any scale (the banded crossMinhashPairs detector
+    // had a ~64% per-pair recall exactly AT J = 0.5, a latent
+    // data-dependent red if a natural just-above-threshold pair ever
+    // appears; its operating point stays measured by doc_lsh_audit and
+    // the qmodel1m tier). Train corpus never shuffled on a content key.
+    // Decision layer: per train doc, how many benchmark docs it collides
+    // with and the worst exact Jaccard — the drop list a pipeline feeds
+    // back into curation.
     "doc_fuzzy_decon" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.where(col("doc_id") % 20 === 7)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
             .as("text"))
-      sortBig(Dedup.crossMinhashPairs(docs, bench, "doc_id", "text",
+      sortBig(Dedup.crossJaccardPairs(docs, bench, "doc_id", "text",
           minJ = 0.5)
         .groupBy(col("doc_a"))
         .agg(count(lit(1)).as("n_bench"),
@@ -2409,24 +2416,49 @@ object SparkEntry {
       sortBig(Graph.pageRank(syntheticEdges(docs), docs, iters = 8), "node")
     }),
 
+    // PageRank with a PLANTED DANGLING STRATUM (~⅓ of nodes lose every
+    // out-edge — the real-crawl-graph regime): the canonical
+    // redistribute-uniformly semantics (one exact-decimal dangling-mass
+    // aggregate folded into each round's base term, broadcast in-plan)
+    // keeps total rank mass ≡ 1 on the grid instead of leaking ~⅓ of it
+    // per round. Same generated bit-for-bit oracle replay; the
+    // dangling-free doc_pagerank result is unchanged (share exactly 0.0
+    // there).
+    "doc_pagerank_dangling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val e = syntheticEdges(docs).where(pmod(col("src"), lit(3L)) =!= 0L)
+      sortBig(Graph.pageRank(e, docs, iters = 8), "node")
+    }),
+
     // rank-prior CURATION composition — the decision a crawl pipeline
     // actually ships: keep a page only when its link-graph centrality
-    // clears the exact 75th-percentile cutoff (percentile ≡ DuckDB
-    // quantile_cont, bit-identical — the ts_percentiles precedent; no
-    // global row_number over the corpus) AND it passes the Gopher
-    // format gates. Per-lang accounting with an md5 content checksum —
-    // the doc_curate_sink audit shape.
+    // clears the 75th-percentile cutoff AND it passes the Gopher format
+    // gates. The cutoff is an EXACT order statistic compared in exact
+    // decimal arithmetic (the nllBuckets tercile discipline: position
+    // (n−1)·3/4 has fraction r/4, r = (3·(n−1)) mod 4, so
+    // rank ≥ cut ⟺ 4·rank ≥ (4−r)·lo + r·hi over DECIMAL(38,6) grid
+    // values) — interpolated percentile on both sides left a one-ulp
+    // boundary exposure with heavily-tied 6-dp ranks. No global
+    // row_number over the corpus; per-lang accounting with an md5
+    // content checksum — the doc_curate_sink audit shape.
     "doc_curate_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ids = docs.select(col("doc_id"))
       val pr = Graph.pageRank(syntheticEdges(ids), ids, iters = 8)
         .select(col("node").as("doc_id"), col("rank"))
-      val cutoff = pr.agg(
-        expr("percentile(rank, 0.75)").as("_cut"))
+      val cutoff = pr.agg(sort_array(collect_list(col("rank"))).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(
+          element_at(col("_s"), (floor(lit(3) * (col("_n") - 1) / 4) + 1)
+            .cast("int")).cast("decimal(38,6)").as("_lo"),
+          element_at(col("_s"), least(floor(lit(3) * (col("_n") - 1) / 4) + 2,
+            col("_n")).cast("int")).cast("decimal(38,6)").as("_hi"),
+          pmod(lit(3) * (col("_n") - 1), lit(4L)).as("_r"))
       val gp = TextAnalysis.gopherRules(docs, "doc_id", "text")
         .where(col("gopher_pass")).select(col("doc_id"))
       sortSmall(docs.join(pr, "doc_id").crossJoin(broadcast(cutoff))
-        .where(col("rank") >= col("_cut"))
+        .where(col("rank").cast("decimal(38,6)") * 4 >=
+          (lit(4) - col("_r")) * col("_lo") + col("_r") * col("_hi"))
         .join(gp, Seq("doc_id"), "left_semi")
         .groupBy(col("lang")).agg(
           count(lit(1)).as("n_docs"),
@@ -5923,13 +5955,28 @@ object SparkEntry {
     "doc_pagerank" -> Graph.pageRankOracleSql(SyntheticEdgeSql,
       "SELECT doc_id AS node FROM documents", iters = 8),
 
+    // the same generated replay over the dangling-stratum graph: the
+    // oracle's per-round d<i> CTE sums dangling ranks in exact decimal
+    // and folds the uniform share with the engine's op order, so
+    // mass-conserving ranks stay bit-identical across engines
+    "doc_pagerank_dangling" -> Graph.pageRankOracleSql(
+      s"SELECT src, dst FROM ($SyntheticEdgeSql) WHERE src % 3 <> 0",
+      "SELECT doc_id AS node FROM documents", iters = 8),
+
     // rank-prior curation replay: the pageRank CTE prefix + the exact
-    // quantile_cont cutoff (≡ Spark percentile, ts_percentiles
-    // precedent) + the Gopher pass CTEs + the curate_sink accounting
+    // order-statistic cutoff (the nllBuckets tercile discipline at
+    // p=3/4: 4·rank ≥ (4−r)·lo + r·hi in exact DECIMAL(38,6) — no
+    // engine-dependent interpolation float order) + the Gopher pass
+    // CTEs + the curate_sink accounting
     "doc_curate_rank" -> (Graph.pageRankOracleCtes(SyntheticEdgeSql,
       "SELECT doc_id AS node FROM documents", iters = 8) +
       """,
-        |cut AS (SELECT quantile_cont(rank, 0.75) AS c FROM r8),
+        |rs AS (SELECT list_sort(list(rank)) AS s, COUNT(*) AS n FROM r8),
+        |cut AS (SELECT
+        |  CAST(s[CAST(floor(3*(n-1)/4) AS BIGINT) + 1] AS DECIMAL(38,6)) AS lo,
+        |  CAST(s[least(CAST(floor(3*(n-1)/4) AS BIGINT) + 2, n)]
+        |    AS DECIMAL(38,6)) AS hi,
+        |  (3*(n-1)) % 4 AS r FROM rs),
         |gd AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |  string_split(text, chr(10)) AS glines, text FROM documents),
         |gm AS (SELECT doc_id,
@@ -5954,7 +6001,8 @@ object SparkEntry {
         |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8),
         |kept AS (SELECT d.* FROM documents d
         |  JOIN r8 ON d.doc_id = r8.node, cut
-        |  WHERE r8.rank >= cut.c
+        |  WHERE 4*CAST(r8.rank AS DECIMAL(38,6)) >= (4-cut.r)*cut.lo
+        |      + cut.r*cut.hi
         |    AND d.doc_id IN (SELECT doc_id FROM gp))
         |SELECT lang, COUNT(*)::BIGINT AS n_docs,
         |  SUM(doc_id)::BIGINT AS sum_doc_id,

@@ -598,6 +598,10 @@ object Dedup {
   def crossMinhashPairs(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, minJ: Double, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "integer truncation would silently drop signature positions and " +
+        "shift the bands x rows recall curve")
     def prep(df: DataFrame) = df.select(col(idCol).as("doc"),
       shingleArray(split(col(textCol), " "), n).as("_shs"))
     val rows = numHashes / bands
@@ -625,6 +629,41 @@ object Dedup {
       .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
       .withColumn("i", graft.functions.VectorFunctions
         .sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** EXACT cross-corpus near-dup pairs: every (train, bench) pair with
+    * hashed-shingle Jaccard >= minJ — recall 1.0 BY CONSTRUCTION (no
+    * banding recall curve), so a brute-force oracle matches it
+    * definitionally at any scale or data. The bench side (benchmark /
+    * eval suites — small next to the train corpus, and
+    * [[crossMinhashPairs]] already broadcasts its shingle SETS for
+    * verification) is broadcast twice: an inverted shingle index for
+    * intersection counting and the set-size frame for the Jaccard
+    * denominator. The train corpus is scanned once, exploded row-locally,
+    * and aggregated on (doc_a, doc_b) — candidate mass is bounded by
+    * shared-shingle pairs, and the train side is never shuffled on a
+    * content key (the (doc_a, doc_b) aggregate is map-side combinable).
+    * Use this when the bench side fits a broadcast (the decontamination
+    * case); [[crossMinhashPairs]] remains the banded detector whose
+    * operating point doc_lsh_audit / the qmodel1m tier measure. */
+  def crossJaccardPairs(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minJ: Double, n: Int = 3): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("doc"),
+      shingleArray(split(col(textCol), " "), n).as("_shs"))
+    val be = prep(bench).localCheckpoint(true)
+    val beSh = be.select(col("doc").as("doc_b"), explode(col("_shs")).as("sh"))
+    val beN = be.select(col("doc").as("doc_b"),
+      size(col("_shs")).cast("long").as("nb"))
+    val tr = prep(train).select(col("doc").as("doc_a"),
+      size(col("_shs")).cast("long").as("na"), explode(col("_shs")).as("sh"))
+    tr.join(broadcast(beSh), "sh")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"))
+      .join(broadcast(beN), "doc_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= minJ)

@@ -30,7 +30,10 @@ import org.apache.spark.sql.types.DecimalType
   * Per iteration: ONE equi-join (ranks ⋈ edges on src — both sides
   * key-partitioned, the edge frame cached with its out-degree already
   * attached) + ONE hash aggregate keyed by dst (map-side combinable
-  * decimal partials). The rank frame is localCheckpoint'ed each round,
+  * decimal partials) + ONE scalar aggregate for the dangling mass
+  * (node-keyed semi-join against the checkpointed dangling universe,
+  * broadcast back — the standard Pregel aggregator, in-plan). The rank
+  * frame is localCheckpoint'ed each round,
   * so the plan stays O(1) in iteration count — at cluster scale this
   * becomes a reliably-replicated checkpoint every few rounds, the
   * standard Pregel cadence. Driver traffic in the loop is zero rows.
@@ -40,10 +43,16 @@ object Graph {
   /** PageRank over an integer-node edge list by `iters` damped
     * power-iteration rounds. `nodes` is the (node) universe frame (one
     * BIGINT column); nodes with no in-links hold the teleport floor;
-    * dangling nodes (no out-links) are permitted but leak their mass
-    * (the synthetic corpus graph has none — at ingest scale, pre-drop
-    * or self-loop them). One `nodes.count()` driver action seeds the
-    * 1/n scalars. Emits one row per node: (node, rank, in_deg,
+    * dangling nodes (no out-links — ~⅓ of a real crawl graph) follow
+    * the canonical semantics: their mass is REDISTRIBUTED UNIFORMLY
+    * each round (Brin & Page 1998's random surfer jumps anywhere from a
+    * sink), so total rank mass stays ≡ 1 up to per-node grid drift.
+    * The dangling share rides the plan as one exact-decimal aggregate
+    * over the (checkpointed) dangling-node semi-join, broadcast back as
+    * a scalar — zero driver rows, and on a dangling-free graph the
+    * share is exactly 0.0 so results are bit-identical to the pure
+    * contribution recursion. One `nodes.count()` driver action seeds
+    * the 1/n scalars. Emits one row per node: (node, rank, in_deg,
     * out_deg). */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
       damping: Double = 0.85, gridDp: Int = 6): DataFrame = {
@@ -66,10 +75,29 @@ object Graph {
       .localCheckpoint(true)
     val n = nodesN.count()
     require(n > 0, "empty node universe")
+    // enforce the gridDp note above at runtime (the pagerank1m tier hit
+    // this silently before it was a guard): quantum >= 1/n means ranks
+    // collapse onto grid artifacts outright — refuse; under ~10 quanta
+    // per average rank the recursion is quantization-dominated — warn.
+    // Both engines degrade identically so the oracle gate cannot catch
+    // this; only the caller can, and only if told.
+    require(1.0 / scaleD < 1.0 / n,
+      s"gridDp=$gridDp quantum ${1.0 / scaleD} >= average rank ${1.0 / n} " +
+        s"at n=$n — ranks would collapse onto the rounding grid; raise " +
+        "gridDp (keep ~3 spare digits below 1/n)")
+    if (10.0 / scaleD > 1.0 / n)
+      org.slf4j.LoggerFactory.getLogger("graft.ext.Graph").warn(
+        s"pageRank gridDp=$gridDp leaves under 10 quanta per average " +
+          s"rank at n=$n — results are quantization-dominated; raise gridDp")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // out-degree rides the cached edge frame: the per-round join touches
     // ONE corpus-sized table, not two
     val ed = e.join(deg, "src").localCheckpoint(true)
+    // dangling universe computed ONCE (node-keyed anti-join, same
+    // partitioning family as the rank updates); empty on sink-free graphs
+    val dangling = nodesN
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint(true)
     // same op order as the oracle: 1.0/n, ×scale, +0.5, floor, ÷scale
     val r0 = math.floor(1.0 / n * scaleD + 0.5) / scaleD
     val base = (1.0 - damping) / n
@@ -79,11 +107,19 @@ object Graph {
         .select(col("dst"),
           rp(col("rank") / col("outdeg")).cast(dec).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
+      // dangling mass: ranks are already grid values, so the decimal sum
+      // is exact with no pre-round; the per-node share is ONE IEEE
+      // division re-snapped to the grid, spelled identically in SQL
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
+          .as("_dm"))
       ranks = nodesN
         .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("node"),
           rp(lit(base) + lit(damping) *
-            coalesce(col("_s").cast("double"), lit(0.0))).as("rank"))
+            (coalesce(col("_s").cast("double"), lit(0.0)) +
+              rp(col("_dm").cast("double") / lit(n.toDouble)))).as("rank"))
         .localCheckpoint(true)
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
@@ -128,6 +164,9 @@ object Graph {
          |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
          |ed AS MATERIALIZED (
          |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+         |dang AS MATERIALIZED (
+         |  SELECT node FROM nodes LEFT JOIN deg ON node = deg.src
+         |  WHERE deg.src IS NULL),
          |sc AS MATERIALIZED (SELECT
          |  floor(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) * $sc + 0.5)
          |    / $sc AS r0,
@@ -141,12 +180,19 @@ object Graph {
          |  SELECT ed.dst, SUM(CAST(floor(r.rank / ed.outdeg * $sc + 0.5)
          |      / $sc AS DECIMAL(38,$gridDp))) AS s
          |  FROM ed JOIN r$p r ON ed.src = r.node GROUP BY 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(CAST(r.rank AS DECIMAL(38,$gridDp))),
+         |    CAST(0 AS DECIMAL(38,$gridDp))) AS dm
+         |  FROM r$p r JOIN dang ON r.node = dang.node),
          |r$i AS MATERIALIZED (
          |  SELECT n.node,
          |    floor((sc.base + CAST($d AS DOUBLE)
-         |        * COALESCE(CAST(s.s AS DOUBLE), 0.0))
+         |        * (COALESCE(CAST(s.s AS DOUBLE), 0.0)
+         |           + floor(CAST(dd.dm AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         |               * $sc + 0.5) / $sc))
          |        * $sc + 0.5) / $sc AS rank
-         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc)""".stripMargin)
+         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc, d$i dd, nn)"""
+        .stripMargin)
     }
     sb.toString
   }

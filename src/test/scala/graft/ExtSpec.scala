@@ -2039,24 +2039,55 @@ class ExtSpec extends SparkSpec {
     assert(run(1) == run(7), "ranks must be partition-invariant")
   }
 
-  test("pageRank: dangling node leaks mass but holds the teleport floor") {
+  test("pageRank: dangling mass redistributes uniformly, conserving mass") {
     import graft.ext.Graph
-    // node 2 has NO out-links (documented-permitted): its received mass
-    // leaks, everyone still gets the teleport floor; no crash, out_deg 0
+    // node 2 has NO out-links: canonical semantics — its mass is spread
+    // uniformly each round (random surfer jumps anywhere from a sink),
+    // so total mass stays ≡ 1 up to per-node grid drift; out_deg 0
     val edges = Seq((0L, 2L), (1L, 2L)).toDF("src", "dst")
     val nodes = Seq(0L, 1L, 2L).toDF("node")
     val out = Graph.pageRank(edges, nodes, iters = 2)
       .orderBy("node").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
-    // iter1: r2 = 0.05 + 0.85·(2·0.333333) = 0.616666; r0 = r1 = 0.05
-    // iter2: r2 = 0.05 + 0.85·(2·0.05) = 0.135; sinks keep the floor
+    // iter1: D = 0.333333, ds = rp(D/3) = 0.111111;
+    //   r2 = rp(0.05 + 0.85·(0.666666 + 0.111111)) = 0.711110
+    //   r0 = r1 = rp(0.05 + 0.85·0.111111) = 0.144444
+    // iter2: D = 0.711110, ds = rp(D/3) = 0.237037;
+    //   r2 = rp(0.05 + 0.85·(0.288888 + 0.237037)) = 0.497036
+    //   r0 = r1 = rp(0.05 + 0.85·0.237037) = 0.251481
     assert(out(2)._1 == 2L && out(2)._3 == 2L && out(2)._4 == 0L,
       s"dangling node accounting: ${out.toSeq}")
-    assert(out(2)._2 == 0.135, s"dangling rank after two rounds: ${out.toSeq}")
-    assert(out(0)._2 == 0.05 && out(1)._2 == 0.05,
-      s"teleport floor must hold: ${out.toSeq}")
-    // total mass < 1: the documented leak
-    assert(out.map(_._2).sum < 1.0, s"mass must leak: ${out.toSeq}")
+    assert(out(2)._2 == 0.497036, s"sink rank after two rounds: ${out.toSeq}")
+    assert(out(0)._2 == 0.251481 && out(1)._2 == 0.251481,
+      s"redistributed share must reach link-less nodes: ${out.toSeq}")
+    // mass conserved within per-node grid drift (n quanta)
+    assert(math.abs(out.map(_._2).sum - 1.0) <= 3e-6,
+      s"mass must be conserved: ${out.toSeq}")
+    // dangling-free graphs are bit-unchanged by the redistribution term
+    // (share exactly 0.0): the hand-computed spec above pins that; here
+    // pin partition-invariance WITH a dangling stratum at 200 nodes
+    val big = (0L until 200L).filter(_ % 3 != 0L).flatMap(i =>
+      (1L to (1 + i % 3)).map(c => (i, (i + c * 17) % 200L)))
+      .toDF("src", "dst")
+    val bigNodes = (0L until 200L).toDF("node")
+    def run(parts: Int) = Graph.pageRank(big.repartition(parts), bigNodes,
+        iters = 8)
+      .orderBy("node").collect().map(_.getDouble(1)).toSeq
+    val a = run(1)
+    assert(a == run(7), "dangling ranks must be partition-invariant")
+    assert(math.abs(a.sum - 1.0) <= 200e-6,
+      s"dangling mass must be conserved at 200 nodes: ${a.sum}")
+  }
+
+  test("pageRank: gridDp guard refuses a collapsed grid") {
+    import graft.ext.Graph
+    // quantum >= 1/n means ranks collapse onto the grid — must refuse
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val nodes = (0L until 20L).toDF("node")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, nodes, iters = 1, gridDp = 1)
+    }
+    assert(e.getMessage.contains("collapse"), e.getMessage)
   }
 
   test("shufflePack: matches a single-window reference; seed reshuffles") {
