@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the default 240m code cache overflows and drops hot stages back to
   // the interpreter, causing order-of-magnitude per-query variance
   "-XX:ReservedCodeCacheSize=512m",
+  // deep replace-chain projections (batched BPE apply: ~384 nested
+  // calls) sit at the edge of the 1m default thread stack inside
+  // Catalyst's recursive Column->Expression conversion; stack is
+  // virtual-memory reserve, so a wide margin costs nothing
+  "-Xss64m",
 )

@@ -46,6 +46,8 @@ object ScaleSmoke {
     if (args.headOption.contains("pagerank1m")) { pagerank1m(); return }
     if (args.headOption.contains("kn1m")) { kn1m(); return }
     if (args.headOption.contains("shuffle1m")) { shuffle1m(); return }
+    if (args.headOption.contains("pipeline1m")) { pipeline1m(); return }
+    if (args.headOption.contains("bpe32k")) { bpe32k(args.drop(1)); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -2867,6 +2869,222 @@ object ScaleSmoke {
         "cluster size)"); failed = true
     }
     if (tSem100 > 240) { println("SCALEKM semdedup wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Composed-pipeline tier (`runMain graft.ScaleSmoke pipeline1m`) —
+    * the r11-verdict task-1 scale evidence: the FULL curation pipeline
+    * (C4 clean → exact+fuzzy dedup → Gopher → median-LR gate → exact
+    * cross-Jaccard decon → temperature mix → shuffle-pack) over a
+    * structured synthetic corpus at 250k vs 1M docs (~60-80 tokens
+    * each; planted exact-copy / dropped-first-line / lorem / brace /
+    * short-doc strata so every stage cuts). Checks:
+    *  - ONE wall number per scale; ratio ≲ linear in docs (every stage
+    *    is row-local, id-keyed, bucketed, or broadcast — nothing in the
+    *    composition is super-linear);
+    *  - the funnel strictly decreases and no stage empties;
+    *  - the packed layout (doc, start_offset, shard_id) is
+    *    BIT-IDENTICAL across partitionings at 1M — the composed
+    *    end-to-end determinism claim (every stage decision replayable)
+    *    measured at scale. */
+  private def pipeline1m(): Unit = {
+    import graft.ext.{CurationPipeline, QualityModel}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    // 1 + id%4 sentences of 20 soup words + '.', one per line; lorem /
+    // brace strata planted on id residues; sources skewed via id%16
+    def synthDocs(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(16L)).cast("string"))
+        .as("source"),
+      when(pmod(col("id"), lit(2L)) === 0L, lit("en")).otherwise(lit("de"))
+        .as("lang"),
+      concat(
+        array_join(transform(
+          sequence(lit(0L), pmod(col("id"), lit(4L))), si =>
+            concat(array_join(transform(sequence(lit(0), lit(19)), j =>
+              concat(lit("w"), pmod(xxhash64(col("id"), si, j),
+                lit(2000L)))), " "), lit("."))), "\n"),
+        when(pmod(col("id"), lit(17L)) === 3L,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("id"), lit(23L)) === 5L, lit(" {x.}"))
+          .otherwise(lit(""))).as("text"))
+    // frozen quality gate: deterministic dyadic weights (the pipeline
+    // consumes a FROZEN model; training its own is qmodel1m's job)
+    val model = QualityModel.LinearModel(
+      Array.tabulate(64)(j => QualityModel.gridQ((j % 7 - 3) * 0.01)),
+      QualityModel.gridQ(0.05), 0L)
+    def ingestAt(n: Long, parts: Int) = {
+      val base = synthDocs(n)
+      val copies = base.where(pmod(col("doc_id"), lit(25L)) === 3L)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          col("lang"), col("text"))
+      val nearMiss = base.where(pmod(col("doc_id"), lit(25L)) === 11L)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("source"),
+          col("lang"),
+          array_join(slice(split(col("text"), "\n"), 2, 1000000), "\n")
+            .as("text"))
+      base.unionByName(copies).unionByName(nearMiss)
+        .repartition(parts).localCheckpoint(true)
+    }
+    def benchOf(cleaned: org.apache.spark.sql.DataFrame) = cleaned
+      .where(col("doc_id") % 200 === 7 && col("doc_id") < 10000000L)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
+          .as("text"))
+    def runAt(n: Long, parts: Int): (Double, Seq[Long],
+        org.apache.spark.sql.DataFrame) = {
+      val ing = ingestAt(n, parts)
+      val t0 = System.nanoTime()
+      val st = CurationPipeline.run(ing, model, benchOf)
+      val funnel = Seq(st.ingest, st.cleaned, st.deduped, st.gated,
+        st.scoredKeep, st.decon, st.mixed).map(_.count()) :+
+        st.packed.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      ((wall, funnel, st.packed))
+    }
+    val (t250, f250, _) = runAt(250000L, 32)
+    val (t1m, f1m, packedA) = runAt(1000000L, 32)
+    println(f"SCALEPIPE wall          250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)")
+    println(s"SCALEPIPE funnel 250k   ${f250.mkString(" -> ")}")
+    println(s"SCALEPIPE funnel 1m     ${f1m.mkString(" -> ")}")
+    // every stage cuts and none empties (ingest>cleaned>deduped>gated>
+    // scoredKeep>decon>mixed; packed == mixed rows)
+    val strict = f1m.init
+    if (!strict.zip(strict.tail).forall { case (a, b) => a > b && b > 0 }) {
+      println("SCALEPIPE funnel red (a stage emptied or cut nothing)")
+      failed = true
+    }
+    if (f1m.last != f1m(6)) {
+      println("SCALEPIPE pack row drift red"); failed = true
+    }
+    if (t1m > 8 * t250 + 30) {
+      println("SCALEPIPE scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 600) { println("SCALEPIPE wall red"); failed = true }
+    // composed end-to-end determinism across partitionings at 1M
+    val (_, _, packedB) = runAt(1000000L, 7)
+    val mism = packedA.select(col("doc"), col("start_offset").as("_oa"),
+        col("shard_id").as("_sa"))
+      .join(packedB.select(col("doc"), col("start_offset"),
+        col("shard_id")), "doc")
+      .where(col("_oa") =!= col("start_offset") ||
+        col("_sa") =!= col("shard_id")).count()
+    val rowsA = packedA.count(); val rowsB = packedB.count()
+    println(s"SCALEPIPE partition-invariance at 1M: rows $rowsA vs $rowsB, " +
+      s"offset/shard mismatches $mism")
+    if (rowsA != rowsB || mism != 0L) { failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Production-merge-count BPE tier (`runMain graft.ScaleSmoke bpe32k
+    * [m]`) — the r11-verdict task-3 measurement: bpe1k proved 1k
+    * merges; a real tokenizer is 30k+. Trains `m` (default 32 000)
+    * merges BATCHED (B=128 non-interacting selections per driver
+    * round, so ~m/128 rounds rather than m) over a 250k-doc / 50k-type
+    * corpus and applies them TYPE-LEVEL in 64-merge checkpointed
+    * projection batches. Also measures BATCH-SIZE EQUIVALENCE on a
+    * small corpus: B=1 (provably ≡ the sequential trainer) vs B=64 at
+    * the same m — merge-set overlap and applied-token-total drift, the
+    * honesty number for the batched approximation (within a batch,
+    * pair counts are not refreshed between selections). */
+  private def bpe32k(args: Seq[String]): Unit = {
+    import graft.ext.Bpe
+    val m = args.headOption.map(_.toInt).getOrElse(32000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    var failed = false
+    // word text = `len` base-4 digits of the word id, spelled a..d —
+    // 12 symbols x 50k types gives ~550k distinct merge-tree nodes, so
+    // a 32k merge budget cannot exhaust the pair supply
+    def wordExpr(wid: org.apache.spark.sql.Column, len: Int) =
+      concat_ws("", transform(sequence(lit(0), lit(len - 1)), d =>
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+          (pmod(floor(wid.cast("double") / pow(lit(4.0), d.cast("double")))
+            .cast("long"), lit(4L)) + 1).cast("int"))))
+    def synth(n: Long, vocab: Long, len: Int, words: Int) =
+      spark.range(n).select(col("id"),
+          array_join(transform(sequence(lit(0), lit(words - 1)), j =>
+            wordExpr(pmod(xxhash64(col("id"), j), lit(vocab)), len)), " ")
+            .as("text"))
+        .localCheckpoint(true)
+    val docs = synth(250000L, 50000L, 12, 40)
+    var t0 = System.nanoTime()
+    val merges = Bpe.trainMergesBatched(docs, "text", m = m,
+      batchSize = 128)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEBPE32 train        $tTrain%7.1f s (${merges.length} " +
+      s"merges of $m at B=128)")
+    if (merges.length < m) {
+      println("SCALEBPE32 merge budget not reached (pair supply exhausted)")
+      failed = true
+    }
+    t0 = System.nanoTime()
+    val tot = Bpe.tokenCountsTyped(docs, "id", "text", merges, batch = 64)
+      .agg(sum(col("n_words")).cast("long"),
+        sum(col("bpe_tokens")).cast("long"))
+      .as[(Long, Long)].head()
+    val tApply = (System.nanoTime() - t0) / 1e9
+    val nOcc = 250000L * 40L
+    println(f"SCALEBPE32 apply-typed  $tApply%7.1f s " +
+      f"(words=${tot._1} tokens=${tot._2} symbols=${nOcc * 12})")
+    if (tot._1 != nOcc || tot._2 < nOcc || tot._2 > nOcc * 12) {
+      println("SCALEBPE32 token totals outside [n_words, n_symbols]")
+      failed = true
+    }
+    // more merges must never inflate the token total
+    val totQ = Bpe.tokenCountsTyped(docs, "id", "text",
+        merges.take(m / 8), batch = 64)
+      .agg(sum(col("bpe_tokens")).cast("long")).as[Long].head()
+    println(f"SCALEBPE32 tokens@${m / 8}%d  $totQ%d vs @$m%d ${tot._2}%d")
+    if (tot._2 > totQ) {
+      println("SCALEBPE32 more merges inflated the token total")
+      failed = true
+    }
+    if (tTrain > 1500) { println("SCALEBPE32 train wall red"); failed = true }
+    if (tApply > 600) { println("SCALEBPE32 apply wall red"); failed = true }
+    // batch-size equivalence vs B=1 (= sequential argmax order) at
+    // m=256 on a small corpus. The asserted point is B=16 — batch/budget
+    // 6%, an order of magnitude COARSER than the production 128/32000 =
+    // 0.4%, so its drift upper-bounds the production regime. B=64
+    // (batch = 25% of budget — far past any sane operating point) is
+    // reported unasserted as the stress figure: within a batch pair
+    // counts aren't refreshed, so drift grows with batch/budget.
+    val small = synth(20000L, 5000L, 8, 40)
+    val mA = Bpe.trainMergesBatched(small, "text", m = 256, batchSize = 1)
+    def toks(ms: Seq[(String, String)]) =
+      Bpe.tokenCountsTyped(small, "id", "text", ms)
+        .agg(sum(col("bpe_tokens")).cast("long")).as[Long].head()
+    val tA = toks(mA)
+    for (b <- Seq(16, 64)) {
+      val mB = Bpe.trainMergesBatched(small, "text", m = 256, batchSize = b)
+      val overlap = mA.toSet.intersect(mB.toSet).size
+      val tB = toks(mB)
+      val drift = 100.0 * (tB - tA).abs / tA
+      println(f"SCALEBPE32 B-equiv m=256 B=$b%d: overlap $overlap%d/256, " +
+        f"tokens B1=$tA%d B$b%d=$tB%d (drift $drift%.2f%%)")
+      if (b == 16 && drift > 3.0) {
+        println("SCALEBPE32 batched training drifted >3% at batch/budget 6%")
+        failed = true
+      }
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED end-to-end curation pipeline — the shape a real
+  * LLM-training-data build runs as one job, assembled from this
+  * engine's per-stage operators:
+  *
+  *   ingest → C4 line cleaning (downstream stages see the CLEANED
+  *   text) → exact+fuzzy dedup keep-join → Gopher format gates →
+  *   trained-LR quality gate (keep strictly above the exact MEDIAN
+  *   score — the relative form a pipeline ships; an absolute cutoff
+  *   empties the corpus wherever the trained bias lands negative) →
+  *   fuzzy decontamination against a benchmark set → temperature mix
+  *   (rates computed from POST-filter source counts — the cross-stage
+  *   interaction per-stage queries can't see) → seeded shuffle-pack.
+  *
+  * == Scale shape ==
+  *
+  * Stage filters are row-local projections or doc_id-keyed semi/anti
+  * joins, so the composition aligns on one id exchange; the near-dup
+  * miner is the exact-dup-short-circuited PPJoin ([[Dedup
+  * .dedupClustersDistinctWith]]), decontamination is the broadcast
+  * exact cross-Jaccard ([[Dedup.crossJaccardPairs]] — the bench side is
+  * eval-suite-sized), the mix decision is a row-local md5 predicate
+  * over broadcast per-source rates, and the pack is the decomposed
+  * 256-bucket prefix sum ([[Corpus.shufflePack]] — no corpus-wide
+  * single-task window). localCheckpoint boundaries sit exactly where a
+  * real pipeline would materialize an artifact (the cleaned corpus,
+  * the deduped corpus, the shipped curated set); at cluster scale
+  * these become the reliably-replicated checkpoints/tables between
+  * pipeline phases.
+  *
+  * Every stage decision is engine-replayable (grid-exact arithmetic,
+  * portable md5 hashes), so a SQL oracle can replay the WHOLE
+  * composition — the doc_pipeline_e2e query hash-matches the packed
+  * row set (offsets included) against DuckDB.
+  */
+object CurationPipeline {
+
+  /** The staged frames, exposed individually so callers can audit the
+    * funnel (each stage's survivor count) as well as consume the final
+    * packed layout. */
+  final case class Stages(ingest: DataFrame, cleaned: DataFrame,
+    deduped: DataFrame, gated: DataFrame, scoredKeep: DataFrame,
+    decon: DataFrame, mixed: DataFrame, packed: DataFrame)
+
+  /** Run the pipeline over `ingest` (columns: doc_id, text, lang,
+    * source). `model` is the frozen trained quality gate (score fold is
+    * stateless and dyadic-exact); `benchOf` builds the benchmark /
+    * eval-suite frame (doc_id, text) FROM the cleaned corpus — planted
+    * fixtures and real eval suites both fit this hook. `minSentences`
+    * scales the C4 sentence floor to the corpus (canonical 5). */
+  def run(ingest: DataFrame, model: QualityModel.LinearModel,
+      benchOf: DataFrame => DataFrame, minSentences: Int = 2,
+      keepBp: Long = 5000L, seed: String = "e2e42",
+      budgetTokens: Long = 1000L): Stages = {
+    val cleaned = TextAnalysis.c4Clean(ingest, "doc_id", "text",
+        carry = Seq("lang", "source"), minSentences = minSentences)
+      .where(col("c4_keep"))
+      .select(col("doc_id"), col("c4_text").as("text"), col("lang"),
+        col("source"))
+      .localCheckpoint(true)
+    val cl = Dedup.dedupClustersDistinctWith(cleaned, "doc_id", "text")(
+      rep => Dedup.jaccardPairs(
+        Dedup.hashedShingles(rep, "doc_id", "text", 3), 0.5))
+    val deduped = cleaned.join(cl, cleaned("doc_id") === cl("doc"), "left")
+      .where(col("root").isNull || col("root") === cleaned("doc_id"))
+      .select(cleaned("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
+    val gp = TextAnalysis.gopherRules(deduped, "doc_id", "text")
+      .where(col("gopher_pass")).select(col("doc_id"))
+    val gated = deduped.join(gp, Seq("doc_id"), "left_semi")
+    // exact-median cutoff compared in exact dyadic double arithmetic
+    // (scores are 2^-20-grid sums), so the boundary is engine- and
+    // partition-invariant; the sorted-list aggregate buffers one score
+    // per gated doc — the same memory profile as any exact percentile
+    val scz = gated.withColumn("_sc",
+      QualityModel.scoreText(col("text"), model))
+    val scut = scz.agg(sort_array(collect_list(col("_sc"))).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(
+        element_at(col("_s"), (floor((col("_n") - 1) / 2) + 1)
+          .cast("int")).as("_lo"),
+        element_at(col("_s"), least(floor((col("_n") - 1) / 2) + 2,
+          col("_n")).cast("int")).as("_hi"),
+        pmod(col("_n") - 1, lit(2L)).as("_r"))
+    val scoredKeep = scz.crossJoin(broadcast(scut))
+      .where(col("_sc") * 2 > (lit(2) - col("_r")) * col("_lo") +
+        col("_r") * col("_hi"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val bench = benchOf(cleaned)
+    val contam = Dedup.crossJaccardPairs(scoredKeep, bench, "doc_id",
+        "text", minJ = 0.5)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val decon = scoredKeep.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val mixed = Corpus.temperatureMixSample(decon, "doc_id", "source",
+        keepBp = keepBp)
+      .where(col("selected"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val packed = Corpus.shufflePack(mixed, "doc_id", "text",
+        seed = seed, budgetTokens = budgetTokens)
+      .join(mixed.select(col("doc_id").as("doc"), col("lang"),
+        col("source")), "doc")
+      .select(col("doc"), col("lang"), col("source"), col("shuffle_key"),
+        col("n_tokens"), col("start_offset"), col("shard_id"))
+      .localCheckpoint(true)
+    Stages(ingest, cleaned, deduped, gated, scoredKeep, decon, mixed,
+      packed)
+  }
+}

@@ -724,16 +724,43 @@ object TextAnalysis {
     * length-delta counting) inside whole-stage codegen — no shuffle, no
     * state; the 100 TB form is a map over the scan, same as
     * [[gopherRules]]. */
+  /** The C4 line-keep predicate (terminal punctuation, >= 3 words, no
+    * "javascript" — Raffel et al. 2020 §2.2), shared by the metric form
+    * [[c4Rules]] and the rewriting form [[c4Clean]]. */
+  private def c4LineOk(l: Column): Column = {
+    val tl = rtrim(l)
+    val nWords = size(filter(split(l, " "), w => w =!= ""))
+    substring(tl, -1, 1).isin(".", "!", "?", "\"") &&
+      nWords >= 3 && !lower(l).contains("javascript")
+  }
+
+  /** The REWRITING form of [[c4Rules]] for pipeline composition: emits
+    * the cleaned text itself (kept lines re-joined with '\n') plus the
+    * page-keep verdict, carrying `carry` columns through — the stage a
+    * real curation pipeline feeds downstream (dedup/gates run on the
+    * CLEANED text, not the raw page). `minSentences` parameterizes the
+    * sentence floor (canonical C4 uses 5; a sparse fixture corpus scales
+    * it down); every other rule is the canonical bundle unchanged.
+    * Row-local projection — shuffle-free, scan-pushable. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil, minSentences: Int = 5): DataFrame = {
+    val text = col(textCol)
+    val kept = filter(split(text, "\n"), c4LineOk(_))
+    val keptText = array_join(kept, "\n")
+    val nSent = (length(keptText) -
+      length(regexp_replace(keptText, "[.!?]", ""))).cast("long")
+    val lowText = lower(text)
+    val hasBad = c4BadWords.map(w => lowText.contains(w)).reduce(_ || _)
+    val keep = nSent >= lit(minSentences.toLong) &&
+      !lowText.contains("lorem ipsum") && !text.contains("{") && !hasBad
+    df.select((col(idCol) +: carry.map(col)) :+
+      keptText.as("c4_text") :+ keep.as("c4_keep"): _*)
+  }
+
   def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
     val lines = split(text, "\n")
-    def lineOk(l: Column): Column = {
-      val tl = rtrim(l)
-      val nWords = size(filter(split(l, " "), w => w =!= ""))
-      substring(tl, -1, 1).isin(".", "!", "?", "\"") &&
-        nWords >= 3 && !lower(l).contains("javascript")
-    }
-    val kept = filter(lines, lineOk(_))
+    val kept = filter(lines, c4LineOk(_))
     val keptText = array_join(kept, "\n")
     // sentence proxy: terminal-punctuation characters in the kept text
     // (portable length-delta counting; both engines strip [.!?])

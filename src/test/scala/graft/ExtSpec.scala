@@ -1998,6 +1998,40 @@ class ExtSpec extends SparkSpec {
     assert(!out(3).getBoolean(8) && out(3).getBoolean(6), "blocklist gate")
   }
 
+  test("c4Clean: rewriting form agrees with c4Rules verdict and kept text") {
+    import graft.ext.TextAnalysis
+    val d1 = "This has four words.\nshort line.\n" +
+      "Nice use of javascript here.\n" +
+      "Another good sentence here. And more. Plus more. Four! Five? Six."
+    val d2 = "lorem ipsum dolor sit amet. Fine sentence two here. " +
+      "Three here. Four here. Plus a fifth one right here."
+    val d3 = "code with a { brace. And enough more sentences. Three. " +
+      "Four. Five here now."
+    val df = Seq((1L, d1, "en"), (2L, d2, "de"), (3L, d3, "es"))
+      .toDF("doc_id", "text", "lang")
+    val rules = TextAnalysis.c4Rules(df, "doc_id", "text")
+      .select(col("doc_id"), col("kept_md5"), col("c4_keep"))
+    val clean = TextAnalysis.c4Clean(df, "doc_id", "text",
+      carry = Seq("lang"))
+    val j = clean.join(rules, "doc_id").orderBy("doc_id").collect()
+    j.foreach { r =>
+      assert(r.getAs[Boolean]("c4_keep") ==
+        rules.where(col("doc_id") === r.getAs[Long]("doc_id"))
+          .head().getAs[Boolean]("c4_keep"))
+    }
+    // the emitted cleaned text IS the text c4Rules fingerprinted
+    val md = clean.select(col("doc_id"), md5(col("c4_text")).as("m"))
+      .join(rules, "doc_id")
+      .where(col("m") =!= col("kept_md5")).count()
+    assert(md == 0L, "c4_text must hash to c4Rules' kept_md5")
+    // carry column survives; keep verdict matches the hand fixture
+    val out = clean.orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(0).getAs[Boolean]("c4_keep"))
+    assert(!out(1).getAs[Boolean]("c4_keep") &&
+      !out(2).getAs[Boolean]("c4_keep"))
+  }
+
   test("kn3Nll: repeated-trigram doc scores lower; partition-invariant") {
     import graft.ext.TextAnalysis
     val docs = Seq(
