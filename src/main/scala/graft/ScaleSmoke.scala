@@ -48,6 +48,7 @@ object ScaleSmoke {
     if (args.headOption.contains("shuffle1m")) { shuffle1m(); return }
     if (args.headOption.contains("pipeline1m")) { pipeline1m(); return }
     if (args.headOption.contains("bpe32k")) { bpe32k(args.drop(1)); return }
+    if (args.headOption.contains("kmbig")) { kmbig(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3085,6 +3086,89 @@ object ScaleSmoke {
         failed = true
       }
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Large-k k-means tier (`runMain graft.ScaleSmoke kmbig`) — the r11
+    * verdict task-4 measurement: the SemDeDup regime scales k ∝ N, so
+    * at 1M vectors k = 4096 (×64 dims = a 2 MB centroid matrix; ~50 MB
+    * at web scale). The reference-object serving form serializes that
+    * matrix into EVERY task binary; the broadcast form ships it once
+    * per executor. Checks at 1M×64, k = 4096:
+    *  - broadcast serving ≡ reference serving row-for-row (cluster AND
+    *    dist2 bits) — the zero-semantics-cost claim;
+    *  - one Lloyd round via per-round broadcasts lands on BIT-IDENTICAL
+    *    centroids to trainFast;
+    *  - walls recorded for both serving forms (local[32] shares one
+    *    process, so the wire win doesn't show here — the claim this
+    *    tier pins is bit-identity + no regression; the shipping-cost
+    *    argument is structural: O(1) task binaries vs O(k·d)). */
+  private def kmbig(): Unit = {
+    import graft.ext.Kmeans
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val kA = 4096
+    def synthVecs(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        pmod(xxhash64(pmod(col("id"), lit(kA.toLong)), j), lit(1000L))
+          .cast("double") / 1000.0 +
+        pmod(xxhash64(col("id"), j, lit(7)), lit(100L)).cast("double")
+          / 10000.0).as("embedding"))
+    val corpus = synthVecs(1000000L).repartition(32).localCheckpoint(true)
+    // one Lloyd round both ways: centroids must match bit-for-bit
+    var t0 = System.nanoTime()
+    val mRef = Kmeans.trainFast(corpus, "vec_id", "embedding", k = kA,
+      iters = 1)
+    val tRef = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val mBc = Kmeans.trainFastBcast(corpus, "vec_id", "embedding", k = kA,
+      iters = 1)
+    val tBc = (System.nanoTime() - t0) / 1e9
+    val centMism = (0 until kA).map(c => (0 until 64).count(j =>
+      java.lang.Double.doubleToLongBits(mRef.cents(c)(j)) !=
+        java.lang.Double.doubleToLongBits(mBc.cents(c)(j)))).sum
+    println(f"SCALEKMBIG train k=4096 ref=$tRef%6.1f s  bcast=$tBc%6.1f s" +
+      f"  centroid-bit mismatches=$centMism%d")
+    if (centMism != 0) { println("SCALEKMBIG centroids diverged"); failed = true }
+    // serving walls: force the argmin via output sums (count() prunes it)
+    def wall(df: => org.apache.spark.sql.DataFrame): (Double, (Any, Any)) = {
+      val s0 = System.nanoTime()
+      val r = df.agg(sum(col("cluster")), sum(round(col("dist2"), 6))).head()
+      (((System.nanoTime() - s0) / 1e9, (r.get(0), r.get(1))))
+    }
+    val (tSr, sumsR) = wall(
+      Kmeans.assignServing(corpus, "vec_id", "embedding", mRef))
+    val bc = spark.sparkContext.broadcast(mRef.cents)
+    val (tSb, sumsB) = wall(
+      Kmeans.assignServingBcast(corpus, "vec_id", "embedding", bc))
+    println(f"SCALEKMBIG serve 1M x k=4096: ref=$tSr%6.1f s  " +
+      f"bcast=$tSb%6.1f s  sums ref=$sumsR bcast=$sumsB")
+    if (sumsR != sumsB) {
+      println("SCALEKMBIG serving outputs diverged"); failed = true
+    }
+    if (tSb > 2 * tSr + 10) {
+      println("SCALEKMBIG broadcast serving regressed"); failed = true
+    }
+    // row-level agreement on a slice (sums can mask compensating swaps)
+    val slice = corpus.where(col("vec_id") < 20000L).localCheckpoint(true)
+    val aR = Kmeans.assignServing(slice, "vec_id", "embedding", mRef)
+      .withColumnRenamed("cluster", "_cr").withColumnRenamed("dist2", "_dr")
+    val aB = Kmeans.assignServingBcast(slice, "vec_id", "embedding", bc)
+    val mism = aR.join(aB, "vec_id")
+      .where(col("_cr") =!= col("cluster") || col("_dr") =!= col("dist2"))
+      .count()
+    bc.unpersist(false)
+    println(s"SCALEKMBIG row-level mismatches on 20k slice: $mism")
+    if (mism != 0L) { failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

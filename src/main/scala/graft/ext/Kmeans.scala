@@ -135,6 +135,27 @@ object Kmeans {
       best.getField("dist2").as("dist2"))
   }
 
+  /** [[assignServing]] with the centroid matrix as a Spark BROADCAST
+    * VARIABLE — the large-k form (r11 verdict task 4). The reference-
+    * object form serializes the k×d matrix into EVERY task binary: at
+    * the SemDeDup k ∝ N regime (k = 4096 at 1M → 2 MB, ~100k at web
+    * scale → ~50 MB) that is per-task wire + deserialize cost across
+    * thousands of tasks; a broadcast ships once per EXECUTOR and its
+    * value is unwrapped once per operator instance. Identical assign
+    * kernel — output bit-identical to [[assignServing]] (KmeansSpec +
+    * the kmbig tier pin it at k = 4096). The caller owns the broadcast
+    * lifecycle (create via `sparkSession.sparkContext.broadcast`,
+    * unpersist when retired). */
+  def assignServingBcast(df: DataFrame, idCol: String, vecCol: String,
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+      : DataFrame = {
+    val best = graft.functions.VectorFunctions.nearestCentroidBcast(
+      col(vecCol).cast("array<double>"), bcast)
+    df.select(col(idCol).cast("long").as(idCol),
+      best.getField("cluster").as("cluster"),
+      best.getField("dist2").as("dist2"))
+  }
+
   /** Higher-order-function formulation of [[assignServing]] — kept as the
     * reference implementation (bit-identical results; the whole k×d
     * centroid matrix is ONE literal node and the argmin one nested fold,
@@ -193,6 +214,45 @@ object Kmeans {
             r.getAs[Double]("_c")
         }
         cents = next
+      }
+      Model(cents)
+    } finally { vdf.unpersist(false): Unit }
+  }
+
+  /** [[trainFast]] with per-round BROADCAST centroids — the large-k
+    * trainer. Per round: one broadcast-argmin pass + the same
+    * (cluster, dim) exact-decimal aggregate; the k·d updated centroid
+    * values still round-trip the driver (creating the next round's
+    * broadcast requires the value driver-side — 2 MB at k=4096×d=64,
+    * the standard Pregel-aggregator cadence), but task binaries stay
+    * O(1) instead of O(k·d), which is what breaks first at large k.
+    * Retired broadcasts are unpersisted non-blocking each round.
+    * Bit-identical to [[trainFast]] (same kernel, same update
+    * discipline — the kmbig tier pins it at k = 4096). */
+  def trainFastBcast(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Model = {
+    val sc = df.sparkSession.sparkContext
+    val vdf = df.select(col(idCol).cast("long").as("_kid"),
+      col(vecCol).cast("array<double>").as("_v")).persist()
+    try {
+      var cents = seedCents(df, idCol, vecCol, k)
+      for (_ <- 1 to iters) {
+        val bc = sc.broadcast(cents)
+        val a = assignServingBcast(vdf, "_kid", "_v", bc)
+          .select(col("_kid"), col("cluster").as("_cl"))
+        val upd = vdf.join(a, "_kid")
+          .select(col("_cl"), posexplode(col("_v")).as(Seq("dim", "_x")))
+          .groupBy(col("_cl"), col("dim"))
+          .agg(r6p(sum(col("_x").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1))).as("_c"))
+          .collect()
+        val next = cents.map(_.clone)
+        upd.foreach { r =>
+          next(r.getAs[Long]("_cl").toInt)(r.getAs[Int]("dim")) =
+            r.getAs[Double]("_c")
+        }
+        cents = next
+        bc.unpersist(false)
       }
       Model(cents)
     } finally { vdf.unpersist(false): Unit }

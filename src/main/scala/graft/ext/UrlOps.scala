@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level dedup — C4's other dedup axis (Raffel et al. 2020 dedupe
+  * at the URL level before content dedup; Common Crawl index keys are
+  * canonicalized URLs). Canonicalization is the RFC 3986 §6
+  * normalization subset that is safely semantics-preserving, plus the
+  * standard tracking-parameter strip every crawl pipeline applies:
+  *
+  *   - scheme and host lowercased (§6.2.2.1 case normalization)
+  *   - fragment dropped (never sent to the server)
+  *   - default port stripped (:443 for https, :80 for http — §6.2.3)
+  *   - empty path → "/", trailing slash stripped otherwise
+  *   - utm_* / ref= query parameters dropped (tracking, not content);
+  *     remaining parameters KEPT in order (reordering is not always
+  *     semantics-preserving)
+  *
+  * All row-local string/regex ops in the Java-regex ∩ RE2 common
+  * subset, so a SQL oracle canonicalizes identically. */
+object UrlOps {
+
+  /** Row-local canonical form of a URL column. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https",
+        regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path0 = when(rest === "", lit("/")).otherwise(rest)
+    val path = when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))
+    val q2 = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  /** Host (lowercased, port-stripped) of a CANONICAL url column. */
+  def hostOf(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** URL dedup decision: canonicalize, keeper = min id per canonical
+    * form. Emits (doc, host, canon, is_keeper). Canonicalization is
+    * row-local (scan-pushable); the dedup is ONE hash aggregate keyed
+    * by the canonical string + one canon-keyed join back — the exact
+    * shape of content-exact dedup, on the URL axis. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("doc"),
+        canonicalUrl(col(urlCol)).as("canon"))
+      .withColumn("host", hostOf(col("canon")))
+    val keep = c.groupBy(col("canon")).agg(min(col("doc")).as("_keeper"))
+    c.join(keep, "canon")
+      .select(col("doc"), col("host"), col("canon"),
+        (col("doc") === col("_keeper")).as("is_keeper"))
+  }
+}

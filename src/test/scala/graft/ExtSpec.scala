@@ -1998,6 +1998,54 @@ class ExtSpec extends SparkSpec {
     assert(!out(3).getBoolean(8) && out(3).getBoolean(6), "blocklist gate")
   }
 
+  test("canonicalUrl: RFC normalization subset on hand fixtures") {
+    import graft.ext.UrlOps
+    val cases = Seq(
+      // case + default port + trailing slash + tracking params + fragment
+      ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=3&ref=y#frag",
+        "https://www.example.com/a/b?id=3"),
+      // empty path normalizes to "/", http default port strips
+      ("http://Host:80", "http://host/"),
+      // tracking-only query drops entirely (no dangling '?')
+      ("https://h/p?utm_a=1&ref=z", "https://h/p"),
+      // non-default port and content query survive; param order kept
+      ("https://h:8443/p?b=2&a=1", "https://h:8443/p?b=2&a=1"))
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), UrlOps.canonicalUrl(col("url")).as("c"))
+      .orderBy("id").collect().map(_.getString(1))
+    cases.zip(out).foreach { case ((u, want), got) =>
+      assert(got == want, s"canon($u) = $got, want $want")
+    }
+    // keeper = min id per canonical form
+    val dup = Seq((5L, "https://h/x?utm_s=1"), (9L, "https://H/x#f"),
+      (3L, "https://h/y")).toDF("doc_id", "url")
+    val dd = UrlOps.urlDedup(dup, "doc_id", "url")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    assert(dd.toSeq == Seq((3L, true), (5L, true), (9L, false)), dd.toSeq)
+  }
+
+  test("langIdTrained: separable char profiles predict perfectly") {
+    import graft.ext.TextAnalysis
+    // two langs with disjoint character inventories — trigram NB must
+    // recover the labels exactly; partition-invariant
+    val docs = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val word = if (i % 2 == 0) "alpha" else "zubor"
+      (i, lang, Seq.fill(6)(word + (i % 3)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    def run(parts: Int) = TextAnalysis.langIdTrained(
+        docs.repartition(parts), "doc_id", "text", "lang")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val a = run(1)
+    assert(a.forall { case (_, lang, pred, _) => lang == pred },
+      s"separable corpus must classify perfectly: ${a.take(4).toSeq}")
+    assert(a.toSeq == run(7).toSeq, "langIdTrained must be partition-invariant")
+  }
+
   test("c4Clean: rewriting form agrees with c4Rules verdict and kept text") {
     import graft.ext.TextAnalysis
     val d1 = "This has four words.\nshort line.\n" +

@@ -92,6 +92,28 @@ class KmeansSpec extends SparkSpec {
            dump(Kmeans.assignServingHof(df, "vec_id", "embedding", m)))
   }
 
+  test("broadcast-centroid serving and training ≡ the reference forms") {
+    val df = cloud(40)
+    val mf = Kmeans.trainFast(df, "vec_id", "embedding", k = 2, iters = 3)
+    // training through per-round broadcasts lands on bit-identical
+    // centroids (same kernel, same decimal+grid update)
+    val mb = Kmeans.trainFastBcast(df, "vec_id", "embedding", k = 2,
+      iters = 3)
+    for (cl <- mf.cents.indices; j <- mf.cents(cl).indices)
+      assert(java.lang.Double.doubleToLongBits(mf.cents(cl)(j)) ===
+             java.lang.Double.doubleToLongBits(mb.cents(cl)(j)),
+        s"bcast/reference centroid ($cl,$j) diverge")
+    // serving through the broadcast expression is row-for-row
+    // bit-identical (dist2 included) to the reference-object form
+    val bc = spark.sparkContext.broadcast(mf.cents)
+    def dump(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(dump(Kmeans.assignServing(df, "vec_id", "embedding", mf)) ===
+           dump(Kmeans.assignServingBcast(df, "vec_id", "embedding", bc)))
+    bc.unpersist(false)
+  }
+
   test("semProbeStream flags copies against members, clears fresh vectors") {
     val base = cloud(20).select(col("vec_id"), col("embedding"))
     val m = Kmeans.train(base, "vec_id", "embedding", k = 2, iters = 2)
