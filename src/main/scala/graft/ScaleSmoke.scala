@@ -49,6 +49,7 @@ object ScaleSmoke {
     if (args.headOption.contains("pipeline1m")) { pipeline1m(); return }
     if (args.headOption.contains("bpe32k")) { bpe32k(args.drop(1)); return }
     if (args.headOption.contains("kmbig")) { kmbig(); return }
+    if (args.headOption.contains("ivfdrift")) { ivfdrift(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3169,6 +3170,204 @@ object ScaleSmoke {
     bc.unpersist(false)
     println(s"SCALEKMBIG row-level mismatches on 20k slice: $mism")
     if (mism != 0L) { failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** IVF index DRIFT telemetry tier (`runMain graft.ScaleSmoke
+    * ivfdrift`) — the r11 verdict task-6 measurement: the append/
+    * compact lifecycle exists, but nothing measured what growth under
+    * DISTRIBUTION DRIFT does to the index. Builds a 250k-vector index
+    * (64 lists), then appends 4 waves of 250k each whose cluster
+    * anchors shift further from the trained centroids every wave
+    * (anchor + 0.15·w per dim), recording per wave:
+    *  - the append drift ratio (mean distance-to-assigned-centroid
+    *    after/before — `IvfAppendStats`, the cheap online signal);
+    *  - plain-probe RECALL@10 on fresh-wave queries vs brute force
+    *    (the quality a non-exact consumer actually loses);
+    *  - the EXACT probe's bound-admitted scan fraction (the 0.192
+    *    honesty metric from exactann1m, replayed engine-true) — the
+    *    price the guaranteed-exact path pays as radii inflate.
+    *
+    * RETRAIN THRESHOLD (documented contract): retrain when the
+    * post-append mean-distance ratio vs the BUILD-time mean exceeds
+    * 1.5, or fresh-query recall@10 drops below 0.9, or the exact-probe
+    * scan fraction exceeds 2× its build-time value. The tier retrains
+    * (rebuild on the grown corpus) after the last wave and asserts the
+    * telemetry recovers — proving the signal is actionable, not just
+    * recorded. */
+  private def ivfdrift(): Unit = {
+    import graft.ext.Similarity
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    var failed = false
+    val nWave = sys.env.getOrElse("SPARK_GRAFT_IVFDRIFT_N", "250000").toLong
+    val nLists = 64; val k = 10; val nProbe = 4
+    // wave 0 = build corpus (tight 64-anchor clusters, jitter 0.02);
+    // wave w introduces 64 RELOCATED anchors (hash-keyed by wave) with
+    // mildly widening spread (0.02 + 0.1·w) — the topical-drift mode a
+    // crawl actually sees: new content forms NEW coherent clusters the
+    // stale centroids never trained on, so list radii inflate and the
+    // exact probe's prunability decays, while a RETRAIN (which can see
+    // the new clusters) genuinely recovers it. Two rejected fixtures,
+    // recorded because each failure is informative: a uniform anchor
+    // SHIFT raises mean-dist but makes cosine EASIER (the shared shift
+    // dominates every inner product — recall and scan fraction
+    // improve); pure spread GROWTH (amplitude 0.35·w) dissolves the
+    // cluster structure itself — scan fraction saturates at 1.0 by
+    // wave 3 and NO retrain can restore prunability (measured: frac
+    // stays 1.000 post-rebuild), because exactness on unclustered data
+    // costs the scan brute force pays anyway. Relocation is the drift
+    // that telemetry + retrain are FOR.
+    def synth(wave: Int) = spark.range(wave * nWave, (wave + 1) * nWave)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(pmod(col("id"), lit(nLists.toLong))
+              + lit(wave * 977L), i),
+              lit(2001L)) - 1000L).cast("double") / 1000.0)
+            + ((pmod(xxhash64(col("id"), i, lit(7L)), lit(2001L)) - 1000L)
+              .cast("double") / 1000.0) * lit(0.02 + 0.1 * wave))
+          .as("embedding"))
+    val path = s"/tmp/graft_ivfdrift_${System.nanoTime()}"
+    Similarity.buildIvfIndex(synth(0), "vec_id", "embedding", path,
+      nLists = nLists, iters = 2)
+
+    // engine-true exact-probe scan-fraction audit (the exactann1m
+    // replay: phase-1 routing on RAW centroids, τ from the phase-1 kth
+    // cosine, unit anchors only in the phase-2 bound)
+    def scanFraction(queries: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.loadIvfCentroids(spark, path)
+      val corpus = spark.read.parquet(s"$path/corpus")
+      val nTot = corpus.count()
+      val radii = Similarity.listRadii(corpus, "vec_id", "embedding", cents)
+      val anchors = cents.map { c =>
+        val nn = math.sqrt(c.map(x => x * x).sum)
+        if (nn == 0.0) c else c.map(_ / nn)
+      }
+      val listSz = corpus.groupBy("list").agg(count(lit(1)).as("sz"))
+        .as[(Int, Long)].collect().toMap
+      val aud = corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .withColumn("list", Similarity.nearestList(col("embedding"), cents))
+        .withColumn("_cn", Similarity.norm(col("embedding")))
+      val qProbesAud = queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .withColumn("_qn", Similarity.norm(col("qvec")))
+        .withColumn("list",
+          explode(Similarity.nearestLists(col("qvec"), cents, nProbe)))
+      val wAud = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("candidate_id"))
+      val p1kth = aud.join(broadcast(qProbesAud), Seq("list"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("candidate_id"),
+          round(Similarity.dot(col("qvec"), col("embedding")) /
+            (col("_qn") * col("_cn")), 6).as("cosine"))
+        .withColumn("_rk", row_number().over(wAud)).where(col("_rk") <= k)
+        .groupBy(col("query_id"))
+        .agg(min(col("cosine")).as("cosk"), count(lit(1)).as("nk"))
+        .as[(Long, Double, Long)].collect()
+        .map { case (q, ck, nk) => q -> (if (nk == k) Some(ck) else None) }
+        .toMap
+      val qv = queries.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      val fracs = qv.map { case (qid, v) =>
+        val qn = math.sqrt(v.map(x => x * x).sum)
+        val qh = v.map(_ / qn).toArray
+        val tau = p1kth.getOrElse(qid, None) match {
+          case Some(ck) => math.sqrt(2.0 * (1.0 - ck) + 4e-6)
+          case None => 2.1
+        }
+        val probed = cents.indices.sortBy { l =>
+          (v.zip(cents(l)).map { case (a, b) => (a - b) * (a - b) }.sum, l)
+        }.take(nProbe).toSet
+        val admitted = anchors.indices.filter { l =>
+          val qa = math.sqrt(
+            qh.zip(anchors(l)).map { case (a, b) => (a - b) * (a - b) }.sum)
+          probed(l) || qa <= tau + radii.getOrElse(l, 2.0)
+        }
+        admitted.map(l => listSz.getOrElse(l, 0L)).sum.toDouble / nTot
+      }
+      fracs.sum / fracs.length
+    }
+    def recallAt(queries: org.apache.spark.sql.DataFrame): Double = {
+      val corpus = spark.read.parquet(s"$path/corpus")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val probe = Similarity.ivfProbeIndex(spark, path, queries, "vec_id",
+          "embedding", k, nProbe)
+        .select(col("query_id"), col("candidate_id"))
+        .as[(Long, Long)].collect().toSet
+      val brute = Similarity.cosineTopK(corpus, queries, "vec_id",
+          "embedding", k)
+        .select(col("query_id"), col("candidate_id"))
+        .as[(Long, Long)].collect().toSet
+      probe.intersect(brute).size.toDouble / brute.size
+    }
+    val q0 = synth(0).where(col("vec_id") < 100L).localCheckpoint(true)
+    val frac0 = scanFraction(q0)
+    val rec0 = recallAt(q0)
+    val mean0 = {
+      val st0 = Similarity.ivfAppend(spark, path,
+        synth(1).where(lit(false)), "vec_id", "embedding")
+      st0.meanDistBefore // build-time mean distance, via a no-op append
+    }
+    println(f"SCALEIVFDRIFT wave=0 (build)  mean-dist=$mean0%8.4f  " +
+      f"recall@10=$rec0%5.3f  scan-frac=$frac0%6.3f")
+    var lastFrac = frac0; var lastRec = rec0; var lastMean = mean0
+    for (w <- 1 to 4) {
+      val st = Similarity.ivfAppend(spark, path, synth(w), "vec_id",
+        "embedding")
+      val qw = synth(w)
+        .where(col("vec_id") < w * nWave + 100L).localCheckpoint(true)
+      val frac = scanFraction(qw)
+      val rec = recallAt(qw)
+      val meanRatio = st.meanDistAfter / mean0
+      val retrain = meanRatio > 1.5 || rec < 0.9 || frac > 2.0 * frac0
+      println(f"SCALEIVFDRIFT wave=$w%d  mean-dist=${st.meanDistAfter}%8.4f" +
+        f" (x$meanRatio%5.2f vs build)  recall@10=$rec%5.3f  " +
+        f"scan-frac=$frac%6.3f  retrain=$retrain%b")
+      lastFrac = frac; lastRec = rec; lastMean = st.meanDistAfter
+    }
+    // the drift must actually REGISTER in the telemetry (otherwise the
+    // retrain trigger can never fire on real drift)
+    if (lastMean / mean0 < 1.2 && lastRec > 0.98 && lastFrac < 1.5 * frac0) {
+      println("SCALEIVFDRIFT drift fixture too weak — no signal moved")
+      failed = true
+    }
+    // RETRAIN at the documented threshold: rebuild on the grown corpus,
+    // telemetry must recover
+    val grown = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    // retrain RESCALES nLists with the corpus (5x the build corpus ->
+    // 5x the lists): a 64-centroid refit over 320 relocated clusters
+    // leaves ~5 scattered blobs per list and radii stay inflated
+    // (measured: scan fraction only 0.989 -> 0.896); the k-prop-to-N
+    // rescale is what actually restores prunability
+    Similarity.buildIvfIndex(grown, "vec_id", "embedding", path,
+      nLists = nLists * 5, iters = 2)
+    val tRetrain = (System.nanoTime() - t0) / 1e9
+    val q4 = synth(4).where(col("vec_id") < 4 * nWave + 100L)
+      .localCheckpoint(true)
+    val fracR = scanFraction(q4)
+    val recR = recallAt(q4)
+    println(f"SCALEIVFDRIFT retrain ($tRetrain%5.1f s)  recall@10=$recR%5.3f" +
+      f"  scan-frac=$fracR%6.3f (was recall=$lastRec%5.3f frac=$lastFrac%6.3f)")
+    if (recR < lastRec - 0.001 || fracR > lastFrac * 1.05) {
+      println("SCALEIVFDRIFT retrain did not recover the telemetry")
+      failed = true
+    }
+    if (recR < 0.95) {
+      println("SCALEIVFDRIFT post-retrain recall red"); failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

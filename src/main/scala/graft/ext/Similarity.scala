@@ -664,7 +664,20 @@ object Similarity {
   /** Index-lifecycle stats returned by [[ivfAppend]]: the centroid-drift
     * signal a growing corpus needs. `meanDistAfter` creeping above
     * `meanDistBefore` means the appended data no longer matches the
-    * trained centroids — time to retrain (rebuild) the index. */
+    * trained centroids — time to retrain (rebuild) the index.
+    *
+    * == Retrain threshold (the documented contract, measured by the
+    * ivfdrift tier) ==
+    * Rebuild when ANY of: the post-append mean distance exceeds 1.5×
+    * the BUILD-time mean (this stat, the cheap online signal — no
+    * probe needed); plain-probe recall@k on fresh-data queries drops
+    * below 0.9; or the exact probe's bound-admitted scan fraction
+    * exceeds 2× its build-time value (drifted appends inflate list
+    * radii, so the guaranteed-exact path pays a growing scan even
+    * though its results stay exact). The ScaleSmoke `ivfdrift` tier
+    * appends 4× the build corpus in progressively-drifted waves,
+    * records all three per wave, and shows a rebuild on the grown
+    * corpus restores them. */
   final case class IvfAppendStats(nBefore: Long, nAppended: Long,
       meanDistBefore: Double, meanDistAfter: Double) {
     def driftRatio: Double =
