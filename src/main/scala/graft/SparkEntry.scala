@@ -605,6 +605,20 @@ object SparkEntry {
       cl
     }
 
+  /** Per-JVM registry of trained-langid predictions (doc, lang,
+    * pred_lang, score) — train-once / consume-twice across the per-doc
+    * and confusion queries, session-validated like clusterCache. */
+  private val langIdCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def langIdTrainedFor(s: SparkSession, dir: String): DataFrame =
+    langIdCache.get(dir).filter(_.sparkSession eq s).getOrElse {
+      val out = TextAnalysis.langIdTrained(t(s, dir, "documents"),
+        "doc_id", "text", "lang").localCheckpoint(true)
+      langIdCache.put(dir, out)
+      out
+    }
+
   /** Staged frames of the COMPOSED end-to-end curation pipeline
     * (doc_pipeline_e2e / doc_pipeline_funnel) — ingest (structured text
     * + planted exact-copy and dropped-first-line near-miss strata) →
@@ -2908,18 +2922,18 @@ object SparkEntry {
     // hashed char trigrams, trained in-engine from the corpus labels —
     // counting-only training, so the oracle replays model AND argmax
     // bit-for-bit (DSIR log discipline). Beats the stopword heuristic
-    // 51% vs 32% on this corpus and never answers "und".
+    // 51% vs 32% on this corpus and never answers "und". Train-once /
+    // consume-twice: the scored frame is cached per (JVM, sf dir) —
+    // the confusion audit reads the same predictions a pipeline would.
     "text_langid_trained" -> ((s, dir) => {
-      sortBig(TextAnalysis.langIdTrained(t(s, dir, "documents"),
-        "doc_id", "text", "lang"), "doc")
+      sortBig(langIdTrainedFor(s, dir), "doc")
     }),
 
     // the trained model's confusion matrix — directly comparable to
     // text_lang_confusion (the heuristic's); the audit a pipeline reads
     // before trusting a language gate
     "text_langid_trained_confusion" -> ((s, dir) => {
-      TextAnalysis.langIdTrained(t(s, dir, "documents"), "doc_id",
-          "text", "lang")
+      langIdTrainedFor(s, dir)
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")
