@@ -50,6 +50,7 @@ object ScaleSmoke {
     if (args.headOption.contains("bpe32k")) { bpe32k(args.drop(1)); return }
     if (args.headOption.contains("kmbig")) { kmbig(); return }
     if (args.headOption.contains("ivfdrift")) { ivfdrift(); return }
+    if (args.headOption.contains("langid1m")) { langid1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3368,6 +3369,74 @@ object ScaleSmoke {
     if (recR < 0.95) {
       println("SCALEIVFDRIFT post-retrain recall red"); failed = true
     }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Trained-langid tier (`runMain graft.ScaleSmoke langid1m`): the NB
+    * char-trigram classifier at 250k vs 1M docs (5 balanced langs,
+    * per-lang marker tokens with disjoint trigram inventories ×3 per
+    * doc + 25 shared-soup tokens — separable by construction, so
+    * accuracy is a correctness check, not a hope). Checks:
+    *  - wall ≲ linear in docs (training is two map-combinable
+    *    aggregates over the trigram explode; scoring one broadcast
+    *    join + two aggregates);
+    *  - accuracy ≥ 0.999 at both scales (hash collisions into d=256
+    *    buckets must not drown the tf-3 marker margin);
+    *  - predictions BIT-IDENTICAL across partitionings at 1M (the
+    *    DSIR round-then-exact-decimal discipline measured at scale). */
+  private def langid1m(): Unit = {
+    import graft.ext.TextAnalysis
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val langArr = array(Seq("en", "de", "es", "fr", "zh").map(lit): _*)
+    val markArr = array(Seq("ethereth", "dunderdun", "osolosol",
+      "fraisfrai", "zhouzhou").map(lit): _*)
+    def synth(n: Long) = {
+      val li = (pmod(col("id"), lit(5L)).cast("int") + 1)
+      val mark = element_at(markArr, li)
+      spark.range(n).select(col("id").as("doc_id"),
+        element_at(langArr, li).as("lang"),
+        concat_ws(" ", mark, mark, mark,
+          array_join(transform(sequence(lit(0), lit(24)), j =>
+            concat(lit("w"), pmod(xxhash64(col("id"), j), lit(2000L)))),
+            " ")).as("text"))
+    }
+    def runAt(n: Long, parts: Int) = {
+      val docs = synth(n).repartition(parts).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.langIdTrained(docs, "doc_id", "text", "lang")
+        .localCheckpoint(true)
+      val acc = out.where(col("lang") === col("pred_lang")).count()
+        .toDouble / n
+      (((System.nanoTime() - t0) / 1e9, acc, out))
+    }
+    val (t250, acc250, _) = runAt(250000L, 32)
+    val (t1m, acc1m, outA) = runAt(1000000L, 32)
+    println(f"SCALELANGID wall        250k=$t250%6.1f s  1m=$t1m%6.1f s " +
+      f"(ratio ${t1m / t250}%.2f)  acc 250k=$acc250%.4f 1m=$acc1m%.4f")
+    if (acc250 < 0.999 || acc1m < 0.999) {
+      println("SCALELANGID accuracy red"); failed = true
+    }
+    if (t1m > 8 * t250 + 30) {
+      println("SCALELANGID scaling red (super-linear)"); failed = true
+    }
+    if (t1m > 600) { println("SCALELANGID wall red"); failed = true }
+    val (_, _, outB) = runAt(1000000L, 7)
+    val mism = outA.select(col("doc"), col("pred_lang").as("_pa"),
+        col("score").as("_sa"))
+      .join(outB.select(col("doc"), col("pred_lang"), col("score")), "doc")
+      .where(col("_pa") =!= col("pred_lang") || col("_sa") =!= col("score"))
+      .count()
+    println(s"SCALELANGID partition-invariance mismatches at 1M: $mism")
+    if (mism != 0L) { failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -1992,6 +1992,26 @@ object SparkEntry {
         "host")
     }),
 
+    // URL dedup AT INGEST — the streaming twin of doc_url_dedup:
+    // canonicalization is a stateless row-local map on the live row;
+    // the keeper decision is keyed STATE on the canonical string
+    // (dropDuplicates — first arrival wins), so the emitted set is the
+    // canonical-key set regardless of arrival order, ≡ the batch
+    // distinct. Bounded replay keeps state finite here; at unbounded
+    // ingest the same topology runs dropDuplicatesWithinWatermark on an
+    // ingest-time column (the stream_dedup_watermark shape) so state
+    // stays bounded by the watermark horizon.
+    "stream_url_dedup" -> ((s, dir) => {
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_url_dedup_result") { st =>
+        syntheticUrls(st)
+          .select(UrlOps.canonicalUrl(col("url")).as("canon"))
+          .withColumn("host", UrlOps.hostOf(col("canon")))
+          .dropDuplicates("canon")
+      }
+      sortBig(res.select(col("canon"), col("host")), "canon")
+    }),
+
     // THE COMPOSED END-TO-END CURATION PIPELINE (r11 verdict task 1):
     // every stage already ships as a declared operator; this runs the
     // REAL pipeline shape a user runs — ingest → C4 line cleaning →
@@ -6560,6 +6580,11 @@ object SparkEntry {
       |SELECT cn.doc_id AS doc, cn.host, cn.canon,
       |  cn.doc_id = k.keeper AS is_keeper
       |FROM cn JOIN k USING (canon) ORDER BY doc""".stripMargin),
+
+    // the streamed canonical-key set must equal the batch distinct —
+    // same canonicalization CTEs, distinct tail
+    "stream_url_dedup" -> (s"WITH $UrlCanonCtes" + """
+      |SELECT DISTINCT cn.canon, cn.host FROM cn ORDER BY 1""".stripMargin),
 
     // URL CTEs + the pageRank replay prefix: per-host counts and the
     // exact-decimal mean rank of kept docs
