@@ -413,10 +413,12 @@ object Dedup {
     val docSets = sh.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("sh"))).as("shs"),
         count(lit(1)).as("n"))
-    cand.hint("shuffle_hash")
+    // merge, not shuffle_hash: spillable, broadcast-proof — see
+    // verifyPairsWithSets (the r12 all10x build-memory lesson)
+    cand.hint("merge")
       .join(docSets.select(col("doc").as("doc_a"), col("shs").as("sha"),
         col("n").as("na")), "doc_a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(docSets.select(col("doc").as("doc_b"), col("shs").as("shb"),
         col("n").as("nb")), "doc_b")
       .where(col("nb") >= ceil(col("na") * minC))
@@ -466,20 +468,24 @@ object Dedup {
   /** [[verifyPairs]] against a prebuilt (doc, shs sorted, n) frame — lets
     * row-local callers skip the collect_list re-aggregation.
     *
-    * Join strategy is pinned to shuffle-hash BUILDING FROM THE CANDIDATE
-    * side: candidates are banding-collision-bounded (small), docSets is
-    * corpus-sized with heavy shingle arrays — but docSets' size ESTIMATE
-    * is tiny when it derives from range/checkpoint inputs, which
-    * otherwise baits Catalyst into broadcasting the corpus side (a
-    * driver-built 100 MB+ hash relation per join). Shuffle-hash keys both
-    * sides on the doc id, builds the per-partition table from the tiny
-    * candidate slice, and streams the arrays exactly once. */
+    * Join strategy is pinned to SORT-MERGE: docSets is corpus-sized with
+    * heavy shingle arrays but its size ESTIMATE is tiny when it derives
+    * from range/checkpoint inputs, which baits Catalyst into
+    * broadcasting the corpus side (a driver-built 100 MB+ hash relation
+    * per join) — the merge hint forbids that while staying SPILLABLE.
+    * This replaced a shuffle_hash pin (build from the candidate side):
+    * a hash build is an unspillable per-task map, and the r12 all10x
+    * sweep caught it failing to acquire build memory on the 10× corpus
+    * (candidate mass grows with the corpus; per-task memory does not) —
+    * exactly the failure mode a 100-TB run cannot risk. Sort-merge
+    * sorts both sides on the id key (the candidate side is tiny, the
+    * corpus side spills as needed) and streams the arrays once. */
   private def verifyPairsWithSets(cand: DataFrame, docSets: DataFrame,
       minJ: Double): DataFrame = {
-    cand.hint("shuffle_hash")
+    cand.hint("merge")
       .join(docSets.select(col("doc").as("doc_a"), col("shs").as("sha"),
         col("n").as("na")), "doc_a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(docSets.select(col("doc").as("doc_b"), col("shs").as("shb"),
         col("n").as("nb")), "doc_b")
       .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
@@ -624,7 +630,7 @@ object Dedup {
     val trSets = tr.select(col("doc").as("doc_a"),
       sort_array(col("_shs")).as("sha"),
       size(col("_shs")).cast("long").as("na"))
-    cand.hint("shuffle_hash").join(trSets, "doc_a")
+    cand.hint("merge").join(trSets, "doc_a")
       .join(broadcast(beSets), "doc_b")
       .where(col("nb") >= col("na") * minJ && col("na") >= col("nb") * minJ)
       .withColumn("i", graft.functions.VectorFunctions
