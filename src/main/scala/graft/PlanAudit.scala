@@ -37,6 +37,53 @@ object PlanAudit {
       "exch" -> c("(?<!Broadcast)Exchange "))
   }
 
+  /** Scale-shape counters from the PHYSICAL PLAN TREE (the r12 verdict's
+    * order-statistic family, guarded structurally):
+    *
+    *  - `gwin`: unpartitioned Window operators whose input is NOT
+    *    already aggregate-reduced — the single-task global-sort shape
+    *    that collapses a corpus onto one task. A tiny unpartitioned
+    *    window ABOVE an aggregate (e.g. [[graft.ext.Ranks]]' O(nParts)
+    *    offset cumulative sum) is benign by construction and excluded.
+    *  - `gclist`: collect_list in an aggregate with NO grouping keys —
+    *    the corpus-sized sorted-list buffer (per-group collect_lists
+    *    over bounded groups, e.g. per-series, are not counted).
+    *
+    * Computed over `sparkPlan` (pre-AQE, full operator tree — under AQE
+    * the executed plan is a leaf wrapper that `collect` cannot
+    * descend). */
+  def scaleCounters(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Map[String, Int] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def isAgg(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true
+      case _ => false
+    }
+    val gwin = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.child.find(isAgg).isEmpty => w
+    }.size
+    val gclist = plan.collect {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }.size
+    Map("gwin" -> gwin, "gclist" -> gclist)
+  }
+
+  /** Merged string + tree counters for one declared query — what
+    * `--record` snapshots and [[QueryProbe]]'s guard replays. */
+  def countersOf(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+    counters(df.queryExecution.executedPlan.toString) ++
+      scaleCounters(df.queryExecution.sparkPlan)
+
   /** Pre-execution plan string of one declared query (the point both
     * `--record` and the guard sample, so the two always compare plans
     * captured at the same lifecycle stage). */
@@ -60,7 +107,7 @@ object PlanAudit {
     if (record) {
       val out = args(2)
       val rows = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-        val m = counters(planOf(spark, sfDir, n))
+        val m = countersOf(SparkEntry.queries(n)(spark, sfDir))
         println(s"[plans] $n $m")
         s"""  "$n": {${m.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}"""
@@ -72,14 +119,16 @@ object PlanAudit {
       val names = args(1).split(",").toSeq
       for (n <- names) {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        val m = counters(df.queryExecution.executedPlan.toString)
+        val m = countersOf(df)
         println(s"=== $n ===")
         println(s"  CartesianProduct=${m("cart")}" +
           s" BroadcastNestedLoop=${m("bnl")}" +
           s" BroadcastHashJoin=${m("bhj")}" +
           s" SortMergeJoin=${m("smj")}" +
           s" ShuffledHashJoin=${m("shj")}" +
-          s" Exchange=${m("exch")}")
+          s" Exchange=${m("exch")}" +
+          s" GlobalWindow=${m("gwin")}" +
+          s" GlobalCollectList=${m("gclist")}")
         if (full) println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       }

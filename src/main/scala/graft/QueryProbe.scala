@@ -134,7 +134,7 @@ object QueryProbe {
             "re-record with PlanAudit --record")
         } else if (rep == 1 && shapes.contains(name)) {
           val base = shapes(name)
-          val now = PlanAudit.counters(df.queryExecution.executedPlan.toString)
+          val now = PlanAudit.countersOf(df)
           if (now("cart") > base("cart") || now("bnl") > base("bnl"))
             planRegressions += s"$name: cartesian/nested-loop join appeared " +
               s"(cart ${base("cart")}->${now("cart")}, bnl ${base("bnl")}->${now("bnl")})"
@@ -145,6 +145,14 @@ object QueryProbe {
             planRegressions += s"$name: shuffle-side join count grew " +
               s"${base("smj") + base("shj")}->${now("smj") + now("shj")}" +
               " (broadcast lost?)"
+          // single-task order-statistic shapes (r12 verdict): a
+          // corpus-collapsing unpartitioned Window or a global
+          // collect_list reappearing is a red build. Snapshots recorded
+          // before these counters existed just skip the check.
+          for (k <- Seq("gwin", "gclist") if base.contains(k))
+            if (now(k) > base(k))
+              planRegressions += s"$name: single-task shape counter $k " +
+                s"grew ${base(k)}->${now(k)}"
         } else if (rep == 1 && shapes.nonEmpty)
           println(s"[guard] WARN $name not in plan_shapes.json — " +
             "re-record with PlanAudit --record to enroll it")

@@ -51,6 +51,7 @@ object ScaleSmoke {
     if (args.headOption.contains("kmbig")) { kmbig(); return }
     if (args.headOption.contains("ivfdrift")) { ivfdrift(); return }
     if (args.headOption.contains("langid1m")) { langid1m(); return }
+    if (args.headOption.contains("ranks1m")) { ranks1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3369,6 +3370,16 @@ object ScaleSmoke {
     if (recR < 0.95) {
       println("SCALEIVFDRIFT post-retrain recall red"); failed = true
     }
+    // the tier owns the /tmp index path (1.25M vectors + rebuilt copy,
+    // ~1 GB) — delete it before stopping (r12 ADVICE: leaked per run)
+    try {
+      def rmTree(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rmTree)
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(path))
+    } catch { case _: Throwable => () }
     spark.stop()
     if (failed) sys.exit(1)
   }
@@ -3385,6 +3396,91 @@ object ScaleSmoke {
     *    buckets must not drown the tf-3 marker margin);
     *  - predictions BIT-IDENTICAL across partitionings at 1M (the
     *    DSIR round-then-exact-decimal discipline measured at scale). */
+  /** Order-statistic cutoff tier (`runMain graft.ScaleSmoke ranks1m`) —
+    * the r12-verdict plan-shape fix measured at 1M rows: proves the
+    * globalRowNumber / stratifiedRowNumber rank stage's MAX per-task
+    * input is O(n/nParts) (the single-task global window / sorted-list
+    * aggregate it replaced is O(n) by construction), including under
+    * the skewed-stratum regime where one stratum is 90% of the corpus,
+    * and that the picked median order statistics are bit-identical to
+    * the single-task reference. */
+  private def ranks1m(): Unit = {
+    import graft.ext.Ranks
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val n = 1000000L
+    val nParts = 32
+    // heavy ties (3-dp grid scores) make the tiebreak column do real work
+    val scored = spark.range(n).select(col("id").as("doc"),
+        (pmod(xxhash64(col("id")), lit(4000L)) / 4000.0).as("score"))
+      .localCheckpoint(true)
+    val ord = Seq(col("score"), col("doc"))
+    // max per-task input of the rank stage = per-partition rows of the
+    // range exchange (the stage that replaced the single-task buffer)
+    val maxTask = scored.repartitionByRange(nParts, ord: _*)
+      .groupBy(spark_partition_id().as("_p")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val even = n / nParts
+    println(s"SCALERANKS max rank-stage task input: $maxTask rows " +
+      f"(even share $even, ratio ${maxTask.toDouble / even}%.2f)")
+    if (maxTask > 3 * even) {
+      println("SCALERANKS rank-stage task input red (not O(n/nParts))")
+      failed = true
+    }
+    // the distributed median pick must equal the single-task reference
+    def medianOf(ranked: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val lo = n / 2 // floor((n-1)/2)+1 with n even = n/2
+      val r = ranked.where(col("rn") === lo || col("rn") === lo + 1)
+        .orderBy("rn").collect()
+      (r(0).getAs[Double]("score"), r(1).getAs[Double]("score"))
+    }
+    val t0 = System.nanoTime()
+    val distMed = medianOf(Ranks.globalRowNumber(scored, ord, nParts))
+    val tDist = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val refMed = medianOf(scored.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(ord: _*)).cast("long")))
+    val tRef = (System.nanoTime() - t1) / 1e9
+    println(f"SCALERANKS median pick: dist=$tDist%.1f s single-task=$tRef%.1f s " +
+      s"values $distMed vs $refMed")
+    if (distMed != refMed) { println("SCALERANKS median mismatch"); failed = true }
+    // skewed-stratum regime: one language is 90% of the corpus — a
+    // Window.partitionBy(lang) puts 900k rows in ONE task; the
+    // stratified rank stage must stay O(n/nParts)
+    val strat = scored.withColumn("lang",
+        when(pmod(col("doc"), lit(10L)) < 9L, lit("en"))
+          .otherwise(concat(lit("l"), pmod(col("doc"), lit(10L)))))
+      .localCheckpoint(true)
+    val maxStrat = strat
+      .repartitionByRange(nParts, col("lang"), col("score"), col("doc"))
+      .groupBy(spark_partition_id().as("_p")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    println(s"SCALERANKS max stratified task input: $maxStrat rows " +
+      f"(ratio ${maxStrat.toDouble / even}%.2f; dominant stratum 900k)")
+    if (maxStrat > 3 * even) {
+      println("SCALERANKS stratified task input red"); failed = true
+    }
+    val sr = Ranks.stratifiedRowNumber(strat, Seq("lang"), ord, nParts)
+    val refS = strat.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(ord: _*)).cast("long"))
+    val mism = sr.select(col("doc"), col("rn"))
+      .join(refS.select(col("doc"), col("rn").as("_r")), "doc")
+      .where(col("rn") =!= col("_r")).count()
+    println(s"SCALERANKS stratified rank mismatches vs window: $mism")
+    if (mism != 0L) failed = true
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   private def langid1m(): Unit = {
     import graft.ext.TextAnalysis
     val spark = SparkSession.builder()

@@ -72,6 +72,34 @@ object SparkEntry {
   private def sortBig(df: DataFrame, cols: String*): DataFrame =
     df.persist().orderBy(cols.head, cols.tail: _*)
 
+  /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
+    * tiebreak `tie`: the two order statistics bracketing position
+    * (n−1)·t/q, picked from a [[graft.ext.Ranks.globalRowNumber]] rank
+    * frame — one range shuffle with full parallelism, never a
+    * corpus-sized sorted-list aggregate on one task. `_lo`/`_hi` are
+    * DECIMAL(38,6) (values are 6-dp grid ranks/scores), `_r` =
+    * (t·(n−1)) mod q, so callers compare `q·v ≥ (q−_r)·_lo + _r·_hi`
+    * in exact decimal arithmetic. An empty input yields one all-null
+    * row — downstream comparisons are null → filters drop everything,
+    * the degrade-to-empty contract. */
+  private def orderStatCut(df: DataFrame, value: Column, tie: Column,
+      t: Int, q: Int): DataFrame = {
+    val nF = df.agg(count(lit(1)).as("_n"))
+    val ranked = graft.ext.Ranks.globalRowNumber(
+      df.select(value.as("_v"), tie.as("_tb")),
+      Seq(col("_v"), col("_tb")), out = "_rn")
+    val loIdx = floor(lit(t) * (col("_n") - 1) / q) + 1
+    val hiIdx = least(loIdx + 1, col("_n"))
+    ranked.crossJoin(broadcast(nF))
+      .where(col("_rn") === loIdx || col("_rn") === hiIdx)
+      .agg(
+        min(when(col("_rn") === loIdx, col("_v")))
+          .cast(DecimalType(38, 6)).as("_lo"),
+        min(when(col("_rn") === hiIdx, col("_v")))
+          .cast(DecimalType(38, 6)).as("_hi"),
+        min(pmod(lit(t) * (col("_n") - 1), lit(q.toLong))).as("_r"))
+  }
+
   /** Recall-instrumentation toggle. Bench sets `-Dgraft.recall=off` so
     * the timed plan is the approximate operator ALONE — in r3 the in-query
     * exact references double-counted the exact operators in BENCH_r03
@@ -357,8 +385,9 @@ object SparkEntry {
       |  || (CASE WHEN doc_id % 20 = 6 THEN '?page=2' ELSE '' END)
       |  || (CASE WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END) AS url
       |  FROM documents),
-      |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
-      |n2 AS (SELECT doc_id, nf,
+      |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+      |  FROM u),
+      |n2 AS (SELECT doc_id, url, nf,
       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |    AS scheme,
       |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
@@ -366,7 +395,7 @@ object SparkEntry {
       |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
       |    AS rest,
       |  regexp_extract(nf, '\?([^#]*)', 1) AS query FROM n1),
-      |n3 AS (SELECT doc_id, scheme,
+      |n3 AS (SELECT doc_id, url, scheme,
       |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
       |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
       |       ELSE hostport END AS host,
@@ -375,11 +404,15 @@ object SparkEntry {
       |     and not starts_with(p, 'utm_') and not starts_with(p, 'ref=')]
       |    AS kept
       |  FROM n2),
-      |cn AS (SELECT doc_id, host,
-      |  scheme || '://' || host ||
-      |  (CASE WHEN p0 <> '/' THEN regexp_replace(p0, '/$', '') ELSE p0 END) ||
-      |  (CASE WHEN len(kept) = 0 THEN ''
-      |        ELSE '?' || array_to_string(kept, '&') END) AS canon
+      |cn AS (SELECT doc_id,
+      |  CASE WHEN n3.scheme = '' OR n3.host = ''
+      |       THEN regexp_extract(n3.url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+      |       ELSE n3.host END AS host,
+      |  CASE WHEN n3.scheme = '' OR n3.host = '' THEN n3.url
+      |  ELSE n3.scheme || '://' || n3.host ||
+      |    (CASE WHEN p0 <> '/' THEN regexp_replace(p0, '/$', '') ELSE p0 END) ||
+      |    (CASE WHEN len(kept) = 0 THEN ''
+      |          ELSE '?' || array_to_string(kept, '&') END) END AS canon
       |  FROM n3),
       |k AS (SELECT canon, MIN(doc_id) AS keeper FROM cn GROUP BY 1)"""
       .stripMargin
@@ -423,7 +456,9 @@ object SparkEntry {
       |  GROUP BY lbow.doc_id, llam.lang, lpri.pri),
       |pred AS (SELECT doc_id,
       |    max(struct_pack(score := score, lang := lang)) AS b
-      |  FROM lsc GROUP BY 1)""".stripMargin
+      |  FROM lsc GROUP BY 1),
+      |lfb AS (SELECT max(struct_pack(pri := pri, lang := lang)) AS f
+      |  FROM lpri)""".stripMargin
 
   /** Composed-pipeline oracle: the LR training-replay CTEs (shared with
     * doc_quality_lr — the pipeline's gate scores cleaned text with the
@@ -2896,21 +2931,16 @@ object SparkEntry {
     // (n−1)·3/4 has fraction r/4, r = (3·(n−1)) mod 4, so
     // rank ≥ cut ⟺ 4·rank ≥ (4−r)·lo + r·hi over DECIMAL(38,6) grid
     // values) — interpolated percentile on both sides left a one-ulp
-    // boundary exposure with heavily-tied 6-dp ranks. No global
-    // row_number over the corpus; per-lang accounting with an md5
+    // boundary exposure with heavily-tied 6-dp ranks. The two order
+    // statistics come from Ranks.globalRowNumber over (rank, doc_id) —
+    // a range shuffle with full parallelism, never a corpus-sized
+    // sorted-list buffer on one task; per-lang accounting with an md5
     // content checksum — the doc_curate_sink audit shape.
     "doc_curate_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pr = rankFor(s, dir)
         .select(col("node").as("doc_id"), col("rank"))
-      val cutoff = pr.agg(sort_array(collect_list(col("rank"))).as("_s"),
-          count(lit(1)).as("_n"))
-        .select(
-          element_at(col("_s"), (floor(lit(3) * (col("_n") - 1) / 4) + 1)
-            .cast("int")).cast("decimal(38,6)").as("_lo"),
-          element_at(col("_s"), least(floor(lit(3) * (col("_n") - 1) / 4) + 2,
-            col("_n")).cast("int")).cast("decimal(38,6)").as("_hi"),
-          pmod(lit(3) * (col("_n") - 1), lit(4L)).as("_r"))
+      val cutoff = orderStatCut(pr, col("rank"), col("doc_id"), 3, 4)
       val gp = TextAnalysis.gopherRules(docs, "doc_id", "text")
         .where(col("gopher_pass")).select(col("doc_id"))
       sortSmall(docs.join(pr, "doc_id").crossJoin(broadcast(cutoff))
@@ -6539,14 +6569,16 @@ object SparkEntry {
     // 6-dp-rounded log-likelihoods -> exact-decimal per-(doc, lang)
     // sums -> struct-max argmax (ties to the larger lang code)
     "text_langid_trained" -> (LangIdTrainedCtes + """
-      |SELECT d.doc_id AS doc, d.lang, p.b.lang AS pred_lang,
-      |  round(p.b.score, 6) AS score
-      |FROM documents d JOIN pred p USING (doc_id)
+      |SELECT d.doc_id AS doc, d.lang,
+      |  COALESCE(p.b.lang, lfb.f.lang) AS pred_lang,
+      |  COALESCE(round(p.b.score, 6), round(lfb.f.pri, 6)) AS score
+      |FROM documents d LEFT JOIN pred p USING (doc_id), lfb
       |ORDER BY doc""".stripMargin),
 
     "text_langid_trained_confusion" -> (LangIdTrainedCtes + """
-      |SELECT d.lang, p.b.lang AS pred_lang, COUNT(*)::BIGINT AS n_docs
-      |FROM documents d JOIN pred p USING (doc_id)
+      |SELECT d.lang, COALESCE(p.b.lang, lfb.f.lang) AS pred_lang,
+      |  COUNT(*)::BIGINT AS n_docs
+      |FROM documents d LEFT JOIN pred p USING (doc_id), lfb
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "text_langid" -> LangIdOracle,

@@ -74,18 +74,31 @@ object CurationPipeline {
     val gated = deduped.join(gp, Seq("doc_id"), "left_semi")
     // exact-median cutoff compared in exact dyadic double arithmetic
     // (scores are 2^-20-grid sums), so the boundary is engine- and
-    // partition-invariant; the sorted-list aggregate buffers one score
-    // per gated doc — the same memory profile as any exact percentile
+    // partition-invariant. The two median order statistics come from
+    // [[Ranks.globalRowNumber]] — a range shuffle with full parallelism
+    // — instead of a corpus-sized sorted-list aggregate on one task;
+    // (_sc, doc_id) is a total order, so the rank-k score IS the k-th
+    // smallest score and the cutoff frame is the same two values. The
+    // scored frame is checkpointed (a real pipeline materializes the
+    // gated+scored corpus) so the rank pass, the count and the keep
+    // filter share one build. An EMPTY gated frame degrades to an empty
+    // keep set: the cutoff aggregate yields nulls, the comparison is
+    // null, the filter drops everything — no element_at(_, 0) crash.
     val scz = gated.withColumn("_sc",
-      QualityModel.scoreText(col("text"), model))
-    val scut = scz.agg(sort_array(collect_list(col("_sc"))).as("_s"),
-        count(lit(1)).as("_n"))
-      .select(
-        element_at(col("_s"), (floor((col("_n") - 1) / 2) + 1)
-          .cast("int")).as("_lo"),
-        element_at(col("_s"), least(floor((col("_n") - 1) / 2) + 2,
-          col("_n")).cast("int")).as("_hi"),
-        pmod(col("_n") - 1, lit(2L)).as("_r"))
+        QualityModel.scoreText(col("text"), model))
+      .localCheckpoint(true)
+    val nF = scz.agg(count(lit(1)).as("_n"))
+    val ranked = Ranks.globalRowNumber(
+      scz.select(col("_sc"), col("doc_id")),
+      Seq(col("_sc"), col("doc_id")), out = "_rn")
+    val loIdx = floor((col("_n") - 1) / 2) + 1
+    val hiIdx = least(loIdx + 1, col("_n"))
+    val scut = ranked.crossJoin(broadcast(nF))
+      .where(col("_rn") === loIdx || col("_rn") === hiIdx)
+      .agg(
+        min(when(col("_rn") === loIdx, col("_sc"))).as("_lo"),
+        min(when(col("_rn") === hiIdx, col("_sc"))).as("_hi"),
+        min(pmod(col("_n") - 1, lit(2L))).as("_r"))
     val scoredKeep = scz.crossJoin(broadcast(scut))
       .where(col("_sc") * 2 > (lit(2) - col("_r")) * col("_lo") +
         col("_r") * col("_hi"))

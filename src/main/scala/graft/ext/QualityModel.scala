@@ -307,10 +307,38 @@ object QualityModel {
     *
     * Scale: two bucket-mass aggregates over the SAME (doc, bucket)
     * frame (one shuffle), a d-row broadcast, one per-doc exact decimal
-    * aggregate; ranking is the engine-wide sort of a (doc, score) frame
-    * — at 100 TB swap the global rank for the per-stratum quantile
-    * threshold ([[Corpus.sampleBucket]] discipline) without touching
-    * the weight model. */
+    * aggregate; the keep-rank is [[Ranks.globalRowNumber]] — one range
+    * shuffle of the (doc, score) frame with full nParts-way
+    * parallelism, never a single-task global window. */
+  /** The DSIR per-bucket weight λ = round₆(ln((ct+1)·(Nr+d) /
+    * ((Nt+d)·(cr+1)))) as a DECIMAL(18,6) column — ln of ONE
+    * exactly-agreed integer ratio (int64 products are exact at any
+    * tested sf), rounded to 6 dp BEFORE any per-doc use. At corpus
+    * scales where (ct+1)·(Nr+d) or (Nt+d)·(cr+1) would overflow int64
+    * the fallback branch evaluates the ratio as two correctly-rounded
+    * double divisions and one multiply instead — within 2 ulp of the
+    * exact ratio before the ln, invisible after the 6-dp round (the
+    * boundary spec pins this); the overflow TEST itself is exact
+    * (decimal(38,0) products of two int64s cannot overflow). Only the
+    * oracle pinning relies on the int64 form, and the fixture corpora
+    * sit ~9 orders of magnitude below the boundary. */
+  private[graft] def dsirLambda(ct: Column, cr: Column, nt: Column,
+      nr: Column, d: Int): Column = {
+    val big = org.apache.spark.sql.types.DataTypes.createDecimalType(19, 0)
+    val num = ct + lit(1L)
+    val nrd = nr + lit(d.toLong)
+    val ntd = nt + lit(d.toLong)
+    val den = cr + lit(1L)
+    val maxL = lit(Long.MaxValue).cast(big)
+    val fits = num.cast(big) * nrd.cast(big) <= maxL &&
+      ntd.cast(big) * den.cast(big) <= maxL
+    val ratio = when(fits,
+        (num * nrd).cast("double") / (ntd * den).cast("double"))
+      .otherwise((num.cast("double") / ntd.cast("double")) *
+        (nrd.cast("double") / den.cast("double")))
+    round(log(ratio), 6).cast("decimal(18,6)")
+  }
+
   def dsirSample(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, d: Int = 128, keepBp: Long = 2000L): DataFrame = {
     val spark = df.sparkSession
@@ -331,27 +359,22 @@ object QualityModel {
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
     val tot = masses.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-    // ln of ONE exactly-agreed integer ratio per bucket (int64 products
-    // are exact at any tested sf; at corpus scales where (ct+1)·(Nr+d)
-    // would overflow int64, evaluate the ratio as two double divisions
-    // — the weights stay within 1 ulp, only the oracle pinning relies
-    // on the int64 form), rounded to 6 dp BEFORE any per-doc use.
     val lam = buckets.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        round(log(((col("ct") + lit(1L)) * (col("nr") + lit(d.toLong)))
-            .cast("double") /
-          ((col("nt") + lit(d.toLong)) * (col("cr") + lit(1L)))
-            .cast("double")), 6)
-          .cast("decimal(18,6)").as("lambda"))
+        dsirLambda(col("ct"), col("cr"), col("nt"), col("nr"), d)
+          .as("lambda"))
     val scored = bow.join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc"))
       .agg(sum(col("c").cast("decimal(12,0)") * col("lambda")).as("_s"))
       .select(col("doc"), col("_s").cast("double").as("score"))
     val n = df.count()
     val keepN = n * keepBp / 10000L
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    // global rank via range-partition + per-partition offsets — an
+    // unpartitioned row_number() window collapses the scored corpus
+    // into ONE task (the classic scale-killer [[Ranks]] exists for);
+    // (score desc, doc) is a total order, so the numbering is identical
+    Ranks.globalRowNumber(scored, Seq(col("score").desc, col("doc")),
+        out = "rank")
       .withColumn("selected", (col("rank") <= lit(keepN)).cast("boolean"))
   }
 

@@ -25,7 +25,19 @@ object Ranks {
     * and it joins back broadcast. `spark_partition_id` is ordered by the
     * range partitioner (partition i holds keys below partition i+1), so
     * offset(p) = Σ counts of partitions < p is exactly the global rank
-    * base. */
+    * base.
+    *
+    * The (_pid, _lrn)-stamped frame is PINNED with an eager
+    * localCheckpoint before the offset aggregate and the join both
+    * consume it: RangePartitioner's boundary sample is seeded by the
+    * RDD id, so two EXECUTIONS of the same range exchange draw
+    * different boundaries — un-pinned, the offset branch and the rank
+    * branch can disagree on what partition a row landed in and the
+    * global numbers come out silently wrong (the ranks1m tier caught
+    * exactly this at 1M rows; below ~full-sample sizes both executions
+    * see every row and the bug hides). At cluster scale the pin is the
+    * standard between-stage materialization of the frame being
+    * ranked. */
   def globalRowNumber(df: DataFrame, ord: Seq[Column], nParts: Int = 32,
       out: String = "rn"): DataFrame = {
     val sorted = df.repartitionByRange(nParts, ord: _*)
@@ -33,6 +45,7 @@ object Ranks {
     val local = sorted.withColumn("_lrn",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(ord: _*))
         .cast("long"))
+      .localCheckpoint(true)
     val offsets = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(
@@ -40,6 +53,37 @@ object Ranks {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, col("_off") + col("_lrn"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Per-stratum 1-based row numbers under the total order `ord` WITHIN
+    * each stratum (same contract as [[globalRowNumber]]: `ord` must be a
+    * total order inside a stratum). The range partitioner keys on
+    * (strata, ord) so a stratum spans a CONTIGUOUS run of partitions and
+    * every partition holds full parallel work even when one stratum is
+    * most of the corpus — the skewed-language regime that makes a plain
+    * `Window.partitionBy(stratum)` a single-task stall. The offset frame
+    * is O(nParts · nStrataPerBoundary) rows and joins back broadcast. */
+  def stratifiedRowNumber(df: DataFrame, strata: Seq[String],
+      ord: Seq[Column], nParts: Int = 32, out: String = "rn"): DataFrame = {
+    val sCols = strata.map(col)
+    val sorted = df.repartitionByRange(nParts, (sCols ++ ord): _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = sorted.withColumn("_lrn",
+      row_number().over(Window.partitionBy((col("_pid") +: sCols): _*)
+        .orderBy(ord: _*)).cast("long"))
+      // pinned for the same two-consumer boundary-determinism reason as
+      // [[globalRowNumber]] — see its doc comment
+      .localCheckpoint(true)
+    val offsets = local.groupBy((col("_pid") +: sCols): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(Window.partitionBy(sCols: _*)
+          .orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((col("_pid") +: sCols :+ col("_off")): _*)
+    local.join(broadcast(offsets), "_pid" +: strata)
       .withColumn(out, col("_off") + col("_lrn"))
       .drop("_pid", "_lrn", "_off")
   }

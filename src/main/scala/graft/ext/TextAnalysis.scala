@@ -131,8 +131,19 @@ object TextAnalysis {
       .agg(max(struct(col("score"), col("lang"))).as("_b"))
       .select(col("doc"), col("_b.lang").as("pred_lang"),
         round(col("_b.score"), 6).as("score"))
+    // docs with NO char trigram (len < 3, or empty text) have an empty
+    // feature vector: every per-lang score degenerates to the prior, so
+    // the argmax is the PRIOR argmax (ties toward the larger lang code,
+    // as everywhere). A plain inner join would silently DROP such docs
+    // from a classifier output (r12 ADVICE) — left-join and fall back.
+    val fb = pri.agg(max(struct(col("pri"), col("lang"))).as("_f"))
+      .select(col("_f.lang").as("_fl"), round(col("_f.pri"), 6).as("_fs"))
     df.select(col(idCol).as("doc"), col(langCol).as("lang"))
-      .join(pred, "doc")
+      .join(pred, Seq("doc"), "left")
+      .crossJoin(broadcast(fb))
+      .select(col("doc"), col("lang"),
+        coalesce(col("pred_lang"), col("_fl")).as("pred_lang"),
+        coalesce(col("score"), col("_fs")).as("score"))
   }
 
   /** Language ID: count function-word hits per language; predict the
@@ -675,23 +686,31 @@ object TextAnalysis {
     // fraction r/3, r = (t·(n-1)) mod 3 ∈ {0,1,2}, so the bucket rule
     //   nll ≤ lo + (hi-lo)·r/3  ⟺  3·nll ≤ (3-r)·lo + r·hi
     // — and the right side is exact DECIMAL(38,6) arithmetic over
-    // round-6 values. Memory profile matches the exact `percentile`
-    // aggregate this replaces (both buffer the stratum's values).
-    val sorted = sort_array(collect_list(col("nll")))
-    def lo(t: Int, n: Column, s: Column) =
-      element_at(s, (floor(lit(t) * (n - 1) / 3) + 1).cast("int"))
-    def hi(t: Int, n: Column, s: Column) =
-      element_at(s, least(floor(lit(t) * (n - 1) / 3) + 2, n).cast("int"))
-    def r(t: Int, n: Column) = pmod(lit(t) * (n - 1), lit(3L))
-    val cuts = nll.groupBy(col(strataCol))
-      .agg(sorted.as("s"), count(lit(1)).as("n"))
-      .select(col(strataCol),
-        lo(1, col("n"), col("s")).cast("decimal(38,6)").as("q1lo"),
-        hi(1, col("n"), col("s")).cast("decimal(38,6)").as("q1hi"),
-        r(1, col("n")).as("r1"),
-        lo(2, col("n"), col("s")).cast("decimal(38,6)").as("q2lo"),
-        hi(2, col("n"), col("s")).cast("decimal(38,6)").as("q2hi"),
-        r(2, col("n")).as("r2"))
+    // round-6 values. The per-stratum order statistics come from
+    // [[Ranks.stratifiedRowNumber]] — range-partitioned on (stratum,
+    // nll, doc) so even the dominant language (most of a real corpus,
+    // and the skewed key) spreads over the full partition count instead
+    // of buffering its whole stratum in one sorted-list aggregate task.
+    // (nll, doc) is a total order within a stratum, so the rank-k row's
+    // nll IS the k-th order statistic — identical cutoffs.
+    val ranked = Ranks.stratifiedRowNumber(
+      nll.select(col(strataCol), col("nll"), col("doc")),
+      Seq(strataCol), Seq(col("nll"), col("doc")), out = "_rn")
+    val ns = nll.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    def loIdx(t: Int) = floor(lit(t) * (col("n") - 1) / 3) + 1
+    def hiIdx(t: Int) = least(loIdx(t) + 1, col("n"))
+    def r(t: Int) = pmod(lit(t) * (col("n") - 1), lit(3L))
+    def pick(t: Int, at: Column) =
+      min(when(col("_rn") === at, col("nll"))).cast("decimal(38,6)")
+    val cuts = ranked.join(broadcast(ns), strataCol)
+      .where(col("_rn") === loIdx(1) || col("_rn") === hiIdx(1) ||
+        col("_rn") === loIdx(2) || col("_rn") === hiIdx(2))
+      .groupBy(col(strataCol))
+      .agg(
+        pick(1, loIdx(1)).as("q1lo"), pick(1, hiIdx(1)).as("q1hi"),
+        min(r(1)).as("r1"),
+        pick(2, loIdx(2)).as("q2lo"), pick(2, hiIdx(2)).as("q2hi"),
+        min(r(2)).as("r2"))
     val nllD = col("nll").cast("decimal(38,6)")
     nll.join(broadcast(cuts), strataCol)
       .withColumn("bucket",

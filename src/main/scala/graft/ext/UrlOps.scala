@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * subset, so a SQL oracle canonicalizes identically. */
 object UrlOps {
 
-  /** Row-local canonical form of a URL column. */
+  /** Row-local canonical form of a URL column.
+    *
+    * Precondition: a well-formed absolute URL (`scheme://host...`).
+    * A scheme-less or host-less input passes through UNCHANGED (r12
+    * ADVICE): collapsing every malformed URL onto a shared `'://'`
+    * skeleton would falsely deduplicate distinct documents, and a
+    * crawl pipeline treats an unparseable URL as its own key. */
   def canonicalUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
@@ -41,8 +47,9 @@ object UrlOps {
     val kept = filter(split(query, "&"), p =>
       !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))
     val q2 = array_join(kept, "&")
-    concat(scheme, lit("://"), host, path,
-      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+    when(scheme === "" || host === "", u)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
   }
 
   /** Host (lowercased, port-stripped) of a CANONICAL url column. */

@@ -1728,6 +1728,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedRowNumber equals the per-stratum window rank at any partition count") {
+    import graft.ext.Ranks
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val ref = orders.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(ord: _*))
+        .cast("long"))
+      .select("o_orderstatus", "o_orderkey", "rn")
+    for (parts <- Seq(3, 8, 17)) {
+      val got = Ranks.stratifiedRowNumber(orders, Seq("o_orderstatus"),
+          ord, nParts = parts)
+        .select("o_orderstatus", "o_orderkey", "rn")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"nParts=$parts")
+    }
+  }
+
+  test("CurationPipeline degrades to empty frames when every doc is cleaned away") {
+    import graft.ext.{CurationPipeline, QualityModel}
+    // every doc trips the C4 curly-brace gate -> cleaned is EMPTY; the
+    // median-gate cutoff must yield an all-null frame (filter-to-empty),
+    // never an element_at(_, 0) crash (r12 ADVICE)
+    val ingest = (0L until 6L)
+      .map(i => (i, s"bad { doc $i with braces. And sentences!", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = QualityModel.LinearModel(Array.fill(64)(0.0), 0.0, 0L)
+    val st = CurationPipeline.run(ingest, m, benchOf = identity)
+    assert(st.cleaned.count() == 0)
+    assert(st.scoredKeep.count() == 0, "median gate must degrade to empty")
+    assert(st.packed.count() == 0)
+  }
+
   test("lineFreqFilter removes corpus-frequent chunks from every doc, reassembles order") {
     val d = Seq(
       (1L, "a b c d"), // "a b" in 3 docs -> dropped everywhere
@@ -2009,7 +2043,12 @@ class ExtSpec extends SparkSpec {
       // tracking-only query drops entirely (no dangling '?')
       ("https://h/p?utm_a=1&ref=z", "https://h/p"),
       // non-default port and content query survive; param order kept
-      ("https://h:8443/p?b=2&a=1", "https://h:8443/p?b=2&a=1"))
+      ("https://h:8443/p?b=2&a=1", "https://h:8443/p?b=2&a=1"),
+      // malformed inputs pass through UNCHANGED (r12 ADVICE): no scheme,
+      // relative path, empty host — distinct keys must stay distinct
+      ("example.com/page?utm_x=1", "example.com/page?utm_x=1"),
+      ("/just/a/path#frag", "/just/a/path#frag"),
+      ("https:///no-host/p", "https:///no-host/p"))
     val out = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
       .toDF("id", "url")
       .select(col("id"), UrlOps.canonicalUrl(col("url")).as("c"))
@@ -2044,6 +2083,27 @@ class ExtSpec extends SparkSpec {
     assert(a.forall { case (_, lang, pred, _) => lang == pred },
       s"separable corpus must classify perfectly: ${a.take(4).toSeq}")
     assert(a.toSeq == run(7).toSeq, "langIdTrained must be partition-invariant")
+  }
+
+  test("langIdTrained keeps no-trigram docs via the prior-argmax fallback") {
+    import graft.ext.TextAnalysis
+    // docs 4 and 5 have no char trigram (empty / 2-char text) — they
+    // must still appear, predicted as the prior argmax ('aa' has 4 of 6
+    // docs), never be silently dropped by an inner join (r12 ADVICE)
+    val docs = Seq(
+      (0L, "aa", "alpha alpha alpha"), (1L, "aa", "alpha alpha again"),
+      (2L, "aa", "alpha alpha more"), (3L, "bb", "zubor zubor zubor"),
+      (4L, "bb", ""), (5L, "aa", "zu"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdTrained(docs, "doc_id", "text", "lang")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(out.length == 6, "no silent row loss")
+    val expScore = math.floor(math.log(4.0 / 6.0) * 1e6 + 0.5) / 1e6
+    for (d <- Seq(4, 5)) {
+      assert(out(d)._2 == "aa", s"doc $d fallback pred: ${out(d)}")
+      assert(out(d)._3 == expScore, s"doc $d fallback score: ${out(d)}")
+    }
   }
 
   test("c4Clean: rewriting form agrees with c4Rules verdict and kept text") {

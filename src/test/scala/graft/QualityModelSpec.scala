@@ -114,6 +114,37 @@ class QualityModelSpec extends SparkSpec {
     assert(scores(1).toSeq === scores(7).toSeq)
   }
 
+  test("dsirLambda int64-overflow fallback: trips at the boundary, " +
+    "matches the exact ratio after the 6-dp round") {
+    val d = 128
+    // (ct+1)·(nr+d) = ~1.2e19 > Long.MaxValue -> the decimal overflow
+    // test must trip and route through the two-double-division fallback
+    val big = Seq((3999999999L, 17L, 4100000000L, 2999999999L))
+      .toDF("ct", "cr", "nt", "nr")
+    val got = big.select(QualityModel
+        .dsirLambda(col("ct"), col("cr"), col("nt"), col("nr"), d)
+        .cast("double"))
+      .head().getDouble(0)
+    // reference: the exact integer ratio via BigDecimal, then the same
+    // ln + 6-dp round — the fallback must land within one 6-dp quantum
+    val exact = (BigDecimal(3999999999L + 1) * BigDecimal(2999999999L + d) /
+      (BigDecimal(4100000000L + d) * BigDecimal(17L + 1))).toDouble
+    val ref = math.floor(math.log(exact) * 1e6 + 0.5) / 1e6
+    assert(math.abs(got - ref) <= 1e-6 + 1e-12,
+      s"fallback lambda $got vs exact $ref")
+    // far below the boundary the int64 branch is exact — bit-identical
+    // to the spelled-out integer-product form
+    val small = Seq((12L, 5L, 40L, 90L)).toDF("ct", "cr", "nt", "nr")
+    val gotS = small.select(QualityModel
+        .dsirLambda(col("ct"), col("cr"), col("nt"), col("nr"), d)
+        .cast("double"))
+      .head().getDouble(0)
+    val refS = math.floor(math.log(
+      ((12L + 1) * (90L + d)).toDouble / ((40L + d) * (5L + 1)).toDouble)
+      * 1e6 + 0.5) / 1e6
+    assert(gotS == refS, s"int64 branch $gotS vs $refS")
+  }
+
   test("calibrationBins: hand-checked bins, means, fractions, gaps") {
     // Elliott p: score 1.0 -> 0.75 (bin 7), -1.0 -> 0.25 (bin 2),
     // 0.0 -> 0.5 (bin 5)
