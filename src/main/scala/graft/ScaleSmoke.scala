@@ -2879,11 +2879,15 @@ object ScaleSmoke {
 
   /** Composed-pipeline tier (`runMain graft.ScaleSmoke pipeline1m`) —
     * the r11-verdict task-1 scale evidence: the FULL curation pipeline
-    * (C4 clean → exact+fuzzy dedup → Gopher → median-LR gate → exact
-    * cross-Jaccard decon → temperature mix → shuffle-pack) over a
-    * structured synthetic corpus at 250k vs 1M docs (~60-80 tokens
-    * each; planted exact-copy / dropped-first-line / lorem / brace /
-    * short-doc strata so every stage cuts). Checks:
+    * (URL dedup → C4 clean → exact+fuzzy dedup → Gopher → median-LR
+    * gate → p75 rank-prior gate → exact cross-Jaccard decon →
+    * temperature mix → shuffle-pack) over a structured synthetic corpus
+    * at 250k vs 1M docs (~60-80 tokens each; planted exact-copy /
+    * dropped-first-line / tracking-URL-re-crawl / lorem / brace /
+    * short-doc strata so every stage cuts; rank table = deterministic
+    * 6-dp grid values over the base ids — the pipeline consumes a
+    * FROZEN rank table like the frozen model, pagerank1m measures the
+    * rank build itself). Checks:
     *  - ONE wall number per scale; ratio ≲ linear in docs (every stage
     *    is row-local, id-keyed, bucketed, or broadcast — nothing in the
     *    composition is super-linear);
@@ -2936,9 +2940,22 @@ object ScaleSmoke {
           col("lang"),
           array_join(slice(split(col("text"), "\n"), 2, 1000000), "\n")
             .as("text"))
-      base.unionByName(copies).unionByName(nearMiss)
+      val recrawls = base.where(pmod(col("doc_id"), lit(25L)) === 17L)
+        .select((col("doc_id") + 40000000L).as("doc_id"), col("source"),
+          col("lang"), col("text"))
+      base.unionByName(copies).unionByName(nearMiss).unionByName(recrawls)
         .repartition(parts).localCheckpoint(true)
     }
+    def urlsOf(ing: org.apache.spark.sql.DataFrame) = ing.select(
+      col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.com/d/"),
+        when(col("doc_id") >= 40000000L, col("doc_id") - 40000000L)
+          .otherwise(col("doc_id")).cast("string"),
+        when(col("doc_id") >= 40000000L, lit("?utm_source=feed&ref=x#s2"))
+          .otherwise(lit(""))).as("url"))
+    def ranksOf(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      ((pmod(xxhash64(col("id"), lit(99L)), lit(900000L)) + 100000L)
+        .cast("double") / 1000000.0).as("rank"))
     def benchOf(cleaned: org.apache.spark.sql.DataFrame) = cleaned
       .where(col("doc_id") % 200 === 7 && col("doc_id") < 10000000L)
       .select((col("doc_id") + 30000000L).as("doc_id"),
@@ -2948,10 +2965,11 @@ object ScaleSmoke {
         org.apache.spark.sql.DataFrame) = {
       val ing = ingestAt(n, parts)
       val t0 = System.nanoTime()
-      val st = CurationPipeline.run(ing, model, benchOf)
-      val funnel = Seq(st.ingest, st.cleaned, st.deduped, st.gated,
-        st.scoredKeep, st.decon, st.mixed).map(_.count()) :+
-        st.packed.count()
+      val st = CurationPipeline.run(ing, model, benchOf,
+        urls = urlsOf(ing), ranks = ranksOf(n))
+      val funnel = Seq(st.ingest, st.urlDeduped, st.cleaned, st.deduped,
+        st.gated, st.scoredKeep, st.ranked, st.decon, st.mixed)
+        .map(_.count()) :+ st.packed.count()
       val wall = (System.nanoTime() - t0) / 1e9
       ((wall, funnel, st.packed))
     }
@@ -2961,14 +2979,14 @@ object ScaleSmoke {
       f"(ratio ${t1m / t250}%.2f)")
     println(s"SCALEPIPE funnel 250k   ${f250.mkString(" -> ")}")
     println(s"SCALEPIPE funnel 1m     ${f1m.mkString(" -> ")}")
-    // every stage cuts and none empties (ingest>cleaned>deduped>gated>
-    // scoredKeep>decon>mixed; packed == mixed rows)
+    // every stage cuts and none empties (ingest>urlDeduped>cleaned>
+    // deduped>gated>scoredKeep>ranked>decon>mixed; packed == mixed rows)
     val strict = f1m.init
     if (!strict.zip(strict.tail).forall { case (a, b) => a > b && b > 0 }) {
       println("SCALEPIPE funnel red (a stage emptied or cut nothing)")
       failed = true
     }
-    if (f1m.last != f1m(6)) {
+    if (f1m.last != f1m(8)) {
       println("SCALEPIPE pack row drift red"); failed = true
     }
     if (t1m > 8 * t250 + 30) {

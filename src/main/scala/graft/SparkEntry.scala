@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{MeteauSignal, Observations}
-import graft.ext.{Corpus, Dedup, EventOps, Graph, Kmeans, QualityModel, Similarity, Sketches, TextAnalysis, UrlOps}
+import graft.ext.{Corpus, Dedup, EventOps, Graph, Kmeans, QualityModel, Ranks, Similarity, Sketches, TextAnalysis, UrlOps}
 import graft.model.{DataProvenance, Parameters}
 import graft.ops._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -71,34 +71,6 @@ object SparkEntry {
     * (Bench/Verify) clearCache() between queries. */
   private def sortBig(df: DataFrame, cols: String*): DataFrame =
     df.persist().orderBy(cols.head, cols.tail: _*)
-
-  /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
-    * tiebreak `tie`: the two order statistics bracketing position
-    * (n−1)·t/q, picked from a [[graft.ext.Ranks.globalRowNumber]] rank
-    * frame — one range shuffle with full parallelism, never a
-    * corpus-sized sorted-list aggregate on one task. `_lo`/`_hi` are
-    * DECIMAL(38,6) (values are 6-dp grid ranks/scores), `_r` =
-    * (t·(n−1)) mod q, so callers compare `q·v ≥ (q−_r)·_lo + _r·_hi`
-    * in exact decimal arithmetic. An empty input yields one all-null
-    * row — downstream comparisons are null → filters drop everything,
-    * the degrade-to-empty contract. */
-  private def orderStatCut(df: DataFrame, value: Column, tie: Column,
-      t: Int, q: Int): DataFrame = {
-    val nF = df.agg(count(lit(1)).as("_n"))
-    val ranked = graft.ext.Ranks.globalRowNumber(
-      df.select(value.as("_v"), tie.as("_tb")),
-      Seq(col("_v"), col("_tb")), out = "_rn")
-    val loIdx = floor(lit(t) * (col("_n") - 1) / q) + 1
-    val hiIdx = least(loIdx + 1, col("_n"))
-    ranked.crossJoin(broadcast(nF))
-      .where(col("_rn") === loIdx || col("_rn") === hiIdx)
-      .agg(
-        min(when(col("_rn") === loIdx, col("_v")))
-          .cast(DecimalType(38, 6)).as("_lo"),
-        min(when(col("_rn") === hiIdx, col("_v")))
-          .cast(DecimalType(38, 6)).as("_hi"),
-        min(pmod(lit(t) * (col("_n") - 1), lit(q.toLong))).as("_r"))
-  }
 
   /** Recall-instrumentation toggle. Bench sets `-Dgraft.recall=off` so
     * the timed plan is the approximate operator ALONE — in r3 the in-query
@@ -199,13 +171,20 @@ object SparkEntry {
 
   /** CTE suffix replaying the COMPOSED curation pipeline
     * (doc_pipeline_e2e / doc_pipeline_funnel) stage by stage: ingest
-    * with the planted copy strata → C4 clean (minSentences 2) →
-    * exact-Jaccard recursive-closure dedup keepers (the doc_curate_sink
-    * construction, over CLEANED text) → Gopher gates → LR gate scoring
-    * cleaned text with the replayed w16/b16 weights (requires
-    * [[QualityModel.qualityOracleCtes]] as the WITH prefix, patched to
-    * WITH RECURSIVE) → exact cross-Jaccard decon → temperature mix with
-    * rates from post-filter counts → md5 shuffle-key prefix-sum pack. */
+    * with the planted copy strata → URL dedup (min-id keeper per
+    * canonical URL; the oracle builds the canonical form BY
+    * CONSTRUCTION — the tracking params/fragment the engine strips via
+    * [[graft.ext.UrlOps.canonicalUrl]]'s regex steps are planted, and
+    * the regex path itself is pinned by doc_url_dedup's full replay) →
+    * C4 clean (minSentences 2) → exact-Jaccard recursive-closure dedup
+    * keepers (the doc_curate_sink construction, over CLEANED text) →
+    * Gopher gates → LR gate scoring cleaned text with the replayed
+    * w16/b16 weights (requires [[QualityModel.qualityOracleCtes]] as
+    * the WITH prefix, patched to WITH RECURSIVE) → p75 rank-prior gate
+    * against the prefixed PageRank replay (`prr8`, inner join — no
+    * rank node, no keep) → exact cross-Jaccard decon → temperature mix
+    * with rates from post-filter counts → md5 shuffle-key prefix-sum
+    * pack. */
   private val E2EPipelineCtes: String = (""",
     |ing AS MATERIALIZED (
     |  SELECT doc_id, lang, source, @STRUCT@ AS text
@@ -217,14 +196,26 @@ object SparkEntry {
     |  SELECT doc_id + 3000000, lang, source,
     |    array_to_string(string_split(@STRUCT@, chr(10))[2:],
     |      chr(10)) AS text
-    |  FROM documents WHERE doc_id % 25 = 11),
+    |  FROM documents WHERE doc_id % 25 = 11
+    |  UNION ALL
+    |  SELECT doc_id + 4000000, lang, source, @STRUCT@ AS text
+    |  FROM documents WHERE doc_id % 25 = 17),
+    |uky AS (SELECT doc_id,
+    |    'https://' || source || '.example.com/d/' ||
+    |    CAST(CASE WHEN doc_id >= 4000000 THEN doc_id - 4000000
+    |         ELSE doc_id END AS VARCHAR) AS canon
+    |  FROM ing),
+    |ukp AS (SELECT canon, MIN(doc_id) AS keeper FROM uky GROUP BY 1),
+    |udd AS MATERIALIZED (SELECT ing.* FROM ing
+    |  JOIN uky USING (doc_id) JOIN ukp USING (canon)
+    |  WHERE ing.doc_id = ukp.keeper),
     |ck AS (SELECT doc_id, lang, source, text,
     |    COALESCE(array_to_string([l for l in string_split(text, chr(10))
     |      if right(rtrim(l), 1) IN ('.', '!', '?', '"')
     |         and len([w for w in string_split(l, ' ') if w <> '']) >= 3
     |         and not contains(lower(l), 'javascript')], chr(10)), '')
     |      AS ctext
-    |  FROM ing),
+    |  FROM udd),
     |cln AS MATERIALIZED (
     |  SELECT doc_id, lang, source, ctext AS text FROM ck
     |  WHERE CAST(length(ctext) -
@@ -299,6 +290,16 @@ object SparkEntry {
     |al AS MATERIALIZED (SELECT ag.* FROM ag
     |  JOIN psc ON ag.doc_id = psc.doc_id, pct
     |  WHERE 2*psc.score > (2-pct.r)*pct.lo + pct.r*pct.hi),
+    |rrs AS (SELECT list_sort(list(rank)) AS s, COUNT(*) AS n FROM prr8),
+    |rct AS (SELECT
+    |  CAST(s[CAST(floor(3*(n-1)/4) AS BIGINT) + 1] AS DECIMAL(38,6)) AS lo,
+    |  CAST(s[least(CAST(floor(3*(n-1)/4) AS BIGINT) + 2, n)]
+    |    AS DECIMAL(38,6)) AS hi,
+    |  (3*(n-1)) % 4 AS r FROM rrs),
+    |rkp AS MATERIALIZED (SELECT al.* FROM al
+    |  JOIN prr8 ON al.doc_id = prr8.node, rct
+    |  WHERE 4*CAST(prr8.rank AS DECIMAL(38,6)) >= (4-rct.r)*rct.lo
+    |      + rct.r*rct.hi),
     |ben AS MATERIALIZED (SELECT doc_id + 1000000 AS doc_id,
     |    array_to_string(w[2:], ' ') AS text
     |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM cln
@@ -308,7 +309,7 @@ object SparkEntry {
     |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ben)),
     |tsh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],
     |      ' ') for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
-    |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM al)),
+    |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rkp)),
     |tcn AS (SELECT doc_id, COUNT(*) n FROM tsh GROUP BY 1),
     |bcn AS (SELECT doc_id, COUNT(*) n FROM bsh GROUP BY 1),
     |xin AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
@@ -316,8 +317,8 @@ object SparkEntry {
     |ctm AS (SELECT DISTINCT doc_a AS doc_id FROM xin
     |        JOIN tcn ca ON doc_a = ca.doc_id JOIN bcn cb ON doc_b = cb.doc_id
     |        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
-    |ad AS MATERIALIZED (SELECT al.* FROM al
-    |  LEFT JOIN ctm ON al.doc_id = ctm.doc_id WHERE ctm.doc_id IS NULL),
+    |ad AS MATERIALIZED (SELECT rkp.* FROM rkp
+    |  LEFT JOIN ctm ON rkp.doc_id = ctm.doc_id WHERE ctm.doc_id IS NULL),
     |pmc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ad
     |  GROUP BY source),
     |pmw AS (SELECT source, n,
@@ -462,12 +463,18 @@ object SparkEntry {
 
   /** Composed-pipeline oracle: the LR training-replay CTEs (shared with
     * doc_quality_lr — the pipeline's gate scores cleaned text with the
-    * same replayed weights) + the pipeline stage CTEs + the caller's
-    * tail select. WITH → WITH RECURSIVE for the dedup closure. */
+    * same replayed weights) + the 8-round PageRank replay (prefix `pr`:
+    * the bare names `nn`/`r<i>` collide with the LR CTEs; `prr8` is the
+    * rank table the rank-prior gate cuts) + the pipeline stage CTEs +
+    * the caller's tail select. WITH → WITH RECURSIVE for the dedup
+    * closure. */
   private def e2eOracleSql(tail: String): String =
     graft.ext.QualityModel.qualityOracleCtes(
       "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)")
-      .replaceFirst("WITH ", "WITH RECURSIVE ") + E2EPipelineCtes +
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      Graph.pageRankOracleCtes(SyntheticEdgeSql,
+        "SELECT doc_id AS node FROM documents", iters = 8, px = "pr")
+        .stripPrefix("WITH ") + E2EPipelineCtes +
       "\n" + tail
 
   /** Deterministic STRUCTURED twin of the fixture text for the C4 rule
@@ -699,8 +706,12 @@ object SparkEntry {
         col("source"), c4StructuredText.as("text"))
       // planted strata make the dedup stages' cuts deterministic at any
       // sf: exact copies at +2M (same structured text, so the C4 verdict
-      // matches the source's), near-miss copies at +3M with the first
-      // LINE dropped (near-dup, not exact)
+      // matches the source's — distinct URL, a mirror crawl: content
+      // dedup's workload), near-miss copies at +3M with the first LINE
+      // dropped (near-dup, not exact), and TRACKING-URL re-crawls at +4M
+      // (same text, same URL up to utm_/ref params + fragment — the URL
+      // stage's workload, removed before content processing ever sees
+      // them)
       val copies = structured.where(col("doc_id") % 25 === 3)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
           col("source"), col("text"))
@@ -709,7 +720,23 @@ object SparkEntry {
           col("source"),
           array_join(slice(split(col("text"), "\n"), 2, 1000000), "\n")
             .as("text"))
+      val recrawls = structured.where(col("doc_id") % 25 === 17)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+          col("source"), col("text"))
       val ingest = structured.unionByName(copies).unionByName(nearMiss)
+        .unionByName(recrawls)
+      // one crawl URL per ingest row: path keyed by the ORIGINAL doc id
+      // (so a +4M re-crawl shares its source page's canonical form and
+      // only the tracking decoration differs), every other stratum keeps
+      // its own id -> its own canonical key
+      val urls = ingest.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          when(col("doc_id") >= 4000000L, col("doc_id") - 4000000L)
+            .otherwise(col("doc_id")).cast("string"),
+          when(col("doc_id") >= 4000000L, lit("?utm_source=feed&ref=x#s2"))
+            .otherwise(lit(""))).as("url"))
+      val ranks = rankFor(s, dir)
+        .select(col("node").as("doc_id"), col("rank"))
       // minSentences = 2: the fixture's planted ' line ' sentence breaks
       // are sparse (median 2 kept sentences/doc), so the canonical 5
       // would cut 92% at stage one and starve the downstream stages; the
@@ -725,6 +752,7 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
               .as("text")),
+        urls = urls, ranks = ranks,
         minSentences = 2)
       e2eCache.put(dir, st)
       st
@@ -2095,10 +2123,12 @@ object SparkEntry {
     "doc_pipeline_funnel" -> ((s, dir) => {
       val st = e2eStagesFor(s, dir)
       st.ingest.agg(count(lit(1)).as("n_ingest"))
+        .crossJoin(st.urlDeduped.agg(count(lit(1)).as("n_url_dedup")))
         .crossJoin(st.cleaned.agg(count(lit(1)).as("n_clean")))
         .crossJoin(st.deduped.agg(count(lit(1)).as("n_dedup")))
         .crossJoin(st.gated.agg(count(lit(1)).as("n_gopher")))
         .crossJoin(st.scoredKeep.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(st.ranked.agg(count(lit(1)).as("n_rank")))
         .crossJoin(st.decon.agg(count(lit(1)).as("n_decon")))
         .crossJoin(st.mixed.agg(count(lit(1)).as("n_mix")))
         .crossJoin(st.packed.agg(
@@ -2923,6 +2953,40 @@ object SparkEntry {
       sortBig(Graph.pageRank(e, docs, iters = 8), "node")
     }),
 
+    // HOST-graph PageRank (r12 verdict task 5): collapse the page-level
+    // link graph to hosts via the URL canonicalization chain and rank
+    // HOSTS — the granularity Common Crawl actually publishes
+    // (harmonic/PageRank at host level) and the prior a crawl budget
+    // allocates by. Host ids are the portable md5-bigint of the host
+    // string (both engines compute it identically); host edges are the
+    // DISTINCT cross-host projections of the page edges (self-edges
+    // dropped — a within-host link carries no cross-host endorsement).
+    // One groupBy collapses pages to hosts; the rank loop then runs on
+    // the tiny host graph — at crawl scale this is how a 10^10-page
+    // graph becomes a 10^7-host one the rank iteration can chew.
+    "doc_host_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hframe = syntheticUrls(docs).select(col("doc_id"),
+          UrlOps.hostOf(UrlOps.canonicalUrl(col("url"))).as("host"))
+        .withColumn("hid",
+          conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long"))
+      val hsrc = hframe.select(col("doc_id").as("src"),
+        col("hid").as("hsrc"))
+      val hdst = hframe.select(col("doc_id").as("dst"),
+        col("hid").as("hdst"))
+      val he = syntheticEdges(docs.select(col("doc_id")))
+        .join(hsrc, "src").join(hdst, "dst")
+        .where(col("hsrc") =!= col("hdst"))
+        .select(col("hsrc").as("src"), col("hdst").as("dst")).distinct()
+      val hn = hframe.select(col("hid")).distinct()
+      val pr = Graph.pageRank(he, hn, iters = 8)
+      val perHost = hframe.groupBy(col("hid"), col("host"))
+        .agg(count(lit(1)).as("n_docs"))
+      sortSmall(pr.join(perHost, pr("node") === perHost("hid"))
+        .select(col("host"), col("rank"), col("in_deg"), col("out_deg"),
+          col("n_docs")), "host")
+    }),
+
     // rank-prior CURATION composition — the decision a crawl pipeline
     // actually ships: keep a page only when its link-graph centrality
     // clears the 75th-percentile cutoff AND it passes the Gopher format
@@ -2940,7 +3004,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pr = rankFor(s, dir)
         .select(col("node").as("doc_id"), col("rank"))
-      val cutoff = orderStatCut(pr, col("rank"), col("doc_id"), 3, 4)
+      val cutoff = Ranks.orderStatCut(pr, col("rank"), col("doc_id"), 3, 4)
       val gp = TextAnalysis.gopherRules(docs, "doc_id", "text")
         .where(col("gopher_pass")).select(col("doc_id"))
       sortSmall(docs.join(pr, "doc_id").crossJoin(broadcast(cutoff))
@@ -6653,6 +6717,32 @@ object SparkEntry {
       |FROM cn JOIN k USING (canon) JOIN r8 ON cn.doc_id = r8.node
       |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // host-graph replay: the URL canonicalization CTEs produce per-doc
+    // hosts; hosts get the portable md5-bigint id; the page edges
+    // project to DISTINCT cross-host edges; then the same generated
+    // 8-round power-iteration replay (prefix `h`) over the host graph
+    "doc_host_pagerank" -> (s"WITH $UrlCanonCtes,\n" +
+      """hh AS (SELECT doc_id, host,
+        |  ('0x' || substr(md5(host), 1, 15))::BIGINT AS hid FROM cn),"""
+        .stripMargin + "\n" +
+      Graph.pageRankOracleCtes(
+        s"""SELECT DISTINCT a.hid AS src, b.hid AS dst
+           |  FROM ($SyntheticEdgeSql) pe
+           |  JOIN hh a ON pe.src = a.doc_id JOIN hh b ON pe.dst = b.doc_id
+           |  WHERE a.hid <> b.hid""".stripMargin,
+        "SELECT DISTINCT hid AS node FROM hh", iters = 8, px = "h")
+        .stripPrefix("WITH ") + """
+      |SELECT h2.host, r.rank,
+      |  COALESCE(i.in_deg, 0) AS in_deg, COALESCE(hdeg.outdeg, 0)
+      |    AS out_deg, h2.n_docs
+      |FROM (SELECT host, hid, COUNT(*)::BIGINT AS n_docs FROM hh
+      |      GROUP BY 1, 2) h2
+      |JOIN hr8 r ON h2.hid = r.node
+      |LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+      |           FROM he GROUP BY 1) i ON h2.hid = i.dst
+      |LEFT JOIN hdeg ON h2.hid = hdeg.src
+      |ORDER BY host""".stripMargin),
+
     // the composed pipeline replayed END TO END: LR training CTEs +
     // ingest/clean/dedup-closure/gopher/LR-gate/decon/mix/pack CTEs —
     // the packed row set (offsets included) pins every upstream keep
@@ -6667,10 +6757,12 @@ object SparkEntry {
     "doc_pipeline_funnel" -> e2eOracleSql(
       """SELECT
         |  (SELECT COUNT(*)::BIGINT FROM ing) AS n_ingest,
+        |  (SELECT COUNT(*)::BIGINT FROM udd) AS n_url_dedup,
         |  (SELECT COUNT(*)::BIGINT FROM cln) AS n_clean,
         |  (SELECT COUNT(*)::BIGINT FROM dd) AS n_dedup,
         |  (SELECT COUNT(*)::BIGINT FROM ag) AS n_gopher,
         |  (SELECT COUNT(*)::BIGINT FROM al) AS n_quality,
+        |  (SELECT COUNT(*)::BIGINT FROM rkp) AS n_rank,
         |  (SELECT COUNT(*)::BIGINT FROM ad) AS n_decon,
         |  (SELECT COUNT(*)::BIGINT FROM am) AS n_mix,
         |  (SELECT COUNT(DISTINCT CAST(start_offset // 1000 AS BIGINT))

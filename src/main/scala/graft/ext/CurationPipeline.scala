@@ -7,19 +7,29 @@ import org.apache.spark.sql.functions._
   * LLM-training-data build runs as one job, assembled from this
   * engine's per-stage operators:
   *
-  *   ingest → C4 line cleaning (downstream stages see the CLEANED
-  *   text) → exact+fuzzy dedup keep-join → Gopher format gates →
-  *   trained-LR quality gate (keep strictly above the exact MEDIAN
-  *   score — the relative form a pipeline ships; an absolute cutoff
-  *   empties the corpus wherever the trained bias lands negative) →
-  *   fuzzy decontamination against a benchmark set → temperature mix
-  *   (rates computed from POST-filter source counts — the cross-stage
+  *   ingest → URL dedup (canonical-key keeper — URL dedupe precedes
+  *   content dedupe, the C4 order, Raffel et al. 2020 §2.2) → C4 line
+  *   cleaning (downstream stages see the CLEANED text) → exact+fuzzy
+  *   dedup keep-join → Gopher format gates → trained-LR quality gate
+  *   (keep strictly above the exact MEDIAN score — the relative form a
+  *   pipeline ships; an absolute cutoff empties the corpus wherever
+  *   the trained bias lands negative) → link-graph RANK-PRIOR gate
+  *   (keep pages whose PageRank clears the exact p75 cutoff of the
+  *   rank table — the centrality prior a crawl pipeline budgets by;
+  *   docs with NO rank node, e.g. re-crawl strata that slipped past
+  *   dedup, carry no centrality evidence and are dropped) → fuzzy
+  *   decontamination against a benchmark set → temperature mix (rates
+  *   computed from POST-filter source counts — the cross-stage
   *   interaction per-stage queries can't see) → seeded shuffle-pack.
   *
   * == Scale shape ==
   *
   * Stage filters are row-local projections or doc_id-keyed semi/anti
-  * joins, so the composition aligns on one id exchange; the near-dup
+  * joins, so the composition aligns on one id exchange; URL
+  * canonicalization is row-local + ONE canon-keyed keeper aggregate;
+  * the rank gate is one id-keyed join against the rank table plus a
+  * broadcast two-row cutoff frame ([[Ranks.orderStatCut]] — range-
+  * partitioned, never a single-task buffer); the near-dup
   * miner is the exact-dup-short-circuited PPJoin ([[Dedup
   * .dedupClustersDistinctWith]]), decontamination is the broadcast
   * exact cross-Jaccard ([[Dedup.crossJaccardPairs]] — the bench side is
@@ -42,21 +52,34 @@ object CurationPipeline {
   /** The staged frames, exposed individually so callers can audit the
     * funnel (each stage's survivor count) as well as consume the final
     * packed layout. */
-  final case class Stages(ingest: DataFrame, cleaned: DataFrame,
-    deduped: DataFrame, gated: DataFrame, scoredKeep: DataFrame,
-    decon: DataFrame, mixed: DataFrame, packed: DataFrame)
+  final case class Stages(ingest: DataFrame, urlDeduped: DataFrame,
+    cleaned: DataFrame, deduped: DataFrame, gated: DataFrame,
+    scoredKeep: DataFrame, ranked: DataFrame, decon: DataFrame,
+    mixed: DataFrame, packed: DataFrame)
 
   /** Run the pipeline over `ingest` (columns: doc_id, text, lang,
-    * source). `model` is the frozen trained quality gate (score fold is
-    * stateless and dyadic-exact); `benchOf` builds the benchmark /
-    * eval-suite frame (doc_id, text) FROM the cleaned corpus — planted
-    * fixtures and real eval suites both fit this hook. `minSentences`
-    * scales the C4 sentence floor to the corpus (canonical 5). */
+    * source). `urls` carries one (doc_id, url) row per ingest doc — the
+    * crawl source URL the ingest-time dedup keys on; `ranks` is the
+    * link-graph rank table (doc_id, rank — 6-dp grid values, e.g.
+    * [[Graph.pageRank]] output keyed to doc ids). `model` is the frozen
+    * trained quality gate (score fold is stateless and dyadic-exact);
+    * `benchOf` builds the benchmark / eval-suite frame (doc_id, text)
+    * FROM the cleaned corpus — planted fixtures and real eval suites
+    * both fit this hook. `minSentences` scales the C4 sentence floor to
+    * the corpus (canonical 5). */
   def run(ingest: DataFrame, model: QualityModel.LinearModel,
-      benchOf: DataFrame => DataFrame, minSentences: Int = 2,
+      benchOf: DataFrame => DataFrame, urls: DataFrame, ranks: DataFrame,
+      minSentences: Int = 2,
       keepBp: Long = 5000L, seed: String = "e2e42",
       budgetTokens: Long = 1000L): Stages = {
-    val cleaned = TextAnalysis.c4Clean(ingest, "doc_id", "text",
+    // URL-level dedup FIRST (the C4 order: a re-crawled tracking-URL
+    // variant never reaches content processing): row-local
+    // canonicalization + one canon-keyed keeper aggregate + an id-keyed
+    // semi join — all aligned on doc_id like every other stage filter
+    val keepUrl = UrlOps.urlDedup(urls, "doc_id", "url")
+      .where(col("is_keeper")).select(col("doc").as("doc_id"))
+    val urlDeduped = ingest.join(keepUrl, Seq("doc_id"), "left_semi")
+    val cleaned = TextAnalysis.c4Clean(urlDeduped, "doc_id", "text",
         carry = Seq("lang", "source"), minSentences = minSentences)
       .where(col("c4_keep"))
       .select(col("doc_id"), col("c4_text").as("text"), col("lang"),
@@ -88,12 +111,12 @@ object CurationPipeline {
         QualityModel.scoreText(col("text"), model))
       .localCheckpoint(true)
     val nF = scz.agg(count(lit(1)).as("_n"))
-    val ranked = Ranks.globalRowNumber(
+    val medRanked = Ranks.globalRowNumber(
       scz.select(col("_sc"), col("doc_id")),
       Seq(col("_sc"), col("doc_id")), out = "_rn")
     val loIdx = floor((col("_n") - 1) / 2) + 1
     val hiIdx = least(loIdx + 1, col("_n"))
-    val scut = ranked.crossJoin(broadcast(nF))
+    val scut = medRanked.crossJoin(broadcast(nF))
       .where(col("_rn") === loIdx || col("_rn") === hiIdx)
       .agg(
         min(when(col("_rn") === loIdx, col("_sc"))).as("_lo"),
@@ -103,11 +126,25 @@ object CurationPipeline {
       .where(col("_sc") * 2 > (lit(2) - col("_r")) * col("_lo") +
         col("_r") * col("_hi"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // rank-prior gate: keep pages whose link-graph rank clears the
+    // exact p75 order-statistic cutoff of the FULL rank table (the
+    // doc_curate_rank discipline: 4·rank ≥ (4−r)·lo + r·hi over
+    // DECIMAL(38,6) grid values — no interpolation float order). The
+    // inner join drops docs without a rank node: no centrality
+    // evidence, the conservative crawl decision.
+    val rk = ranks.select(col("doc_id"), col("rank"))
+    val rcut = Ranks.orderStatCut(rk, col("rank"), col("doc_id"), 3, 4)
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val ranked = scoredKeep.join(rk, "doc_id")
+      .crossJoin(broadcast(rcut))
+      .where(col("rank").cast(dec6) * 4 >=
+        (lit(4) - col("_r")) * col("_lo") + col("_r") * col("_hi"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val bench = benchOf(cleaned)
-    val contam = Dedup.crossJaccardPairs(scoredKeep, bench, "doc_id",
+    val contam = Dedup.crossJaccardPairs(ranked, bench, "doc_id",
         "text", minJ = 0.5)
       .select(col("doc_a").as("doc_id")).distinct()
-    val decon = scoredKeep.join(contam, Seq("doc_id"), "left_anti")
+    val decon = ranked.join(contam, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val mixed = Corpus.temperatureMixSample(decon, "doc_id", "source",
         keepBp = keepBp)
@@ -120,7 +157,7 @@ object CurationPipeline {
       .select(col("doc"), col("lang"), col("source"), col("shuffle_key"),
         col("n_tokens"), col("start_offset"), col("shard_id"))
       .localCheckpoint(true)
-    Stages(ingest, cleaned, deduped, gated, scoredKeep, decon, mixed,
-      packed)
+    Stages(ingest, urlDeduped, cleaned, deduped, gated, scoredKeep,
+      ranked, decon, mixed, packed)
   }
 }

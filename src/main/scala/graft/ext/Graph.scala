@@ -151,47 +151,57 @@ object Graph {
        |ORDER BY node""".stripMargin
 
   /** The CTE prefix of [[pageRankOracleSql]], for callers composing the
-    * final rank frame (`r<iters>` over `nodes`) into a larger replay. */
+    * final rank frame (`<px>r<iters>` over `<px>nodes`) into a larger
+    * replay. `px` prefixes every CTE name so the generated block can be
+    * concatenated into a WITH list that already uses the bare names
+    * (the composed-pipeline oracle shares a list with the quality-LR
+    * training CTEs, which also define `nn` and `r<i>`). */
   def pageRankOracleCtes(edgeSql: String, nodeSql: String, iters: Int,
-      damping: Double = 0.85, gridDp: Int = 6): String = {
+      damping: Double = 0.85, gridDp: Int = 6, px: String = ""): String = {
     val d = damping.toString
     val sc = "1" + "0" * gridDp + ".0"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS MATERIALIZED ($edgeSql),
-         |nodes AS MATERIALIZED (SELECT node FROM ($nodeSql)),
-         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
-         |ed AS MATERIALIZED (
-         |  SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
-         |dang AS MATERIALIZED (
-         |  SELECT node FROM nodes LEFT JOIN deg ON node = deg.src
+      s"""WITH ${px}e AS MATERIALIZED ($edgeSql),
+         |${px}nodes AS MATERIALIZED (SELECT node FROM ($nodeSql)),
+         |${px}nn AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ${px}nodes),
+         |${px}deg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS outdeg FROM ${px}e GROUP BY 1),
+         |${px}ed AS MATERIALIZED (
+         |  SELECT e.src, e.dst, deg.outdeg
+         |  FROM ${px}e e JOIN ${px}deg deg USING (src)),
+         |${px}dang AS MATERIALIZED (
+         |  SELECT node FROM ${px}nodes LEFT JOIN ${px}deg deg
+         |    ON node = deg.src
          |  WHERE deg.src IS NULL),
-         |sc AS MATERIALIZED (SELECT
+         |${px}sc AS MATERIALIZED (SELECT
          |  floor(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) * $sc + 0.5)
          |    / $sc AS r0,
          |  (CAST(1.0 AS DOUBLE) - CAST($d AS DOUBLE)) / CAST(n AS DOUBLE)
-         |    AS base FROM nn),
-         |r0 AS MATERIALIZED (SELECT node, sc.r0 AS rank FROM nodes, sc)""".stripMargin)
+         |    AS base FROM ${px}nn),
+         |${px}r0 AS MATERIALIZED (
+         |  SELECT node, sc.r0 AS rank FROM ${px}nodes, ${px}sc sc)""".stripMargin)
     for (i <- 1 to iters) {
       val p = i - 1
       sb.append(s""",
-         |s$i AS MATERIALIZED (
+         |${px}s$i AS MATERIALIZED (
          |  SELECT ed.dst, SUM(CAST(floor(r.rank / ed.outdeg * $sc + 0.5)
          |      / $sc AS DECIMAL(38,$gridDp))) AS s
-         |  FROM ed JOIN r$p r ON ed.src = r.node GROUP BY 1),
-         |d$i AS MATERIALIZED (
+         |  FROM ${px}ed ed JOIN ${px}r$p r ON ed.src = r.node GROUP BY 1),
+         |${px}d$i AS MATERIALIZED (
          |  SELECT COALESCE(SUM(CAST(r.rank AS DECIMAL(38,$gridDp))),
          |    CAST(0 AS DECIMAL(38,$gridDp))) AS dm
-         |  FROM r$p r JOIN dang ON r.node = dang.node),
-         |r$i AS MATERIALIZED (
+         |  FROM ${px}r$p r JOIN ${px}dang dang ON r.node = dang.node),
+         |${px}r$i AS MATERIALIZED (
          |  SELECT n.node,
          |    floor((sc.base + CAST($d AS DOUBLE)
          |        * (COALESCE(CAST(s.s AS DOUBLE), 0.0)
          |           + floor(CAST(dd.dm AS DOUBLE) / CAST(nn.n AS DOUBLE)
          |               * $sc + 0.5) / $sc))
          |        * $sc + 0.5) / $sc AS rank
-         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.dst, sc, d$i dd, nn)"""
+         |  FROM ${px}nodes n LEFT JOIN ${px}s$i s ON n.node = s.dst,
+         |    ${px}sc sc, ${px}d$i dd, ${px}nn nn)"""
         .stripMargin)
     }
     sb.toString

@@ -87,4 +87,31 @@ object Ranks {
       .withColumn(out, col("_off") + col("_lrn"))
       .drop("_pid", "_lrn", "_off")
   }
+
+  /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
+    * tiebreak `tie`: the two order statistics bracketing position
+    * (n−1)·t/q, picked from a [[globalRowNumber]] rank frame — one
+    * range shuffle with full parallelism, never a corpus-sized
+    * sorted-list aggregate on one task. `_lo`/`_hi` are DECIMAL(38,6)
+    * (values are 6-dp grid ranks/scores), `_r` = (t·(n−1)) mod q, so
+    * callers compare `q·v ≥ (q−_r)·_lo + _r·_hi` in exact decimal
+    * arithmetic. An empty input yields one all-null row — downstream
+    * comparisons are null → filters drop everything, the
+    * degrade-to-empty contract. */
+  def orderStatCut(df: DataFrame, value: Column, tie: Column,
+      t: Int, q: Int, nParts: Int = 32): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val nF = df.agg(count(lit(1)).as("_n"))
+    val ranked = globalRowNumber(
+      df.select(value.as("_v"), tie.as("_tb")),
+      Seq(col("_v"), col("_tb")), nParts, out = "_rn")
+    val loIdx = floor(lit(t) * (col("_n") - 1) / q) + 1
+    val hiIdx = least(loIdx + 1, col("_n"))
+    ranked.crossJoin(broadcast(nF))
+      .where(col("_rn") === loIdx || col("_rn") === hiIdx)
+      .agg(
+        min(when(col("_rn") === loIdx, col("_v"))).cast(dec).as("_lo"),
+        min(when(col("_rn") === hiIdx, col("_v"))).cast(dec).as("_hi"),
+        min(pmod(lit(t) * (col("_n") - 1), lit(q.toLong))).as("_r"))
+  }
 }

@@ -1756,9 +1756,14 @@ class ExtSpec extends SparkSpec {
       .map(i => (i, s"bad { doc $i with braces. And sentences!", "en", "web"))
       .toDF("doc_id", "text", "lang", "source")
     val m = QualityModel.LinearModel(Array.fill(64)(0.0), 0.0, 0L)
-    val st = CurationPipeline.run(ingest, m, benchOf = identity)
+    val st = CurationPipeline.run(ingest, m, benchOf = identity,
+      urls = ingest.select(col("doc_id"),
+        concat(lit("https://h.example.com/d/"),
+          col("doc_id").cast("string")).as("url")),
+      ranks = ingest.select(col("doc_id"), lit(0.0002).as("rank")))
     assert(st.cleaned.count() == 0)
     assert(st.scoredKeep.count() == 0, "median gate must degrade to empty")
+    assert(st.ranked.count() == 0)
     assert(st.packed.count() == 0)
   }
 
