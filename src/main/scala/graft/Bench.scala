@@ -66,8 +66,17 @@ object Bench {
     // total spans successful queries only — sentinel -1s must not shrink it
     val total = results.values.filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // first-build walls of the per-JVM artifact caches (rank table, e2e
+    // pipeline, trained models, cluster frame): the queries that consume
+    // them time a checkpoint READ after rep 1, so without this map a
+    // training-cost regression hides behind the cache (r12 verdict task
+    // 6). Keys are trimmed to the artifact name (one sf dir per run).
+    val walls = SparkEntry.buildWalls.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != ':') + "\":" +
+        math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"build_walls":$walls,"sf":"$sfDir"}"""
     // Durable copy for the driver regardless of how stdout gets mangled.
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

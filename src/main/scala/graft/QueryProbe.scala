@@ -219,6 +219,27 @@ object QueryProbe {
         f"recorded ${recorded(n)}%.2f s — warm per-JVM index/cache reuse, " +
         "rows confirmed present")
     }
+    // cold-build walls of the per-JVM artifact caches, same 2x + 1.5s
+    // slack as query times (r12 verdict task 6): this guard run built
+    // each artifact once on first touch, so SparkEntry.buildWalls holds
+    // comparable first-build numbers
+    val recordedWalls: Map[String, Double] =
+      if (!root.containsKey("build_walls")) Map.empty
+      else root.get("build_walls").asInstanceOf[java.util.Map[String, Object]]
+        .asScala.toMap.map { case (k, v) =>
+          k -> v.asInstanceOf[Number].doubleValue }
+    val wallFailures = recordedWalls.toSeq.sorted.flatMap { case (k, rec) =>
+      SparkEntry.buildWalls.collectFirst {
+        case (key, w) if key.takeWhile(_ != ':') == k => w
+      } match {
+        case Some(w) if w > math.max(2.0 * rec, rec + 1.5) =>
+          Some(f"build($k): $w%.2f s > limit ${math.max(2.0 * rec, rec + 1.5)}%.2f s (recorded $rec%.2f s)")
+        case Some(w) =>
+          println(f"[guard] build($k): $w%.2f s (recorded $rec%.2f s)"); None
+        case None =>
+          println(s"[guard] WARN build($k) recorded but not built this run"); None
+      }
+    }
     println(f"[guard] ${names.size - failures.size}/${names.size} queries within " +
       "2x of the recorded bench")
     if (shapes.nonEmpty)
@@ -226,6 +247,8 @@ object QueryProbe {
         s"against ${shapes.size}-query snapshot")
     failures.foreach(f => println(s"[guard] REGRESSION $f"))
     planRegressions.foreach(f => println(s"[guard] PLAN-REGRESSION $f"))
-    if (failures.isEmpty && planRegressions.isEmpty) 0 else 1
+    wallFailures.foreach(f => println(s"[guard] BUILD-REGRESSION $f"))
+    if (failures.isEmpty && planRegressions.isEmpty && wallFailures.isEmpty) 0
+    else 1
   }
 }

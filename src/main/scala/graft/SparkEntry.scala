@@ -72,6 +72,40 @@ object SparkEntry {
   private def sortBig(df: DataFrame, cols: String*): DataFrame =
     df.persist().orderBy(cols.head, cols.tail: _*)
 
+  /** Approximate-percentile SERVING-TWIN audit frame (r12 verdict task
+    * 7): one row with the exact (t/q)-quantile order statistics
+    * (exact_lo, exact_hi, r — replayable by the oracle) plus
+    * `within_bound` = does `percentile_approx`'s answer lie between the
+    * exact order statistics at target ± (⌈n/accuracy⌉ + 2) ranks (the
+    * GK sketch's documented rank-error bound, +2 for its different
+    * rank anchor). The oracle pins the exact values AND `TRUE` for the
+    * bound — a sketch drifting past its guarantee is a red gate. The
+    * sketch side is the shape a 100 TB run ships (mergeable,
+    * O(accuracy) state, no rank shuffle); the exact side rides
+    * [[graft.ext.Ranks.globalRowNumber]]. */
+  private def approxCutAudit(df: DataFrame, value: Column, tie: Column,
+      t: Int, q: Int, accuracy: Int = 1000): DataFrame = {
+    val vt = df.select(value.as("_v"), tie.as("_tb"))
+    val nF = vt.agg(count(lit(1)).as("_n"),
+      percentile_approx(col("_v"), lit(t.toDouble / q), lit(accuracy))
+        .as("_apx"))
+    val ranked = Ranks.globalRowNumber(vt, Seq(col("_v"), col("_tb")),
+      out = "_rn")
+    val tgt = floor(lit(t) * (col("_n") - 1) / q) + 1
+    val slack = ceil(col("_n").cast("double") / accuracy) + 2
+    val loB = greatest(lit(1L), (tgt - slack).cast("long"))
+    val hiB = least(col("_n"), (tgt + slack).cast("long"))
+    def pick(at: Column) = min(when(col("_rn") === at, col("_v")))
+    val apx = min(col("_apx"))
+    ranked.crossJoin(broadcast(nF))
+      .where(col("_rn") === tgt || col("_rn") === least(tgt + 1, col("_n")) ||
+        col("_rn") === loB || col("_rn") === hiB)
+      .agg(pick(tgt).as("exact_lo"),
+        pick(least(tgt + 1, col("_n"))).as("exact_hi"),
+        min(pmod(lit(t) * (col("_n") - 1), lit(q.toLong))).as("r"),
+        (apx >= pick(loB) && apx <= pick(hiB)).as("within_bound"))
+  }
+
   /** Recall-instrumentation toggle. Bench sets `-Dgraft.recall=off` so
     * the timed plan is the approximate operator ALONE — in r3 the in-query
     * exact references double-counted the exact operators in BENCH_r03
@@ -461,6 +495,32 @@ object SparkEntry {
       |lfb AS (SELECT max(struct_pack(pri := pri, lang := lang)) AS f
       |  FROM lpri)""".stripMargin
 
+  /** Shared unigram-NLL oracle prefix (text_nll_buckets /
+    * text_nll_cuts_approx): per-doc 6-dp-rounded unigram NLL, joined to
+    * lang, ending with `sl` (doc, lang, n_tokens, nll) and `q` (lang,
+    * n, sorted nll list — the oracle MAY buffer per-stratum, it is the
+    * referee, not the engine plan). */
+  private val NllOracleCtes: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |    FROM toks GROUP BY doc_id, term),
+      |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
+      |n AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM f),
+      |c AS (SELECT doc_id, tf,
+      |    CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / f), 6) AS DECIMAL(38,6))
+      |      AS contrib
+      |  FROM tf JOIN f USING (term) CROSS JOIN n),
+      |s AS (SELECT doc_id AS doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+      |      AS nll
+      |  FROM c GROUP BY doc_id),
+      |sl AS (SELECT s.doc, d.lang, s.n_tokens, s.nll
+      |  FROM s JOIN documents d ON s.doc = d.doc_id),
+      |q AS (SELECT lang, COUNT(*) AS n,
+      |    array_agg(nll ORDER BY nll) AS sv
+      |  FROM sl GROUP BY lang)""".stripMargin
+
   /** Composed-pipeline oracle: the LR training-replay CTEs (shared with
     * doc_quality_lr — the pipeline's gate scores cleaned text with the
     * same replayed weights) + the 8-round PageRank replay (prefix `pr`:
@@ -570,6 +630,23 @@ object SparkEntry {
   private val semReplayPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** First-build wall seconds per per-JVM artifact cache, keyed
+    * "<artifact>:<sfDir>" (r12 verdict task 6): bench entries for
+    * queries that consume a cached artifact (doc_pagerank 0.09 s,
+    * doc_pipeline_e2e 0.13 s, text_langid_trained 0.09 s in the quiet
+    * r12 run) time a checkpoint READ, not the build — this map carries
+    * the cold build cost into `bench_out.json` (`build_walls`) so a
+    * training-cost regression can't hide behind the cache. The guard
+    * replays them with the same 2× slack as query times. */
+  val buildWalls = scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  private def timedBuild[T](artifact: String, dir: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    buildWalls.put(s"$artifact:$dir", (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Per-JVM registry of the trained quality-LR model (doc_quality_lr /
     * stream_quality_lr / doc_lr_calibration): training is deterministic
     * (exact dyadic GD), so train-once / score-many is a pure time save
@@ -580,7 +657,7 @@ object SparkEntry {
   /** The (JVM-cached) quality-LR model for an sf dir: dense features +
     * 16 GD rounds on first request. */
   private def lrModelFor(s: SparkSession, dir: String): QualityModel.LinearModel =
-    lrModelCache.getOrElseUpdate(dir, {
+    lrModelCache.getOrElseUpdate(dir, timedBuild("lrModel", dir) {
       val docs = t(s, dir, "documents")
       val labels = docs.select(col("doc_id").as("doc"),
         (col("lang") === "en").cast("double").as("y"))
@@ -613,6 +690,12 @@ object SparkEntry {
   private val streamSinkPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of the streaming composed-pipeline materialization
+    * (stream_pipeline): checkpointed foreachBatch parquet of per-doc
+    * ingest decisions against the frozen batch artifacts. */
+  private val streamPipePath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of materialized CURATED corpora (doc_curate_sink):
     * quality filter → language filter → repetition filter → near-dup
     * keep-join → lang-partitioned write, once per (JVM, sf dir). */
@@ -632,7 +715,8 @@ object SparkEntry {
     // bound to the SparkContext that built it, so an entry from an earlier
     // (stopped) session in the same JVM — e.g. sequential Verify-then-
     // guard runs — would fail at runtime. Rebuild on session mismatch.
-    clusterCache.get(dir).filter(_.sparkSession eq s).getOrElse {
+    clusterCache.get(dir).filter(_.sparkSession eq s).getOrElse(
+        timedBuild("clusters", dir) {
       // exact-dup short-circuit around the EXACT PPJoin miner: identical
       // docs collapse to one representative before any shingle-keyed
       // join, so copy-heavy corpora cannot create O(k²) prefix buckets;
@@ -645,7 +729,7 @@ object SparkEntry {
           Dedup.hashedShingles(repDocs, "doc_id", "text", 3), 0.5))
       clusterCache.put(dir, cl)
       cl
-    }
+    })
 
   /** Per-JVM registry of the synthetic link graph's 8-round PageRank
     * frame (node, rank, in_deg, out_deg) — computed once per (JVM, sf
@@ -660,13 +744,14 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def rankFor(s: SparkSession, dir: String): DataFrame =
-    rankCache.get(dir).filter(_.sparkSession eq s).getOrElse {
+    rankCache.get(dir).filter(_.sparkSession eq s).getOrElse(
+        timedBuild("rank", dir) {
       val ids = t(s, dir, "documents").select(col("doc_id"))
       val pr = Graph.pageRank(syntheticEdges(ids), ids, iters = 8)
         .localCheckpoint(true)
       rankCache.put(dir, pr)
       pr
-    }
+    })
 
   /** Per-JVM registry of trained-langid predictions (doc, lang,
     * pred_lang, score) — train-once / consume-twice across the per-doc
@@ -675,12 +760,13 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def langIdTrainedFor(s: SparkSession, dir: String): DataFrame =
-    langIdCache.get(dir).filter(_.sparkSession eq s).getOrElse {
+    langIdCache.get(dir).filter(_.sparkSession eq s).getOrElse(
+        timedBuild("langIdTrained", dir) {
       val out = TextAnalysis.langIdTrained(t(s, dir, "documents"),
         "doc_id", "text", "lang").localCheckpoint(true)
       langIdCache.put(dir, out)
       out
-    }
+    })
 
   /** Staged frames of the COMPOSED end-to-end curation pipeline
     * (doc_pipeline_e2e / doc_pipeline_funnel) — ingest (structured text
@@ -698,43 +784,60 @@ object SparkEntry {
   private val e2eCache = scala.collection.concurrent
     .TrieMap.empty[String, graft.ext.CurationPipeline.Stages]
 
+  /** The composed pipeline's INGEST frame from a docs frame (batch table
+    * or streaming source — every construction is row-local): structured
+    * text plus the planted strata that give each dedup stage a
+    * deterministic cut at any sf. Exact copies at +2M (same structured
+    * text, so the C4 verdict matches the source's — distinct URL, a
+    * mirror crawl: content dedup's workload), near-miss copies at +3M
+    * with the first LINE dropped (near-dup, not exact), TRACKING-URL
+    * re-crawls at +4M (same text, same URL up to utm_/ref params +
+    * fragment — the URL stage's workload, removed before content
+    * processing ever sees them). */
+  private def e2eIngest(docs: DataFrame): DataFrame = {
+    val structured = docs.select(col("doc_id"), col("lang"),
+      col("source"), c4StructuredText.as("text"))
+    val copies = structured.where(col("doc_id") % 25 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    val nearMiss = structured.where(col("doc_id") % 25 === 11)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+        col("source"),
+        array_join(slice(split(col("text"), "\n"), 2, 1000000), "\n")
+          .as("text"))
+    val recrawls = structured.where(col("doc_id") % 25 === 17)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
+        col("source"), col("text"))
+    structured.unionByName(copies).unionByName(nearMiss)
+      .unionByName(recrawls)
+  }
+
+  /** One crawl URL per ingest row (row-local): path keyed by the
+    * ORIGINAL doc id — a +4M re-crawl shares its source page's canonical
+    * form and only the tracking decoration differs; every other stratum
+    * keeps its own id → its own canonical key. */
+  private def e2eUrl: Column =
+    concat(lit("https://"), col("source"), lit(".example.com/d/"),
+      when(col("doc_id") >= 4000000L, col("doc_id") - 4000000L)
+        .otherwise(col("doc_id")).cast("string"),
+      when(col("doc_id") >= 4000000L, lit("?utm_source=feed&ref=x#s2"))
+        .otherwise(lit("")))
+
+  /** The decon benchmark: planted drop-first-word edits of cleaned
+    * ORIGINAL docs. */
+  private def e2eBenchOf(cleaned: DataFrame): DataFrame = cleaned
+    .where(col("doc_id") % 20 === 7 && col("doc_id") < 2000000L)
+    .select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
+        .as("text"))
+
   private def e2eStagesFor(s: SparkSession,
       dir: String): graft.ext.CurationPipeline.Stages =
-    e2eCache.get(dir).filter(_.cleaned.sparkSession eq s).getOrElse {
+    e2eCache.get(dir).filter(_.cleaned.sparkSession eq s).getOrElse(
+        timedBuild("e2ePipeline", dir) {
       val docs = t(s, dir, "documents")
-      val structured = docs.select(col("doc_id"), col("lang"),
-        col("source"), c4StructuredText.as("text"))
-      // planted strata make the dedup stages' cuts deterministic at any
-      // sf: exact copies at +2M (same structured text, so the C4 verdict
-      // matches the source's — distinct URL, a mirror crawl: content
-      // dedup's workload), near-miss copies at +3M with the first LINE
-      // dropped (near-dup, not exact), and TRACKING-URL re-crawls at +4M
-      // (same text, same URL up to utm_/ref params + fragment — the URL
-      // stage's workload, removed before content processing ever sees
-      // them)
-      val copies = structured.where(col("doc_id") % 25 === 3)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
-          col("source"), col("text"))
-      val nearMiss = structured.where(col("doc_id") % 25 === 11)
-        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
-          col("source"),
-          array_join(slice(split(col("text"), "\n"), 2, 1000000), "\n")
-            .as("text"))
-      val recrawls = structured.where(col("doc_id") % 25 === 17)
-        .select((col("doc_id") + 4000000L).as("doc_id"), col("lang"),
-          col("source"), col("text"))
-      val ingest = structured.unionByName(copies).unionByName(nearMiss)
-        .unionByName(recrawls)
-      // one crawl URL per ingest row: path keyed by the ORIGINAL doc id
-      // (so a +4M re-crawl shares its source page's canonical form and
-      // only the tracking decoration differs), every other stratum keeps
-      // its own id -> its own canonical key
-      val urls = ingest.select(col("doc_id"),
-        concat(lit("https://"), col("source"), lit(".example.com/d/"),
-          when(col("doc_id") >= 4000000L, col("doc_id") - 4000000L)
-            .otherwise(col("doc_id")).cast("string"),
-          when(col("doc_id") >= 4000000L, lit("?utm_source=feed&ref=x#s2"))
-            .otherwise(lit(""))).as("url"))
+      val ingest = e2eIngest(docs)
+      val urls = ingest.select(col("doc_id"), e2eUrl.as("url"))
       val ranks = rankFor(s, dir)
         .select(col("node").as("doc_id"), col("rank"))
       // minSentences = 2: the fixture's planted ' line ' sentence breaks
@@ -747,16 +850,12 @@ object SparkEntry {
       // shared training CTEs); the decon bench is the planted
       // drop-first-word edit of cleaned ORIGINAL docs.
       val st = graft.ext.CurationPipeline.run(ingest, lrModelFor(s, dir),
-        benchOf = cleaned => cleaned
-          .where(col("doc_id") % 20 === 7 && col("doc_id") < 2000000L)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
-              .as("text")),
+        benchOf = e2eBenchOf,
         urls = urls, ranks = ranks,
         minSentences = 2)
       e2eCache.put(dir, st)
       st
-    }
+    })
 
   /** Portable round-half-up at 6 places via explicit float arithmetic —
     * used where interpolation's dyadic time fractions can land values
@@ -2136,6 +2235,110 @@ object SparkEntry {
           coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens")))
     }),
 
+    // STREAMING twin of the composed pipeline (r12 verdict task 3) —
+    // the ingest-time form: each arriving doc carries its crawl URL
+    // through the stateless row-local stages (structured ingest synth,
+    // URL canonicalization, C4 clean, Gopher, frozen-LR scoring) and is
+    // decided per micro-batch against the FROZEN batch artifacts: the
+    // canonical-URL keeper index, the cleaned-corpus shingle index (a
+    // doc is a dup iff a SMALLER-id corpus doc shares Jaccard ≥ 0.5 —
+    // proven equal to the batch closure on this corpus: every dup
+    // component is a star rooted at its min id), the exact median and
+    // p75 rank cutoffs, the rank table, the benchmark shingle set, and
+    // the temperature-mix rates. Every decision is per-doc independent
+    // of arrival order, so the bounded replay lands on the batch
+    // pipeline's kept set EXACTLY — the oracle is the batch e2e replay
+    // (`am`), hash-matched. foreachBatch materialization with an
+    // exactly-once checkpoint (the stream_sink_rollup discipline); at
+    // unbounded ingest the same topology holds, with the keyed indexes
+    // maintained by the append/compact lifecycle the IVF/window indexes
+    // already ship.
+    "stream_pipeline" -> ((s, dir) => {
+      val path = streamPipePath.getOrElseUpdate(dir,
+          timedBuild("streamPipeline", dir) {
+        val st = e2eStagesFor(s, dir)
+        val m = lrModelFor(s, dir)
+        val dec6 = DecimalType(38, 6)
+        val canonKeeper = e2eIngest(t(s, dir, "documents"))
+          .select(col("doc_id"), e2eUrl.as("url"))
+          .select(col("doc_id"), UrlOps.canonicalUrl(col("url")).as("canon"))
+          .groupBy(col("canon")).agg(min(col("doc_id")).as("_keeper"))
+          .localCheckpoint(true)
+        val corpusSh = Dedup.hashedShingles(st.cleaned, "doc_id", "text", 3)
+          .select(col("doc").as("cdoc"), col("sh")).localCheckpoint(true)
+        val corpusCnt = corpusSh.groupBy(col("cdoc"))
+          .agg(count(lit(1)).as("nc")).localCheckpoint(true)
+        val medianCut = st.medianCut.localCheckpoint(true)
+        val rankCut = st.rankCut.localCheckpoint(true)
+        val ranks = rankFor(s, dir)
+          .select(col("node").as("doc_id"), col("rank"))
+        val bench = e2eBenchOf(st.cleaned).localCheckpoint(true)
+        val rates = Corpus.temperatureRates(st.decon, "source", 5000L)
+          .localCheckpoint(true)
+        val p = s"$scratchBase/graft_stream_pipe_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val cp = p + "_ckpt"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(cp)); rm(new java.io.File(p))
+        graft.streaming.StreamingDedup.replayForeachBatch(
+          s, s"$dir/documents.parquet", cp,
+          org.apache.spark.sql.streaming.OutputMode.Append()) { stDocs =>
+          // streaming side: row-local only — strata synth + the URL
+          e2eIngest(stDocs).withColumn("url", e2eUrl)
+        } { (batch, _) =>
+          val urlKept = batch
+            .withColumn("canon", UrlOps.canonicalUrl(col("url")))
+            .join(canonKeeper, "canon")
+            .where(col("doc_id") === col("_keeper"))
+            .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          val cleaned = TextAnalysis.c4Clean(urlKept, "doc_id", "text",
+              carry = Seq("lang", "source"), minSentences = 2)
+            .where(col("c4_keep"))
+            .select(col("doc_id"), col("c4_text").as("text"), col("lang"),
+              col("source"))
+          val xs = Dedup.hashedShingles(cleaned, "doc_id", "text", 3)
+          val xc = xs.groupBy(col("doc")).agg(count(lit(1)).as("nx"))
+          val dropped = xs.join(corpusSh, "sh")
+            .where(col("cdoc") < col("doc"))
+            .groupBy(col("doc"), col("cdoc")).agg(count(lit(1)).as("i"))
+            .join(xc, "doc").join(corpusCnt, "cdoc")
+            .where(col("i").cast("double") /
+              (col("nx") + col("nc") - col("i")) >= 0.5)
+            .select(col("doc").as("doc_id")).distinct()
+          val deduped = cleaned.join(dropped, Seq("doc_id"), "left_anti")
+          val gp = TextAnalysis.gopherRules(deduped, "doc_id", "text")
+            .where(col("gopher_pass")).select(col("doc_id"))
+          val gated = deduped.join(gp, Seq("doc_id"), "left_semi")
+          val q = gated.withColumn("_sc",
+              QualityModel.scoreText(col("text"), m))
+            .crossJoin(broadcast(medianCut))
+            .where(col("_sc") * 2 > (lit(2) - col("_r")) * col("_lo") +
+              col("_r") * col("_hi"))
+            .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          val rked = q.join(ranks, "doc_id")
+            .crossJoin(broadcast(rankCut))
+            .where(col("rank").cast(dec6) * 4 >=
+              (lit(4) - col("_r")) * col("_lo") + col("_r") * col("_hi"))
+            .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          val contam = Dedup.crossJaccardPairs(rked, bench, "doc_id",
+              "text", minJ = 0.5)
+            .select(col("doc_a").as("doc_id")).distinct()
+          val decon = rked.join(contam, Seq("doc_id"), "left_anti")
+          decon.join(broadcast(rates), "source")
+            .withColumn("sample_bucket", Corpus.sampleBucket(col("doc_id")))
+            .where(col("sample_bucket") < col("rate_bp"))
+            .select(col("doc_id"), col("lang"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+            .write.mode("append").parquet(p)
+        }
+        p
+      })
+      sortSmall(s.read.parquet(path), "doc_id")
+    }),
+
     // model-in-the-loop quality gate: a linear classifier TRAINED
     // INSIDE the engine (full-batch GD over hashed bag-of-words, 16
     // rounds, Elliott rational sigmoid) then scored over every doc.
@@ -3017,6 +3220,29 @@ object SparkEntry {
           sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
             .cast("long"), lit(1000003L))).as("checksum")),
         "lang")
+    }),
+
+    // approximate-percentile serving twins (r12 verdict task 7): the
+    // task-1 exact cutoffs re-served by percentile_approx with the
+    // sketch's rank-error bound ASSERTED in-query against the exact
+    // order statistics — the rel_sketches/doc_lsh_audit operating-point
+    // discipline applied to quantile serving
+    "doc_curate_rank_approx" -> ((s, dir) => {
+      val pr = rankFor(s, dir)
+        .select(col("node").as("doc_id"), col("rank"))
+      approxCutAudit(pr, col("rank"), col("doc_id"), 3, 4)
+    }),
+
+    "doc_pipeline_median_approx" -> ((s, dir) => {
+      val st = e2eStagesFor(s, dir)
+      val scz = st.gated.withColumn("_sc",
+        QualityModel.scoreText(col("text"), lrModelFor(s, dir)))
+      approxCutAudit(scz, col("_sc"), col("doc_id"), 1, 2)
+    }),
+
+    "text_nll_cuts_approx" -> ((s, dir) => {
+      sortSmall(TextAnalysis.nllCutsApprox(t(s, dir, "documents"),
+        "doc_id", "text", "lang"), "lang")
     }),
 
     // LSH operating-point AUDIT: precision/recall of the portable
@@ -5812,31 +6038,7 @@ object SparkEntry {
     // same nll computation, then per-language quantile_cont tercile
     // cutoffs (interpolation-identical to Spark's percentile) and the
     // same <=-threshold CASE bucketing
-    "text_nll_buckets" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |    FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |    FROM toks GROUP BY doc_id, term),
-        |f AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS f FROM tf GROUP BY term),
-        |n AS (SELECT CAST(SUM(f) AS BIGINT) AS n FROM f),
-        |c AS (SELECT doc_id, tf,
-        |    CAST(ROUND(tf * ln(CAST(n AS DOUBLE) / f), 6) AS DECIMAL(38,6))
-        |      AS contrib
-        |  FROM tf JOIN f USING (term) CROSS JOIN n),
-        |s AS (SELECT doc_id AS doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-        |    ROUND(CAST(SUM(contrib) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
-        |      AS nll
-        |  FROM c GROUP BY doc_id),
-        |sl AS (SELECT s.doc, d.lang, s.n_tokens, s.nll
-        |  FROM s JOIN documents d ON s.doc = d.doc_id),
-        |-- tercile cutoffs as EXACT order statistics + exact decimal
-        |-- comparison (nll <= lo + (hi-lo)*r/3  <=>  3*nll <= (3-r)*lo
-        |-- + r*hi): float-interpolated quantile_cont differed from
-        |-- Spark's percentile by one ulp and flipped a boundary doc at
-        |-- sf0.1
-        |q AS (SELECT lang, COUNT(*) AS n,
-        |    array_agg(nll ORDER BY nll) AS sv
-        |  FROM sl GROUP BY lang),
+    "text_nll_buckets" -> (NllOracleCtes + """,
         |b AS (SELECT lang,
         |    CAST(sv[CAST((1*(n-1))//3 + 1 AS BIGINT)] AS DECIMAL(38,6)) AS q1lo,
         |    CAST(sv[CAST(LEAST((1*(n-1))//3 + 2, n) AS BIGINT)]
@@ -5852,7 +6054,36 @@ object SparkEntry {
         |    WHEN 3*CAST(nll AS DECIMAL(38,6)) <= (3-r1)*q1lo + r1*q1hi THEN 1
         |    WHEN 3*CAST(nll AS DECIMAL(38,6)) <= (3-r2)*q2lo + r2*q2hi THEN 2
         |    ELSE 3 END AS BIGINT) AS bucket
-        |FROM sl JOIN b USING (lang) ORDER BY doc""".stripMargin,
+        |FROM sl JOIN b USING (lang) ORDER BY doc""".stripMargin),
+
+    // the serving twin pins the exact tercile order statistics plus
+    // TRUE for both sketch bounds — a percentile_approx answer outside
+    // its guaranteed rank window is a hash mismatch
+    "text_nll_cuts_approx" -> (NllOracleCtes + """
+        |SELECT lang,
+        |  sv[CAST((1*(n-1))//3 + 1 AS BIGINT)] AS q1_exact_lo,
+        |  sv[CAST(LEAST((1*(n-1))//3 + 2, n) AS BIGINT)] AS q1_exact_hi,
+        |  (1*(n-1)) % 3 AS r1, TRUE AS q1_within,
+        |  sv[CAST((2*(n-1))//3 + 1 AS BIGINT)] AS q2_exact_lo,
+        |  sv[CAST(LEAST((2*(n-1))//3 + 2, n) AS BIGINT)] AS q2_exact_hi,
+        |  (2*(n-1)) % 3 AS r2, TRUE AS q2_within
+        |FROM q ORDER BY lang""".stripMargin),
+
+    // exact p75 order statistics over the replayed rank table + TRUE
+    // bound flags (see text_nll_cuts_approx)
+    "doc_curate_rank_approx" -> (Graph.pageRankOracleCtes(SyntheticEdgeSql,
+      "SELECT doc_id AS node FROM documents", iters = 8) + """,
+        |rs AS (SELECT list_sort(list(rank)) AS s, COUNT(*) AS n FROM r8)
+        |SELECT s[CAST(floor(3*(n-1)/4) AS BIGINT) + 1] AS exact_lo,
+        |  s[least(CAST(floor(3*(n-1)/4) AS BIGINT) + 2, n)] AS exact_hi,
+        |  (3*(n-1)) % 4 AS r, TRUE AS within_bound FROM rs""".stripMargin),
+
+    // exact median order statistics over the composed pipeline's gated
+    // score frame + TRUE bound flag
+    "doc_pipeline_median_approx" -> e2eOracleSql(
+      """SELECT s[CAST(floor((n-1)/2) AS BIGINT) + 1] AS exact_lo,
+        |  s[least(CAST(floor((n-1)/2) AS BIGINT) + 2, n)] AS exact_hi,
+        |  (n-1) % 2 AS r, TRUE AS within_bound FROM psr""".stripMargin),
 
     // same plant, same RE2-compatible patterns, same
     // email->phone->ip->ssn->card replacement order; counts on the
@@ -6751,6 +6982,13 @@ object SparkEntry {
       """SELECT doc, lang, source, shuffle_key, n_tokens, start_offset,
         |  CAST(start_offset // 1000 AS BIGINT) AS shard_id
         |FROM ppo ORDER BY doc""".stripMargin),
+
+    // the streamed per-doc decisions must land on the batch pipeline's
+    // kept set exactly — same composed replay, mix-stage tail
+    "stream_pipeline" -> e2eOracleSql(
+      """SELECT doc_id, lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM am ORDER BY doc_id""".stripMargin),
 
     // same CTE prefix, funnel tail: per-stage survivor counts + final
     // shard/token mass

@@ -271,6 +271,15 @@ object Corpus {
     * scan-pushable, reproducible. Emits input rows + (rate_bp,
     * sample_bucket, selected). */
   def temperatureMixSample(df: DataFrame, idCol: String, strataCol: String,
+      keepBp: Long): DataFrame =
+    df.join(broadcast(temperatureRates(df, strataCol, keepBp)), strataCol)
+      .withColumn("sample_bucket", sampleBucket(col(idCol)))
+      .withColumn("selected", col("sample_bucket") < col("rate_bp"))
+
+  /** The per-stratum rate table of [[temperatureMixSample]] (stratum,
+    * rate_bp), exposed so a streaming twin can FREEZE the rates from a
+    * batch corpus and apply the row-local keep predicate at ingest. */
+  def temperatureRates(df: DataFrame, strataCol: String,
       keepBp: Long): DataFrame = {
     require(keepBp >= 0 && keepBp <= 10000, "keepBp in [0, 10000]")
     val counts = df.groupBy(col(strataCol))
@@ -280,15 +289,12 @@ object Corpus {
           .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
     val tot = counts.agg(sum(col("_w6")).as("_den"),
       sum(col("_n")).as("_nn"))
-    val rates = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col(strataCol),
         least(lit(10000L),
           floor(lit(keepBp.toDouble) * col("_nn") * col("_w6").cast("double")
             / (col("_den").cast("double") * col("_n"))).cast("long"))
           .as("rate_bp"))
-    df.join(broadcast(rates), strataCol)
-      .withColumn("sample_bucket", sampleBucket(col(idCol)))
-      .withColumn("selected", col("sample_bucket") < col("rate_bp"))
   }
 
   /** Corpus snapshot diff — the data-versioning primitive for iterated

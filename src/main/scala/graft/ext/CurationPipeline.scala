@@ -51,11 +51,15 @@ object CurationPipeline {
 
   /** The staged frames, exposed individually so callers can audit the
     * funnel (each stage's survivor count) as well as consume the final
-    * packed layout. */
+    * packed layout. `medianCut` / `rankCut` are the two-order-statistic
+    * cutoff frames (_lo, _hi, _r — one row each): the FROZEN artifacts
+    * a streaming twin broadcasts to apply the same gates per arriving
+    * doc. */
   final case class Stages(ingest: DataFrame, urlDeduped: DataFrame,
     cleaned: DataFrame, deduped: DataFrame, gated: DataFrame,
     scoredKeep: DataFrame, ranked: DataFrame, decon: DataFrame,
-    mixed: DataFrame, packed: DataFrame)
+    mixed: DataFrame, packed: DataFrame,
+    medianCut: DataFrame, rankCut: DataFrame)
 
   /** Run the pipeline over `ingest` (columns: doc_id, text, lang,
     * source). `urls` carries one (doc_id, url) row per ingest doc — the
@@ -158,6 +162,6 @@ object CurationPipeline {
         col("n_tokens"), col("start_offset"), col("shard_id"))
       .localCheckpoint(true)
     Stages(ingest, urlDeduped, cleaned, deduped, gated, scoredKeep,
-      ranked, decon, mixed, packed)
+      ranked, decon, mixed, packed, medianCut = scut, rankCut = rcut)
   }
 }

@@ -723,6 +723,50 @@ object TextAnalysis {
         col("bucket"))
   }
 
+  /** Approximate-percentile SERVING TWIN of [[nllBuckets]]'s tercile
+    * cutoffs (r12 verdict task 7) — the form a 100 TB run ships when
+    * exactness isn't contractual: per-stratum `percentile_approx`
+    * (GK sketch, mergeable, O(accuracy) state — no rank shuffle at all)
+    * with the error vs the exact order statistics PINNED IN-QUERY. The
+    * sketch guarantees a rank error ≤ n/accuracy; the emitted
+    * `q*_within` booleans assert the approx value lies between the
+    * exact order statistics at target ± (⌈n/accuracy⌉ + 2) ranks (the
+    * +2 absorbs the sketch's different rank anchor), so a sketch
+    * violating its bound is a red correctness gate, not a silent
+    * quality drift. Exact picks ride [[Ranks.stratifiedRowNumber]]. */
+  def nllCutsApprox(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, accuracy: Int = 1000): DataFrame = {
+    val nll = unigramNll(df, idCol, textCol)
+      .join(df.select(col(idCol).as("doc"), col(strataCol)), "doc")
+      .localCheckpoint(true)
+    val ranked = Ranks.stratifiedRowNumber(
+      nll.select(col(strataCol), col("nll"), col("doc")),
+      Seq(strataCol), Seq(col("nll"), col("doc")), out = "_rn")
+    val ns = nll.groupBy(col(strataCol)).agg(count(lit(1)).as("n"),
+      percentile_approx(col("nll"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("_apx"))
+    def tgt(t: Int) = floor(lit(t) * (col("n") - 1) / 3) + 1
+    val slack = ceil(col("n").cast("double") / accuracy) + 2
+    def loB(t: Int) = greatest(lit(1L), (tgt(t) - slack).cast("long"))
+    def hiB(t: Int) = least(col("n"), (tgt(t) + slack).cast("long"))
+    def pick(at: Column) = min(when(col("_rn") === at, col("nll")))
+    def apx(t: Int) = min(element_at(col("_apx"), t))
+    ranked.join(broadcast(ns), strataCol)
+      .where(Seq(1, 2).map(t =>
+        col("_rn") === tgt(t) || col("_rn") === least(tgt(t) + 1, col("n")) ||
+          col("_rn") === loB(t) || col("_rn") === hiB(t)).reduce(_ || _))
+      .groupBy(col(strataCol))
+      .agg(
+        pick(tgt(1)).as("q1_exact_lo"),
+        pick(least(tgt(1) + 1, col("n"))).as("q1_exact_hi"),
+        min(pmod(lit(1) * (col("n") - 1), lit(3L))).as("r1"),
+        (apx(1) >= pick(loB(1)) && apx(1) <= pick(hiB(1))).as("q1_within"),
+        pick(tgt(2)).as("q2_exact_lo"),
+        pick(least(tgt(2) + 1, col("n"))).as("q2_exact_hi"),
+        min(pmod(lit(2) * (col("n") - 1), lit(3L))).as("r2"),
+        (apx(2) >= pick(loB(2)) && apx(2) <= pick(hiB(2))).as("q2_within"))
+  }
+
   /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
     * (character classes, bounded repetition, `\b`, `\d`, non-capturing
     * groups — no lookaround, no backreferences) so Spark and any
