@@ -106,8 +106,17 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     if (record) {
       val out = args(2)
+      // sample plans under the GUARD's conditions: recall off and an
+      // empty cache catalog per query. Building a sortBig-style query
+      // registers a persist() eagerly, so a later query's plan would
+      // otherwise compile against InMemoryRelation subtrees the guard
+      // (which clearCache()s between queries) never sees — the r13
+      // gate flagged doc_pipeline_funnel for exactly this record/guard
+      // asymmetry, not a real regression.
+      sys.props("graft.recall") = "off"
       val rows = SparkEntry.queries.keys.toSeq.sorted.map { n =>
         val m = countersOf(SparkEntry.queries(n)(spark, sfDir))
+        spark.catalog.clearCache()
         println(s"[plans] $n $m")
         s"""  "$n": {${m.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""$k": $v""" }.mkString(", ")}}"""
