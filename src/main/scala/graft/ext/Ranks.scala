@@ -40,11 +40,21 @@ object Ranks {
     * ranked. */
   def globalRowNumber(df: DataFrame, ord: Seq[Column], nParts: Int = 32,
       out: String = "rn"): DataFrame = {
-    val sorted = df.repartitionByRange(nParts, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = sorted.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(ord: _*))
-        .cast("long"))
+    // (_pid, _lrn) derive from monotonically_increasing_id AFTER an
+    // explicit within-partition sort: mid = (partitionIndex << 33) +
+    // rowOrdinal, and range partition i holds keys below partition
+    // i+1, so the pair IS the (partition, local rank) the old
+    // row_number window computed — without the window's second
+    // full-corpus hash exchange on _pid (one shuffle + one local sort
+    // total; ordinals overflow only past 2^33 rows per partition).
+    // The id is evaluated exactly once thanks to the pin below.
+    val local = df.repartitionByRange(nParts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_lrn",
+        col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("_mid")
       .localCheckpoint(true)
     val offsets = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
@@ -68,24 +78,28 @@ object Ranks {
   def stratifiedRowNumber(df: DataFrame, strata: Seq[String],
       ord: Seq[Column], nParts: Int = 32, out: String = "rn"): DataFrame = {
     val sCols = strata.map(col)
-    val sorted = df.repartitionByRange(nParts, (sCols ++ ord): _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = sorted.withColumn("_lrn",
-      row_number().over(Window.partitionBy((col("_pid") +: sCols): _*)
-        .orderBy(ord: _*)).cast("long"))
+    // same one-shuffle construction as [[globalRowNumber]]: a stratum's
+    // rows are CONTIGUOUS within a partition (the local sort leads with
+    // the strata), so mid − min(mid over (partition, stratum)) is the
+    // 0-based per-stratum local rank — the per-(partition, stratum)
+    // minimum rides the SAME O(nParts·strata) frame as the offsets.
+    val local = df.repartitionByRange(nParts, (sCols ++ ord): _*)
+      .sortWithinPartitions((sCols ++ ord): _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       // pinned for the same two-consumer boundary-determinism reason as
       // [[globalRowNumber]] — see its doc comment
       .localCheckpoint(true)
     val offsets = local.groupBy((col("_pid") +: sCols): _*)
-      .agg(count(lit(1)).as("_cnt"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_base"))
       .withColumn("_off", coalesce(
         sum(col("_cnt")).over(Window.partitionBy(sCols: _*)
           .orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((col("_pid") +: sCols :+ col("_off")): _*)
+      .select((col("_pid") +: sCols :+ col("_base") :+ col("_off")): _*)
     local.join(broadcast(offsets), "_pid" +: strata)
-      .withColumn(out, col("_off") + col("_lrn"))
-      .drop("_pid", "_lrn", "_off")
+      .withColumn(out, col("_off") + (col("_mid") - col("_base")) + lit(1L))
+      .drop("_pid", "_mid", "_base", "_off")
   }
 
   /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
