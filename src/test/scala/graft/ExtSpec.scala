@@ -1747,6 +1747,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("orderStatCut picks the exact bracketing order statistics (odd/even/empty)") {
+    import graft.ext.Ranks
+    def cut(vals: Seq[Double], t: Int, q: Int) = {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("doc", "v")
+      Ranks.orderStatCut(df.repartition(5), col("v"), col("doc"), t, q)
+        .collect().head
+    }
+    // n=5 median: position floor((5-1)/2)+1 = 3 -> lo=30, hi=40, r=0
+    val odd = cut(Seq(50.0, 10.0, 30.0, 20.0, 40.0), 1, 2)
+    assert((odd.getDecimal(0).doubleValue, odd.getDecimal(1).doubleValue,
+      odd.getLong(2)) == ((30.0, 40.0, 0L)), odd.toString)
+    // n=4 median: position floor(3/2)+1 = 2 -> lo=20, hi=30, r=1
+    val even = cut(Seq(40.0, 10.0, 30.0, 20.0), 1, 2)
+    assert((even.getDecimal(0).doubleValue, even.getDecimal(1).doubleValue,
+      even.getLong(2)) == ((20.0, 30.0, 1L)), even.toString)
+    // p75 over n=5: position floor(3*4/4)+1 = 4 -> lo=40, hi=50, r=0
+    val p75 = cut(Seq(50.0, 10.0, 30.0, 20.0, 40.0), 3, 4)
+    assert((p75.getDecimal(0).doubleValue, p75.getDecimal(1).doubleValue,
+      p75.getLong(2)) == ((40.0, 50.0, 0L)), p75.toString)
+    // empty input degrades to one all-null row (filters drop everything)
+    val empty = cut(Seq.empty, 1, 2)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("CurationPipeline degrades to empty frames when every doc is cleaned away") {
     import graft.ext.{CurationPipeline, QualityModel}
     // every doc trips the C4 curly-brace gate -> cleaned is EMPTY; the
