@@ -2430,6 +2430,117 @@ object SparkEntry {
           col("sample_bucket")), "doc_id")
     }),
 
+    // deterministic train/validation/test split (90/5/5) — the held-out
+    // assignment step: split is a pure function of (salt, doc_id) via
+    // the portable salted md5 bucket, so a document can NEVER migrate
+    // from test into train across re-runs/partitionings/engines (the
+    // classic eval leak a rand() split invites), and the whole op is a
+    // shuffle-free row-local projection that pushes to the scan. The
+    // salt keeps the split hash independent of sample_bucket's, so
+    // sampling and splitting decisions stay statistically independent.
+    "doc_hash_split" -> ((s, dir) => {
+      sortBig(Corpus.hashSplit(t(s, dir, "documents"), "doc_id",
+          salt = "split", trainBp = 9000L, valBp = 500L)
+        .select(col("doc_id"), col("lang"), col("split_bucket"),
+          col("split")), "doc_id")
+    }),
+
+    // exact-k uniform sample without replacement — the exact-BUDGET
+    // sibling of doc_sample_stratified's rate form: the k smallest
+    // salted md5 keys win. orderBy(key).limit(k) compiles to
+    // TakeOrderedAndProject (size-k heap per partition + k-row driver
+    // merge — no global sort, no corpus shuffle), and the min-wise hash
+    // property means growing the corpus can only evict, never
+    // reshuffle, previously selected docs.
+    "doc_sample_topk" -> ((s, dir) => {
+      sortSmall(Corpus.uniformSampleK(t(s, dir, "documents"), "doc_id",
+          k = 100)
+        .select(col("doc_id"), col("lang"), col("sample_key")),
+        "sample_key", "doc_id")
+    }),
+
+    // exact-k WEIGHTED sample without replacement (Efraimidis–Spirtes
+    // exponential keys: u from the salted 60-bit md5 bucket, keep the k
+    // smallest -ln(u)/w) — here length-biased by n_chars: the
+    // exact-budget form of importance sampling (DSIR gives the same
+    // bias as a rate). Keys rounded to 6 dp + id tie-break so the
+    // selected set is engine-portable; same TakeOrderedAndProject
+    // shape, no corpus shuffle.
+    "doc_sample_weighted" -> ((s, dir) => {
+      sortSmall(Corpus.weightedSampleK(t(s, dir, "documents"), "doc_id",
+          "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"), col("es_key")),
+        "es_key", "doc_id")
+    }),
+
+    // SPLIT-LEAKAGE AUDIT — the eval-contamination check a held-out
+    // split must pass after assignment: near-duplicate pairs whose
+    // members landed in DIFFERENT splits are train↔test leaks (a
+    // hash split assigns re-crawled clones independently, so without a
+    // split-aware dedup pass they leak — the reason C4/Pile-style
+    // pipelines dedup BEFORE splitting). Planted leaks guarantee a
+    // non-empty gate: every doc_id % 17 == 3 re-enters verbatim under
+    // id + 2000000, and the clone's split hash re-deals. PPJoin
+    // prefix-filtered candidate pairs + two broadcast-size split joins
+    // on the PAIRS side only — no corpus-squared work, no new shuffle
+    // family.
+    "doc_split_leak_audit" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.unionByName(base.where(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val sp = Corpus.hashSplit(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+      sortSmall(Dedup.jaccardPairs(sh, 0.5)
+        .join(sp.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          round(col("jaccard"), 6).as("jaccard")),
+        "doc_a", "doc_b")
+    }),
+
+    // STREAMING twin of doc_sample_topk — maintain an exact-k uniform
+    // sample of an unbounded stream: per micro-batch a distributed
+    // TakeOrdered picks the batch's k smallest salted md5 keys, then a
+    // k-row driver-side merge keeps top-k of (state ∪ batch). Min-wise
+    // hashing makes this the classic bounded-state stream sampler: the
+    // merge is associative AND commutative (batch order can't matter),
+    // state is O(k) regardless of stream length, and the final sample
+    // ≡ the batch top-k over everything streamed — same salt, same
+    // kept set, same oracle as doc_sample_topk. Replayed as 8 REAL
+    // micro-batches (split source, maxFilesPerTrigger=1) so cross-batch
+    // eviction actually executes.
+    "stream_sample_topk" -> ((s, dir) => {
+      val k = 100
+      val p = s"$scratchBase/graft_stream_topk_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      var state = Vector.empty[(String, Long, String)]
+      graft.streaming.StreamingDedup.replayForeachBatchSplit(
+        s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", 8,
+        org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id"), col("lang"),
+          md5(concat(lit("usample:"), col("doc_id").cast("string")))
+            .as("sample_key"))
+      } { (batch, _) =>
+        val top = batch.orderBy(col("sample_key"), col("doc_id")).limit(k)
+          .collect()
+          .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+        state = (state ++ top).sortBy(t => (t._1, t._2)).take(k)
+      }
+      import s.implicits._
+      sortSmall(state.toDF("sample_key", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("sample_key")),
+        "sample_key", "doc_id")
+    }),
+
     // benchmark-contamination detection (DECONTAMINATION) — the hygiene
     // pass a training pipeline runs before shipping: any training doc
     // sharing a word 5-gram with the benchmark/eval slice is flagged
@@ -3482,6 +3593,26 @@ object SparkEntry {
           "doc_id", "text", topN = 3)
         .select(col("doc").as("doc_id"), col("rank"), col("term"),
           col("tfidf")), "doc_id", "rank")
+    }),
+
+    // Unicode NFC normalization audit (UAX #15) — the canonical-form
+    // pass run before tokenization and dedup so decomposed e+U+0301 and
+    // precomposed U+00E9 hash identically. The corpus is ASCII (already
+    // NFC), so a deterministic non-NFC prefix is planted by doc_id % 3:
+    // a combining-acute sequence (NFC contracts it to one char), U+212B
+    // ANGSTROM SIGN (NFC maps it to U+00C5), and U+FB01 fi-ligature
+    // (NFC-stable — the negative control; only NFKC folds it).
+    // Normalization is the codegen'd native NormalizeUnicode
+    // expression; the audit is one row-local projection, no shuffle.
+    "text_normalize" -> ((s, dir) => {
+      val pre = when(col("doc_id") % 3 === 0, lit("e\u0301"))
+        .when(col("doc_id") % 3 === 1, lit("\u212B"))
+        .otherwise(lit("\uFB01"))
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), concat(pre, lit(" "), col("text")).as("text"))
+      sortBig(TextAnalysis.nfcAudit(raw, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_raw"), col("n_nfc"),
+          col("changed"), col("h")), "doc_id")
     }),
 
     // BM25 ranked retrieval for a fixed query set — the retrieval
@@ -5712,6 +5843,79 @@ object SparkEntry {
         |                           ELSE 10000 END
         |ORDER BY doc_id""".stripMargin,
 
+    // identical salted md5 bucket + the same basis-point thresholds
+    "doc_hash_split" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS BIGINT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, split_bucket,
+        |  CASE WHEN split_bucket < 9000 THEN 'train'
+        |       WHEN split_bucket < 9500 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // same salted md5 keys, ANSI top-k
+    "doc_sample_topk" ->
+      """SELECT doc_id, lang,
+        |  md5('usample:' || CAST(doc_id AS VARCHAR)) AS sample_key
+        |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+
+    // the streamed running top-k must land on the batch top-k exactly
+    // (min-wise merge ≡ global top-k) — same oracle as doc_sample_topk
+    "stream_sample_topk" ->
+      """SELECT doc_id, lang,
+        |  md5('usample:' || CAST(doc_id AS VARCHAR)) AS sample_key
+        |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+
+    // the JaccardOracle CTEs over the planted-clone corpus + the salted
+    // split CASE; leaks = pairs whose members' splits differ
+    "doc_split_leak_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 17 = 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+        |             JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN b < 9000 THEN 'train'
+        |         WHEN b < 9500 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT % 10000 AS b
+        |    FROM all_docs))
+        |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+        |FROM pairs JOIN sp sa ON doc_a = sa.doc_id
+        |           JOIN sp sb ON doc_b = sb.doc_id
+        |WHERE sa.split <> sb.split
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical exponential-key arithmetic: u = (bucket + 0.5)/2^60,
+    // key = round(-ln(u)/w, 6), k smallest
+    "doc_sample_weighted" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS bucket
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  round(-ln((bucket + 0.5) / 1152921504606846976.0) / n_chars, 6)
+        |    AS es_key
+        |FROM b ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
+
     // re-chunk with list-slice arithmetic, keeper = min (doc, chunk_idx)
     // per chunk STRING (pins the engine's hashed-key path)
     "doc_chunk_dedup" ->
@@ -7235,6 +7439,21 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, rank, term, tfidf FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // same planted prefixes built from codepoints (chr), normalized with
+    // DuckDB's ICU nfc_normalize — pins the JDK Normalizer NFC output,
+    // the char counts, and the md5 of the normalized bytes
+    "text_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE CAST(doc_id % 3 AS INTEGER)
+        |       WHEN 0 THEN 'e' || chr(769)
+        |       WHEN 1 THEN chr(8491)
+        |       ELSE chr(64257) END || ' ' || text) AS r
+        |  FROM documents),
+        |n AS (SELECT doc_id, r, nfc_normalize(r) AS nf FROM raw)
+        |SELECT doc_id, length(r) AS n_raw, length(nf) AS n_nfc,
+        |  (r <> nf) AS changed, md5(nf) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // GENERATED from Bm25Queries so engine and oracle score identical
     // terms; arithmetic mirrors TextAnalysis.bm25TopK token-for-token

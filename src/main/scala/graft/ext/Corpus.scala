@@ -208,6 +208,80 @@ object Corpus {
       .where(col("sample_bucket") < rate)
   }
 
+  /** Deterministic train/validation/test split by salted id hash — the
+    * held-out-set assignment step of a training-data pipeline. A document
+    * lands in `train` iff its salted bucket falls under `trainBp` (basis
+    * points of 10000), `validation` under `trainBp + valBp`, else `test`.
+    *
+    * Two properties the naive `rand()` split lacks, both load-bearing at
+    * corpus scale: (1) the assignment is a pure function of (salt, id) —
+    * re-runs, different partitionings, incremental re-crawls and other
+    * engines all agree, so a document can NEVER migrate from test into
+    * train between pipeline versions (the classic eval-leak); (2) it is a
+    * shuffle-free row-local projection that pushes down to the scan — no
+    * global sort, no RNG state to coordinate across 1000 executors. The
+    * salt is prepended so the split hash is independent of every other
+    * md5-bucket decision in the pipeline ([[sampleBucket]], shuffle keys):
+    * sampling and splitting stay statistically independent even though
+    * both read the same id. Emits input rows + (split_bucket, split). */
+  def hashSplit(df: DataFrame, idCol: String, salt: String = "split",
+      trainBp: Long = 9000L, valBp: Long = 500L): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      "trainBp/valBp are basis points with trainBp + valBp <= 10000")
+    val bucket = pmod(conv(substring(md5(
+        concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(10000L))
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < trainBp, lit("train"))
+          .when(col("split_bucket") < trainBp + valBp, lit("validation"))
+          .otherwise(lit("test")))
+  }
+
+  /** Exact-k uniform sample WITHOUT replacement: the k rows with the
+    * smallest salted md5 keys. Bernoulli sampling ([[stratifiedSample]])
+    * delivers a rate; this delivers an exact BUDGET — "give me exactly
+    * 10M held-out docs" — while keeping every reproducibility property
+    * of the hash discipline (pure function of (salt, id): re-runs,
+    * partitionings and engines agree; adding documents can only evict,
+    * never reshuffle, previously selected ones — the min-wise property).
+    *
+    * Scale shape: `orderBy(key).limit(k)` compiles to
+    * TakeOrderedAndProject — a size-k heap per partition + a k-row
+    * driver merge. No global sort, no corpus shuffle; the corpus-side
+    * work is one row-local md5 projection. k must fit the driver (it is
+    * the OUTPUT — millions, not billions). */
+  def uniformSampleK(df: DataFrame, idCol: String, k: Int,
+      salt: String = "usample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("sample_key",
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .orderBy(col("sample_key"), col(idCol)).limit(k)
+  }
+
+  /** Exact-k WEIGHTED sample without replacement (Efraimidis & Spirtes
+    * 2006, "Weighted random sampling with a reservoir"): each row draws
+    * u ~ U(0,1) from its salted 60-bit md5 bucket ((bucket + 0.5)/2^60 —
+    * never 0 or 1) and the k smallest exponential keys -ln(u)/w win,
+    * which selects row i with probability proportional to w_i at every
+    * prefix — the one-pass exact-budget form of importance sampling
+    * (DSIR delivers the same bias as a RATE; this delivers a BUDGET).
+    * Keys are rounded to 6 dp with the id as total tie-break, so the
+    * selected set is engine-portable under the repo's ln() rounding
+    * discipline (same as bm25/tfidf). Same TakeOrderedAndProject shape
+    * as [[uniformSampleK]]: no global sort, no corpus shuffle. */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bucket = conv(substring(md5(
+        concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (bucket.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    df.withColumn("es_key",
+        round(-log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("es_key"), col(idCol)).limit(k)
+  }
+
   /** Target-MIX sampling: derive each stratum's keep rate FROM a target
     * composition instead of taking fixed rates — the "make the training
     * mix 40% en / 20% zh / ..." recipe step. For stratum s with observed

@@ -1008,4 +1008,24 @@ object TextAnalysis {
         round(sum(col("_contrib")).cast("double") /
           sum(col("tf")).cast("double"), 6).as("kn_nll"))
   }
+
+  /** Unicode NFC-normalization audit (UAX #15): per document, the raw and
+    * normalized character counts, whether normalization changed the text,
+    * and an md5 checksum of the NFC form — the canonical-form pass every
+    * multilingual corpus pipeline runs before tokenization and dedup
+    * (decomposed "e"+U+0301 and precomposed U+00E9 must hash identically
+    * or the dedup keyspace silently splits). Normalization itself is the
+    * codegen'd [[graft.functions.NormalizeUnicode]] native expression;
+    * the whole audit is a shuffle-free row-local projection that stays
+    * inside one whole-stage-codegen span. */
+  def nfcAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nf = graft.functions.StringFunctions
+      .normalizeUnicode(col(textCol), "NFC")
+    df.select(col(idCol).as("doc"), col(textCol).as("_r"), nf.as("_nf"))
+      .select(col("doc"),
+        length(col("_r")).as("n_raw"),
+        length(col("_nf")).as("n_nfc"),
+        (col("_r") =!= col("_nf")).as("changed"),
+        md5(col("_nf")).as("h"))
+  }
 }

@@ -542,6 +542,50 @@ object StreamingDedup {
     * a committed one never re-fires), and the LAST committed batch owns
     * the final contents. Same replay/session-conf discipline as
     * [[replayDocs]]. */
+  /** [[replayForeachBatch]] over a MULTI-BATCH bounded replay: the batch
+    * parquet is split into `splitN` files in `scratchDir` and streamed
+    * one file per micro-batch (`maxFilesPerTrigger=1`), so cross-batch
+    * state logic actually executes `splitN` times — a single-file source
+    * collapses AvailableNow to ONE micro-batch, which can't exercise a
+    * running-state merge at all. Batch arrival order is file-listing
+    * order; callers' merge logic must be order-insensitive (top-k/set
+    * merges are), which is also the production truth: replayed streams
+    * reorder. */
+  def replayForeachBatchSplit(spark: SparkSession, parquetPath: String,
+      scratchDir: String, checkpoint: String, splitN: Int,
+      outputMode: OutputMode)
+      (probe: DataFrame => DataFrame)
+      (write: (DataFrame, Long) => Unit): Unit = {
+    require(splitN > 0, "splitN must be positive")
+    spark.read.parquet(parquetPath).repartition(splitN)
+      .write.mode("overwrite").parquet(scratchDir)
+    val schema = cachedSchema(spark, parquetPath)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(scratchDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val qr = probe(stream).writeStream
+        .outputMode(outputMode)
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   def replayForeachBatch(spark: SparkSession, parquetPath: String,
       checkpoint: String, outputMode: OutputMode)
       (probe: DataFrame => DataFrame)

@@ -1249,6 +1249,117 @@ class ExtSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hashSplit assigns every doc exactly one stable split at the requested rates") {
+    import graft.ext.Corpus
+    val out = Corpus.hashSplit(docs, "doc_id").cache()
+    assert(out.count() == docs.count())
+    // buckets in range, split consistent with bucket thresholds
+    assert(out.where(col("split_bucket") < 0 || col("split_bucket") >= 10000)
+      .count() == 0)
+    assert(out.where(
+      (col("split_bucket") < 9000 && col("split") =!= "train") ||
+      (col("split_bucket") >= 9000 && col("split_bucket") < 9500 &&
+        col("split") =!= "validation") ||
+      (col("split_bucket") >= 9500 && col("split") =!= "test")).count() == 0)
+    // deterministic: recomputation under a different partitioning agrees
+    val out2 = Corpus.hashSplit(docs.repartition(7), "doc_id")
+    assert(out.exceptAll(out2).count() == 0 && out2.exceptAll(out).count() == 0)
+    // a different salt re-deals the buckets (split independence knob)
+    val salted = Corpus.hashSplit(docs, "doc_id", salt = "other")
+    assert(out.select("doc_id", "split_bucket")
+      .exceptAll(salted.select("doc_id", "split_bucket")).count() > 0)
+    // rates land near 90/5/5 (hash-uniformity sanity, generous binomial slack)
+    val n = out.count().toDouble
+    val trainFrac = out.where(col("split") === "train").count() / n
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    assertThrows[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", trainBp = 9900L, valBp = 500L)
+    }
+    out.unpersist()
+  }
+
+  test("uniformSampleK takes exactly k, deterministically, with the min-wise property") {
+    import graft.ext.Corpus
+    val k = 10
+    val sel = Corpus.uniformSampleK(docs, "doc_id", k).cache()
+    assert(sel.count() == k)
+    // selected rows are real corpus rows
+    assert(sel.drop("sample_key").exceptAll(docs).count() == 0)
+    // deterministic across partitionings
+    val sel2 = Corpus.uniformSampleK(docs.repartition(7), "doc_id", k)
+    assert(sel.exceptAll(sel2).count() == 0 && sel2.exceptAll(sel).count() == 0)
+    // min-wise: growing the corpus can only EVICT previously selected
+    // docs, never pull in a doc that lost before
+    val grown = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val selGrown = Corpus.uniformSampleK(grown, "doc_id", k)
+    val origIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    val grownOrigIds = selGrown.where(col("doc_id") < 1000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(grownOrigIds.subsetOf(origIds),
+      s"non-min-wise: ${grownOrigIds -- origIds} appeared only in the grown sample")
+    // the plan is a TakeOrdered, not a global sort
+    assert(sel.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    sel.unpersist()
+  }
+
+  test("weightedSampleK implements Efraimidis-Spirtes keys and biases toward weight") {
+    import graft.ext.Corpus
+    val k = 50
+    val sel = Corpus.weightedSampleK(docs, "doc_id", "n_chars", k).cache()
+    assert(sel.count() == k)
+    // key formula: round(-ln((bucket+0.5)/2^60)/w, 6) recomputed row-by-row
+    val check = sel.select("doc_id", "n_chars", "es_key").collect().map { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsample:${r.getLong(0)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val u = (bucket.toDouble + 0.5) / 1152921504606846976.0
+      val key = BigDecimal(-math.log(u) / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getLong(0), key, r.getDouble(2))
+    }
+    check.foreach { case (id, want, got) =>
+      assert(got == want, s"doc $id: es_key $got != recomputed $want") }
+    // deterministic across partitionings
+    val sel2 = Corpus.weightedSampleK(docs.repartition(5), "doc_id", "n_chars", k)
+    assert(sel.exceptAll(sel2).count() == 0 && sel2.exceptAll(sel).count() == 0)
+    // length bias: the weighted sample's mean n_chars exceeds the
+    // uniform sample's at the same k (loose statistical check — the
+    // fixture's weights span a wide range)
+    val wMean = sel.agg(avg("n_chars")).head.getDouble(0)
+    val uMean = Corpus.uniformSampleK(docs, "doc_id", k)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(wMean > uMean,
+      s"weighted mean $wMean not above uniform mean $uMean")
+    sel.unpersist()
+  }
+
+  test("NormalizeUnicode matches UAX #15 on composition, compatibility and nulls") {
+    import graft.functions.StringFunctions.normalizeUnicode
+    val comb = "e" + "\u0301"          // decomposed e + combining acute
+    val df = Seq(
+      (1L, comb + "clair"),            // NFC composes to U+00E9
+      (2L, "\u212B"),                  // ANGSTROM SIGN -> U+00C5 under NFC
+      (3L, "\uFB01" + "n"),            // fi-ligature: NFC-stable, NFKC folds
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val got = df.select(col("id"),
+        normalizeUnicode(col("s")).as("nfc"),
+        normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L) == ((Some("\u00E9clair"), Some("\u00E9clair"))))
+    assert(got(2L) == ((Some("\u00C5"), Some("\u00C5"))))
+    assert(got(3L) == ((Some("\uFB01" + "n"), Some("fin"))))
+    assert(got(4L) == ((Some("plain ascii"), Some("plain ascii"))))
+    assert(got(5L) == ((None, None)))
+    assertThrows[IllegalArgumentException] {
+      df.select(normalizeUnicode(col("s"), "NFX")).collect()
+    }
+  }
+
   test("contamination counts distinct shared n-grams, training side only") {
     import graft.ext.Corpus
     // bench doc 1 has 5-grams {"a b c d e", "b c d e f"}; doc 2 shares
