@@ -52,6 +52,7 @@ object ScaleSmoke {
     if (args.headOption.contains("ivfdrift")) { ivfdrift(); return }
     if (args.headOption.contains("langid1m")) { langid1m(); return }
     if (args.headOption.contains("ranks1m")) { ranks1m(); return }
+    if (args.headOption.contains("sample1m")) { sample1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3422,6 +3423,99 @@ object ScaleSmoke {
     * the skewed-stratum regime where one stratum is 90% of the corpus,
     * and that the picked median order statistics are bit-identical to
     * the single-task reference. */
+  /** 1M-doc sampler tier: exact-budget top-k sampling (uniform + E-S
+    * weighted) and the held-out hash split at 1M ids. Confirms the
+    * TakeOrderedAndProject plan survives (no global sort appears at this
+    * size), the kept set is partitioning-invariant, and — the property
+    * that makes min-wise sampling shard-parallel and stream-mergeable at
+    * 100 TB — top-k(A ∪ B) == top-k(top-k(A) ∪ top-k(B)), so shard-local
+    * heaps compose without ever sorting the corpus. */
+  private def sample1m(): Unit = {
+    import graft.ext.Corpus
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val n = 1000000L
+    val k = 1000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(2000L)) + 50L).as("n_chars"))
+      .localCheckpoint(true)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // uniform: wall, plan, partitioning invariance
+    val uni = Corpus.uniformSampleK(docs, "doc_id", k)
+    if (!uni.queryExecution.sparkPlan.toString
+        .contains("TakeOrderedAndProject")) {
+      println("SCALESAMPLE uniform plan lost TakeOrderedAndProject"); failed = true
+    }
+    val (uniRows, tUni) = timed(uni.collect())
+    val uniIds = uniRows.map(_.getLong(0)).toSet
+    println(f"SCALESAMPLE uniform top-$k of ${n / 1000000}M: $tUni%.1f s")
+    val uniIds7 = Corpus.uniformSampleK(docs.repartition(7), "doc_id", k)
+      .collect().map(_.getLong(0)).toSet
+    if (uniIds != uniIds7) {
+      println("SCALESAMPLE uniform kept set not partitioning-invariant")
+      failed = true
+    }
+    // mergeability: shard-local top-k heaps compose to the global top-k
+    val lo = Corpus.uniformSampleK(docs.where(col("doc_id") < n / 2),
+      "doc_id", k)
+    val hi = Corpus.uniformSampleK(docs.where(col("doc_id") >= n / 2),
+      "doc_id", k)
+    val mergedIds = Corpus.uniformSampleK(lo.unionByName(hi)
+        .drop("sample_key"), "doc_id", k)
+      .collect().map(_.getLong(0)).toSet
+    if (mergedIds != uniIds) {
+      println("SCALESAMPLE shard-merge law violated: " +
+        s"${(mergedIds -- uniIds).size}/${(uniIds -- mergedIds).size} diffs")
+      failed = true
+    } else println("SCALESAMPLE shard-merge law holds: " +
+      "top-k(A∪B) == top-k(top-k(A) ∪ top-k(B))")
+    // weighted: wall, invariance, and the length bias it exists for
+    val (wRows, tW) = timed(
+      Corpus.weightedSampleK(docs, "doc_id", "n_chars", k).collect())
+    println(f"SCALESAMPLE weighted top-$k: $tW%.1f s")
+    val wIds = wRows.map(_.getLong(0)).toSet
+    val wIds5 = Corpus.weightedSampleK(docs.repartition(5), "doc_id",
+      "n_chars", k).collect().map(_.getLong(0)).toSet
+    if (wIds != wIds5) {
+      println("SCALESAMPLE weighted kept set not partitioning-invariant")
+      failed = true
+    }
+    val wMean = wRows.map(_.getLong(1)).sum.toDouble / wRows.length
+    val uMean = uniRows.map(_.getLong(1)).sum.toDouble / uniRows.length
+    println(f"SCALESAMPLE mean weight: weighted $wMean%.0f vs uniform $uMean%.0f")
+    if (wMean <= uMean) {
+      println("SCALESAMPLE weighted sample shows no weight bias"); failed = true
+    }
+    // hash split at 1M: one row-local projection; shares within 4 sigma
+    val (splits, tS) = timed(Corpus.hashSplit(docs, "doc_id")
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    println(f"SCALESAMPLE hashSplit of ${n / 1000000}M: $tS%.1f s -> $splits")
+    def within(name: String, p: Double): Unit = {
+      val got = splits.getOrElse(name, 0L).toDouble
+      val sigma = math.sqrt(n * p * (1 - p))
+      if (math.abs(got - n * p) > 4 * sigma) {
+        println(f"SCALESAMPLE $name share off: $got%.0f vs ${n * p}%.0f " +
+          f"(4 sigma = ${4 * sigma}%.0f)")
+        failed = true
+      }
+    }
+    within("train", 0.90); within("validation", 0.05); within("test", 0.05)
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   private def ranks1m(): Unit = {
     import graft.ext.Ranks
     val spark = SparkSession.builder()

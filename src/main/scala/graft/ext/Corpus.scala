@@ -269,7 +269,13 @@ object Corpus {
     * Keys are rounded to 6 dp with the id as total tie-break, so the
     * selected set is engine-portable under the repo's ln() rounding
     * discipline (same as bm25/tfidf). Same TakeOrderedAndProject shape
-    * as [[uniformSampleK]]: no global sort, no corpus shuffle. */
+    * as [[uniformSampleK]]: no global sort, no corpus shuffle.
+    *
+    * Rows with non-positive (or null) weight are FILTERED, not ranked:
+    * E-S gives them selection probability 0, and mechanically a w <= 0
+    * key would be null/negative-infinite — and ascending null placement
+    * differs across engines (Spark sorts nulls first, ANSI engines
+    * last), so the filter is also what keeps the kept set portable. */
   def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k > 0, "k must be positive")
@@ -277,7 +283,8 @@ object Corpus {
         concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val u = (bucket.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
-    df.withColumn("es_key",
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key",
         round(-log(u) / col(weightCol).cast("double"), 6))
       .orderBy(col("es_key"), col(idCol)).limit(k)
   }

@@ -1332,6 +1332,13 @@ class ExtSpec extends SparkSpec {
       .agg(avg("n_chars")).head.getDouble(0)
     assert(wMean > uMean,
       s"weighted mean $wMean not above uniform mean $uMean")
+    // non-positive weight = selection probability 0 (never ranked, never
+    // selected — and never a null key with engine-divergent ordering)
+    val zeroed = docs.withColumn("n_chars",
+      when(col("doc_id") % 2 === 0, lit(0L)).otherwise(col("n_chars")))
+    val selZ = Corpus.weightedSampleK(zeroed, "doc_id", "n_chars", k)
+    assert(selZ.where(col("doc_id") % 2 === 0).count() == 0)
+    assert(selZ.count() == k)
     sel.unpersist()
   }
 
