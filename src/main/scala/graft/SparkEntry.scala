@@ -2527,13 +2527,15 @@ object SparkEntry {
         s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", 8,
         org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
         st.select(col("doc_id"), col("lang"),
-          md5(concat(lit("usample:"), col("doc_id").cast("string")))
-            .as("sample_key"))
+          Corpus.sampleKey(col("doc_id")).as("sample_key"))
       } { (batch, _) =>
         val top = batch.orderBy(col("sample_key"), col("doc_id")).limit(k)
           .collect()
           .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
-        state = (state ++ top).sortBy(t => (t._1, t._2)).take(k)
+        // distinct makes the merge IDEMPOTENT as well as associative and
+        // commutative: foreachBatch is at-least-once, and a re-delivered
+        // batch must not let duplicate tuples occupy top-k slots
+        state = (state ++ top).distinct.sortBy(t => (t._1, t._2)).take(k)
       }
       import s.implicits._
       sortSmall(state.toDF("sample_key", "doc_id", "lang")
@@ -5905,12 +5907,13 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // identical exponential-key arithmetic: u = (bucket + 0.5)/2^60,
-    // key = round(-ln(u)/w, 6), k smallest
+    // key = round(-ln(u)/w, 6), k smallest; the w > 0 filter mirrors the
+    // engine's (E-S gives non-positive weights probability 0)
     "doc_sample_weighted" ->
       """WITH b AS (SELECT doc_id, n_chars,
         |    ('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)),
         |      1, 15))::BIGINT AS bucket
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars,
         |  round(-ln((bucket + 0.5) / 1152921504606846976.0) / n_chars, 6)
         |    AS es_key

@@ -254,10 +254,15 @@ object Corpus {
   def uniformSampleK(df: DataFrame, idCol: String, k: Int,
       salt: String = "usample"): DataFrame = {
     require(k > 0, "k must be positive")
-    df.withColumn("sample_key",
-        md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+    df.withColumn("sample_key", sampleKey(col(idCol), salt))
       .orderBy(col("sample_key"), col(idCol)).limit(k)
   }
+
+  /** The salted md5 sampling key [[uniformSampleK]] ranks on — exposed so
+    * streaming twins rank on the byte-identical key (any drift in the
+    * salt/separator convention must change both sides at once). */
+  def sampleKey(idCol: Column, salt: String = "usample"): Column =
+    md5(concat(lit(salt + ":"), idCol.cast("string")))
 
   /** Exact-k WEIGHTED sample without replacement (Efraimidis & Spirtes
     * 2006, "Weighted random sampling with a reservoir"): each row draws

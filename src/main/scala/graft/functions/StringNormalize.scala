@@ -25,13 +25,19 @@ object NormalizeHelpers {
       s"unknown Unicode normalization form '$other' (NFC/NFD/NFKC/NFKD)")
   }
 
-  /** Normalize a UTF8String under the given form ordinal. Fast path: for
-    * an already-normalized value (the overwhelmingly common case in a
-    * clean corpus) `Normalizer.isNormalized` is a single verification
-    * pass and the INPUT object is returned — no String round-trip, no
-    * allocation. Only rows that actually need rewriting pay the
-    * UTF8String→String→UTF8String conversion. */
+  /** Normalize a UTF8String under the given form ordinal, cheapest check
+    * first: (1) pure-ASCII input (the overwhelmingly common case in a
+    * clean corpus) is normalized under every UAX #15 form — detected by
+    * a byte scan on the raw UTF8String with ZERO allocation, the input
+    * object is returned; (2) non-ASCII but already-normalized input pays
+    * one UTF8String→String copy for `Normalizer.isNormalized`'s
+    * verification pass and returns the input; (3) only rows that
+    * actually need rewriting pay the full String round-trip. */
   def normalize(s: UTF8String, form: Int): UTF8String = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: normalized under all four forms
     val str = s.toString
     val f = Forms(form)
     if (Normalizer.isNormalized(str, f)) s

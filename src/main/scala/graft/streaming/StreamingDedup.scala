@@ -542,6 +542,34 @@ object StreamingDedup {
     * a committed one never re-fires), and the LAST committed batch owns
     * the final contents. Same replay/session-conf discipline as
     * [[replayDocs]]. */
+  def replayForeachBatch(spark: SparkSession, parquetPath: String,
+      checkpoint: String, outputMode: OutputMode)
+      (probe: DataFrame => DataFrame)
+      (write: (DataFrame, Long) => Unit): Unit = {
+    val stream = streamSource(spark, parquetPath)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val qr = probe(stream).writeStream
+        .outputMode(outputMode)
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
   /** [[replayForeachBatch]] over a MULTI-BATCH bounded replay: the batch
     * parquet is split into `splitN` files in `scratchDir` and streamed
     * one file per micro-batch (`maxFilesPerTrigger=1`), so cross-batch
@@ -586,32 +614,4 @@ object StreamingDedup {
     }
   }
 
-  def replayForeachBatch(spark: SparkSession, parquetPath: String,
-      checkpoint: String, outputMode: OutputMode)
-      (probe: DataFrame => DataFrame)
-      (write: (DataFrame, Long) => Unit): Unit = {
-    val stream = streamSource(spark, parquetPath)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf
-      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
-      val qr = probe(stream).writeStream
-        .outputMode(outputMode)
-        .foreachBatch(write)
-        .option("checkpointLocation", checkpoint)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      qr.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      prevNoData match {
-        case Some(v) => spark.conf
-          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None => spark.conf
-          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-    }
-  }
 }

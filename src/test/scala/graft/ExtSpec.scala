@@ -1332,6 +1332,10 @@ class ExtSpec extends SparkSpec {
       .agg(avg("n_chars")).head.getDouble(0)
     assert(wMean > uMean,
       s"weighted mean $wMean not above uniform mean $uMean")
+    // the plan must be a TakeOrdered (heap + driver merge), not a global
+    // sort of the corpus
+    assert(sel.queryExecution.sparkPlan.toString
+      .contains("TakeOrderedAndProject"))
     // non-positive weight = selection probability 0 (never ranked, never
     // selected — and never a null key with engine-divergent ordering)
     val zeroed = docs.withColumn("n_chars",

@@ -607,8 +607,9 @@ class StreamingSpec extends SparkSpec {
       batches += 1
       val top = b.orderBy(col("key"), col("id")).limit(k).collect()
         .map(r => (r.getString(1), r.getLong(0)))
-      // running bounded-state merge: top-k of (state ∪ batch top-k)
-      state = (state ++ top).sortBy(identity).take(k)
+      // running bounded-state merge: top-k of (state ∪ batch top-k);
+      // distinct = idempotence under at-least-once batch re-delivery
+      state = (state ++ top).distinct.sortBy(identity).take(k)
     }
     assert(batches == 4, s"expected 4 micro-batches, got $batches")
     val expect = src
