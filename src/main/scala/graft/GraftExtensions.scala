@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, HyperplaneSig, SimHash64, SortedIntersectCount}
+import graft.functions.{DotProduct, HyperplaneSig, NormalizeUnicode, SimHash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -39,6 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneSig(children.head, lit(children(1), "bits").toInt,
           lit(children(2), "seed"))
+      }))
+    // graft_normalize(s[, form]) — Unicode normalization, default NFC;
+    // the form must be a string literal (it parameterizes the generated
+    // code) and is validated at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        val form = children.lift(1).map {
+          case Literal(v, _: org.apache.spark.sql.types.StringType) =>
+            String.valueOf(v)
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize: form must be a string literal, got $other")
+        }.getOrElse("NFC")
+        NormalizeUnicode(children.head, form)
       }))
   }
 }

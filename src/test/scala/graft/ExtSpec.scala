@@ -991,6 +991,18 @@ class ExtSpec extends SparkSpec {
     val hp = spark.sql(
       "SELECT graft_hyperplane_sig(array(1.0d, -2.0d, 0.5d), 12, 7L)").head().getLong(0)
     assert(hp >= 0 && hp < (1L << 12))
+    // NFC composes e + COMBINING ACUTE into U+00E9 (the combining char
+    // is interpolated by scalac — Spark SQL's chr() is mod-256 ASCII and
+    // cannot build it); 2-arg form picks NFKC and folds the fi-ligature
+    val nfc = spark.sql(s"SELECT graft_normalize('e\u0301')")
+      .head().getString(0)
+    assert(nfc == "\u00E9")
+    val nfkc = spark.sql(s"SELECT graft_normalize('\uFB01n', 'NFKC')")
+      .head().getString(0)
+    assert(nfkc == "fin")
+    assertThrows[Exception] {
+      spark.sql("SELECT graft_normalize('x', lower('NFC'))").collect()
+    }
   }
 
   test("two-frame as-of join picks the latest right row at or before each left ts") {
