@@ -53,6 +53,7 @@ object ScaleSmoke {
     if (args.headOption.contains("langid1m")) { langid1m(); return }
     if (args.headOption.contains("ranks1m")) { ranks1m(); return }
     if (args.headOption.contains("sample1m")) { sample1m(); return }
+    if (args.headOption.contains("waterfill1m")) { waterfill1m(); return }
     val millions = args.headOption.map(_.toInt).getOrElse(20)
     val nSeries = args.lift(1).map(_.toInt).getOrElse(10000)
     val spark = SparkSession.builder()
@@ -3645,6 +3646,108 @@ object ScaleSmoke {
       .count()
     println(s"SCALELANGID partition-invariance mismatches at 1M: $mism")
     if (mism != 0L) { failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Water-filled budget fill at 1M docs under 90%-one-language skew
+    * (`sbt "runMain graft.ScaleSmoke waterfill1m"`) — the r13
+    * prefix-sum family's scale evidence:
+    *
+    *  - allocation exactness: Σ alloc == budget (the water-filling
+    *    closed form leaves nothing stranded while a stratum can absorb
+    *    it), saturated strata keep exactly their caps;
+    *  - the fill's running-sum stage must stay O(n/nParts) per task
+    *    with ONE stratum at 90% of the corpus — the regime where
+    *    `sum() OVER (PARTITION BY lang ORDER BY …)` puts 900k rows in
+    *    a single task — measured directly (max task input of the range
+    *    exchange) and raced against the single-task window reference;
+    *  - kept set bit-identical across partitionings (32 vs 7) and
+    *    equal to the window reference.
+    */
+  private def waterfill1m(): Unit = {
+    import graft.ext.Corpus
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val n = 1000000L
+    val nParts = 32
+    val even = n / nParts
+    // 90% en + 9 minor languages; token lengths on a 64..2111 grid
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10L)) < 9L, lit("en"))
+          .otherwise(concat(lit("l"), pmod(col("id"), lit(10L)))).as("lang"),
+        (pmod(xxhash64(col("id"), lit(3L)), lit(2048L)) + 64L).as("n_chars"))
+      .localCheckpoint(true)
+    val bp = 6000L
+    val alloc = Corpus.waterfillAlloc(docs, "lang", "n_chars", bp)
+      .localCheckpoint(true)
+    val totCap = alloc.agg(sum(col("cap_tokens"))).head().getLong(0)
+    val budget = totCap * bp / 10000L
+    val totAlloc = alloc.agg(sum(col("alloc_tokens"))).head().getLong(0)
+    val satBad = alloc.where(col("saturated") &&
+      col("alloc_tokens") =!= col("cap_tokens")).count()
+    println(s"SCALEWATERFILL alloc: budget=$budget allocated=$totAlloc " +
+      s"strata=${alloc.count()} satViolations=$satBad")
+    if (totAlloc != budget) {
+      println("SCALEWATERFILL stranded/overspent budget red"); failed = true
+    }
+    if (satBad != 0L) { println("SCALEWATERFILL saturation red"); failed = true }
+    // max task input of the fill's range-exchange stage under the skew
+    val keyed = docs.withColumn("fill_key",
+      Corpus.sampleKey(col("doc_id"), "bfill"))
+    val maxTask = keyed
+      .repartitionByRange(nParts, col("lang"), col("fill_key"), col("doc_id"))
+      .groupBy(spark_partition_id().as("_p")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    println(s"SCALEWATERFILL max fill-stage task input: $maxTask rows " +
+      f"(even share $even, ratio ${maxTask.toDouble / even}%.2f; " +
+      "dominant stratum 900k)")
+    if (maxTask > 3 * even) {
+      println("SCALEWATERFILL fill-stage task input red (not O(n/nParts))")
+      failed = true
+    }
+    def keptOf(parts: Int): org.apache.spark.sql.DataFrame =
+      Corpus.waterfillFill(docs, "doc_id", "lang", "n_chars", bp,
+          nParts = parts)
+        .select(col("doc_id"), col("cum_tokens"))
+    val t0 = System.nanoTime()
+    val kept32 = keptOf(32).localCheckpoint(true)
+    val nKept = kept32.count()
+    val tDist = (System.nanoTime() - t0) / 1e9
+    // the single-task reference: same greedy fill through ONE window
+    val t1 = System.nanoTime()
+    val ref = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("fill_key"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      keyed.withColumn("cum_tokens", sum(col("n_chars")).over(w))
+        .join(broadcast(alloc.select(col("lang"), col("alloc_tokens"))), "lang")
+        .where(col("cum_tokens") <= col("alloc_tokens"))
+        .select(col("doc_id"), col("cum_tokens")).localCheckpoint(true)
+    }
+    val refN = ref.count()
+    val tRef = (System.nanoTime() - t1) / 1e9
+    println(f"SCALEWATERFILL fill wall: dist=$tDist%.1f s " +
+      f"single-task-window=$tRef%.1f s  kept=$nKept (ref $refN)")
+    val mism = kept32.join(ref.withColumnRenamed("cum_tokens", "_c"), "doc_id")
+      .where(col("cum_tokens") =!= col("_c")).count()
+    if (nKept != refN || mism != 0L) {
+      println("SCALEWATERFILL kept-set mismatch vs window reference")
+      failed = true
+    }
+    val kept7 = keptOf(7)
+    val d1 = kept32.exceptAll(kept7).count()
+    val d2 = kept7.exceptAll(kept32).count()
+    println(s"SCALEWATERFILL partition-invariance diffs (32 vs 7): ${d1 + d2}")
+    if (d1 + d2 != 0L) { failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

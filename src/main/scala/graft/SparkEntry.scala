@@ -2473,6 +2473,139 @@ object SparkEntry {
         "es_key", "doc_id")
     }),
 
+    // UniMax WATER-FILLING budget allocation (r13): distribute a token
+    // budget (80% of total capacity) across languages as EVENLY as the
+    // data allows — small languages keep everything (saturated), large
+    // ones are cut to the common level λ with Σ min(cap, λ) = budget.
+    // Exact integer closed form over cap-ascending prefix sums; the
+    // corpus side is ONE map-side-combinable aggregate, every window
+    // runs on the |langs|-row aggregated frame.
+    "doc_budget_waterfill" -> ((s, dir) => {
+      sortSmall(Corpus.waterfillAlloc(t(s, dir, "documents"), "lang",
+        "n_chars", budgetBp = 8000L), "lang")
+    }),
+
+    // APPLY the water-filled budget: per language, keep docs in
+    // salted-hash order while the inclusive running token total fits
+    // the allocation — greedy exact-budget fill, deterministic pure
+    // function of (salt, ids, allocs). The running total rides
+    // Ranks.stratifiedRunningSum (two full-width corpus exchanges),
+    // never a one-task-per-language window — the dominant language IS
+    // most of a real corpus.
+    "doc_budget_fill" -> ((s, dir) => {
+      sortBig(Corpus.waterfillFill(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "lang", "n_chars", budgetBp = 8000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("fill_key"),
+          col("cum_tokens"), col("alloc_tokens")), "doc_id")
+    }),
+
+    // per-STRATUM exact-k sample (the "k docs from every language"
+    // quota form of doc_sample_topk): k smallest salted md5 keys per
+    // stratum via Ranks.stratifiedRowNumber — range keys (lang, key,
+    // id), so the dominant stratum spreads over all partitions instead
+    // of stalling one task the way Window.partitionBy(lang) would.
+    // Same min-wise hash property per stratum: growing the corpus can
+    // only evict, never reshuffle, selected docs.
+    "doc_sample_stratified_k" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Corpus.sampleKey(col("doc_id"), "ssample").as("sample_key"))
+      sortSmall(Ranks.stratifiedRowNumber(keyed, Seq("lang"),
+          Seq(col("sample_key"), col("doc_id")), out = "sample_rank")
+        .where(col("sample_rank") <= 20)
+        .select(col("doc_id"), col("lang"), col("sample_key"),
+          col("sample_rank")),
+        "lang", "sample_rank")
+    }),
+
+    // CORPUS REPORT CARD — the per-source dataset-card profile a
+    // training-data release ships: doc/token counts, language breadth,
+    // exact-decimal mean length, exact-dup rate (1 − distinct content
+    // hashes / docs), and the EXACT median length order statistics via
+    // the skew-safe stratified rank frame (never a per-source
+    // collect_list). One corpus aggregate + one range-shuffle rank
+    // pass; output is |sources| rows.
+    "doc_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).cast("long").as("n_tokens"),
+        r6(sum(col("n_chars").cast(DecimalType(38, 6))).cast("double") /
+          count(lit(1))).as("mean_chars"),
+        r6(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1))).as("dup_rate"))
+      val nS = docs.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      val med = Ranks.stratifiedRowNumber(
+          docs.select(col("source"), col("n_chars"), col("doc_id")),
+          Seq("source"), Seq(col("n_chars"), col("doc_id")), out = "_rn")
+        .join(broadcast(nS), "source")
+        .withColumn("_lo", expr("((_n - 1) div 2) + 1"))
+        .withColumn("_hi", least(col("_lo") + 1, col("_n")))
+        .where(col("_rn") === col("_lo") || col("_rn") === col("_hi"))
+        .groupBy(col("source"))
+        .agg(min(when(col("_rn") === col("_lo"), col("n_chars")))
+            .as("median_lo"),
+          min(when(col("_rn") === col("_hi"), col("n_chars")))
+            .as("median_hi"))
+      sortSmall(base.join(med, "source"), "source")
+    }),
+
+    // DOMAIN BLOCKLIST — the crawl front-gate (C4/CCNet drop spam and
+    // bad-word DOMAINS before any content processing), with
+    // subdomain-suffix semantics (PSL-style: an entry blocks itself and
+    // everything under it). The suffix-chain explode turns "equals or
+    // is a subdomain of" into an EQUI-join against the broadcast entry
+    // set — a LIKE-OR predicate would plan the banned
+    // BroadcastNestedLoop. Planted ads.{source} subdomains (doc_id % 7
+    // == 2) exercise the suffix path; rule = longest (most specific)
+    // match.
+    "doc_host_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 7 === 2, concat(lit("ads."), col("source")))
+            .otherwise(col("source")),
+          lit(".example.com/p/"),
+          pmod(col("doc_id"), lit(50L)).cast("string")).as("url"))
+      val bl = Seq("src3.example.com", "ads.src7.example.com",
+        "spam.example.net").toDF("pattern")
+      sortBig(UrlOps.hostBlocklist(urls, "doc_id", "url", bl), "doc")
+    }),
+
+    // BLOCKLIST AT INGEST — the streaming twin of doc_host_blocklist:
+    // the frozen blocklist ships as a literal array (at cluster scale, a
+    // broadcast variable) and the whole decision is a stateless
+    // row-local HOF pass — suffix chain, membership filter, and a
+    // longest-match fold that replays max(struct(length, rule))
+    // exactly. No explode, no join, no state: the form an ingest-time
+    // URL filter actually runs in front of the crawl pipeline.
+    "stream_host_blocklist" -> ((s, dir) => {
+      val blArr = array(lit("src3.example.com"),
+        lit("ads.src7.example.com"), lit("spam.example.net"))
+      val res = graft.streaming.StreamingDedup.replayDocs(
+        s, s"$dir/documents.parquet", "stream_host_blocklist_result") { st =>
+        st.select(col("doc_id").cast("long").as("doc"),
+            UrlOps.hostOf(UrlOps.canonicalUrl(concat(
+              lit("https://"),
+              when(col("doc_id") % 7 === 2,
+                concat(lit("ads."), col("source"))).otherwise(col("source")),
+              lit(".example.com/p/"),
+              pmod(col("doc_id"), lit(50L)).cast("string")))).as("host"))
+          .withColumn("_m", filter(UrlOps.hostSuffixes(col("host")),
+            x => array_contains(blArr, x)))
+          .select(col("doc"), col("host"),
+            (size(col("_m")) > 0).as("blocked"),
+            aggregate(col("_m"), lit(null).cast("string"), (acc, x) =>
+              when(acc.isNull || length(x) > length(acc) ||
+                (length(x) === length(acc) && x > acc), x)
+                .otherwise(acc)).as("rule"))
+      }
+      sortBig(res, "doc")
+    }),
+
     // SPLIT-LEAKAGE AUDIT — the eval-contamination check a held-out
     // split must pass after assignment: near-duplicate pairs whose
     // members landed in DIFFERENT splits are train↔test leaks (a
@@ -3096,6 +3229,41 @@ object SparkEntry {
           col("label").cast("long").as("true_label")), "query_id")
         .select(col("query_id"), col("true_label"), col("predicted"),
           col("n_votes")), "query_id")
+    }),
+
+    // HARD-NEGATIVE MINING — the contrastive-training data miner: per
+    // query, the top-k most-similar candidates with a DIFFERENT label
+    // (high cosine + wrong class = the hardest negatives, the pairs a
+    // metric-learning run needs most). Same one-pass scan shape as
+    // emb_cosine_topk (queries broadcast, label filter BEFORE the
+    // per-query top-k window cuts each group to k); at 100 TB the label
+    // filter also rides the scan. Labels carried on both sides so the
+    // miner's output is directly a triplet-builder input.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label").cast("long").as("label"))
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          Similarity.norm(col("v")).as("_qn"),
+          col("label").as("query_label"))
+      val c = emb.withColumn("_cn", Similarity.norm(col("v")))
+        .repartition(col("vec_id"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("query_label"))
+        .select(col("query_id"), col("query_label"),
+          col("vec_id").as("candidate_id"),
+          col("label").as("candidate_label"),
+          round(Similarity.dot(col("qv"), col("v")) /
+            (col("_qn") * col("_cn")), 6).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("candidate_id"))
+      sortSmall(scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("query_label"), col("rank"),
+          col("candidate_id"), col("candidate_label"), col("cosine")),
+        "query_id", "rank")
     }),
 
     // 1-bit-quantized Hamming top-k: sign-pack each embedding into two
@@ -5870,6 +6038,175 @@ object SparkEntry {
         |  md5('usample:' || CAST(doc_id AS VARCHAR)) AS sample_key
         |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
 
+    // the same exact-integer water-filling closed form over the
+    // cap-ascending prefix sums (BIGINT casts pin DuckDB's
+    // HUGEINT window sums back to the engine's long arithmetic)
+    "doc_budget_waterfill" ->
+      """WITH caps AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST((sum(cap) * 8000) // 10000 AS BIGINT) AS b FROM caps),
+        |r AS (SELECT lang, cap,
+        |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS p
+        |  FROM caps),
+        |s AS (SELECT r.*, n, b,
+        |    (p - cap) + cap * (n - i + 1) <= b AS saturated
+        |  FROM r CROSS JOIN tot),
+        |a AS (SELECT CAST(count(*) FILTER (WHERE saturated) AS BIGINT) AS nsat,
+        |    CAST(coalesce(sum(cap) FILTER (WHERE saturated), 0) AS BIGINT)
+        |      AS psat
+        |  FROM s)
+        |SELECT lang, cap AS cap_tokens,
+        |  CASE WHEN saturated THEN cap
+        |       ELSE least(cap, (b - psat) // (n - nsat)
+        |         + CASE WHEN i - nsat <= (b - psat) % (n - nsat)
+        |                THEN 1 ELSE 0 END) END AS alloc_tokens,
+        |  saturated,
+        |  CASE WHEN n - nsat > 0 THEN (b - psat) // (n - nsat) END AS level
+        |FROM s CROSS JOIN a
+        |ORDER BY lang""".stripMargin,
+
+    // the same allocation CTEs + the per-language greedy hash-order
+    // prefix fill (window frame is rows by the unique (fill_key, id)
+    // order, so RANGE vs ROWS framing cannot differ)
+    "doc_budget_fill" ->
+      """WITH caps AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST((sum(cap) * 8000) // 10000 AS BIGINT) AS b FROM caps),
+        |r AS (SELECT lang, cap,
+        |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS p
+        |  FROM caps),
+        |s AS (SELECT r.*, n, b,
+        |    (p - cap) + cap * (n - i + 1) <= b AS saturated
+        |  FROM r CROSS JOIN tot),
+        |a AS (SELECT CAST(count(*) FILTER (WHERE saturated) AS BIGINT) AS nsat,
+        |    CAST(coalesce(sum(cap) FILTER (WHERE saturated), 0) AS BIGINT)
+        |      AS psat
+        |  FROM s),
+        |al AS (SELECT lang,
+        |    CASE WHEN saturated THEN cap
+        |         ELSE least(cap, (b - psat) // (n - nsat)
+        |           + CASE WHEN i - nsat <= (b - psat) % (n - nsat)
+        |                  THEN 1 ELSE 0 END) END AS alloc_tokens
+        |  FROM s CROSS JOIN a),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |    md5('bfill:' || CAST(doc_id AS VARCHAR)) AS fill_key
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars, fill_key,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY fill_key, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM k)
+        |SELECT doc_id, c.lang, n_chars, fill_key, cum_tokens, alloc_tokens
+        |FROM c JOIN al ON c.lang = al.lang
+        |WHERE cum_tokens <= alloc_tokens
+        |ORDER BY doc_id""".stripMargin,
+
+    // same salted keys, per-stratum ANSI window rank
+    "doc_sample_stratified_k" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |    md5('ssample:' || CAST(doc_id AS VARCHAR)) AS sample_key
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, sample_key,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
+        |  FROM k)
+        |SELECT doc_id, lang, sample_key, sample_rank FROM r
+        |WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    // per-source aggregates + the window-rank median replay (the engine
+    // side rides the stratified rank frame; ranks under a total order
+    // are engine-invariant)
+    "doc_corpus_card" ->
+      """WITH base AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        |    floor(CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_chars,
+        |    floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |      / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+        |  FROM documents GROUP BY 1),
+        |rk AS (SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |med AS (SELECT source,
+        |    min(CASE WHEN rn = ((n - 1) // 2) + 1 THEN n_chars END)
+        |      AS median_lo,
+        |    min(CASE WHEN rn = least(((n - 1) // 2) + 2, n) THEN n_chars END)
+        |      AS median_hi
+        |  FROM rk GROUP BY 1)
+        |SELECT base.source, n_docs, n_langs, n_tokens, mean_chars, dup_rate,
+        |  median_lo, median_hi
+        |FROM base JOIN med ON base.source = med.source
+        |ORDER BY base.source""".stripMargin,
+
+    // same planted URLs, suffix-chain explode, broadcast-entry
+    // equi-join; longest-rule pick via the lpad(length)||rule encoding
+    // (= the engine's max(struct(length, rule)) for lengths <= 999)
+    "doc_host_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 7 = 2 THEN 'ads.' || source
+        |                        ELSE source END)
+        |      || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id AS doc,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host
+        |  FROM u),
+        |sfx AS (SELECT doc, host,
+        |    unnest([array_to_string(p[i:], '.')
+        |            for i in generate_series(1, len(p))]) AS s
+        |  FROM (SELECT doc, host, string_split(host, '.') AS p FROM h)),
+        |bl AS (SELECT unnest(['src3.example.com', 'ads.src7.example.com',
+        |    'spam.example.net']) AS pattern),
+        |j AS (SELECT doc, host, pattern FROM sfx LEFT JOIN bl
+        |  ON s = pattern),
+        |g AS (SELECT doc, host,
+        |    bool_or(pattern IS NOT NULL) AS blocked,
+        |    max(CASE WHEN pattern IS NOT NULL
+        |        THEN lpad(CAST(length(pattern) AS VARCHAR), 3, '0')
+        |          || pattern END) AS enc
+        |  FROM j GROUP BY 1, 2)
+        |SELECT doc, host, blocked,
+        |  CASE WHEN enc IS NULL THEN NULL ELSE substring(enc, 4) END AS rule
+        |FROM g ORDER BY doc""".stripMargin,
+
+    // the streamed stateless decision must land on the batch blocklist
+    // verdicts exactly — same oracle as doc_host_blocklist
+    "stream_host_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 7 = 2 THEN 'ads.' || source
+        |                        ELSE source END)
+        |      || '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id AS doc,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host
+        |  FROM u),
+        |sfx AS (SELECT doc, host,
+        |    unnest([array_to_string(p[i:], '.')
+        |            for i in generate_series(1, len(p))]) AS s
+        |  FROM (SELECT doc, host, string_split(host, '.') AS p FROM h)),
+        |bl AS (SELECT unnest(['src3.example.com', 'ads.src7.example.com',
+        |    'spam.example.net']) AS pattern),
+        |j AS (SELECT doc, host, pattern FROM sfx LEFT JOIN bl
+        |  ON s = pattern),
+        |g AS (SELECT doc, host,
+        |    bool_or(pattern IS NOT NULL) AS blocked,
+        |    max(CASE WHEN pattern IS NOT NULL
+        |        THEN lpad(CAST(length(pattern) AS VARCHAR), 3, '0')
+        |          || pattern END) AS enc
+        |  FROM j GROUP BY 1, 2)
+        |SELECT doc, host, blocked,
+        |  CASE WHEN enc IS NULL THEN NULL ELSE substring(enc, 4) END AS rule
+        |FROM g ORDER BY doc""".stripMargin,
+
     // the JaccardOracle CTEs over the planted-clone corpus + the salted
     // split CASE; leaks = pairs whose members' splits differ
     "doc_split_leak_audit" ->
@@ -6708,6 +7045,29 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rank, candidate_id, cosine FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same brute-force cosine replay with the different-label filter
+    // applied before the per-query rank
+    "emb_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |    c.vec_id AS candidate_id, c.label AS candidate_label,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+        |    AND c.label <> q.label),
+        |r AS (SELECT query_id, query_label, candidate_id, candidate_label,
+        |    cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, candidate_id) AS rank
+        |  FROM s)
+        |SELECT query_id, query_label, rank, candidate_id, candidate_label,
+        |  cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same brute-force replay per truncation width; the full-width
     // top-10 is the dims = 64 slice of the same ranked frame

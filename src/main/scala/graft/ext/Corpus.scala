@@ -383,6 +383,93 @@ object Corpus {
           .as("rate_bp"))
   }
 
+  /** Exact water-filling allocation of a token budget across strata —
+    * the UniMax discipline (Chung et al. 2023: allocate a multilingual
+    * budget as EVENLY as the data allows, each language capped by its
+    * capacity) generalized to any stratum column. [[targetMixSample]]
+    * takes target shares as INPUT and saturates silently;
+    * water-filling DERIVES the shares: find the level λ with
+    * Σ_s min(cap_s, λ) = budget, allocate min(cap_s, λ) to each
+    * stratum — small strata keep everything they have, large strata
+    * are cut to the common level, and no budget is stranded while an
+    * unsaturated stratum could absorb it.
+    *
+    * All arithmetic is exact integer (the closed form over the
+    * cap-ascending prefix sums: stratum at ascending rank i saturates
+    * iff P_{i−1} + cap_i · (n − i + 1) ≤ B, then λ = (B − P_sat) div
+    * r with the mod-r remainder handed one token each to the r
+    * smallest-cap unsaturated strata — a deterministic, engine-
+    * replayable tie policy). A budget ≥ total capacity degrades to
+    * alloc = cap everywhere (the leftover is unassignable by
+    * definition).
+    *
+    * Scale shape: ONE map-side-combinable count/sum aggregate over the
+    * corpus to a frame of |strata| rows; every window below runs on
+    * that aggregated tiny frame (driver-trivial by construction — the
+    * plan-guard's unpartitioned-window counter exempts aggregated
+    * inputs for exactly this shape). Emits one row per stratum:
+    * (stratum, cap_tokens, alloc_tokens, saturated, level). */
+  def waterfillAlloc(df: DataFrame, strataCol: String, weightCol: String,
+      budgetBp: Long): DataFrame = {
+    require(budgetBp >= 0 && budgetBp <= 10000,
+      "budgetBp is basis points of total capacity in [0, 10000]")
+    val caps = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("cap_tokens"))
+    val w = Window.orderBy(col("cap_tokens"), col(strataCol))
+    val tot = caps.agg(sum(col("cap_tokens")).as("_tot"),
+        count(lit(1)).as("_nstrata"))
+      .withColumn("_budget", expr("(_tot * " + budgetBp + "L) div 10000"))
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_p", sum(col("cap_tokens")).over(w))
+      .withColumn("saturated",
+        (col("_p") - col("cap_tokens")) +
+          col("cap_tokens") * (col("_nstrata") - col("_i") + 1) <=
+          col("_budget"))
+    val sat = ranked.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("_nsat"),
+      coalesce(sum(when(col("saturated"), col("cap_tokens"))), lit(0L))
+        .as("_psat"))
+    ranked.crossJoin(broadcast(sat))
+      .withColumn("_r", col("_nstrata") - col("_nsat"))
+      .withColumn("level", when(col("_r") > 0,
+        expr("(_budget - _psat) div _r")))
+      .withColumn("_rem", when(col("_r") > 0,
+        pmod(col("_budget") - col("_psat"), col("_r"))).otherwise(lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap_tokens"))
+          .otherwise(least(col("cap_tokens"),
+            col("level") +
+              when(col("_i") - col("_nsat") <= col("_rem"), 1L)
+                .otherwise(0L))))
+      .select(col(strataCol), col("cap_tokens"), col("alloc_tokens"),
+        col("saturated"), col("level"))
+  }
+
+  /** Apply a [[waterfillAlloc]] budget: within each stratum, keep
+    * documents in salted-hash order while the INCLUSIVE running token
+    * total fits the stratum's allocation — the greedy exact-budget fill
+    * (documents are atomic; the first doc that would overflow the
+    * budget is dropped, as is everything after it in hash order, so the
+    * kept set is a deterministic pure function of (salt, ids, allocs)
+    * and growing the corpus can only displace docs later in hash
+    * order). The running total rides [[Ranks.stratifiedRunningSum]] —
+    * two full-width corpus exchanges, never a one-task-per-stratum
+    * window stall when one stratum dominates the corpus. Emits kept
+    * rows + (fill_key, cum_tokens, alloc_tokens). */
+  def waterfillFill(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgetBp: Long, salt: String = "bfill",
+      nParts: Int = 32): DataFrame = {
+    val alloc = waterfillAlloc(df, strataCol, weightCol, budgetBp)
+      .select(col(strataCol), col("alloc_tokens"))
+    val keyed = df.withColumn("fill_key", sampleKey(col(idCol), salt))
+    Ranks.stratifiedRunningSum(keyed, Seq(strataCol),
+        Seq(col("fill_key"), col(idCol)), col(weightCol), nParts,
+        out = "cum_tokens")
+      .join(broadcast(alloc), strataCol)
+      .where(col("cum_tokens") <= col("alloc_tokens"))
+  }
+
   /** Corpus snapshot diff — the data-versioning primitive for iterated
     * training-set builds: classify every doc id across two snapshots as
     * `added` / `removed` / `changed` / `unchanged` by full-outer-joining

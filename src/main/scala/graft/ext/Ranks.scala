@@ -102,6 +102,60 @@ object Ranks {
       .drop("_pid", "_mid", "_base", "_off")
   }
 
+  /** Per-stratum INCLUSIVE running sum of `value` under the total order
+    * `ord` — the distributed prefix-sum primitive behind budget
+    * truncation ("take documents in hash order until the stratum's
+    * token budget is spent"), cumulative-share curves, and greedy
+    * packing decisions. A naive `sum(v) OVER (PARTITION BY stratum
+    * ORDER BY ord)` collapses each stratum into ONE task, and the
+    * dominant stratum of a real corpus IS most of the corpus — the same
+    * single-task stall [[stratifiedRowNumber]] exists to avoid, except
+    * rank can ride partition ordinals while a running SUM genuinely
+    * needs the values scanned in order. The scale shape here is the
+    * textbook two-phase parallel prefix sum, relationally:
+    *
+    *   1. range-partition on (strata, ord) — a stratum spans a
+    *      CONTIGUOUS run of partitions, every partition holds parallel
+    *      work even under one-stratum skew;
+    *   2. per-(partition, stratum) local running sums — the window
+    *      partitions by `_pid`, so no window group outlives one range
+    *      partition's slice (full nParts-way parallelism);
+    *   3. per-(partition, stratum) totals — an O(nParts · strata) frame
+    *      — prefix-summed over `_pid` per stratum and broadcast back as
+    *      each slice's base offset.
+    *
+    * Two corpus exchanges total (the range shuffle, then the window's
+    * hash shuffle on (_pid, strata)); both full-width. `value` should be
+    * integral or decimal — the offsets and the local sums must add
+    * exactly for the result to be partitioning-invariant (the repo-wide
+    * exact-sum discipline). The range-partitioned frame is PINNED with
+    * an eager localCheckpoint for the same two-consumer
+    * boundary-determinism reason as [[globalRowNumber]] (offsets and
+    * join both consume it). */
+  def stratifiedRunningSum(df: DataFrame, strata: Seq[String],
+      ord: Seq[Column], value: Column, nParts: Int = 32,
+      out: String = "run_sum"): DataFrame = {
+    val sCols = strata.map(col)
+    val local = df.withColumn("_val", value)
+      .repartitionByRange(nParts, (sCols ++ ord): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = local.groupBy((col("_pid") +: sCols): _*)
+      .agg(sum(col("_val")).as("_psum"))
+      .withColumn("_off", coalesce(
+        sum(col("_psum")).over(Window.partitionBy(sCols: _*)
+          .orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast("bigint")))
+      .select((col("_pid") +: sCols :+ col("_off")): _*)
+    val w = Window.partitionBy((col("_pid") +: sCols): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local.join(broadcast(offsets), "_pid" +: strata)
+      .withColumn(out, col("_off") + sum(col("_val")).over(w))
+      .drop("_pid", "_val")
+  }
+
   /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
     * tiebreak `tie`: the two order statistics bracketing position
     * (n−1)·t/q, picked from a [[globalRowNumber]] rank frame — one

@@ -56,6 +56,44 @@ object UrlOps {
   def hostOf(canon: Column): Column =
     regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
 
+  /** The domain-suffix chain of a host — `ads.src1.example.com` →
+    * [ads.src1.example.com, src1.example.com, example.com, com] — the
+    * Public-Suffix-List expansion trick that turns "host equals a
+    * blocklist entry OR is a subdomain of one" into an EQUI-join: a
+    * naive `host = b OR host LIKE '%.' || b` predicate forces a
+    * broadcast nested-loop (O(hosts × entries) with no hashing, the
+    * plan shape this repo's guard zeroes), while exploding ≤ label-count
+    * suffixes hash-joins against the broadcast entry set. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), greatest(size(parts), lit(1))),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /** Domain blocklist filter — the crawl front-gate (C4/CCNet drop
+    * bad-word and spam DOMAINS before any content processing): a doc is
+    * blocked when its canonical host equals a blocklist entry or sits
+    * under one (subdomain-suffix semantics, the way adblock/PSL domain
+    * rules match). `blocklist` is the small (pattern) frame — thousands
+    * of rows against billions of docs — so it BROADCASTS; the corpus
+    * side is one row-local canonicalize + suffix-explode (≤ host label
+    * count rows each) + broadcast hash join + per-doc aggregate. Emits
+    * one row per input doc: (doc, host, blocked, rule — the most
+    * specific = longest matching entry, null when kept). */
+  def hostBlocklist(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    val entries = blocklist.select(col(blocklist.columns.head).as("_rule"))
+    val hosts = df.select(col(idCol).cast("long").as("doc"),
+      hostOf(canonicalUrl(col(urlCol))).as("host"))
+    hosts.select(col("doc"), col("host"),
+        explode(hostSuffixes(col("host"))).as("_sfx"))
+      .join(broadcast(entries), col("_sfx") === col("_rule"), "left")
+      .groupBy(col("doc"), col("host"))
+      .agg(max(col("_rule").isNotNull).as("blocked"),
+        max(struct(length(col("_rule")).as("_l"), col("_rule").as("_r")))
+          .getField("_r").as("rule"))
+  }
+
   /** URL dedup decision: canonicalize, keeper = min id per canonical
     * form. Emits (doc, host, canon, is_keeper). Canonicalization is
     * row-local (scan-pushable); the dedup is ONE hash aggregate keyed

@@ -1906,6 +1906,97 @@ class ExtSpec extends SparkSpec {
     assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
+  test("stratifiedRunningSum equals the per-stratum window prefix sum at any partition count") {
+    import graft.ext.Ranks
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice"), pmod(col("o_orderkey"), lit(97L)).as("v"))
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val ref = orders.withColumn("run_sum",
+      sum(col("v")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus")).orderBy(ord: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select("o_orderstatus", "o_orderkey", "run_sum")
+    for (parts <- Seq(3, 8, 17)) {
+      val got = Ranks.stratifiedRunningSum(orders, Seq("o_orderstatus"),
+          ord, col("v"), nParts = parts)
+        .select("o_orderstatus", "o_orderkey", "run_sum")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"nParts=$parts")
+    }
+  }
+
+  test("waterfillAlloc finds the exact level: saturation, remainder, and full-budget cases") {
+    import graft.ext.Corpus
+    def alloc(rows: Seq[(String, Long)], bp: Long): Map[String, (Long, Boolean)] =
+      Corpus.waterfillAlloc(
+          rows.toDF("src", "tok").repartition(4), "src", "tok", bp)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+    // caps 10/20/70, budget 50%: a and b saturate, c cut to the level 20
+    val m1 = alloc(Seq(("a", 10L), ("b", 20L), ("c", 70L)), 5000L)
+    assert(m1 == Map("a" -> ((10L, true)), "b" -> ((20L, true)),
+      "c" -> ((20L, false))), m1.toString)
+    // caps 10/30/40, budget 65 of 80: remainder 1 goes to the SMALLER
+    // unsaturated stratum (b -> 28, c -> 27)
+    val m2 = alloc(Seq(("a", 10L), ("b", 30L), ("c", 40L)), 8125L)
+    assert(m2 == Map("a" -> ((10L, true)), "b" -> ((28L, false)),
+      "c" -> ((27L, false))), m2.toString)
+    assert(m2.values.map(_._1).sum == 65L)
+    // full budget degrades to alloc = cap everywhere
+    val m3 = alloc(Seq(("a", 10L), ("b", 30L), ("c", 40L)), 10000L)
+    assert(m3.values.forall(v => v._2) &&
+      m3.values.map(_._1).sum == 80L, m3.toString)
+  }
+
+  test("waterfillFill keeps the greedy hash-order prefix per stratum at any partition count") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ref = {
+      val alloc = Corpus.waterfillAlloc(docs, "lang", "n_chars", 8000L)
+        .select(col("lang"), col("alloc_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("fill_key"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("fill_key", Corpus.sampleKey(col("doc_id"), "bfill"))
+        .withColumn("cum_tokens", sum(col("n_chars")).over(w))
+        .join(alloc, "lang")
+        .where(col("cum_tokens") <= col("alloc_tokens"))
+        .select("doc_id", "cum_tokens")
+    }
+    for (parts <- Seq(3, 8, 17)) {
+      val got = Corpus.waterfillFill(docs.repartition(parts), "doc_id",
+          "lang", "n_chars", 8000L, nParts = parts)
+        .select("doc_id", "cum_tokens")
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0,
+        s"nParts=$parts")
+    }
+  }
+
+  test("hostBlocklist blocks exact hosts and subdomains, reports the longest rule") {
+    import graft.ext.UrlOps
+    val urls = Seq(
+      (1L, "https://src3.example.com/p/1"),
+      (2L, "https://ads.src3.example.com/p/2"),     // subdomain of entry
+      (3L, "https://notsrc3.example.com/p/3"),      // NOT a subdomain match
+      (4L, "https://ads.src7.example.com/p/4"),     // exact deeper entry
+      (5L, "https://src7.example.com/p/5")          // parent of an entry: kept
+    ).toDF("doc_id", "url")
+    val bl = Seq("src3.example.com", "ads.src7.example.com").toDF("pattern")
+    val got = UrlOps.hostBlocklist(urls, "doc_id", "url", bl)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((true, Some("src3.example.com"))))
+    assert(got(2L) == ((true, Some("src3.example.com"))))
+    assert(got(3L) == ((false, None)), got(3L).toString)
+    assert(got(4L) == ((true, Some("ads.src7.example.com"))))
+    assert(got(5L) == ((false, None)))
+  }
+
   test("CurationPipeline degrades to empty frames when every doc is cleaned away") {
     import graft.ext.{CurationPipeline, QualityModel}
     // every doc trips the C4 curly-brace gate -> cleaned is EMPTY; the
