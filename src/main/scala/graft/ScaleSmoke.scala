@@ -3679,10 +3679,11 @@ object ScaleSmoke {
     val n = 1000000L
     val nParts = 32
     val even = n / nParts
-    // 90% en + 9 minor languages; token lengths on a 64..2111 grid
+    // 90% en + 9 minor languages at ~1.1% each (ids ≡ 9 mod 10 spread
+    // over l9/l19/…/l89 via mod 90); token lengths on a 64..2111 grid
     val docs = spark.range(n).select(col("id").as("doc_id"),
         when(pmod(col("id"), lit(10L)) < 9L, lit("en"))
-          .otherwise(concat(lit("l"), pmod(col("id"), lit(10L)))).as("lang"),
+          .otherwise(concat(lit("l"), pmod(col("id"), lit(90L)))).as("lang"),
         (pmod(xxhash64(col("id"), lit(3L)), lit(2048L)) + 64L).as("n_chars"))
       .localCheckpoint(true)
     val bp = 6000L

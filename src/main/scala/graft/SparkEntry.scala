@@ -2575,6 +2575,49 @@ object SparkEntry {
       sortBig(UrlOps.hostBlocklist(urls, "doc_id", "url", bl), "doc")
     }),
 
+    // EPOCH-CAPPED MIXTURE MANIFEST — the data-REPETITION side of
+    // mixing (LLaMA-style recipes upsample small high-quality sources
+    // by running several epochs over them, capped where repetition
+    // stops paying): per language, want = share·budget docs emitted as
+    // full epochs (capped at 3) + an exact remainder of extra-epoch
+    // docs picked min-wise per stratum. The fixture shares exercise
+    // every branch at once: en gets 1 full epoch + remainder, zh hits
+    // the 3-epoch cap exactly, de runs 2 epochs + remainder, es
+    // degrades to a sub-1-epoch exact downsample.
+    "doc_mix_epoch_cap" -> ((s, dir) => {
+      sortBig(Corpus.epochCapMix(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 4000L, "zh" -> 3000L, "de" -> 1500L,
+            "fr" -> 1000L, "es" -> 500L),
+          budgetBp = 20000L, maxEpochs = 3),
+        "doc_id", "epoch")
+    }),
+
+    // CROSS-SOURCE OVERLAP MATRIX — which sources near-duplicate each
+    // other (mirror-site / syndicated-content detection, the telemetry
+    // a crawl pipeline reads before deciding source-level dedup
+    // policy): the PPJoin prefix-filtered Jaccard pairs joined to their
+    // sources on both sides, grouped to an unordered source pair with
+    // pair count and exact-decimal mean similarity. Corpus work is the
+    // bounded candidate miner + two id-keyed broadcast-size joins; the
+    // matrix is |sources|² at most.
+    "doc_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(
+        Dedup.hashedShingles(docs, "doc_id", "text", 3), 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      sortSmall(pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), "doc_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
+          greatest(col("source_a"), col("source_b")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          r6(sum(round(col("jaccard"), 6).cast(DecimalType(38, 6)))
+            .cast("double") / count(lit(1))).as("mean_jaccard")),
+        "source_lo", "source_hi")
+    }),
+
     // BLOCKLIST AT INGEST — the streaming twin of doc_host_blocklist:
     // the frozen blocklist ships as a literal array (at cluster scale, a
     // broadcast variable) and the whole decision is a stateless
@@ -6176,6 +6219,65 @@ object SparkEntry {
         |SELECT doc, host, blocked,
         |  CASE WHEN enc IS NULL THEN NULL ELSE substring(enc, 4) END AS rule
         |FROM g ORDER BY doc""".stripMargin,
+
+    // same integer want/full/remainder arithmetic over the identical
+    // salted keys; the per-lang extra-epoch picks replay through the
+    // same window rank
+    "doc_mix_epoch_cap" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+        |w AS (SELECT lang, n,
+        |    ((CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 3000
+        |                WHEN 'de' THEN 1500 WHEN 'fr' THEN 1000
+        |                WHEN 'es' THEN 500 ELSE 0 END)
+        |      * ((t * 20000) // 10000)) // 10000 AS want
+        |  FROM n CROSS JOIN tot),
+        |e AS (SELECT lang, n,
+        |    least(want // n, 3) AS full_epochs,
+        |    CASE WHEN want // n >= 3 THEN 0 ELSE want % n END AS rem
+        |  FROM w),
+        |k AS (SELECT doc_id, lang,
+        |    md5('emix:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY key, doc_id) AS BIGINT) AS rn FROM k),
+        |d AS (SELECT r.doc_id, r.lang,
+        |    e.full_epochs + CASE WHEN rn <= e.rem THEN 1 ELSE 0 END AS ep
+        |  FROM r JOIN e ON r.lang = e.lang)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(1, ep)) AS BIGINT) AS epoch
+        |FROM d WHERE ep > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the JaccardOracle pair CTEs + source joins, unordered pair keys,
+    // exact-decimal mean of the 6-dp-rounded similarities
+    "doc_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+        |             JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+        |j AS (SELECT least(sa.source, sb.source) AS source_lo,
+        |        greatest(sa.source, sb.source) AS source_hi, jaccard
+        |      FROM pairs
+        |      JOIN documents sa ON doc_a = sa.doc_id
+        |      JOIN documents sb ON doc_b = sb.doc_id)
+        |SELECT source_lo, source_hi,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(CAST(jaccard AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
+        |FROM j GROUP BY 1, 2
+        |ORDER BY source_lo, source_hi""".stripMargin,
 
     // the streamed stateless decision must land on the batch blocklist
     // verdicts exactly — same oracle as doc_host_blocklist

@@ -470,6 +470,65 @@ object Corpus {
       .where(col("cum_tokens") <= col("alloc_tokens"))
   }
 
+  /** Epoch-capped mixture materialization — the data-REPETITION side of
+    * corpus mixing (LLaMA-style recipes upsample small high-quality
+    * sources by running multiple epochs over them; the cap reflects the
+    * data-constrained-scaling result that repetition beyond a few
+    * epochs stops paying). For stratum s with natural count n_s, target
+    * share share_s (basis points) of a total budget B =
+    * (N · budgetBp) div 10000 emitted docs:
+    *
+    *   want_s = (share_s · B) div 10000
+    *   full_s = min(maxEpochs, want_s div n_s)     full epochs, capped
+    *   rem_s  = want_s mod n_s  (0 when capped)    docs getting 1 extra
+    *
+    * The rem_s extra-epoch docs are the stratum's smallest salted md5
+    * keys (min-wise: growing the corpus can only displace, never
+    * reshuffle, the extras), picked per stratum with the skew-safe
+    * [[Ranks.stratifiedRowNumber]]. full_s = 0 strata degrade to a plain
+    * exact-rem_s downsample; capped strata emit exactly maxEpochs · n_s.
+    * All integer arithmetic — engine-replayable.
+    *
+    * Scale shape: one count aggregate (tiny), one stratified rank pass
+    * (range shuffle, full parallelism), a broadcast rate join and a
+    * row-local `explode(sequence(1, n_epochs))`. Emits (doc, stratum,
+    * epoch ∈ [1, n_epochs]) — the materialized training-mix manifest. */
+  def epochCapMix(df: DataFrame, idCol: String, strataCol: String,
+      targetSharesBp: Map[String, Long], budgetBp: Long, maxEpochs: Int,
+      salt: String = "emix", nParts: Int = 32): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(budgetBp >= 0, "budgetBp must be >= 0")
+    require(targetSharesBp.values.forall(s => s >= 0 && s <= 10000),
+      "shares are basis points in [0, 10000]")
+    val share = targetSharesBp.foldLeft(lit(0L)) { case (acc, (stratum, bp)) =>
+      when(col(strataCol) === stratum, lit(bp)).otherwise(acc)
+    }
+    val tot = df.agg(count(lit(1)).cast("long").as("_t"))
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("_n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_share_bp", share)
+      .withColumn("_want",
+        expr(s"(_share_bp * ((_t * ${budgetBp}L) div 10000)) div 10000"))
+      .withColumn("_full0", expr("_want div _n"))
+      .withColumn("full_epochs",
+        least(col("_full0"), lit(maxEpochs.toLong)))
+      .withColumn("rem_docs",
+        when(col("_full0") >= maxEpochs, lit(0L))
+          .otherwise(pmod(col("_want"), col("_n"))))
+      .select(col(strataCol), col("full_epochs"), col("rem_docs"))
+    val keyed = df.select(col(idCol), col(strataCol))
+      .withColumn("_key", sampleKey(col(idCol), salt))
+    Ranks.stratifiedRowNumber(keyed, Seq(strataCol),
+        Seq(col("_key"), col(idCol)), nParts, out = "_rn")
+      .join(broadcast(rates), strataCol)
+      .withColumn("n_epochs", col("full_epochs") +
+        when(col("_rn") <= col("rem_docs"), 1L).otherwise(0L))
+      .where(col("n_epochs") > 0)
+      .select(col(idCol), col(strataCol),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
   /** Corpus snapshot diff — the data-versioning primitive for iterated
     * training-set builds: classify every doc id across two snapshots as
     * `added` / `removed` / `changed` / `unchanged` by full-outer-joining

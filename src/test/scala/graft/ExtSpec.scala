@@ -1977,6 +1977,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("epochCapMix caps full epochs, hands the exact remainder to the smallest keys") {
+    import graft.ext.Corpus
+    // strata: a=4 docs, b=2, c=10; shares a 50% / b 30% / c 20% of a
+    // 2x-corpus budget (B = 32): a wants 16 -> 4 full epochs -> CAP 3
+    // (12 rows, rem 0); b wants 9 -> 4 full -> cap 3 (6 rows); c wants
+    // 6 -> full 0, rem 6 -> exact 6-doc downsample at 1 epoch
+    val df = ((0L until 4L).map(i => (i, "a")) ++
+      (10L until 12L).map(i => (i, "b")) ++
+      (20L until 30L).map(i => (i, "c"))).toDF("doc_id", "stratum")
+    val out = Corpus.epochCapMix(df.repartition(5), "doc_id", "stratum",
+      Map("a" -> 5000L, "b" -> 3000L, "c" -> 2000L),
+      budgetBp = 20000L, maxEpochs = 3)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("a" -> 12L, "b" -> 6L, "c" -> 6L), byStratum.toString)
+    // capped strata repeat EVERY doc exactly maxEpochs times
+    assert(out.where(col("stratum") === "a").groupBy("doc_id").count()
+      .where(col("count") =!= 3).count() == 0)
+    // c's 6 kept docs are the 6 smallest salted keys of the stratum
+    val gotC = out.where(col("stratum") === "c").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val refC = df.where(col("stratum") === "c")
+      .select(col("doc_id"), Corpus.sampleKey(col("doc_id"), "emix").as("k"))
+      .orderBy("k").limit(6).collect().map(_.getLong(0)).toSet
+    assert(gotC == refC, s"$gotC vs $refC")
+    // epochs are 1..n_epochs per doc
+    assert(out.groupBy("doc_id", "stratum").agg(
+        min(col("epoch")).as("mn"), max(col("epoch")).as("mx"),
+        count(lit(1)).as("c"))
+      .where(col("mn") =!= 1 || col("mx") =!= col("c")).count() == 0)
+  }
+
   test("hostBlocklist blocks exact hosts and subdomains, reports the longest rule") {
     import graft.ext.UrlOps
     val urls = Seq(
