@@ -2618,6 +2618,122 @@ object SparkEntry {
         "source_lo", "source_hi")
     }),
 
+    // Z-ORDER LAYOUT + FILE-SKIPPING AUDIT — the physical-layout lever
+    // that matters most at 100 TB: interleaving the bits of two
+    // equi-depth 8-bit dimension ranks clusters MULTI-dimensional
+    // locality into the linear file order, so a reader pruning on
+    // min/max footer stats (parquet row groups, Delta/Iceberg file
+    // stats) skips files on BOTH predicates at once — a linear sort
+    // prunes only its leading dimension and a hash layout prunes
+    // nothing. The audit materializes all three layouts LOGICALLY
+    // (file_id = rank div rowsPerFile over 64 files — the deterministic
+    // stand-in for a writer's maxRecordsPerFile), computes each file's
+    // min/max stats, and marks which files a fixed quarter×quarter box
+    // query must scan. Rank passes ride Ranks.globalRowNumber (range
+    // shuffles — the same passes a real OPTIMIZE ZORDER runs); the
+    // audit output is 3 × 64 rows.
+    "doc_zorder_skipping" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        pmod(conv(substring(md5(concat(lit("zdim:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(10000L)).as("d2"))
+      val nF = docs.agg(count(lit(1)).as("_n"))
+      def toBits(df: DataFrame, vCol: String, out: String) =
+        Ranks.globalRowNumber(df, Seq(col(vCol), col("doc_id")), out = "_r")
+          .crossJoin(broadcast(nF))
+          .withColumn(out, expr("((_r - 1) * 256) div _n"))
+          .drop("_r", "_n")
+      val zkey = (0 until 8).map { i =>
+        shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+          shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+      }.reduce(_ + _)
+      val z = toBits(toBits(docs, "n_chars", "b1"), "d2", "b2")
+        .withColumn("zkey", zkey)
+        .withColumn("hkey",
+          md5(concat(lit("h:"), col("doc_id").cast("string"))))
+      val ranked = Ranks.globalRowNumber(
+        Ranks.globalRowNumber(
+          Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
+            out = "zrank"),
+          Seq(col("b1"), col("b2"), col("doc_id")), out = "lrank"),
+        Seq(col("hkey"), col("doc_id")), out = "hrank")
+        .crossJoin(broadcast(nF))
+        .withColumn("_rpf", expr("(_n + 63) div 64"))
+      def layout(tag: String, rank: String) =
+        ranked.select(lit(tag).as("layout"),
+          expr(s"($rank - 1) div _rpf").as("file_id"),
+          col("b1"), col("b2"))
+      val lay = layout("zorder", "zrank")
+        .unionByName(layout("linear", "lrank"))
+        .unionByName(layout("hash", "hrank"))
+      sortSmall(lay.groupBy(col("layout"), col("file_id"))
+        .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+          min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("scanned",
+          col("b1_max") >= 64 && col("b1_min") <= 127 &&
+            col("b2_max") >= 128 && col("b2_min") <= 191),
+        "layout", "file_id")
+    }),
+
+    // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
+    // doc_budget_fill: a GLOBAL exact prefix fill needs every smaller
+    // hash key before deciding a doc, which an unbounded stream can't
+    // know, so the production pattern splits each language's allocation
+    // into per-shard sub-quotas (shard = doc_id mod 8, the micro-batch
+    // key) that every shard enforces with NO cross-shard coordination —
+    // the distributed-rate-limiter discipline. Each micro-batch is one
+    // whole residue class (replayForeachBatchResidue), decisions are a
+    // window prefix sum within the batch against the broadcast FROZEN
+    // sub-quota table, and the kept set is a pure function of (salt,
+    // ids, allocs) — batch arrival order cannot matter. The sub-quota
+    // boundary loss vs the batch fill's global cutoff is the documented
+    // price of coordination-free enforcement.
+    "stream_budget_fill" -> ((s, dir) => {
+      val nRes = 8
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val sub = Corpus.waterfillAlloc(docs, "lang", "n_chars", 8000L)
+        .select(col("lang"), col("alloc_tokens"))
+        .crossJoin(s.range(nRes).select(col("id").as("res")))
+        .withColumn("sub_alloc", expr(s"alloc_tokens div ${nRes}L") +
+          when(col("res") < pmod(col("alloc_tokens"), lit(nRes.toLong)), 1L)
+            .otherwise(0L))
+        .select(col("lang"), col("res"), col("sub_alloc"))
+        .localCheckpoint(true)
+      val p = s"$scratchBase/graft_stream_bfill_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      var kept = Vector.empty[(Long, String, Long, Long, Long, Long)]
+      graft.streaming.StreamingDedup.replayForeachBatchResidue(
+        s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", nRes, "doc_id",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id"), col("lang"), col("n_chars"))
+      } { (batch, _) =>
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("fill_key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        kept = kept ++ batch
+          .withColumn("res", pmod(col("doc_id"), lit(nRes.toLong)))
+          .withColumn("fill_key", Corpus.sampleKey(col("doc_id"), "bfill"))
+          .withColumn("cum_tokens", sum(col("n_chars")).over(w))
+          .join(broadcast(sub), Seq("lang", "res"))
+          .where(col("cum_tokens") <= col("sub_alloc"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("res"),
+            col("cum_tokens"), col("sub_alloc"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+      }
+      import s.implicits._
+      sortBig(kept.toDF("doc_id", "lang", "n_chars", "res", "cum_tokens",
+        "sub_alloc"), "doc_id")
+    }),
+
     // BLOCKLIST AT INGEST — the streaming twin of doc_host_blocklist:
     // the frozen blocklist ships as a literal array (at cluster scale, a
     // broadcast variable) and the whole decision is a stateless
@@ -6278,6 +6394,100 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
         |FROM j GROUP BY 1, 2
         |ORDER BY source_lo, source_hi""".stripMargin,
+
+    // same equi-depth rank bits, explicit bit-interleave as a sum of
+    // div/mod terms (no engine bit operators needed), three window-rank
+    // layouts, per-file min/max + the same box intersection
+    "doc_zorder_skipping" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |zr AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS zrank,
+        |    CAST(row_number() OVER (ORDER BY b1, b2, doc_id) AS BIGINT)
+        |      AS lrank,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS hrank
+        |  FROM z),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, (zrank - 1) // ((n + 63) // 64)
+        |    AS file_id, b1, b2 FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'linear', (lrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'hash', (hrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn)
+        |SELECT layout, file_id,
+        |  min(b1) AS b1_min, max(b1) AS b1_max,
+        |  min(b2) AS b2_min, max(b2) AS b2_max,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  (max(b1) >= 64 AND min(b1) <= 127 AND
+        |   max(b2) >= 128 AND min(b2) <= 191) AS scanned
+        |FROM lay GROUP BY 1, 2
+        |ORDER BY layout, file_id""".stripMargin,
+
+    // the same allocation CTEs, sub-quotas by residue class, and
+    // per-(lang, shard) window prefix fill — batch arrival order cannot
+    // appear anywhere because shard membership is doc_id mod 8
+    "stream_budget_fill" ->
+      """WITH caps AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST((sum(cap) * 8000) // 10000 AS BIGINT) AS b FROM caps),
+        |r AS (SELECT lang, cap,
+        |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS p
+        |  FROM caps),
+        |s AS (SELECT r.*, n, b,
+        |    (p - cap) + cap * (n - i + 1) <= b AS saturated
+        |  FROM r CROSS JOIN tot),
+        |a AS (SELECT CAST(count(*) FILTER (WHERE saturated) AS BIGINT) AS nsat,
+        |    CAST(coalesce(sum(cap) FILTER (WHERE saturated), 0) AS BIGINT)
+        |      AS psat
+        |  FROM s),
+        |al AS (SELECT lang,
+        |    CASE WHEN saturated THEN cap
+        |         ELSE least(cap, (b - psat) // (n - nsat)
+        |           + CASE WHEN i - nsat <= (b - psat) % (n - nsat)
+        |                  THEN 1 ELSE 0 END) END AS alloc_tokens
+        |  FROM s CROSS JOIN a),
+        |rb AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS res),
+        |sub AS (SELECT lang, res,
+        |    alloc_tokens // 8 + CASE WHEN res < alloc_tokens % 8
+        |                             THEN 1 ELSE 0 END AS sub_alloc
+        |  FROM al CROSS JOIN rb),
+        |k AS (SELECT doc_id, lang, n_chars, doc_id % 8 AS res,
+        |    md5('bfill:' || CAST(doc_id AS VARCHAR)) AS fill_key
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars, res,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang, res
+        |      ORDER BY fill_key, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM k)
+        |SELECT doc_id, c.lang, n_chars, CAST(c.res AS BIGINT) AS res,
+        |  cum_tokens, sub_alloc
+        |FROM c JOIN sub ON c.lang = sub.lang AND c.res = sub.res
+        |WHERE cum_tokens <= sub_alloc
+        |ORDER BY doc_id""".stripMargin,
 
     // the streamed stateless decision must land on the batch blocklist
     // verdicts exactly — same oracle as doc_host_blocklist

@@ -579,6 +579,70 @@ object StreamingDedup {
     * order; callers' merge logic must be order-insensitive (top-k/set
     * merges are), which is also the production truth: replayed streams
     * reorder. */
+  /** Replay a parquet table as `nRes` micro-batches, each containing
+    * exactly one RESIDUE CLASS (`idCol % nRes`) — the deterministic
+    * batch partition hash-sharded quota twins need: batch MEMBERSHIP is
+    * a pure function of the id (unlike [[replayForeachBatchSplit]]'s
+    * round-robin repartition), so a SQL oracle can replay per-batch
+    * decisions without knowing arrival order, and any batch-keyed
+    * decision is invariant to the order classes happen to arrive in.
+    * One file per class (written under a leading-underscore temp dir,
+    * which the file source ignores, then moved into place) keeps
+    * maxFilesPerTrigger=1 ≡ one class per micro-batch. */
+  def replayForeachBatchResidue(spark: SparkSession, parquetPath: String,
+      scratchDir: String, checkpoint: String, nRes: Int, idCol: String,
+      outputMode: OutputMode)
+      (probe: DataFrame => DataFrame)
+      (write: (DataFrame, Long) => Unit): Unit = {
+    require(nRes > 0, "nRes must be positive")
+    val src = spark.read.parquet(parquetPath)
+    new java.io.File(scratchDir).mkdirs()
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete(): Unit
+    }
+    (0 until nRes).foreach { b =>
+      val tmp = s"$scratchDir/_tmp_$b"
+      src.where(pmod(col(idCol), lit(nRes.toLong)) === b.toLong)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .foreach { p =>
+          java.nio.file.Files.move(p.toPath,
+            java.nio.file.Paths.get(s"$scratchDir/res-$b.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      rmTree(new java.io.File(tmp))
+    }
+    val schema = cachedSchema(spark, parquetPath)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(scratchDir)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val qr = probe(stream).writeStream
+        .outputMode(outputMode)
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qr.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   def replayForeachBatchSplit(spark: SparkSession, parquetPath: String,
       scratchDir: String, checkpoint: String, splitN: Int,
       outputMode: OutputMode)

@@ -626,4 +626,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids.max - ids.min > n / 4,
       s"top-k ids suspiciously clustered: $ids")
   }
+
+  test("replayForeachBatchResidue delivers one whole residue class per micro-batch") {
+    import graft.streaming.StreamingDedup
+    val n = 100L
+    val src = (0L until n).map(i => (i, s"d$i")).toDF("id", "s")
+    val base = "/tmp/graft_test_residue_replay"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    src.coalesce(1).write.parquet(s"$base/in")
+    var batches = Vector.empty[Set[Long]]
+    StreamingDedup.replayForeachBatchResidue(spark, s"$base/in",
+        s"$base/src", s"$base/ckpt", 5, "id",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+      st.select(col("id"))
+    } { (b, _) =>
+      batches = batches :+ b.collect().map(_.getLong(0)).toSet
+    }
+    assert(batches.size == 5, s"expected 5 micro-batches, got ${batches.size}")
+    // every batch is exactly one residue class, whole
+    batches.foreach { ids =>
+      val residues = ids.map(_ % 5)
+      assert(residues.size == 1, s"batch mixed residues: $residues")
+      val r = residues.head
+      assert(ids == (0L until n).filter(_ % 5 == r).toSet,
+        s"residue class $r not delivered whole")
+    }
+    // together they cover the table exactly once
+    assert(batches.map(_.size).sum == n)
+  }
 }
