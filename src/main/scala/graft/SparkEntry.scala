@@ -2618,6 +2618,40 @@ object SparkEntry {
         "source_lo", "source_hi")
     }),
 
+    // CURRICULUM ORDERING MANIFEST — the training-order recipe
+    // (curriculum learning: feed examples in difficulty bands rather
+    // than fully shuffled): docs binned into quality DECILES by the
+    // trained-LR score (equi-depth via the skew-safe global rank — the
+    // deciles ascend by score, so a curriculum run starts at decile 0
+    // and a reverse curriculum reads the manifest backwards) and
+    // SHUFFLED within each decile by a salted hash (within-band order
+    // must carry no content signal). Both rank passes are
+    // Ranks.globalRowNumber range shuffles; the manifest is a pure
+    // function of (corpus, salt) — re-runs and engines agree on every
+    // position.
+    "doc_curriculum_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("doc"),
+        (col("lang") === "en").cast("double").as("y"))
+      val feat = QualityModel.denseFeatures(
+        QualityModel.hashedBow(docs, "doc_id", "text", 64), labels, 64)
+      val scored = QualityModel.scoreLogReg(feat, lrModelFor(s, dir))
+        .select(col("doc"), col("score"))
+      val nF = scored.agg(count(lit(1)).as("_n"))
+      val dec = Ranks.globalRowNumber(scored,
+          Seq(col("score"), col("doc")), out = "_r")
+        .crossJoin(broadcast(nF))
+        .withColumn("decile", expr("((_r - 1) * 10) div _n"))
+        .withColumn("_sk",
+          md5(concat(lit("curr:"), col("doc").cast("string"))))
+      sortBig(Ranks.globalRowNumber(dec,
+          Seq(col("decile"), col("_sk"), col("doc")),
+          out = "curriculum_rank")
+        .select(col("doc"), col("score"), col("decile"),
+          col("curriculum_rank")),
+        "curriculum_rank")
+    }),
+
     // Z-ORDER LAYOUT + FILE-SKIPPING AUDIT — the physical-layout lever
     // that matters most at 100 TB: interleaving the bits of two
     // equi-depth 8-bit dimension ranks clusters MULTI-dimensional
@@ -6394,6 +6428,22 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
         |FROM j GROUP BY 1, 2
         |ORDER BY source_lo, source_hi""".stripMargin,
+
+    // the generated LR training CTEs (ending in `scored`) + the decile
+    // binning and the salted within-decile shuffle as window ranks
+    "doc_curriculum_order" -> (QualityModel.qualityOracleCtes(
+      "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)") + """,
+      |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM scored),
+      |rk AS (SELECT doc, score,
+      |    CAST(row_number() OVER (ORDER BY score, doc) AS BIGINT) AS r
+      |  FROM scored),
+      |dz AS (SELECT doc, score, ((r - 1) * 10) // cn AS decile,
+      |    md5('curr:' || CAST(doc AS VARCHAR)) AS sk
+      |  FROM rk CROSS JOIN ncnt)
+      |SELECT doc, score, decile,
+      |  CAST(row_number() OVER (ORDER BY decile, sk, doc) AS BIGINT)
+      |    AS curriculum_rank
+      |FROM dz ORDER BY curriculum_rank""".stripMargin),
 
     // same equi-depth rank bits, explicit bit-interleave as a sum of
     // div/mod terms (no engine bit operators needed), three window-rank
