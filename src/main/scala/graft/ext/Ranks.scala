@@ -117,43 +117,58 @@ object Ranks {
     *   1. range-partition on (strata, ord) — a stratum spans a
     *      CONTIGUOUS run of partitions, every partition holds parallel
     *      work even under one-stratum skew;
-    *   2. per-(partition, stratum) local running sums — the window
-    *      partitions by `_pid`, so no window group outlives one range
-    *      partition's slice (full nParts-way parallelism);
+    *   2. per-(partition, stratum) local running sums — computed by the
+    *      custom [[graft.plans.PartitionPrefixSum]] physical operator
+    *      in one forward pass over each partition's stored order. A
+    *      window (`sum(v) OVER (PARTITION BY _pid, strata ORDER BY
+    *      ord)`) computes the same values but WindowExec demands its
+    *      child be hash-partitioned on the partition keys, re-shuffling
+    *      the corpus the range exchange just placed — a second
+    *      full-width exchange carrying zero information, which is
+    *      exactly the custom-SparkPlan case in the build plan's
+    *      preference order;
     *   3. per-(partition, stratum) totals — an O(nParts · strata) frame
     *      — prefix-summed over `_pid` per stratum and broadcast back as
     *      each slice's base offset.
     *
-    * Two corpus exchanges total (the range shuffle, then the window's
-    * hash shuffle on (_pid, strata)); both full-width. `value` should be
-    * integral or decimal — the offsets and the local sums must add
-    * exactly for the result to be partitioning-invariant (the repo-wide
-    * exact-sum discipline). The range-partitioned frame is PINNED with
-    * an eager localCheckpoint for the same two-consumer
-    * boundary-determinism reason as [[globalRowNumber]] (offsets and
-    * join both consume it). */
+    * ONE corpus exchange total (the range shuffle; the offsets
+    * aggregate moves O(nParts · strata) rows and the offset join is
+    * broadcast). `value` is cast to long — the offsets and the local
+    * sums must add exactly for the result to be partitioning-invariant
+    * (the repo-wide exact-sum discipline). The range-partitioned sorted
+    * frame is PINNED with an eager localCheckpoint BOTH for the
+    * two-consumer boundary-determinism reason of [[globalRowNumber]]
+    * (offsets and prefix scan consume it) and because the custom
+    * operator's contract is "rows arrive grouped and ordered as
+    * stored". */
   def stratifiedRunningSum(df: DataFrame, strata: Seq[String],
       ord: Seq[Column], value: Column, nParts: Int = 32,
       out: String = "run_sum"): DataFrame = {
     val sCols = strata.map(col)
-    val local = df.withColumn("_val", value)
+    val local = df.withColumn("_val", value.cast("long"))
       .repartitionByRange(nParts, (sCols ++ ord): _*)
+      .sortWithinPartitions((sCols ++ ord): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
+    // _off stays NULL when no earlier partition of the stratum carried a
+    // non-null value — `sum() OVER` semantics demand the running sum be
+    // null exactly until the stratum's first non-null value, and that
+    // first value can sit partitions away from a row whose own local
+    // prefix (_ls) is still null
     val offsets = local.groupBy((col("_pid") +: sCols): _*)
       .agg(sum(col("_val")).as("_psum"))
-      .withColumn("_off", coalesce(
+      .withColumn("_off",
         sum(col("_psum")).over(Window.partitionBy(sCols: _*)
           .orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L).cast("bigint")))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .select((col("_pid") +: sCols :+ col("_off")): _*)
-    val w = Window.partitionBy((col("_pid") +: sCols): _*)
-      .orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local.join(broadcast(offsets), "_pid" +: strata)
-      .withColumn(out, col("_off") + sum(col("_val")).over(w))
-      .drop("_pid", "_val")
+    graft.plans.PartitionPrefixSum.runningSum(local, strata, "_val", "_ls")
+      .join(broadcast(offsets), "_pid" +: strata)
+      .withColumn(out,
+        when(col("_ls").isNull && col("_off").isNull, lit(null).cast("bigint"))
+          .otherwise(coalesce(col("_off"), lit(0L)) +
+            coalesce(col("_ls"), lit(0L))))
+      .drop("_pid", "_val", "_ls")
   }
 
   /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with

@@ -1927,6 +1927,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedRunningSum matches window null semantics: null until first non-null value") {
+    import graft.ext.Ranks
+    val df = Seq[(String, Long, Option[Long])](
+      ("a", 1L, None), ("a", 2L, None), ("a", 3L, Some(5L)), ("a", 4L, None),
+      ("b", 1L, Some(2L)), ("b", 2L, None), ("b", 3L, Some(3L))
+    ).toDF("st", "k", "v")
+    val got = Ranks.stratifiedRunningSum(df.repartition(3), Seq("st"),
+        Seq(col("k")), col("v"), nParts = 3)
+      .select("st", "k", "run_sum").as[(String, Long, Option[Long])]
+      .collect().toSet
+    val expect = Set(
+      ("a", 1L, None), ("a", 2L, None), ("a", 3L, Some(5L)),
+      ("a", 4L, Some(5L)),
+      ("b", 1L, Some(2L)), ("b", 2L, Some(2L)), ("b", 3L, Some(5L)))
+    assert(got == expect, got.toString)
+  }
+
   test("waterfillAlloc finds the exact level: saturation, remainder, and full-budget cases") {
     import graft.ext.Corpus
     def alloc(rows: Seq[(String, Long)], bp: Long): Map[String, (Long, Boolean)] =
