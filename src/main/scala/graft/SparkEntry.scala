@@ -2746,7 +2746,11 @@ object SparkEntry {
       graft.streaming.StreamingDedup.replayForeachBatchResidue(
         s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", nRes, "doc_id",
         org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
-        st.select(col("doc_id"), col("lang"), col("n_chars"))
+        // explicit long casts: a replayed source may carry narrower
+        // integer types than the sf parquet (the 10x synth tables do),
+        // and the driver-side merge below reads with typed getters
+        st.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
       } { (batch, _) =>
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("fill_key"), col("doc_id"))

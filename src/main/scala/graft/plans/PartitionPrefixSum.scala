@@ -104,6 +104,24 @@ final case class PartitionPrefixSumExec(strataAttrs: Seq[Attribute],
       val i = child.output.indexWhere(_.exprId == a.exprId)
       require(i >= 0,
         s"PartitionPrefixSum: no column '${a.name}' in child output")
+      // group boundaries are detected by VALUE equality on the stored
+      // representation — sound for atomic non-floating types (strings,
+      // integrals, decimals, dates); floats would split NaN groups
+      // (NaN != NaN) and arrays/structs compare by reference
+      import org.apache.spark.sql.types._
+      child.output(i).dataType match {
+        case FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"PartitionPrefixSum: floating-point stratum '${a.name}' " +
+              "unsupported (NaN breaks equality grouping)")
+        case StringType | BooleanType | ByteType | ShortType |
+             IntegerType | LongType | DateType | TimestampType |
+             _: DecimalType => ()
+        case dt => throw new IllegalArgumentException(
+          s"PartitionPrefixSum: stratum '${a.name}' has type $dt — " +
+            "value-equality grouping is only defined for atomic " +
+            "non-floating types")
+      }
       i
     }.toArray
     val strataTypes = strataIdx.map(child.output(_).dataType)
