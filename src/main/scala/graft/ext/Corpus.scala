@@ -329,9 +329,21 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("_n"))
       .withColumn("_share_bp", share)
       .withColumn("_budget", lit(budget))
-      .withColumn("_want", expr("(_share_bp * _budget) div 10000"))
+      // overflow-safe split of (share · budget) div 10^4: budget =
+      // q·10^4 + r gives share·q + (share·r) div 10^4 EXACTLY (same
+      // value as the naive product for every non-overflowing input, so
+      // the oracle's naive form still hash-matches — and DuckDB's
+      // checked arithmetic would THROW where Spark's would silently
+      // wrap, which is why the engine side is the one that splits)
+      .withColumn("_want",
+        expr("(_budget div 10000) * _share_bp" +
+          " + ((_budget % 10000) * _share_bp) div 10000"))
+      // cap BEFORE the 10^4 rescale: want >= n means the rate saturates
+      // anyway, and want < n bounds the product below n·10^4
       .select(col(strataCol),
-        least(lit(10000L), expr("(_want * 10000) div _n")).as("rate_bp"))
+        when(col("_want") >= col("_n"), lit(10000L))
+          .otherwise(expr("least(10000L, (_want * 10000) div _n)"))
+          .as("rate_bp"))
     df.join(broadcast(rates), strataCol)
       .withColumn("sample_bucket", sampleBucket(col(idCol)))
       .where(col("sample_bucket") < col("rate_bp"))
@@ -418,7 +430,12 @@ object Corpus {
     val w = Window.orderBy(col("cap_tokens"), col(strataCol))
     val tot = caps.agg(sum(col("cap_tokens")).as("_tot"),
         count(lit(1)).as("_nstrata"))
-      .withColumn("_budget", expr("(_tot * " + budgetBp + "L) div 10000"))
+      // same overflow-safe split as [[targetMixSample]]'s _want: exact
+      // identity with (_tot · bp) div 10^4, no wrap at 100 TB token
+      // totals (budgetBp <= 10^4 by the require above, so both terms
+      // stay far inside int64 for any long _tot)
+      .withColumn("_budget", expr("(_tot div 10000) * " + budgetBp +
+        "L + ((_tot % 10000) * " + budgetBp + "L) div 10000"))
     val ranked = caps.crossJoin(broadcast(tot))
       .withColumn("_i", row_number().over(w).cast("long"))
       .withColumn("_p", sum(col("cap_tokens")).over(w))
@@ -497,7 +514,10 @@ object Corpus {
       targetSharesBp: Map[String, Long], budgetBp: Long, maxEpochs: Int,
       salt: String = "emix", nParts: Int = 32): DataFrame = {
     require(maxEpochs >= 1, "maxEpochs must be >= 1")
-    require(budgetBp >= 0, "budgetBp must be >= 0")
+    // 10^6 bp = 100 corpus epochs; the bound keeps (_t div 10^4)·bp
+    // inside int64 for corpora up to ~9·10^16 docs
+    require(budgetBp >= 0 && budgetBp <= 1000000L,
+      "budgetBp must be in [0, 1000000] (at most 100 corpus epochs)")
     require(targetSharesBp.values.forall(s => s >= 0 && s <= 10000),
       "shares are basis points in [0, 10000]")
     val share = targetSharesBp.foldLeft(lit(0L)) { case (acc, (stratum, bp)) =>
@@ -508,8 +528,14 @@ object Corpus {
       .agg(count(lit(1)).cast("long").as("_n"))
       .crossJoin(broadcast(tot))
       .withColumn("_share_bp", share)
+      // two-level overflow-safe split (see [[targetMixSample]]): first
+      // B = (t · budgetBp) div 10^4, then want = (share · B) div 10^4 —
+      // both exact identities with the naive products, neither can wrap
+      .withColumn("_budget", expr(s"(_t div 10000) * ${budgetBp}L" +
+        s" + ((_t % 10000) * ${budgetBp}L) div 10000"))
       .withColumn("_want",
-        expr(s"(_share_bp * ((_t * ${budgetBp}L) div 10000)) div 10000"))
+        expr("(_budget div 10000) * _share_bp" +
+          " + ((_budget % 10000) * _share_bp) div 10000"))
       .withColumn("_full0", expr("_want div _n"))
       .withColumn("full_epochs",
         least(col("_full0"), lit(maxEpochs.toLong)))

@@ -1944,6 +1944,24 @@ class ExtSpec extends SparkSpec {
     assert(got == expect, got.toString)
   }
 
+  test("split budget arithmetic equals the naive product where naive would overflow int64") {
+    // the engine computes (x * bp) div 10^4 as (x div 10^4)*bp +
+    // ((x % 10^4)*bp) div 10^4 — exact identity, no wrap. Verify against
+    // BigInt at values where the naive int64 product overflows (Spark
+    // would silently wrap there; DuckDB throws — the oracle keeps the
+    // naive form because its arithmetic is checked).
+    val cases = Seq[(Long, Long)](
+      (Long.MaxValue / 3, 10000L), (Long.MaxValue - 7, 8000L),
+      (1234567890123456789L, 9999L), (9999L, 10000L), (0L, 5000L),
+      (Long.MaxValue / 3, 999999L % 10001L))
+    val got = cases.toDF("x", "bp")
+      .select(expr("(x div 10000) * bp + ((x % 10000) * bp) div 10000"))
+      .collect().map(_.getLong(0))
+    val expect = cases.map { case (x, bp) =>
+      ((BigInt(x) * bp) / 10000).toLong }
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+  }
+
   test("waterfillAlloc finds the exact level: saturation, remainder, and full-budget cases") {
     import graft.ext.Corpus
     def alloc(rows: Seq[(String, Long)], bp: Long): Map[String, (Long, Boolean)] =
