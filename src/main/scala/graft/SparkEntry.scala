@@ -2542,7 +2542,13 @@ object SparkEntry {
           Seq("source"), Seq(col("n_chars"), col("doc_id")), out = "_rn")
         .join(broadcast(nS), "source")
         .withColumn("_lo", expr("((_n - 1) div 2) + 1"))
-        .withColumn("_hi", least(col("_lo") + 1, col("_n")))
+        // odd n: the _lo order statistic IS the median, so the bracket
+        // collapses (hi = lo); even n: the two middle statistics. A
+        // blanket lo+1 would report the (m+1)-th statistic as median_hi
+        // for odd sources and consumers averaging lo/hi would be wrong.
+        .withColumn("_hi",
+          when(pmod(col("_n"), lit(2L)) === 1, col("_lo"))
+            .otherwise(col("_lo") + 1))
         .where(col("_rn") === col("_lo") || col("_rn") === col("_hi"))
         .groupBy(col("source"))
         .agg(min(when(col("_rn") === col("_lo"), col("n_chars")))
@@ -2742,20 +2748,30 @@ object SparkEntry {
         f.delete(): Unit
       }
       rm(new java.io.File(p))
-      var kept = Vector.empty[(Long, String, Long, Long, Long, Long)]
+      // kept rows land in a per-batch parquet SINK (overwrite into a
+      // batch=<id> subdir — a retried batch rewrites only its own
+      // directory, the exactly-once discipline of stream_sink_rollup),
+      // never on the driver: the kept set IS the budget-fill output,
+      // i.e. corpus-scale at a 100 TB budget, and a driver-side merge
+      // would hoard it in one JVM. The declared result is the sink read
+      // back — the files on disk are what's audited.
+      val sink = s"$p/sink"
       graft.streaming.StreamingDedup.replayForeachBatchResidue(
         s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", nRes, "doc_id",
         org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
         // explicit long casts: a replayed source may carry narrower
         // integer types than the sf parquet (the 10x synth tables do),
-        // and the driver-side merge below reads with typed getters
+        // and the sink schema must be batch-invariant
         st.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("n_chars").cast("long").as("n_chars"))
-      } { (batch, _) =>
+      } { (batch, batchId) =>
+        // one micro-batch = one residue class, so partitionBy(lang) here
+        // is the per-(lang, shard) sub-quota scan — bounded by the
+        // micro-batch, not the corpus
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("fill_key"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        kept = kept ++ batch
+        batch
           .withColumn("res", pmod(col("doc_id"), lit(nRes.toLong)))
           .withColumn("fill_key", Corpus.sampleKey(col("doc_id"), "bfill"))
           .withColumn("cum_tokens", sum(col("n_chars")).over(w))
@@ -2763,13 +2779,12 @@ object SparkEntry {
           .where(col("cum_tokens") <= col("sub_alloc"))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("res"),
             col("cum_tokens"), col("sub_alloc"))
-          .collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
       }
-      import s.implicits._
-      sortBig(kept.toDF("doc_id", "lang", "n_chars", "res", "cum_tokens",
-        "sub_alloc"), "doc_id")
+      sortBig(s.read.option("basePath", sink).parquet(sink)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("res"),
+            col("cum_tokens"), col("sub_alloc")),
+        "doc_id")
     }),
 
     // BLOCKLIST AT INGEST — the streaming twin of doc_host_blocklist:
@@ -3647,10 +3662,14 @@ object SparkEntry {
     // graph becomes a 10^7-host one the rank iteration can chew.
     "doc_host_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // pinned: four consumers (hsrc, hdst, hn, perHost) fan out of this
+      // corpus-wide canon/md5 projection — un-pinned each one re-runs
+      // the full documents scan + regex chain (4 corpus scans for 1)
       val hframe = syntheticUrls(docs).select(col("doc_id"),
           UrlOps.hostOf(UrlOps.canonicalUrl(col("url"))).as("host"))
         .withColumn("hid",
           conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long"))
+        .localCheckpoint(true)
       val hsrc = hframe.select(col("doc_id").as("src"),
         col("hid").as("hsrc"))
       val hdst = hframe.select(col("doc_id").as("dst"),
@@ -6335,8 +6354,9 @@ object SparkEntry {
         |med AS (SELECT source,
         |    min(CASE WHEN rn = ((n - 1) // 2) + 1 THEN n_chars END)
         |      AS median_lo,
-        |    min(CASE WHEN rn = least(((n - 1) // 2) + 2, n) THEN n_chars END)
-        |      AS median_hi
+        |    min(CASE WHEN rn = (CASE WHEN n % 2 = 1 THEN ((n - 1) // 2) + 1
+        |                             ELSE ((n - 1) // 2) + 2 END)
+        |      THEN n_chars END) AS median_hi
         |  FROM rk GROUP BY 1)
         |SELECT base.source, n_docs, n_langs, n_tokens, mean_chars, dup_rate,
         |  median_lo, median_hi

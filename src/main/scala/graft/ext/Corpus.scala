@@ -339,10 +339,15 @@ object Corpus {
         expr("(_budget div 10000) * _share_bp" +
           " + ((_budget % 10000) * _share_bp) div 10000"))
       // cap BEFORE the 10^4 rescale: want >= n means the rate saturates
-      // anyway, and want < n bounds the product below n·10^4
+      // anyway. The rescale uses the same exact div/mod split as _want
+      // itself — (w·10^4) div n = (w div n)·10^4 + ((w mod n)·10^4) div n
+      // identically, and the remainder term is bounded by n·10^4, so the
+      // product can't wrap int64 for any stratum below ~9.2e14 rows
+      // (the naive w·10^4 wraps as soon as w exceeds that, n-independent)
       .select(col(strataCol),
         when(col("_want") >= col("_n"), lit(10000L))
-          .otherwise(expr("least(10000L, (_want * 10000) div _n)"))
+          .otherwise(expr("least(10000L, (_want div _n) * 10000" +
+            " + ((_want % _n) * 10000) div _n)"))
           .as("rate_bp"))
     df.join(broadcast(rates), strataCol)
       .withColumn("sample_bucket", sampleBucket(col(idCol)))

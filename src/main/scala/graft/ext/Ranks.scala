@@ -13,8 +13,23 @@ import org.apache.spark.sql.functions._
   * per-partition offsets (a ~nParts-row cumulative sum, broadcast back).
   * Total cost: one range shuffle + one tiny side aggregate, with full
   * nParts-way parallelism on the big side.
+  *
+  * Fan-out: every entry point takes `nParts` with default 0 = "use
+  * `spark.sql.shuffle.partitions`". A hard-coded constant here would cap
+  * the rank/prefix stages of every caller at that constant regardless of
+  * cluster size — the session conf is the knob operators size to the
+  * cluster, so the rank stages scale with it like every other shuffle.
+  * Callers with a genuine reason (tiny side frames, tests) pass an
+  * explicit positive override.
   */
 object Ranks {
+
+  /** Resolve the fan-out: a positive override wins, else the session's
+    * `spark.sql.shuffle.partitions` (the same default every hash/range
+    * exchange in the plan gets). */
+  private def fanOut(df: DataFrame, nParts: Int): Int =
+    if (nParts > 0) nParts
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
   /** Global 1-based row numbers under the total order `ord` (callers must
     * include a unique tiebreak column so the order — and therefore the
@@ -38,8 +53,9 @@ object Ranks {
     * see every row and the bug hides). At cluster scale the pin is the
     * standard between-stage materialization of the frame being
     * ranked. */
-  def globalRowNumber(df: DataFrame, ord: Seq[Column], nParts: Int = 32,
+  def globalRowNumber(df: DataFrame, ord: Seq[Column], nParts: Int = 0,
       out: String = "rn"): DataFrame = {
+    val np = fanOut(df, nParts)
     // (_pid, _lrn) derive from monotonically_increasing_id AFTER an
     // explicit within-partition sort: mid = (partitionIndex << 33) +
     // rowOrdinal, and range partition i holds keys below partition
@@ -48,7 +64,7 @@ object Ranks {
     // full-corpus hash exchange on _pid (one shuffle + one local sort
     // total; ordinals overflow only past 2^33 rows per partition).
     // The id is evaluated exactly once thanks to the pin below.
-    val local = df.repartitionByRange(nParts, ord: _*)
+    val local = df.repartitionByRange(np, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
@@ -76,14 +92,15 @@ object Ranks {
     * `Window.partitionBy(stratum)` a single-task stall. The offset frame
     * is O(nParts · nStrataPerBoundary) rows and joins back broadcast. */
   def stratifiedRowNumber(df: DataFrame, strata: Seq[String],
-      ord: Seq[Column], nParts: Int = 32, out: String = "rn"): DataFrame = {
+      ord: Seq[Column], nParts: Int = 0, out: String = "rn"): DataFrame = {
+    val np = fanOut(df, nParts)
     val sCols = strata.map(col)
     // same one-shuffle construction as [[globalRowNumber]]: a stratum's
     // rows are CONTIGUOUS within a partition (the local sort leads with
     // the strata), so mid − min(mid over (partition, stratum)) is the
     // 0-based per-stratum local rank — the per-(partition, stratum)
     // minimum rides the SAME O(nParts·strata) frame as the offsets.
-    val local = df.repartitionByRange(nParts, (sCols ++ ord): _*)
+    val local = df.repartitionByRange(np, (sCols ++ ord): _*)
       .sortWithinPartitions((sCols ++ ord): _*)
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
@@ -97,10 +114,33 @@ object Ranks {
           .orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((col("_pid") +: sCols :+ col("_base") :+ col("_off")): _*)
-    local.join(broadcast(offsets), "_pid" +: strata)
+    // NULL is a stratum of its own (window partitioning groups NULLs
+    // together), so the offset join must be null-safe — a plain equi-join
+    // never matches a NULL stratum key and silently DROPS those rows.
+    local.join(broadcast(nullSafeRenamed(offsets, strata)),
+        nullSafeCond(strata), "inner")
       .withColumn(out, col("_off") + (col("_mid") - col("_base")) + lit(1L))
+      .drop(nullSafeDrops(strata): _*)
       .drop("_pid", "_mid", "_base", "_off")
   }
+
+  /** Offset frame with `_pid` and the strata renamed to collision-free
+    * `_ns_*` names so the null-safe join condition can reference both
+    * sides unambiguously. */
+  private def nullSafeRenamed(offsets: DataFrame,
+      strata: Seq[String]): DataFrame =
+    ("_pid" +: strata).foldLeft(offsets)((d, c) =>
+      d.withColumnRenamed(c, "_ns_" + c))
+
+  /** `_pid` equality plus `<=>` on every stratum column — NULL strata
+    * match NULL strata, matching window-partitioning semantics. */
+  private def nullSafeCond(strata: Seq[String]): Column =
+    ("_pid" +: strata)
+      .map(c => col(c) <=> col("_ns_" + c))
+      .reduce(_ && _)
+
+  private def nullSafeDrops(strata: Seq[String]): Seq[String] =
+    ("_pid" +: strata).map("_ns_" + _)
 
   /** Per-stratum INCLUSIVE running sum of `value` under the total order
     * `ord` — the distributed prefix-sum primitive behind budget
@@ -142,11 +182,12 @@ object Ranks {
     * operator's contract is "rows arrive grouped and ordered as
     * stored". */
   def stratifiedRunningSum(df: DataFrame, strata: Seq[String],
-      ord: Seq[Column], value: Column, nParts: Int = 32,
+      ord: Seq[Column], value: Column, nParts: Int = 0,
       out: String = "run_sum"): DataFrame = {
+    val np = fanOut(df, nParts)
     val sCols = strata.map(col)
     val local = df.withColumn("_val", value.cast("long"))
-      .repartitionByRange(nParts, (sCols ++ ord): _*)
+      .repartitionByRange(np, (sCols ++ ord): _*)
       .sortWithinPartitions((sCols ++ ord): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
@@ -162,13 +203,18 @@ object Ranks {
           .orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select((col("_pid") +: sCols :+ col("_off")): _*)
+    // null-safe offset join for the same reason as [[stratifiedRowNumber]]:
+    // NULL is a stratum of its own, and a plain equi-join would drop every
+    // null-stratum row on the floor
     graft.plans.PartitionPrefixSum.runningSum(local, strata, "_val", "_ls")
-      .join(broadcast(offsets), "_pid" +: strata)
+      .join(broadcast(nullSafeRenamed(offsets, strata)),
+        nullSafeCond(strata), "inner")
       .withColumn(out,
         when(col("_ls").isNull && col("_off").isNull, lit(null).cast("bigint"))
           .otherwise(coalesce(col("_off"), lit(0L)) +
             coalesce(col("_ls"), lit(0L))))
-      .drop("_pid", "_val", "_ls")
+      .drop(nullSafeDrops(strata): _*)
+      .drop("_pid", "_val", "_ls", "_off")
   }
 
   /** Exact (t/q)-quantile cutoff frame (_lo, _hi, _r) over `value` with
@@ -182,7 +228,7 @@ object Ranks {
     * comparisons are null → filters drop everything, the
     * degrade-to-empty contract. */
   def orderStatCut(df: DataFrame, value: Column, tie: Column,
-      t: Int, q: Int, nParts: Int = 32): DataFrame = {
+      t: Int, q: Int, nParts: Int = 0): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     val nF = df.agg(count(lit(1)).as("_n"))
     val ranked = globalRowNumber(

@@ -1944,6 +1944,60 @@ class ExtSpec extends SparkSpec {
     assert(got == expect, got.toString)
   }
 
+  test("stratified rank/prefix treat a NULL stratum as its own partition (window semantics)") {
+    import graft.ext.Ranks
+    // window PARTITION BY groups NULLs together; a plain equi-join on the
+    // stratum would silently DROP null-stratum rows — the null-safe join
+    // must keep and rank them
+    val df = Seq[(Option[String], Long, Long)](
+      (Some("a"), 1L, 10L), (Some("a"), 2L, 20L),
+      (None, 1L, 7L), (None, 2L, 8L), (None, 3L, 9L),
+      (Some("b"), 1L, 5L)
+    ).toDF("st", "k", "v")
+    val rn = Ranks.stratifiedRowNumber(df.repartition(3), Seq("st"),
+        Seq(col("k")), nParts = 3)
+      .select("st", "k", "rn").as[(Option[String], Long, Long)]
+      .collect().toSet
+    assert(rn == Set(
+      (Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 1L, 1L), (None, 2L, 2L), (None, 3L, 3L),
+      (Some("b"), 1L, 1L)), rn.toString)
+    val rs = Ranks.stratifiedRunningSum(df.repartition(3), Seq("st"),
+      Seq(col("k")), col("v"), nParts = 3)
+    // internal columns must not leak into the output schema
+    assert(!rs.columns.exists(Set("_off", "_pid", "_val", "_ls")),
+      rs.columns.mkString(","))
+    val got = rs.select("st", "k", "run_sum")
+      .as[(Option[String], Long, Long)].collect().toSet
+    assert(got == Set(
+      (Some("a"), 1L, 10L), (Some("a"), 2L, 30L),
+      (None, 1L, 7L), (None, 2L, 15L), (None, 3L, 24L),
+      (Some("b"), 1L, 5L)), got.toString)
+  }
+
+  test("Ranks default fan-out tracks spark.sql.shuffle.partitions with identical results") {
+    import graft.ext.Ranks
+    val orders = spark.read.parquet(sf("orders"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val ref = Ranks.globalRowNumber(orders, ord, nParts = 5)
+      .select("o_orderkey", "rn")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (conf <- Seq(7, 13)) {
+        spark.conf.set("spark.sql.shuffle.partitions", conf.toString)
+        val got = Ranks.globalRowNumber(orders, ord)
+        // the rank stage's fan-out is the session conf, not a constant:
+        // the broadcast offset join preserves the range partitioning
+        assert(got.rdd.getNumPartitions == conf,
+          s"conf=$conf got=${got.rdd.getNumPartitions}")
+        assert(got.select("o_orderkey", "rn").exceptAll(ref).count() == 0 &&
+          ref.exceptAll(got.select("o_orderkey", "rn")).count() == 0,
+          s"conf=$conf")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("split budget arithmetic equals the naive product where naive would overflow int64") {
     // the engine computes (x * bp) div 10^4 as (x div 10^4)*bp +
     // ((x % 10^4)*bp) div 10^4 — exact identity, no wrap. Verify against
