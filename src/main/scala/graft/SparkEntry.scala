@@ -753,6 +753,48 @@ object SparkEntry {
       pr
     })
 
+  /** Shared frame of the z-order layout experiment (doc_zorder_skipping
+    * and its materialized twin): two equi-depth 8-bit dimension ranks
+    * (b1 over n_chars, b2 over an md5-derived second dimension), the
+    * bit-interleaved z-key, and the three layout ranks (zrank/lrank/
+    * hrank) plus `_rpf` = rows-per-file for 64 logical files. Rank
+    * passes ride [[graft.ext.Ranks.globalRowNumber]] — the same range
+    * shuffles a real OPTIMIZE ZORDER runs. */
+  private def zorderRankedFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      pmod(conv(substring(md5(concat(lit("zdim:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(10000L)).as("d2"))
+    val nF = docs.agg(count(lit(1)).as("_n"))
+    def toBits(df: DataFrame, vCol: String, out: String) =
+      Ranks.globalRowNumber(df, Seq(col(vCol), col("doc_id")), out = "_r")
+        .crossJoin(broadcast(nF))
+        .withColumn(out, expr("((_r - 1) * 256) div _n"))
+        .drop("_r", "_n")
+    val zkey = (0 until 8).map { i =>
+      shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    val z = toBits(toBits(docs, "n_chars", "b1"), "d2", "b2")
+      .withColumn("zkey", zkey)
+      .withColumn("hkey",
+        md5(concat(lit("h:"), col("doc_id").cast("string"))))
+    Ranks.globalRowNumber(
+      Ranks.globalRowNumber(
+        Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
+          out = "zrank"),
+        Seq(col("b1"), col("b2"), col("doc_id")), out = "lrank"),
+      Seq(col("hkey"), col("doc_id")), out = "hrank")
+      .crossJoin(broadcast(nF))
+      .withColumn("_rpf", expr("(_n + 63) div 64"))
+  }
+
+  /** Per-JVM registry of MATERIALIZED z-order layout corpora
+    * (doc_zorder_skipping_mat): the three layouts written as real
+    * parquet, one data file per logical file_id. */
+  private val zorderMatPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Per-JVM registry of trained-langid predictions (doc, lang,
     * pred_lang, score) — train-once / consume-twice across the per-doc
     * and confusion queries, session-validated like clusterCache. */
@@ -2673,32 +2715,7 @@ object SparkEntry {
     // shuffles — the same passes a real OPTIMIZE ZORDER runs); the
     // audit output is 3 × 64 rows.
     "doc_zorder_skipping" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-        pmod(conv(substring(md5(concat(lit("zdim:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
-          lit(10000L)).as("d2"))
-      val nF = docs.agg(count(lit(1)).as("_n"))
-      def toBits(df: DataFrame, vCol: String, out: String) =
-        Ranks.globalRowNumber(df, Seq(col(vCol), col("doc_id")), out = "_r")
-          .crossJoin(broadcast(nF))
-          .withColumn(out, expr("((_r - 1) * 256) div _n"))
-          .drop("_r", "_n")
-      val zkey = (0 until 8).map { i =>
-        shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-          shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
-      }.reduce(_ + _)
-      val z = toBits(toBits(docs, "n_chars", "b1"), "d2", "b2")
-        .withColumn("zkey", zkey)
-        .withColumn("hkey",
-          md5(concat(lit("h:"), col("doc_id").cast("string"))))
-      val ranked = Ranks.globalRowNumber(
-        Ranks.globalRowNumber(
-          Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
-            out = "zrank"),
-          Seq(col("b1"), col("b2"), col("doc_id")), out = "lrank"),
-        Seq(col("hkey"), col("doc_id")), out = "hrank")
-        .crossJoin(broadcast(nF))
-        .withColumn("_rpf", expr("(_n + 63) div 64"))
+      val ranked = zorderRankedFrame(s, dir)
       def layout(tag: String, rank: String) =
         ranked.select(lit(tag).as("layout"),
           expr(s"($rank - 1) div _rpf").as("file_id"),
@@ -2714,6 +2731,70 @@ object SparkEntry {
           col("b1_max") >= 64 && col("b1_min") <= 127 &&
             col("b2_max") >= 128 && col("b2_min") <= 191),
         "layout", "file_id")
+    }),
+
+    // MATERIALIZED Z-ORDER LAYOUT — the logical audit above made REAL
+    // (r13 verdict task 3): each layout is WRITTEN as parquet with
+    // exactly one data file per logical file_id (repartition on file_id
+    // puts each id in one task; partitionBy splits that task's output
+    // one file per id; sortWithinPartitions gives the within-file
+    // order a writer's maxRecordsPerFile run would). The reader then
+    // does what Delta/Iceberg do: build the stats manifest FROM THE
+    // FILES ON DISK (read-back per-file min/max — the disk-audit
+    // discipline of doc_dedup_sink), prune the manifest with the
+    // quarter×quarter box, and hand Spark's parquet scan ONLY the
+    // surviving files. files_scanned is therefore the MEASURED file
+    // count the engine's scan actually opened, and box_rows proves the
+    // pruned read returns every box row (the oracle computes the box
+    // from the full table — a file wrongly pruned would hash-mismatch).
+    "doc_zorder_skipping_mat" -> ((s, dir) => {
+      val path = zorderMatPath.getOrElseUpdate(dir, timedBuild("zorderMat", dir) {
+        val p = s"$scratchBase/graft_zorder_mat_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        // pinned: three layout writers consume one rank frame
+        val ranked = zorderRankedFrame(s, dir).localCheckpoint(true)
+        for ((tag, rank) <- Seq(("zorder", "zrank"), ("linear", "lrank"),
+            ("hash", "hrank"))) {
+          ranked.select(col("doc_id"), col("b1"), col("b2"),
+              expr(s"($rank - 1) div _rpf").as("file_id"),
+              col(rank).as("_ord"))
+            .repartition(col("file_id"))
+            .sortWithinPartitions(col("file_id"), col("_ord"))
+            .drop("_ord")
+            .write.mode("overwrite").partitionBy("file_id")
+            .parquet(s"$p/$tag")
+        }
+        p
+      })
+      val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
+      def audit(tag: String): DataFrame = {
+        val stats = s.read.parquet(s"$path/$tag")
+          .groupBy(input_file_name().as("_file"))
+          .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+            min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
+            count(lit(1)).as("n_rows"))
+        val scanCond = col("b1_max") >= 64 && col("b1_min") <= 127 &&
+          col("b2_max") >= 128 && col("b2_min") <= 191
+        val m = stats.agg(
+          count(lit(1)).as("n_files"),
+          sum(when(scanCond, 1L).otherwise(0L)).as("files_scanned"),
+          coalesce(sum(when(scanCond, col("n_rows"))), lit(0L))
+            .as("rows_scanned"))
+        // the manifest prune: a 64-entry file list is driver-side by
+        // design (it's the table-format metadata, not data)
+        val sel = stats.where(scanCond).select(col("_file"))
+          .collect().map(_.getString(0)).toSeq.sorted
+        val box =
+          (if (sel.isEmpty) s.read.parquet(s"$path/$tag").where(lit(false))
+           else s.read.parquet(sel: _*)).where(boxPred)
+            .agg(count(lit(1)).as("box_rows"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("box_sum_doc"))
+        m.crossJoin(box).select(lit(tag).as("layout"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"), col("box_rows"),
+          col("box_sum_doc"))
+      }
+      sortSmall(audit("zorder").unionByName(audit("linear"))
+        .unionByName(audit("hash")), "layout")
     }),
 
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
@@ -6519,6 +6600,68 @@ object SparkEntry {
         |   max(b2) >= 128 AND min(b2) <= 191) AS scanned
         |FROM lay GROUP BY 1, 2
         |ORDER BY layout, file_id""".stripMargin,
+
+    // same layouts replayed logically; per-file stats → manifest prune →
+    // scanned-file/row counts, plus the box aggregate over the full
+    // table (which the engine must reproduce from ONLY its pruned read)
+    "doc_zorder_skipping_mat" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |zr AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS zrank,
+        |    CAST(row_number() OVER (ORDER BY b1, b2, doc_id) AS BIGINT)
+        |      AS lrank,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS hrank
+        |  FROM z),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, (zrank - 1) // ((n + 63) // 64)
+        |    AS file_id, b1, b2 FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'linear', (lrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'hash', (hrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn),
+        |f AS (SELECT layout, file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lay GROUP BY 1, 2),
+        |fs AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(coalesce(sum(n_rows) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM f GROUP BY 1),
+        |bx AS (SELECT CAST(count(*) AS BIGINT) AS box_rows,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS box_sum_doc
+        |  FROM b WHERE b1 BETWEEN 64 AND 127 AND b2 BETWEEN 128 AND 191)
+        |SELECT layout, n_files, files_scanned, rows_scanned, box_rows,
+        |  box_sum_doc
+        |FROM fs CROSS JOIN bx ORDER BY layout""".stripMargin,
 
     // the same allocation CTEs, sub-quotas by residue class, and
     // per-(lang, shard) window prefix fill — batch arrival order cannot

@@ -846,16 +846,16 @@ object Dedup {
     // localCheckpoint materializes mining exactly once; the tiny pair
     // RDD is freed by the ContextCleaner when unreferenced.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Pin.pin)
     // localCheckpoint severs the logical lineage (the iterative-algorithm
     // discipline): without it every round's plan re-embeds the whole
     // pair-mining subtree — analysis alone of the final tree costs
     // seconds, and lineage doubles per round
     var labels = edges.select(col("x").as("doc")).distinct()
-      .withColumn("root", col("doc")).localCheckpoint()
+      .withColumn("root", col("doc")).transform(Pin.pin)
     val nLabels = labels.count()
     // the label table is sized by docs-in-pairs; when it is broadcastable
     // the loop's joins run map-side (no per-round shuffle of edges) —
@@ -893,7 +893,7 @@ object Dedup {
             least(col("l.root"), coalesce(col("nbRoot"), col("l.root")),
               coalesce(col("_rr"), col("l.root")))
               .as("root"))
-          .localCheckpoint()
+          .transform(Pin.pin)
         changed = next.where(col("root") =!= col("_old")).count()
         labels = next.select(col("doc"), col("root"))
         rounds += 1

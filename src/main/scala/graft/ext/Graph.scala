@@ -72,7 +72,7 @@ object Graph {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val nodesN = nodes.select(col(nodes.columns.head).cast("long").as("node"))
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     val n = nodesN.count()
     require(n > 0, "empty node universe")
     // enforce the gridDp note above at runtime (the pagerank1m tier hit
@@ -92,12 +92,12 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // out-degree rides the cached edge frame: the per-round join touches
     // ONE corpus-sized table, not two
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").transform(Pin.pin)
     // dangling universe computed ONCE (node-keyed anti-join, same
     // partitioning family as the rank updates); empty on sink-free graphs
     val dangling = nodesN
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     // same op order as the oracle: 1.0/n, ×scale, +0.5, floor, ÷scale
     val r0 = math.floor(1.0 / n * scaleD + 0.5) / scaleD
     val base = (1.0 - damping) / n
@@ -120,7 +120,7 @@ object Graph {
           rp(lit(base) + lit(damping) *
             (coalesce(col("_s").cast("double"), lit(0.0)) +
               rp(col("_dm").cast("double") / lit(n.toDouble)))).as("rank"))
-        .localCheckpoint(true)
+        .transform(Pin.pin)
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     ranks

@@ -349,7 +349,7 @@ object Kmeans {
     val m = if (fast) trainFast(df, idCol, vecCol, k, iters)
             else train(df, idCol, vecCol, k, iters)
     val af = (if (fast) assignServing(df, idCol, vecCol, m)
-              else assignFinal(df, idCol, vecCol, m)).localCheckpoint(true)
+              else assignFinal(df, idCol, vecCol, m)).transform(Pin.pin)
     val vecs = df.select(col(idCol).cast("long").as("_vid"),
       col(vecCol).cast("array<double>").as("_v"))
     val a = af.select(col(idCol).as("id_a"), col("cluster"))

@@ -71,7 +71,7 @@ object Ranks {
       .withColumn("_lrn",
         col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
       .drop("_mid")
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     val offsets = local.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(
@@ -106,7 +106,7 @@ object Ranks {
       .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
       // pinned for the same two-consumer boundary-determinism reason as
       // [[globalRowNumber]] — see its doc comment
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     val offsets = local.groupBy((col("_pid") +: sCols): _*)
       .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_base"))
       .withColumn("_off", coalesce(
@@ -190,7 +190,7 @@ object Ranks {
       .repartitionByRange(np, (sCols ++ ord): _*)
       .sortWithinPartitions((sCols ++ ord): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Pin.pin)
     // _off stays NULL when no earlier partition of the stratum carried a
     // non-null value — `sum() OVER` semantics demand the running sum be
     // null exactly until the stratum's first non-null value, and that
