@@ -38,7 +38,9 @@ object ScaleSmoke {
     if (args.headOption.contains("exactann1m")) { exactann1m(); return }
     if (args.headOption.contains("substr1m")) { substr1m(); return }
     if (args.headOption.contains("bpe1k")) { bpe1k(); return }
+    if (args.headOption.contains("unigram250k")) { unigram250k(); return }
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
+    if (args.headOption.contains("pipeidx1m")) { pipeidx1m(); return }
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
     if (args.headOption.contains("qmodel1m")) { qmodel1m(); return }
     if (args.headOption.contains("kmeans1m")) { kmeans1m(); return }
@@ -2095,6 +2097,113 @@ object ScaleSmoke {
     if (failed) sys.exit(1)
   }
 
+  /** Pipeline-artifact index lifecycle tier (`runMain graft.ScaleSmoke
+    * pipeidx1m`), r13 VERDICT task 7: the canonical-URL keeper index
+    * and the corpus shingle index that stream_pipeline probes, grown by
+    * append at 1M docs. Pins: (a) probe-after-append ≡ rebuild for both
+    * (keeper min-fold crosses the append boundary on planted canon
+    * collisions; the Jaccard drop probe sees appended near-dups), and
+    * (b) a 10k-doc append costs ∝ the batch, not the corpus. */
+  private def pipeidx1m(): Unit = {
+    import graft.streaming.StreamingDedup
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val n = 1000000L
+    // keeper: ~4 docs per canon, batches split by parity so the min
+    // fold crosses the append boundary on every canon
+    val canons = spark.range(n).select(col("id"),
+        concat(lit("https://h"), pmod(xxhash64(col("id")), lit(250000L)),
+          lit(".example.com/p/"), (col("id") % 7L).cast("string"))
+          .as("canon"))
+      .localCheckpoint(true)
+    val kGrown = "/tmp/graft_scale_keeper_grown"
+    val kRebuilt = "/tmp/graft_scale_keeper_rebuilt"
+    var t0 = System.nanoTime()
+    StreamingDedup.buildKeeperIndex(canons, kRebuilt)
+    val tKRebuild = (System.nanoTime() - t0) / 1e9
+    StreamingDedup.buildKeeperIndex(canons.where(col("id") % 2 === 0),
+      kGrown)
+    StreamingDedup.appendKeeperIndex(canons.where(col("id") % 2 === 1),
+      kGrown)
+    // the folded views must agree exactly (anti-join both ways == 0)
+    val vG = StreamingDedup.keeperOf(spark, kGrown)
+    val vR = StreamingDedup.keeperOf(spark, kRebuilt)
+    val kDiff = vG.join(vR, Seq("canon", "_keeper"), "left_anti").count() +
+      vR.join(vG, Seq("canon", "_keeper"), "left_anti").count()
+    println(f"SCALEPIPEIDX keeper rebuild  $tKRebuild%6.1f s diff=$kDiff")
+    if (kDiff != 0) {
+      println("SCALEPIPEIDX keeper grown != rebuild"); failed = true
+    }
+    t0 = System.nanoTime()
+    StreamingDedup.appendKeeperIndex(
+      canons.where(pmod(col("id"), lit(97L)) === 3L).limit(10000)
+        .select((col("id") + 2 * n).as("id"), col("canon")), kGrown)
+    val tKApp = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEPIPEIDX keeper app-10k  $tKApp%6.1f s")
+    if (tKApp > 0.5 * tKRebuild + 5) {
+      println("SCALEPIPEIDX keeper append costs like a rebuild")
+      failed = true
+    }
+    // shingle index: 30-token docs; every 100th doc in batch B is a
+    // verbatim copy of an indexed batch-A doc (near-dup must be caught
+    // across the append boundary)
+    def toks(id: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), xxhash64(id, j)))
+    val a = spark.range(n / 2).select(col("id"),
+      array_join(toks(col("id")), " ").as("text"))
+    val b = spark.range(n / 2, n).select(col("id"),
+        array_join(toks(when(col("id") % 100 === 0, col("id") - n / 2)
+          .otherwise(col("id"))), " ").as("text"))
+      .localCheckpoint(true)
+    val sGrown = "/tmp/graft_scale_shidx_grown"
+    val sRebuilt = "/tmp/graft_scale_shidx_rebuilt"
+    t0 = System.nanoTime()
+    StreamingDedup.buildShingleIndex(a.unionByName(b), "id", "text",
+      sRebuilt)
+    val tSRebuild = (System.nanoTime() - t0) / 1e9
+    StreamingDedup.buildShingleIndex(a, "id", "text", sGrown)
+    t0 = System.nanoTime()
+    StreamingDedup.appendShingleIndex(b, "id", "text", sGrown)
+    val tSApp = (System.nanoTime() - t0) / 1e9
+    val probe = spark.range(2 * n, 2 * n + 10000L).select(col("id"),
+        array_join(toks(when(col("id") % 2 === 0, col("id") - 2 * n)
+          .otherwise(col("id"))), " ").as("text"))
+      .localCheckpoint(true)
+    def drops(path: String): Long =
+      StreamingDedup.shingleDropStream(spark, probe, "id", "text", path,
+        minJ = 0.5).count()
+    val (dG, dR) = (drops(sGrown), drops(sRebuilt))
+    println(f"SCALEPIPEIDX shingle rebuild $tSRebuild%6.1f s " +
+      f"append-500k $tSApp%6.1f s drops grown=$dG rebuilt=$dR")
+    if (dG != dR) {
+      println("SCALEPIPEIDX shingle grown != rebuild"); failed = true
+    }
+    if (dG != 5000L) { // the planted copy half of the probe, exactly
+      println("SCALEPIPEIDX drop count != planted 5000"); failed = true
+    }
+    t0 = System.nanoTime()
+    StreamingDedup.appendShingleIndex(
+      spark.range(3 * n, 3 * n + 10000L).select(col("id"),
+        array_join(toks(col("id")), " ").as("text")), "id", "text", sGrown)
+    val tSSmall = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEPIPEIDX shingle app-10k $tSSmall%6.1f s " +
+      f"(rebuild $tSRebuild%6.1f s)")
+    if (tSSmall > 0.5 * tSRebuild + 5) {
+      println("SCALEPIPEIDX shingle append costs like a rebuild")
+      failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   /** Production-merge-count BPE tier (`runMain graft.ScaleSmoke bpe1k`),
     * r10 VERDICT task 2: 1 000 merges trained (batched, B=64 → ~16
     * driver rounds instead of 1 000) and applied TYPE-LEVEL over 250k
@@ -2169,6 +2278,77 @@ object ScaleSmoke {
     }
     if (tTrain > 420) { println("SCALEBPE train wall red"); failed = true }
     if (tApply > 180) { println("SCALEBPE apply wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Unigram-LM tokenizer trainer tier (`runMain graft.ScaleSmoke
+    * unigram250k`), r13 VERDICT task 6: the Viterbi-EM trainer on the
+    * bpe1k corpus shape — 250k docs, 30k word types (8 chars over a
+    * 4-letter alphabet), k = 256 pieces, 2 EM rounds. Pins (a) the
+    * TYPE-LEVEL training wall (the DP runs over 30k types, never 10M
+    * occurrences), (b) training determinism under repartitioning (the
+    * integer-micro-cost + string-min construction is
+    * partitioning-invariant by design), and (c) apply totals within
+    * [n_words, n_symbols] plus unigram-vs-BPE comparability on the
+    * same corpus. */
+  private def unigram250k(): Unit = {
+    import graft.ext.Unigram
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 250000L; val vocab = 30000L; val wordsPerDoc = 39
+    def wordExpr(wid: org.apache.spark.sql.Column) =
+      concat_ws("", transform(sequence(lit(0), lit(7)), d =>
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+          (pmod(floor(wid.cast("double") / pow(lit(4.0), d.cast("double")))
+            .cast("long"), lit(4L)) + 1).cast("int"))))
+    val docs = spark.range(n).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(wordsPerDoc)), j =>
+          wordExpr(pmod(xxhash64(col("id"), j), lit(vocab)))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    var failed = false
+    var t0 = System.nanoTime()
+    val trained = Unigram.train(docs, "text", k = 256)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEUNI train-256      $tTrain%6.1f s (${trained.size} pieces)")
+    if (trained.size != 256) {
+      println("SCALEUNI vocab size off"); failed = true
+    }
+    // determinism: training is a pure function of the corpus — a
+    // different input partitioning must yield the identical cost table
+    val trained7 = Unigram.train(docs.repartition(7), "text", k = 256)
+    if (trained7 != trained) {
+      println("SCALEUNI training not partitioning-invariant"); failed = true
+    }
+    t0 = System.nanoTime()
+    val dict = graft.ext.Pin.pin(Unigram.typedDict(docs, "text", trained))
+    val tot = Unigram.tokenCountsFromDict(docs, "id", "text", dict)
+      .agg(sum(col("n_words")).cast("long"),
+        sum(col("uni_tokens")).cast("long"))
+      .as[(Long, Long)].head()
+    val tApply = (System.nanoTime() - t0) / 1e9
+    val nOcc = n * (wordsPerDoc + 1)
+    println(f"SCALEUNI apply-typed    $tApply%6.1f s " +
+      f"(words=${tot._1} tokens=${tot._2} symbols=${nOcc * 8})")
+    if (tot._1 != nOcc || tot._2 < nOcc || tot._2 > nOcc * 8) {
+      println("SCALEUNI token totals outside [n_words, n_symbols]")
+      failed = true
+    }
+    // a 256-piece unigram vocab must compress below the char baseline
+    // on a 4-letter corpus (multi-char pieces exist and win somewhere)
+    if (tot._2 >= nOcc * 8) {
+      println("SCALEUNI no compression vs chars"); failed = true
+    }
+    if (tTrain > 420) { println("SCALEUNI train wall red"); failed = true }
+    if (tApply > 180) { println("SCALEUNI apply wall red"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

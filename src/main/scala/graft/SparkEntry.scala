@@ -148,6 +148,30 @@ object SparkEntry {
   private val bpeMergesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
+  /** Per-JVM registry of trained unigram-LM cost tables
+    * (text_unigram_tokens): train-once / apply-many, same contract as
+    * bpeMergesCache. */
+  private val unigramVocabCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
+
+  /** Per-JVM registry of the unigram word→ntok typed dictionary
+    * (pinned; session-validated like rankCache) — the DP apply runs
+    * once per (JVM, sf dir), both consumers join against the pin. */
+  private val unigramDictCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def unigramDictFor(s: SparkSession, dir: String): DataFrame =
+    unigramDictCache.get(dir).filter(_.sparkSession eq s).getOrElse(
+        timedBuild("unigramDict", dir) {
+      val docs = t(s, dir, "documents")
+      val vocab = unigramVocabCache.getOrElseUpdate(dir,
+        graft.ext.Unigram.train(docs, "text", k = 64))
+      val d = graft.ext.Pin.pin(
+        graft.ext.Unigram.typedDict(docs, "text", vocab))
+      unigramDictCache.put(dir, d)
+      d
+    })
+
   private val jsonlPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -2301,22 +2325,6 @@ object SparkEntry {
         val st = e2eStagesFor(s, dir)
         val m = lrModelFor(s, dir)
         val dec6 = DecimalType(38, 6)
-        val canonKeeper = e2eIngest(t(s, dir, "documents"))
-          .select(col("doc_id"), e2eUrl.as("url"))
-          .select(col("doc_id"), UrlOps.canonicalUrl(col("url")).as("canon"))
-          .groupBy(col("canon")).agg(min(col("doc_id")).as("_keeper"))
-          .localCheckpoint(true)
-        val corpusSh = Dedup.hashedShingles(st.cleaned, "doc_id", "text", 3)
-          .select(col("doc").as("cdoc"), col("sh")).localCheckpoint(true)
-        val corpusCnt = corpusSh.groupBy(col("cdoc"))
-          .agg(count(lit(1)).as("nc")).localCheckpoint(true)
-        val medianCut = st.medianCut.localCheckpoint(true)
-        val rankCut = st.rankCut.localCheckpoint(true)
-        val ranks = rankFor(s, dir)
-          .select(col("node").as("doc_id"), col("rank"))
-        val bench = e2eBenchOf(st.cleaned).localCheckpoint(true)
-        val rates = Corpus.temperatureRates(st.decon, "source", 5000L)
-          .localCheckpoint(true)
         val p = s"$scratchBase/graft_stream_pipe_" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
         val cp = p + "_ckpt"
@@ -2325,6 +2333,33 @@ object SparkEntry {
           f.delete(): Unit
         }
         rm(new java.io.File(cp)); rm(new java.io.File(p))
+        // the two corpus-sized artifacts are PERSISTED INDEXES with the
+        // append/compact lifecycle (r13 verdict task 7): the batch
+        // probes below read them from disk, and at unbounded ingest
+        // they evolve per batch via appendKeeperIndex /
+        // appendShingleIndex instead of a corpus rebuild
+        // (StreamingSpec pins probe-after-append ≡ rebuild)
+        val kIdx = s"${p}_url_keeper"
+        val shIdx = s"${p}_shingle_idx"
+        graft.streaming.StreamingDedup.buildKeeperIndex(
+          e2eIngest(t(s, dir, "documents"))
+            .select(col("doc_id"), e2eUrl.as("url"))
+            .select(col("doc_id"), UrlOps.canonicalUrl(col("url"))
+              .as("canon")), kIdx)
+        graft.streaming.StreamingDedup.buildShingleIndex(
+          st.cleaned, "doc_id", "text", shIdx, n = 3)
+        // the folded keeper view is pinned for the replay (the index is
+        // frozen here; after an appendKeeperIndex a production ingest
+        // re-derives it with one keeperOf call)
+        val canonKeeper = graft.ext.Pin.pin(
+          graft.streaming.StreamingDedup.keeperOf(s, kIdx))
+        val medianCut = st.medianCut.localCheckpoint(true)
+        val rankCut = st.rankCut.localCheckpoint(true)
+        val ranks = rankFor(s, dir)
+          .select(col("node").as("doc_id"), col("rank"))
+        val bench = e2eBenchOf(st.cleaned).localCheckpoint(true)
+        val rates = Corpus.temperatureRates(st.decon, "source", 5000L)
+          .localCheckpoint(true)
         graft.streaming.StreamingDedup.replayForeachBatch(
           s, s"$dir/documents.parquet", cp,
           org.apache.spark.sql.streaming.OutputMode.Append()) { stDocs =>
@@ -2341,15 +2376,9 @@ object SparkEntry {
             .where(col("c4_keep"))
             .select(col("doc_id"), col("c4_text").as("text"), col("lang"),
               col("source"))
-          val xs = Dedup.hashedShingles(cleaned, "doc_id", "text", 3)
-          val xc = xs.groupBy(col("doc")).agg(count(lit(1)).as("nx"))
-          val dropped = xs.join(corpusSh, "sh")
-            .where(col("cdoc") < col("doc"))
-            .groupBy(col("doc"), col("cdoc")).agg(count(lit(1)).as("i"))
-            .join(xc, "doc").join(corpusCnt, "cdoc")
-            .where(col("i").cast("double") /
-              (col("nx") + col("nc") - col("i")) >= 0.5)
-            .select(col("doc").as("doc_id")).distinct()
+          val dropped = graft.streaming.StreamingDedup.shingleDropStream(
+              s, cleaned, "doc_id", "text", shIdx, minJ = 0.5, n = 3)
+            .select(col("doc").as("doc_id"))
           val deduped = cleaned.join(dropped, Seq("doc_id"), "left_anti")
           val gp = TextAnalysis.gopherRules(deduped, "doc_id", "text")
             .where(col("gopher_pass")).select(col("doc_id"))
@@ -3902,6 +3931,48 @@ object SparkEntry {
         graft.ext.Bpe.trainMerges(docs, "text", m = 8))
       sortBig(graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", merges),
         "doc")
+    }),
+
+    // UNIGRAM-LM (SentencePiece-style) learned tokenizer (Kudo ACL'18;
+    // r13 verdict task 6) — the OTHER tokenizer real LLM pipelines
+    // train: a fixed seed vocabulary (all chars + top substrings)
+    // scored by Viterbi-EM over the word TYPE frame, integer micro-nat
+    // costs on the 6-dp probability grid, 2 fixed EM rounds. The
+    // oracle is GENERATED (Unigram.oracleSql) so engine and oracle
+    // replay identical seeding, DP tie-breaks (min over the
+    // cost‖path-encoded string) and round counts. Type-level apply:
+    // Viterbi once per dictionary word, occurrences join back.
+    "text_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      sortBig(graft.ext.Unigram.tokenCountsFromDict(docs, "doc_id", "text",
+        unigramDictFor(s, dir)), "doc")
+    }),
+
+    // tokenizer bake-off — the fertility/compression comparison a
+    // tokenizer choice is actually made on: per language, tokens/word
+    // for the trained BPE vs the trained unigram LM over the SAME
+    // corpus. Both training replays compose into one generated oracle.
+    "text_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergesCache.getOrElseUpdate(dir,
+        graft.ext.Bpe.trainMerges(docs, "text", m = 8))
+      val bpe = graft.ext.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .select(col("doc"), col("n_words"), col("bpe_tokens"))
+      val uni = graft.ext.Unigram.tokenCountsFromDict(docs, "doc_id", "text",
+          unigramDictFor(s, dir))
+        .select(col("doc"), col("uni_tokens"))
+      bpe.join(uni, "doc")
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("n_words"),
+          sum(col("bpe_tokens")).cast("long").as("bpe_tokens"),
+          sum(col("uni_tokens")).cast("long").as("uni_tokens"))
+        .withColumn("bpe_fertility",
+          r6(col("bpe_tokens").cast("double") / col("n_words")))
+        .withColumn("uni_fertility",
+          r6(col("uni_tokens").cast("double") / col("n_words")))
+        .orderBy("lang")
     }),
 
     // the production-merge-count apply path (r10 VERDICT task 2): the
@@ -7984,6 +8055,26 @@ object SparkEntry {
     // generated replay of the full BPE lifecycle: 8 training rounds over
     // the word dict + the same 6-pass replace application
     "text_bpe_tokens" -> graft.ext.Bpe.oracleSql(8),
+
+    // generated unigram-LM training replay (seed -> 2 Viterbi-EM rounds
+    // -> final segmentation), identical arithmetic and tie-breaks
+    "text_unigram_tokens" -> graft.ext.Unigram.oracleSql(64),
+
+    // both generated training replays composed, per-lang fertility
+    "text_tokenizer_compare" -> (graft.ext.Bpe.oracleCountsCte(8) + ",\n" +
+      graft.ext.Unigram.oracleCteBody(64) +
+      """
+        |SELECT documents.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bpe.n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(bpe.n_tokens) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(uni.n_tokens) AS BIGINT) AS uni_tokens,
+        |  floor(CAST(SUM(bpe.n_tokens) AS DOUBLE) / SUM(bpe.n_words)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS bpe_fertility,
+        |  floor(CAST(SUM(uni.n_tokens) AS DOUBLE) / SUM(bpe.n_words)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS uni_fertility
+        |FROM bpe JOIN uni ON bpe.doc = uni.doc
+        |JOIN documents ON bpe.doc = documents.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // cross-corpus exact-Jaccard replay: the oracle brute-forces every
     // (train, bench) pair over the STRING shingles (pinning the hashed

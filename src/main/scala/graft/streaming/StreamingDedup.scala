@@ -335,6 +335,159 @@ object StreamingDedup {
     if (!fs.exists(dst) && fs.exists(old)) { fs.rename(old, dst): Unit }
   }
 
+  // ------------------------------------------------------------------ //
+  // Append lifecycle for the composed pipeline's frozen artifacts (r13  //
+  // verdict task 7): the canonical-URL keeper index and the corpus      //
+  // shingle index stream_pipeline probes, evolvable per ingest batch    //
+  // without a corpus rebuild — the appendWindowIndex discipline, with   //
+  // fold-at-probe semantics where the decision is an aggregate rather   //
+  // than a membership test.                                             //
+  // ------------------------------------------------------------------ //
+
+  /** Generic rename-aside swap: replace the index at `path` with the
+    * compacted copy at `tmp` (crash between the renames strands the
+    * live index at `<path>_old`, restored by [[recoverIndex]]). */
+  private def swapCompacted(spark: SparkSession, path: String,
+      tmp: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    val fs = dst.getFileSystem(conf)
+    fs.delete(old, true)
+    fs.rename(dst, old)
+    fs.rename(src, dst)
+    fs.delete(old, true): Unit
+  }
+
+  private def recoverIndex(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    val fs = dst.getFileSystem(conf)
+    if (!fs.exists(dst) && fs.exists(old)) { fs.rename(old, dst): Unit }
+  }
+
+  /** Canonical-URL KEEPER index — (canon, _keeper) with _keeper = the
+    * smallest doc id ever seen for the canonical URL. Because min is
+    * associative/commutative, the persisted layout may hold MANY rows
+    * per canon (one per appended batch): [[keeperOf]] folds them at
+    * probe time, so probe-after-append ≡ rebuild by algebra, and
+    * [[compactKeeperIndex]] restores the one-row-per-canon layout when
+    * appended files accumulate. Build/append cost ∝ the batch. */
+  def buildKeeperIndex(pairs: DataFrame, path: String): Unit = {
+    pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
+        col(pairs.columns(1)).as("canon"))
+      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+      .sortWithinPartitions("canon")
+      .write.mode("overwrite").parquet(path)
+    writeMetaFile(pairs.sparkSession, s"$path.meta.json", 0)
+  }
+
+  /** Append one batch's per-canon minima (cost ∝ batch; duplicates of
+    * already-indexed canons are folded away at probe time). Returns
+    * (rows before, rows appended). */
+  def appendKeeperIndex(pairs: DataFrame, path: String): (Long, Long) = {
+    val spark = pairs.sparkSession
+    recoverIndex(spark, path)
+    val before = spark.read.parquet(path).count()
+    pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
+        col(pairs.columns(1)).as("canon"))
+      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+      .sortWithinPartitions("canon")
+      .write.mode("append").parquet(path)
+    val after = spark.read.parquet(path).count()
+    (before, after - before)
+  }
+
+  /** The probe view: one (canon, _keeper) row per canon, the min fold
+    * over however many appended rows the layout holds. */
+  def keeperOf(spark: SparkSession, path: String): DataFrame = {
+    recoverIndex(spark, path)
+    spark.read.parquet(path)
+      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+  }
+
+  /** Restore the one-row-per-canon sorted layout (probe results
+    * unchanged — [[keeperOf]] already folds; this reclaims rows/files). */
+  def compactKeeperIndex(spark: SparkSession, path: String): Unit = {
+    recoverIndex(spark, path)
+    val tmp = s"${path}_compacting"
+    spark.read.parquet(path)
+      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+      .sortWithinPartitions("canon")
+      .write.mode("overwrite").parquet(tmp)
+    swapCompacted(spark, path, tmp)
+  }
+
+  /** Corpus SHINGLE index — (cdoc, sh, nc): each indexed doc's distinct
+    * hashed shingles, every row carrying the doc's shingle count nc so
+    * the Jaccard probe needs no full-index aggregate. Batches must
+    * carry fresh doc ids (the ingest contract — a re-appended doc would
+    * double its rows); within a batch the layout is self-contained, so
+    * append cost ∝ the new batch only. */
+  def buildShingleIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3): Unit = {
+    shingleRows(df, idCol, textCol, n)
+      .sortWithinPartitions("sh")
+      .write.mode("overwrite").parquet(path)
+    writeMetaFile(df.sparkSession, s"$path.meta.json", 0)
+  }
+
+  /** Append a batch of NEW docs' shingles. Returns (rows before, rows
+    * appended). */
+  def appendShingleIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3): (Long, Long) = {
+    val spark = df.sparkSession
+    recoverIndex(spark, path)
+    val before = spark.read.parquet(path).count()
+    shingleRows(df, idCol, textCol, n)
+      .sortWithinPartitions("sh")
+      .write.mode("append").parquet(path)
+    val after = spark.read.parquet(path).count()
+    (before, after - before)
+  }
+
+  /** Re-sort the shingle index by sh after many appends (row set is
+    * already exact — this reclaims file handles and probe locality). */
+  def compactShingleIndex(spark: SparkSession, path: String): Unit = {
+    recoverIndex(spark, path)
+    val tmp = s"${path}_compacting"
+    spark.read.parquet(path)
+      .repartition(col("sh")).sortWithinPartitions("sh")
+      .write.mode("overwrite").parquet(tmp)
+    swapCompacted(spark, path, tmp)
+  }
+
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = graft.ext.Dedup.hashedShingles(df, idCol, textCol, n)
+      .select(col("doc").cast("long").as("cdoc"), col("sh"))
+    sh.join(sh.groupBy(col("cdoc")).agg(count(lit(1)).as("nc")), "cdoc")
+      .select(col("cdoc"), col("sh"), col("nc"))
+  }
+
+  /** The near-dup Jaccard probe against a persisted shingle index: a
+    * probe doc is DROPPED iff some indexed doc with a smaller id shares
+    * Jaccard ≥ minJ — exactly stream_pipeline's batch decision, from
+    * the files on disk. Returns the dropped probe ids. */
+  def shingleDropStream(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, indexPath: String,
+      minJ: Double, n: Int = 3): DataFrame = {
+    recoverIndex(spark, indexPath)
+    val idx = spark.read.parquet(indexPath)
+    val xs = graft.ext.Dedup.hashedShingles(batch, idCol, textCol, n)
+    val xc = xs.groupBy(col("doc")).agg(count(lit(1)).as("nx"))
+    xs.join(idx, "sh")
+      .where(col("cdoc") < col("doc"))
+      .groupBy(col("doc"), col("cdoc"), col("nc"))
+      .agg(count(lit(1)).as("i"))
+      .join(xc, "doc")
+      .where(col("i").cast("double") /
+        (col("nx") + col("nc") - col("i")) >= minJ)
+      .select(col("doc")).distinct()
+  }
+
   /** Probe a stream of new documents against a [[buildWindowIndex]]
     * index: emits (doc_new, pos) for every k-token window the corpus
     * already contains AT ANY OFFSET. Fully STATELESS — windowing is

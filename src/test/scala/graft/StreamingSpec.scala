@@ -562,6 +562,65 @@ class StreamingSpec extends SparkSpec {
     assert(probeHits(grown, "winidx_compact_tbl") == hitsRebuilt)
   }
 
+  test("URL-keeper index append lifecycle: probe-after-append == rebuild; compact folds") {
+    import graft.streaming.StreamingDedup
+    val docsAll = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // synthetic canons with planted cross-batch collisions: doc_id % 25
+    // gives ~20 docs per canon spread across both batches, so the min
+    // fold genuinely crosses the append boundary
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), concat(lit("https://example.com/p/"),
+        pmod(col("doc_id"), lit(25L)).cast("string")).as("canon"))
+    val a = docsAll.where(col("doc_id") % 2 === 0)
+    val b = docsAll.where(col("doc_id") % 2 === 1)
+    val grown = "/tmp/graft_test_keeper_grown"
+    val rebuilt = "/tmp/graft_test_keeper_rebuilt"
+    StreamingDedup.buildKeeperIndex(pairs(a), grown)
+    val (before, appended) = StreamingDedup.appendKeeperIndex(pairs(b), grown)
+    assert(before > 0 && appended > 0)
+    StreamingDedup.buildKeeperIndex(pairs(a.unionByName(b)), rebuilt)
+    def view(path: String) = StreamingDedup.keeperOf(spark, path)
+      .as[(String, Long)].collect().toSet
+    val g = view(grown)
+    assert(g == view(rebuilt), "append-grown keeper view != rebuild")
+    assert(g.nonEmpty)
+    // the grown layout holds >1 row per canon; compact folds it back to
+    // one row per canon without changing the probe view
+    assert(spark.read.parquet(grown).count() >
+      spark.read.parquet(rebuilt).count())
+    StreamingDedup.compactKeeperIndex(spark, grown)
+    assert(spark.read.parquet(grown).count() ==
+      spark.read.parquet(rebuilt).count())
+    assert(view(grown) == g)
+  }
+
+  test("shingle index append lifecycle: drop probe after append == rebuild") {
+    import graft.streaming.StreamingDedup
+    val docsAll = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docsAll.where(col("doc_id") % 3 === 0)
+    val b = docsAll.where(col("doc_id") % 3 === 1)
+    val probe = docsAll.where(col("doc_id") % 3 === 2)
+    val grown = "/tmp/graft_test_shidx_grown"
+    val rebuilt = "/tmp/graft_test_shidx_rebuilt"
+    StreamingDedup.buildShingleIndex(a, "doc_id", "text", grown)
+    val (before, appended) =
+      StreamingDedup.appendShingleIndex(b, "doc_id", "text", grown)
+    assert(before > 0 && appended > 0)
+    StreamingDedup.buildShingleIndex(a.unionByName(b), "doc_id", "text",
+      rebuilt)
+    def drops(path: String) = StreamingDedup.shingleDropStream(spark,
+        probe, "doc_id", "text", path, minJ = 0.5)
+      .as[Long].collect().toSet
+    val g = drops(grown)
+    assert(g == drops(rebuilt), "append-grown drop set != rebuild")
+    assert(g.nonEmpty, "degenerate fixture: no near-dups across the split")
+    // compact re-sorts without changing the row set or the probe
+    val rowsBefore = spark.read.parquet(grown).count()
+    StreamingDedup.compactShingleIndex(spark, grown)
+    assert(spark.read.parquet(grown).count() == rowsBefore)
+    assert(drops(grown) == g)
+  }
+
   test("stream-stream interval join over a bounded replay equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_stream_join")(spark, dir)

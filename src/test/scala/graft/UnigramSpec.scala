@@ -1,0 +1,62 @@
+package graft
+
+import graft.ext.Unigram
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer semantics: the Viterbi DP must pick the true
+  * min-cost segmentation with the documented deterministic tie-break,
+  * segmentations must re-concatenate to their words, and the type-level
+  * apply must be consistent with the corpus. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbi picks the min-cost segmentation") {
+    // costs in micro-nats: "ab"+"c" (3+5) beats "a"+"b"+"c" (5+5+5)
+    // and the sentinel-cost "abc"
+    val vocab = Seq(("a", 5000000L), ("b", 5000000L), ("c", 5000000L),
+      ("ab", 3000000L), ("abc", 99000000L)).toDF("piece", "cm")
+    val types = Seq(("abc", 4L), ("c", 1L)).toDF("word", "freq")
+    val got = Unigram.viterbiPaths(types, vocab, l = 4, d = 12)
+      .select("word", "path").as[(String, String)].collect().toMap
+    assert(got == Map("abc" -> "ab c", "c" -> "c"), got.toString)
+  }
+
+  test("equal-cost paths break ties lexicographically on the piece sequence") {
+    // "x y" (5+5) ties "xy" (10): the encoded-string min compares the
+    // path suffix — " x y" < " xy" under binary order, so the split wins
+    val vocab = Seq(("x", 5000000L), ("y", 5000000L), ("xy", 10000000L))
+      .toDF("piece", "cm")
+    val types = Seq(("xy", 1L)).toDF("word", "freq")
+    val got = Unigram.viterbiPaths(types, vocab, l = 2, d = 4)
+      .select("path").as[String].collect().head
+    assert(got == "x y", got)
+  }
+
+  test("trained segmentations re-concatenate to their words; apply is corpus-consistent") {
+    val docs = spark.read.parquet(sf("documents"))
+    val vocab = Unigram.train(docs, "text", k = 64)
+    assert(vocab.size == 64, s"vocab ${vocab.size}")
+    // every single character of the (len<=12) types is in the vocab
+    val dict = Unigram.typedDict(docs, "text", vocab)
+    val words = docs.select(explode(
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+      .distinct()
+    // total dictionary coverage: every corpus word tokenizes
+    assert(dict.count() == words.count())
+    // type-level counts: n_words equals the whitespace token count and
+    // every word costs at least one token, at most its length
+    val chk = Unigram.tokenCountsFromDict(docs, "doc_id", "text", dict)
+      .join(docs.select(col("doc_id").as("doc"), col("text")), "doc")
+      .select(
+        (col("n_words") ===
+          size(split(trim(col("text")), "\\s+"))).as("nw_ok"),
+        (col("uni_tokens") >= col("n_words")).as("lo_ok"))
+    assert(chk.where(!col("nw_ok") || !col("lo_ok")).count() == 0)
+    // paths re-concatenate: replace(path, ' ', '') == word for all types
+    val paths = Unigram.viterbiPaths(
+      words.withColumn("freq", lit(1L)),
+      vocab.toDF("piece", "cm"), l = 4, d = 12)
+    assert(paths.where(
+      regexp_replace(col("path"), " ", "") =!= col("word")).count() == 0)
+  }
+}
