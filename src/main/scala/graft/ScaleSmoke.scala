@@ -3770,6 +3770,33 @@ object ScaleSmoke {
       .where(col("rn") =!= col("_r")).count()
     println(s"SCALERANKS stratified rank mismatches vs window: $mism")
     if (mism != 0L) failed = true
+    // adaptive fan-out (r13 verdict task 1): with no explicit override
+    // the rank stage's task count must TRACK spark.sql.shuffle.partitions
+    // — the conf a cluster sizes its exchanges with — and the rank
+    // values must be bit-identical across settings
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    def ranksAt(conf: Int): (Int, Long) = {
+      spark.conf.set("spark.sql.shuffle.partitions", conf.toString)
+      val rk = Ranks.globalRowNumber(scored, ord)
+      val parts = rk.rdd.getNumPartitions
+      // order-free checksum over (doc, rn): any rank difference moves it
+      val chk = rk.agg(sum(pmod(col("doc") * 1000003L + col("rn"),
+        lit(1000000007L)))).head().getLong(0)
+      (parts, chk)
+    }
+    val (p16, c16) = ranksAt(16)
+    val (p48, c48) = ranksAt(48)
+    spark.conf.set("spark.sql.shuffle.partitions", prevConf)
+    println(s"SCALERANKS adaptive fan-out: conf=16 -> $p16 tasks, " +
+      s"conf=48 -> $p48 tasks; checksums ${c16 == c48}")
+    if (p16 != 16 || p48 != 48) {
+      println("SCALERANKS rank-stage task count does not track the conf")
+      failed = true
+    }
+    if (c16 != c48) {
+      println("SCALERANKS ranks differ across fan-out settings")
+      failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }
