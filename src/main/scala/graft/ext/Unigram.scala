@@ -129,9 +129,25 @@ object Unigram {
         trim(expr(s"substring(enc, ${EncW + 1})")).as("path"))
   }
 
+  /** Native-expression Viterbi — identical semantics to the relational
+    * [[viterbiPaths]] (UnigramSpec pins the equivalence, including
+    * tie-breaks), one codegen'd projection instead of d levels × l
+    * vocab joins: the production form for both training E-steps and the
+    * typed-dict apply. Uncoverable words drop (null path), mirroring
+    * the relational inner joins. */
+  def viterbiPathsNative(types: DataFrame, vocab: Seq[(String, Long)],
+      d: Int): DataFrame =
+    types.where(length(col("word")) <= d)
+      .withColumn("path",
+        graft.functions.UnigramFunctions.segment(col("word"), vocab, d))
+      .where(col("path").isNotNull)
+      .select(col("word"), col("freq"), col("path"))
+
   /** Train the k-piece unigram LM: returns the final (piece, costMicros)
     * table as a collected, deterministic list (count desc order is NOT
-    * preserved — sorted by piece for stability). */
+    * preserved — sorted by piece for stability). The cost table is
+    * vocab-sized (k rows), so each M-step collects it and the next
+    * E-step runs the native row-local DP — 2 jobs per EM round. */
   def train(df: DataFrame, textCol: String, k: Int, l: Int = 4,
       d: Int = 12, rounds: Int = 2): Seq[(String, Long)] = {
     require(k > 0 && l >= 1 && d >= l && rounds >= 1, "bad unigram params")
@@ -150,16 +166,18 @@ object Unigram {
     val multi = subs.where(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece")).limit(k - nChars)
     val pieces = Pin.pin(chars.unionByName(multi))
-    var v = Pin.pin(costs(pieces, pieces))
+    def collected(v: DataFrame): Seq[(String, Long)] =
+      v.orderBy(col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    var vSeq = collected(costs(pieces, pieces))
     for (_ <- 1 to rounds) {
-      val segs = viterbiPaths(t0, v, l, d)
+      val segs = viterbiPathsNative(t0, vSeq, d)
       val cnts = segs
         .select(col("freq"), explode(split(col("path"), " ")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
-      v = Pin.pin(costs(pieces, cnts))
+      vSeq = collected(costs(pieces, cnts))
     }
-    v.orderBy(col("piece")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    vSeq
   }
 
   /** Word → token-count dictionary under a trained cost table: Viterbi
@@ -169,11 +187,8 @@ object Unigram {
     * apply is the expensive half of token counting. */
   def typedDict(df: DataFrame, textCol: String,
       vocab: Seq[(String, Long)], l: Int = 4, d: Int = 12): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val v = vocab.toDF("piece", "cm")
     val types = wordTypes(df, textCol)
-    val short = viterbiPaths(types, v, l, d)
+    val short = viterbiPathsNative(types, vocab, d)
       .select(col("word"), size(split(col("path"), " ")).as("ntok"))
     val long = types.where(length(col("word")) > d)
       .select(col("word"), length(col("word")).cast("int").as("ntok"))

@@ -32,6 +32,36 @@ class UnigramSpec extends SparkSpec {
     assert(got == "x y", got)
   }
 
+  test("native Viterbi expression == relational DP, including tie-breaks") {
+    // includes the cost-tie case and a word the vocab cannot cover
+    // (relational drops it via the inner joins; native must yield null
+    // and the frame must drop it identically)
+    val vocabSeq = Seq(("a", 5000000L), ("b", 5000000L), ("c", 5000000L),
+      ("ab", 3000000L), ("x", 5000000L), ("y", 5000000L),
+      ("xy", 10000000L), ("abc", 99000000L))
+    val vocabDf = vocabSeq.toDF("piece", "cm")
+    val types = Seq(("abc", 4L), ("xy", 2L), ("abcab", 1L), ("qqq", 1L),
+      ("a", 9L)).toDF("word", "freq")
+    val rel = Unigram.viterbiPaths(types, vocabDf, l = 4, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    val nat = Unigram.viterbiPathsNative(types, vocabSeq, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    assert(rel == nat, s"rel=$rel nat=$nat")
+    assert(!rel.exists(_._1 == "qqq"), "uncoverable word must drop")
+    // and on the real corpus with a trained vocab
+    val docs = spark.read.parquet(sf("documents"))
+    val trained = Unigram.train(docs, "text", k = 64)
+    val words = docs.select(explode(
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val relC = Unigram.viterbiPaths(words, trained.toDF("piece", "cm"),
+        l = 4, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    val natC = Unigram.viterbiPathsNative(words, trained, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    assert(relC == natC)
+  }
+
   test("trained segmentations re-concatenate to their words; apply is corpus-consistent") {
     val docs = spark.read.parquet(sf("documents"))
     val vocab = Unigram.train(docs, "text", k = 64)
