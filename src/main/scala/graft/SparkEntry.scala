@@ -819,6 +819,63 @@ object SparkEntry {
   private val zorderMatPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of the z-order append/OPTIMIZE experiment
+    * (doc_zorder_append_optimize): base z-ordered files + an unsorted
+    * appended batch + the OPTIMIZE rewrite. */
+  private val zorderIncPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write `frame` (doc_id, b1, b2 + a rank column) as real parquet
+    * under `out`, one data file per logical file id: file_id = offset +
+    * (rank−1) div ceil(n/nFiles), rows sorted by rank within each file
+    * (the maxRecordsPerFile run a writer would produce). */
+  private def zorderWriteFiles(frame: DataFrame, rankCol: String,
+      nFiles: Int, offset: Int, out: String): Unit = {
+    val nF = frame.agg(count(lit(1)).as("_n"))
+    frame.crossJoin(broadcast(nF))
+      .withColumn("_rpf", expr(s"(_n + ${nFiles - 1}) div $nFiles"))
+      .select(col("doc_id"), col("b1"), col("b2"),
+        (lit(offset) + expr(s"($rankCol - 1) div _rpf")).as("file_id"),
+        col(rankCol).as("_ord"))
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("_ord"))
+      .drop("_ord")
+      .write.mode("overwrite").partitionBy("file_id").parquet(out)
+  }
+
+  /** Measured skipping audit over materialized layout roots: per-file
+    * stats from the files on disk → manifest prune with the
+    * quarter×quarter box → Spark scan of ONLY the surviving files →
+    * box aggregate (which must reproduce the phase's full box — a
+    * wrongly pruned file hash-mismatches the oracle). */
+  private def zorderAudit(s: SparkSession, tag: String,
+      roots: Seq[String]): DataFrame = {
+    val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
+    val stats = roots.map(r => s.read.parquet(r)
+        .groupBy(input_file_name().as("_file"))
+        .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+          min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
+          count(lit(1)).as("n_rows")))
+      .reduce(_ unionByName _)
+    val scanCond = col("b1_max") >= 64 && col("b1_min") <= 127 &&
+      col("b2_max") >= 128 && col("b2_min") <= 191
+    val m = stats.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(scanCond, 1L).otherwise(0L)).as("files_scanned"),
+      coalesce(sum(when(scanCond, col("n_rows"))), lit(0L))
+        .as("rows_scanned"))
+    val sel = stats.where(scanCond).select(col("_file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val box =
+      (if (sel.isEmpty) s.read.parquet(roots.head).where(lit(false))
+       else s.read.parquet(sel: _*)).where(boxPred)
+        .agg(count(lit(1)).as("box_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("box_sum_doc"))
+    m.crossJoin(box).select(lit(tag).as("phase"), col("n_files"),
+      col("files_scanned"), col("rows_scanned"), col("box_rows"),
+      col("box_sum_doc"))
+  }
+
   /** Per-JVM registry of trained-langid predictions (doc, lang,
     * pred_lang, score) — train-once / consume-twice across the per-doc
     * and confusion queries, session-validated like clusterCache. */
@@ -2177,6 +2234,19 @@ object SparkEntry {
         bucketWidth = 64L), "doc")
     }),
 
+    // the same packing keyed on the TRAINED UNIGRAM tokenizer's counts
+    // (r14) — the loader-budget composition for the second tokenizer
+    // family; the oracle composes the generated unigram training replay
+    // with the identical packing arithmetic
+    "doc_seq_pack_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = graft.ext.Unigram.tokenCountsFromDict(docs, "doc_id",
+          "text", unigramDictFor(s, dir))
+        .select(col("doc"), col("uni_tokens").as("n_tokens"))
+      sortBig(Corpus.packSequencesFromCounts(counts, seqLen = 256L,
+        bucketWidth = 64L), "doc")
+    }),
+
     // FUZZY decontamination — the near-dup completion of
     // doc_decontaminate's exact 5-gram overlap: benchmark docs that were
     // lightly EDITED before leaking into the train side (here: planted
@@ -2795,35 +2865,60 @@ object SparkEntry {
         }
         p
       })
-      val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
-      def audit(tag: String): DataFrame = {
-        val stats = s.read.parquet(s"$path/$tag")
-          .groupBy(input_file_name().as("_file"))
-          .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
-            min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
-            count(lit(1)).as("n_rows"))
-        val scanCond = col("b1_max") >= 64 && col("b1_min") <= 127 &&
-          col("b2_max") >= 128 && col("b2_min") <= 191
-        val m = stats.agg(
-          count(lit(1)).as("n_files"),
-          sum(when(scanCond, 1L).otherwise(0L)).as("files_scanned"),
-          coalesce(sum(when(scanCond, col("n_rows"))), lit(0L))
-            .as("rows_scanned"))
-        // the manifest prune: a 64-entry file list is driver-side by
-        // design (it's the table-format metadata, not data)
-        val sel = stats.where(scanCond).select(col("_file"))
-          .collect().map(_.getString(0)).toSeq.sorted
-        val box =
-          (if (sel.isEmpty) s.read.parquet(s"$path/$tag").where(lit(false))
-           else s.read.parquet(sel: _*)).where(boxPred)
-            .agg(count(lit(1)).as("box_rows"),
-              coalesce(sum(col("doc_id")), lit(0L)).as("box_sum_doc"))
-        m.crossJoin(box).select(lit(tag).as("layout"), col("n_files"),
-          col("files_scanned"), col("rows_scanned"), col("box_rows"),
-          col("box_sum_doc"))
-      }
+      // the manifest prune inside zorderAudit collects a ≤64-entry file
+      // list driver-side by design (table-format metadata, not data)
+      def audit(tag: String): DataFrame =
+        zorderAudit(s, tag, Seq(s"$path/$tag"))
+          .withColumnRenamed("phase", "layout")
       sortSmall(audit("zorder").unionByName(audit("linear"))
         .unionByName(audit("hash")), "layout")
+    }),
+
+    // Z-ORDER MAINTENANCE UNDER APPEND — the OPTIMIZE lifecycle every
+    // clustered table needs: ingest APPENDS files in arrival (hash)
+    // order, so data skipping DEGRADES as unsorted files accumulate
+    // (every appended file straddles the box), and a periodic OPTIMIZE
+    // rewrite re-clusters the union and restores pruning. Three
+    // materialized phases, each audited FROM THE FILES ON DISK with the
+    // measured-manifest discipline of doc_zorder_skipping_mat: `base`
+    // (80% of the corpus z-ordered into 52 files), `appended` (base
+    // plus the other 20% appended hash-ordered into 12 files — the
+    // ingest state), `optimized` (the union re-z-ordered into 64
+    // files). At 100 TB this is the compaction job a table format
+    // schedules; the audit is the evidence it pays for itself.
+    "doc_zorder_append_optimize" -> ((s, dir) => {
+      val path = zorderIncPath.getOrElseUpdate(dir,
+          timedBuild("zorderInc", dir) {
+        val p = s"$scratchBase/graft_zorder_inc_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_")
+        // global equi-depth bits + z/h keys (shared with the audits so
+        // appended rows land in the same bit space as base rows)
+        val z = zorderRankedFrame(s, dir)
+          .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
+            col("hkey"))
+          .localCheckpoint(true)
+        val baseRows = z.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        val appRows = z.where(pmod(col("doc_id"), lit(5L)) === 0L)
+        zorderWriteFiles(
+          Ranks.globalRowNumber(baseRows,
+            Seq(col("zkey"), col("doc_id")), out = "_rk"),
+          "_rk", nFiles = 52, offset = 0, out = s"$p/base")
+        zorderWriteFiles(
+          Ranks.globalRowNumber(appRows,
+            Seq(col("hkey"), col("doc_id")), out = "_rk"),
+          "_rk", nFiles = 12, offset = 52, out = s"$p/append")
+        zorderWriteFiles(
+          Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
+            out = "_rk"),
+          "_rk", nFiles = 64, offset = 0, out = s"$p/optimized")
+        p
+      })
+      sortSmall(
+        zorderAudit(s, "base", Seq(s"$path/base"))
+          .unionByName(zorderAudit(s, "appended",
+            Seq(s"$path/base", s"$path/append")))
+          .unionByName(zorderAudit(s, "optimized", Seq(s"$path/optimized"))),
+        "phase")
     }),
 
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
@@ -6353,6 +6448,23 @@ object SparkEntry {
         |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
         |FROM c ORDER BY doc""".stripMargin),
 
+    // the generated unigram replay (uni CTE) composed with the identical
+    // packing arithmetic, keyed on trained-unigram token counts
+    "doc_seq_pack_unigram" -> (graft.ext.Unigram.oracleCountsCte(64) +
+      """,
+        |c AS (SELECT doc, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM uni)
+        |SELECT doc, n_tokens, start_offset,
+        |  CAST(start_offset // 256 AS BIGINT) AS seq_start,
+        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS seq_end,
+        |  CAST(start_offset % 256 AS BIGINT) AS offset_in_seq,
+        |  CAST((start_offset + n_tokens - 1) // 256
+        |    - start_offset // 256 + 1 AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc""".stripMargin),
+
     // string-gram recomputation of the hashed-gram contamination join,
     // same planted leaks
     "doc_decontaminate" ->
@@ -6733,6 +6845,79 @@ object SparkEntry {
         |SELECT layout, n_files, files_scanned, rows_scanned, box_rows,
         |  box_sum_doc
         |FROM fs CROSS JOIN bx ORDER BY layout""".stripMargin,
+
+    // the same global bit space; per-subset window ranks replay the
+    // three phase layouts logically (base z-order over 80%, hash-order
+    // append files over 20%, optimized z-order over the union); stats,
+    // manifest prune and the per-phase box from the phase's own rows
+    "doc_zorder_append_optimize" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |za AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE doc_id % 5 <> 0),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM za),
+        |fa AS (SELECT doc_id, b1, b2, (rk - 1) // ((n + 51) // 52)
+        |    AS file_id FROM za CROSS JOIN na),
+        |zb AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE doc_id % 5 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zb),
+        |fb AS (SELECT doc_id, b1, b2, 52 + (rk - 1) // ((n + 11) // 12)
+        |    AS file_id FROM zb CROSS JOIN nb),
+        |zo AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM z),
+        |fo AS (SELECT doc_id, b1, b2, (rk - 1) // ((n + 63) // 64)
+        |    AS file_id FROM zo CROSS JOIN nn),
+        |ph AS (
+        |  SELECT 'base' AS phase, doc_id, b1, b2, file_id FROM fa
+        |  UNION ALL SELECT 'appended', doc_id, b1, b2, file_id FROM fa
+        |  UNION ALL SELECT 'appended', doc_id, b1, b2, file_id FROM fb
+        |  UNION ALL SELECT 'optimized', doc_id, b1, b2, file_id FROM fo),
+        |f AS (SELECT phase, file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM ph GROUP BY 1, 2),
+        |fs AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(coalesce(sum(n_rows) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM f GROUP BY 1),
+        |bx AS (SELECT phase, CAST(count(*) FILTER (WHERE b1 BETWEEN 64
+        |      AND 127 AND b2 BETWEEN 128 AND 191) AS BIGINT) AS box_rows,
+        |    CAST(coalesce(sum(doc_id) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |      AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_sum_doc
+        |  FROM ph GROUP BY 1)
+        |SELECT fs.phase AS phase, n_files, files_scanned, rows_scanned,
+        |  box_rows, box_sum_doc
+        |FROM fs JOIN bx ON fs.phase = bx.phase
+        |ORDER BY fs.phase""".stripMargin,
 
     // the same allocation CTEs, sub-quotas by residue class, and
     // per-(lang, shard) window prefix fill — batch arrival order cannot
