@@ -62,6 +62,22 @@ class UnigramSpec extends SparkSpec {
     assert(relC == natC)
   }
 
+  test("native Viterbi indexes by code points (astral chars == relational substr)") {
+    // U+1F600 is two UTF-16 code units; piece boundaries must fall on
+    // code points or the native DP would split a surrogate pair where
+    // Spark's substr (code-point-based) never does
+    val g = "😀" // 😀
+    val vocabSeq = Seq((g, 4000000L), ("a", 5000000L), (s"a$g", 2000000L))
+    val types = Seq((s"a$g$g", 1L), (g, 2L)).toDF("word", "freq")
+    val nat = Unigram.viterbiPathsNative(types, vocabSeq, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    val rel = Unigram.viterbiPaths(types, vocabSeq.toDF("piece", "cm"),
+        l = 4, d = 12)
+      .select("word", "path").as[(String, String)].collect().toSet
+    assert(nat == rel, s"nat=$nat rel=$rel")
+    assert(nat == Set((s"a$g$g", s"a$g $g"), (g, g)), nat.toString)
+  }
+
   test("trained segmentations re-concatenate to their words; apply is corpus-consistent") {
     val docs = spark.read.parquet(sf("documents"))
     val vocab = Unigram.train(docs, "text", k = 64)
