@@ -26,6 +26,18 @@ import org.apache.spark.sql.DataFrame
   * Both forms are EAGER and yield value-identical frames — only the
   * storage/recovery story differs (PinSpec toggles the flag and
   * asserts bit-identical results).
+  *
+  * Reliable-mode housekeeping: Spark does NOT reclaim `checkpoint(true)`
+  * data by default (`spark.cleaner.referenceTracking.cleanCheckpoints`
+  * defaults to false), so a long-running iterative job — PageRank,
+  * connected components, k-means — leaks one full frame copy per pin on
+  * the checkpoint filesystem for the application lifetime. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` in the
+  * SparkConf AT CONTEXT STARTUP when enabling reliable pins (the
+  * ContextCleaner reads it once at SparkContext init — it cannot be
+  * flipped later via `spark.conf.set`); checkpoints are then deleted
+  * when their frames are garbage-collected. Jobs that cannot set it at
+  * startup should delete the checkpoint dir between runs.
   */
 object Pin {
 

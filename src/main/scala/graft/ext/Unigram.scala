@@ -66,8 +66,12 @@ object Unigram {
 
   /** Micro-nat cost table from (piece, cnt) counts: p = round6(cnt/tot),
     * cm = round(−ln(p)·10⁶); zero-probability pieces get the 99·10⁶
-    * sentinel. `pieces` is the fixed vocab (piece); `counts` may miss
-    * pieces (left join → sentinel). */
+    * sentinel. The sentinel gates on the ROUNDED probability, not just
+    * cnt: a piece with cnt ≥ 1 but cnt/tot < 5e-7 rounds to p = 0, and
+    * log(0) is NULL in Spark (ln(0) fails in DuckDB) — reachable for
+    * rare characters on any large corpus since tot is the
+    * substring-weighted total. `pieces` is the fixed vocab (piece);
+    * `counts` may miss pieces (left join → sentinel). */
   private def costs(pieces: DataFrame, counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("cnt")).cast("long").as("tot"))
     val p = r6d(col("cnt").cast("double") / col("tot").cast("double"))
@@ -75,7 +79,8 @@ object Unigram {
       .join(counts, Seq("piece"), "left")
       .crossJoin(broadcast(tot))
       .select(col("piece"),
-        when(coalesce(col("cnt"), lit(0L)) <= 0L, lit(99000000L))
+        when(coalesce(col("cnt"), lit(0L)) <= 0L || p <= lit(0.0),
+            lit(99000000L))
           .otherwise(floor(-log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
           .as("cm"))
   }
@@ -223,9 +228,14 @@ object Unigram {
   // final apply with identical arithmetic and tie-breaks.             //
   // ---------------------------------------------------------------- //
 
-  /** CASE expression deriving micro-nat cm from (cnt, tot). */
+  /** CASE expression deriving micro-nat cm from (cnt, tot). Like the
+    * engine's [[costs]], the sentinel also gates on the ROUNDED
+    * probability: cnt ≥ 1 with cnt/tot < 5e-7 rounds to p = 0 and
+    * DuckDB's ln(0) errors. */
   private def cmSql(cnt: String, tot: String): String =
-    s"""CASE WHEN COALESCE($cnt, 0) <= 0 THEN 99000000
+    s"""CASE WHEN COALESCE($cnt, 0) <= 0
+       | OR floor(CAST($cnt AS DOUBLE)
+       |   / CAST($tot AS DOUBLE) * 1000000.0 + 0.5) <= 0 THEN 99000000
        | ELSE CAST(floor(-ln(floor(CAST($cnt AS DOUBLE)
        |   / CAST($tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0)
        |   * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin

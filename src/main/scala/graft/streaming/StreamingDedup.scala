@@ -90,11 +90,12 @@ object StreamingDedup {
     pmod(xxhash64(band, bandhash), lit(nBuckets.toLong)).cast("int")
 
   private def writeMetaFile(spark: SparkSession, metaPath: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, rows: Long = -1L): Unit = {
     val p = new org.apache.hadoop.fs.Path(metaPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    out.write(s"""{"nBuckets":$nBuckets}""".getBytes("UTF-8"))
+    val rowsField = if (rows >= 0) s""","rows":$rows""" else ""
+    out.write(s"""{"nBuckets":$nBuckets$rowsField}""".getBytes("UTF-8"))
     out.close()
   }
 
@@ -111,6 +112,20 @@ object StreamingDedup {
 
   private[streaming] def indexBuckets(spark: SparkSession, path: String): Int =
     readMetaFile(spark, s"$path/meta.json")
+
+  /** Row count recorded in an index's meta file, or -1 if the meta
+    * predates row accounting (pre-r15 indexes) — callers fall back to a
+    * one-time count and the next write records it. */
+  private def readMetaRows(spark: SparkSession, metaPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(bytes, "UTF-8"))
+      .map(_.group(1).toLong).getOrElse(-1L)
+  }
 
   /** Probe a stream of new documents against a [[buildMinhashIndex]]
     * index: emits exactly-verified near-dup pairs
@@ -376,28 +391,38 @@ object StreamingDedup {
     * [[compactKeeperIndex]] restores the one-row-per-canon layout when
     * appended files accumulate. Build/append cost ∝ the batch. */
   def buildKeeperIndex(pairs: DataFrame, path: String): Unit = {
-    pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
-        col(pairs.columns(1)).as("canon"))
-      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
-      .sortWithinPartitions("canon")
-      .write.mode("overwrite").parquet(path)
-    writeMetaFile(pairs.sparkSession, s"$path.meta.json", 0)
+    val spark = pairs.sparkSession
+    val g = graft.ext.Pin.pin(
+      pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
+          col(pairs.columns(1)).as("canon"))
+        .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+        .sortWithinPartitions("canon"))
+    g.write.mode("overwrite").parquet(path)
+    writeMetaFile(spark, s"$path.meta.json", 0, g.count())
   }
 
   /** Append one batch's per-canon minima (cost ∝ batch; duplicates of
     * already-indexed canons are folded away at probe time). Returns
-    * (rows before, rows appended). */
+    * (rows before, rows appended) — `before` comes from the meta file's
+    * row accounting, `appended` counts the pinned batch frame only, so
+    * the append touches NO existing index files (a whole-index count
+    * here would make every append O(index) in footer work as the index
+    * grows, contradicting the cost-∝-batch contract). */
   def appendKeeperIndex(pairs: DataFrame, path: String): (Long, Long) = {
     val spark = pairs.sparkSession
     recoverIndex(spark, path)
-    val before = spark.read.parquet(path).count()
-    pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
-        col(pairs.columns(1)).as("canon"))
-      .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
-      .sortWithinPartitions("canon")
-      .write.mode("append").parquet(path)
-    val after = spark.read.parquet(path).count()
-    (before, after - before)
+    val metaRows = readMetaRows(spark, s"$path.meta.json")
+    val before = // pre-r15 meta: one catch-up count, recorded below
+      if (metaRows >= 0) metaRows else spark.read.parquet(path).count()
+    val g = graft.ext.Pin.pin(
+      pairs.select(col(pairs.columns.head).cast("long").as("_keeper"),
+          col(pairs.columns(1)).as("canon"))
+        .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
+        .sortWithinPartitions("canon"))
+    val appended = g.count()
+    g.write.mode("append").parquet(path)
+    writeMetaFile(spark, s"$path.meta.json", 0, before + appended)
+    (before, appended)
   }
 
   /** The probe view: one (canon, _keeper) row per canon, the min fold
@@ -413,11 +438,14 @@ object StreamingDedup {
   def compactKeeperIndex(spark: SparkSession, path: String): Unit = {
     recoverIndex(spark, path)
     val tmp = s"${path}_compacting"
-    spark.read.parquet(path)
+    val g = graft.ext.Pin.pin(spark.read.parquet(path)
       .groupBy(col("canon")).agg(min(col("_keeper")).as("_keeper"))
-      .sortWithinPartitions("canon")
-      .write.mode("overwrite").parquet(tmp)
+      .sortWithinPartitions("canon"))
+    g.write.mode("overwrite").parquet(tmp)
     swapCompacted(spark, path, tmp)
+    // compaction folds rows — re-record the count (compact is already
+    // O(index); the count rides the pinned frame, no extra scan)
+    writeMetaFile(spark, s"$path.meta.json", 0, g.count())
   }
 
   /** Corpus SHINGLE index — (cdoc, sh, nc): each indexed doc's distinct
@@ -428,24 +456,29 @@ object StreamingDedup {
     * append cost ∝ the new batch only. */
   def buildShingleIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3): Unit = {
-    shingleRows(df, idCol, textCol, n)
-      .sortWithinPartitions("sh")
-      .write.mode("overwrite").parquet(path)
-    writeMetaFile(df.sparkSession, s"$path.meta.json", 0)
+    val rows = graft.ext.Pin.pin(
+      shingleRows(df, idCol, textCol, n).sortWithinPartitions("sh"))
+    rows.write.mode("overwrite").parquet(path)
+    writeMetaFile(df.sparkSession, s"$path.meta.json", 0, rows.count())
   }
 
   /** Append a batch of NEW docs' shingles. Returns (rows before, rows
-    * appended). */
+    * appended); as with [[appendKeeperIndex]], `before` is meta-file
+    * row accounting and `appended` counts only the pinned batch frame —
+    * the append never re-reads the existing index. */
   def appendShingleIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3): (Long, Long) = {
     val spark = df.sparkSession
     recoverIndex(spark, path)
-    val before = spark.read.parquet(path).count()
-    shingleRows(df, idCol, textCol, n)
-      .sortWithinPartitions("sh")
-      .write.mode("append").parquet(path)
-    val after = spark.read.parquet(path).count()
-    (before, after - before)
+    val metaRows = readMetaRows(spark, s"$path.meta.json")
+    val before =
+      if (metaRows >= 0) metaRows else spark.read.parquet(path).count()
+    val rows = graft.ext.Pin.pin(
+      shingleRows(df, idCol, textCol, n).sortWithinPartitions("sh"))
+    val appended = rows.count()
+    rows.write.mode("append").parquet(path)
+    writeMetaFile(spark, s"$path.meta.json", 0, before + appended)
+    (before, appended)
   }
 
   /** Re-sort the shingle index by sh after many appends (row set is
@@ -461,8 +494,12 @@ object StreamingDedup {
 
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sh = graft.ext.Dedup.hashedShingles(df, idCol, textCol, n)
-      .select(col("doc").cast("long").as("cdoc"), col("sh"))
+    // pin before the nc self-join: unpinned, Catalyst plans the join's
+    // two branches as two copies of the shingle-extraction subtree and
+    // evaluates it twice per build/append
+    val sh = graft.ext.Pin.pin(
+      graft.ext.Dedup.hashedShingles(df, idCol, textCol, n)
+        .select(col("doc").cast("long").as("cdoc"), col("sh")))
     sh.join(sh.groupBy(col("cdoc")).agg(count(lit(1)).as("nc")), "cdoc")
       .select(col("cdoc"), col("sh"), col("nc"))
   }

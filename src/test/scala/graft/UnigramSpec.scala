@@ -105,4 +105,25 @@ class UnigramSpec extends SparkSpec {
     assert(paths.where(
       regexp_replace(col("path"), " ", "") =!= col("word")).count() == 0)
   }
+
+  test("a piece whose probability rounds to zero gets the sentinel, not NULL") {
+    // one rare char against a substring-weighted total > 2e6 makes
+    // cnt/tot < 5e-7, which round6's to p = 0 — log(0) is NULL in
+    // Spark, and an ungated sentinel crashed train() with an NPE at
+    // the collected cost table (ADVICE r14). Word type "aaaaaaaa"
+    // (len 8, l=4) contributes 26 substrings × freq 700000 ≈ 1.8e7
+    // to the seed total, and its ≥3-piece segmentation keeps the
+    // final M-step total above 2.1e6 — the lone "z" rounds to zero
+    // probability in BOTH cost tables, so the sentinel must reach
+    // the returned vocab.
+    val rare = Seq.fill(700000)("aaaaaaaa") :+ "z"
+    val df = rare.toDF("text")
+    val vocab = Unigram.train(df, "text", k = 4, rounds = 1)
+    val z = vocab.find(_._1 == "z")
+    assert(z.nonEmpty, "rare char missing from vocab")
+    assert(z.get._2 == 99000000L,
+      s"zero-rounded probability must take the sentinel, got ${z.get._2}")
+    // the frequent pieces still get finite real costs
+    assert(vocab.exists(v => v._1 != "z" && v._2 < 99000000L))
+  }
 }
