@@ -784,6 +784,15 @@ object SparkEntry {
     * hrank) plus `_rpf` = rows-per-file for 64 logical files. Rank
     * passes ride [[graft.ext.Ranks.globalRowNumber]] — the same range
     * shuffles a real OPTIMIZE ZORDER runs. */
+  /** Bit-interleaved 16-bit Morton key over the b1/b2 bucket columns —
+    * a pure function of (b1, b2), so a compaction job can re-derive it
+    * row-locally from the data files without touching the corpus
+    * table. */
+  private def zkeyExpr: Column = (0 until 8).map { i =>
+    shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+      shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+  }.reduce(_ + _)
+
   private def zorderRankedFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
       pmod(conv(substring(md5(concat(lit("zdim:"),
@@ -795,12 +804,8 @@ object SparkEntry {
         .crossJoin(broadcast(nF))
         .withColumn(out, expr("((_r - 1) * 256) div _n"))
         .drop("_r", "_n")
-    val zkey = (0 until 8).map { i =>
-      shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
-    }.reduce(_ + _)
     val z = toBits(toBits(docs, "n_chars", "b1"), "d2", "b2")
-      .withColumn("zkey", zkey)
+      .withColumn("zkey", zkeyExpr)
       .withColumn("hkey",
         md5(concat(lit("h:"), col("doc_id").cast("string"))))
     Ranks.globalRowNumber(
@@ -819,28 +824,210 @@ object SparkEntry {
   private val zorderMatPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Build (once per JVM and sf dir) the three materialized layouts,
+    * each WITH its write-time stats manifest at `<root>/<tag>/_stats`
+    * (the `_`-prefixed dir is invisible to Spark's parquet reader, so
+    * the manifest lives under the table root like a `_delta_log`). */
+  private def zorderMatFor(s: SparkSession, dir: String): String =
+    zorderMatPath.getOrElseUpdate(dir, timedBuild("zorderMat", dir) {
+      val p = s"$scratchBase/graft_zorder_mat_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // pinned: three layout writers consume one rank frame (the
+      // writer derives its own rpf — drop the frame's _n/_rpf so its
+      // internal count crossJoin can't collide)
+      val ranked = zorderRankedFrame(s, dir)
+        .select(col("doc_id"), col("b1"), col("b2"),
+          col("zrank"), col("lrank"), col("hrank"))
+        .localCheckpoint(true)
+      for ((tag, rank) <- Seq(("zorder", "zrank"), ("linear", "lrank"),
+          ("hash", "hrank"))) {
+        val st = zorderWriteFiles(ranked, rank, nFiles = 64, offset = 0,
+          out = s"$p/$tag")
+        writeStatsManifest(st, s"$p/$tag/_stats")
+      }
+      p
+    })
+
   /** Per-JVM registry of the z-order append/OPTIMIZE experiment
     * (doc_zorder_append_optimize): base z-ordered files + an unsorted
     * appended batch + the OPTIMIZE rewrite. */
   private val zorderIncPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of the INCREMENTAL-OPTIMIZE z-order table
+    * (doc_zorder_incr_optimize): ONE evolving table dir whose data
+    * files accumulate across transactions, plus three manifest
+    * snapshots (`_stats_base/_stats_appended/_stats_optimized` — the
+    * transaction-log role: logically removed files stay on disk until a
+    * VACUUM, so every snapshot remains readable). */
+  private val zorderIncrPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the incremental-OPTIMIZE experiment: (1) base = the corpus
+    * minus a key-space-LOCALIZED batch, z-ordered into 52 files with a
+    * write-time manifest; (2) append = the localized batch (b2 ≥ 144,
+    * even doc_id — the time-correlated shape real ingest has: new data
+    * clusters in part of the clustering key space) written hash-ordered
+    * into 12 files, manifest rows APPENDED (no data re-read); (3)
+    * incremental OPTIMIZE — the production compaction: the rewrite set
+    * is chosen FROM THE MANIFEST ALONE (files whose stats box intersects
+    * the appended files' bounding box — you cannot rewrite 100 TB on a
+    * schedule, and you cannot even SCAN it to decide what to rewrite),
+    * only those files are read, re-z-ordered (zkey re-derived row-locally
+    * from b1/b2) into new files sized by the table's global rows-per-file,
+    * and the manifest swaps rewritten rows for new-file rows. Base files
+    * outside the appended key region are never read OR rewritten. */
+  private def zorderIncrFor(s: SparkSession, dir: String): String =
+    zorderIncrPath.getOrElseUpdate(dir, timedBuild("zorderIncr", dir) {
+      val p = s"$scratchBase/graft_zorder_incr2_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val z = zorderRankedFrame(s, dir)
+        .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
+          col("hkey"))
+        .localCheckpoint(true)
+      val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
+      val table = s"$p/table"
+      // txn 1 (static overwrite wipes any stale table dir): base
+      val stBase = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(!isApp),
+          Seq(col("zkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 52, offset = 0, out = table)
+      writeStatsManifest(stBase, s"$p/_stats_base")
+      // txn 2: localized append, arrival (hash) order, NEW file ids only
+      val stApp = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(isApp),
+          Seq(col("hkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 12, offset = 52, out = table, mode = "append")
+      writeStatsManifest(stBase.unionByName(stApp), s"$p/_stats_appended")
+      // txn 3: incremental OPTIMIZE — metadata-only rewrite selection
+      val man = s.read.parquet(s"$p/_stats_appended").collect()
+      val app = man.filter(_.getAs[Long]("file_id") >= 52)
+      val (a1, a2) = (app.map(_.getAs[Long]("b1_min")).min,
+        app.map(_.getAs[Long]("b1_max")).max)
+      val (a3, a4) = (app.map(_.getAs[Long]("b2_min")).min,
+        app.map(_.getAs[Long]("b2_max")).max)
+      val rewrite = man.filter(r => r.getAs[Long]("b1_min") <= a2 &&
+        r.getAs[Long]("b1_max") >= a1 && r.getAs[Long]("b2_min") <= a4 &&
+        r.getAs[Long]("b2_max") >= a3)
+      val rwIds = rewrite.map(_.getAs[Long]("file_id")).toSet
+      val rpfG = (man.map(_.getAs[Long]("n_rows")).sum + 63L) / 64L
+      // the only data read of the whole compaction: the rewrite set
+      val rw = s.read
+        .parquet(rewrite.map(_.getAs[String]("path")).sorted.toSeq: _*)
+        .select(col("doc_id"), col("b1"), col("b2"))
+        .withColumn("zkey", zkeyExpr)
+      val stNew = zorderWriteFiles(
+        Ranks.globalRowNumber(rw, Seq(col("zkey"), col("doc_id")),
+          out = "_rk"),
+        "_rk", nFiles = 64, offset = 1000, out = table, mode = "append",
+        rpfOverride = rpfG)
+      val keep = s.read.parquet(s"$p/_stats_appended")
+        .where(!col("file_id").isInCollection(rwIds))
+      writeStatsManifest(keep.unionByName(stNew), s"$p/_stats_optimized")
+      p
+    })
+
   /** Write `frame` (doc_id, b1, b2 + a rank column) as real parquet
     * under `out`, one data file per logical file id: file_id = offset +
-    * (rank−1) div ceil(n/nFiles), rows sorted by rank within each file
-    * (the maxRecordsPerFile run a writer would produce). */
+    * (rank−1) div rpf with rpf = ceil(n/nFiles) (or `rpfOverride` when
+    * ≥ 1 — the incremental-OPTIMIZE path sizes new files by the
+    * TABLE's global rows-per-file, not the batch's), rows sorted by
+    * rank within each file (the maxRecordsPerFile run a writer would
+    * produce).
+    *
+    * Returns the WRITE-TIME stats manifest (file_id, path, b1_min,
+    * b1_max, b2_min, b2_max, n_rows): per-file min/max computed from
+    * the frame being written — never re-derived by scanning data files
+    * afterwards, which at 100 TB would cost the full scan the layout
+    * exists to avoid — with `path` resolved from a directory LISTING of
+    * the just-written file_id partitions (metadata-only; mode `append`
+    * adds only NEW file_id dirs, so each listed dir holds exactly one
+    * data file). Callers persist it next to the data (the `_delta_log`
+    * role); Spark's parquet reader skips `_`-prefixed dirs, so the
+    * manifest can live under the table root. */
   private def zorderWriteFiles(frame: DataFrame, rankCol: String,
-      nFiles: Int, offset: Int, out: String): Unit = {
+      nFiles: Int, offset: Int, out: String, mode: String = "overwrite",
+      rpfOverride: Long = -1L): DataFrame = {
+    val s = frame.sparkSession
+    import s.implicits._
     val nF = frame.agg(count(lit(1)).as("_n"))
-    frame.crossJoin(broadcast(nF))
-      .withColumn("_rpf", expr(s"(_n + ${nFiles - 1}) div $nFiles"))
+    val rpfCol =
+      if (rpfOverride >= 1L) lit(rpfOverride)
+      else expr(s"(_n + ${nFiles - 1}) div $nFiles")
+    // pinned so the write and the write-time stats aggregate are two
+    // consumers of ONE materialization (never two computations that
+    // could disagree on file assignment)
+    val staged = graft.ext.Pin.pin(frame.crossJoin(broadcast(nF))
+      .withColumn("_rpf", rpfCol)
       .select(col("doc_id"), col("b1"), col("b2"),
         (lit(offset) + expr(s"($rankCol - 1) div _rpf")).as("file_id"),
-        col(rankCol).as("_ord"))
+        col(rankCol).as("_ord")))
+    staged
       .repartition(col("file_id"))
       .sortWithinPartitions(col("file_id"), col("_ord"))
       .drop("_ord")
-      .write.mode("overwrite").partitionBy("file_id").parquet(out)
+      .write.mode(mode).partitionBy("file_id").parquet(out)
+    val stats = staged.groupBy(col("file_id"))
+      .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+        min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
+        count(lit(1)).as("n_rows"))
+      .collect() // ≤ nFiles rows — table-format metadata, not data
+    val conf = s.sparkContext.hadoopConfiguration
+    val rows = stats.map { r =>
+      val id = r.getAs[Long]("file_id")
+      val dirP = new org.apache.hadoop.fs.Path(s"$out/file_id=$id")
+      val data = dirP.getFileSystem(conf).listStatus(dirP).map(_.getPath)
+        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      require(data.length == 1,
+        s"expected one data file under $dirP, found ${data.length}")
+      (id, data.head.toString, r.getAs[Long]("b1_min"),
+        r.getAs[Long]("b1_max"), r.getAs[Long]("b2_min"),
+        r.getAs[Long]("b2_max"), r.getAs[Long]("n_rows"))
+    }.toSeq.sortBy(_._1)
+    rows.toDF("file_id", "path", "b1_min", "b1_max", "b2_min", "b2_max",
+      "n_rows")
+  }
+
+  /** Persist a [[zorderWriteFiles]] stats manifest (one small file —
+    * the table-format transaction-log role: the reader prunes from this
+    * metadata without touching data files). */
+  private def writeStatsManifest(st: DataFrame, path: String): Unit =
+    st.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Skipping audit from a PERSISTED write-time stats manifest — the
+    * production read path (Delta/Iceberg discipline): the prune
+    * decision touches ONLY manifest metadata (≤ table file count rows,
+    * collected driver-side like any table format's log replay), then
+    * Spark scans exactly the surviving data files and the box aggregate
+    * over that pruned read must reproduce the phase's full box (a
+    * wrongly pruned file — i.e. a wrong manifest — hash-mismatches the
+    * oracle). Contrast [[zorderAudit]], the one-shot audit that
+    * re-derives stats by scanning data; at 100 TB only this path is
+    * viable. */
+  private def manifestAudit(s: SparkSession, tag: String,
+      manifests: Seq[String]): DataFrame = {
+    import s.implicits._
+    val st = manifests.map(s.read.parquet(_)).reduce(_ unionByName _)
+      .collect()
+    val scanned = st.filter(r => r.getAs[Long]("b1_max") >= 64 &&
+      r.getAs[Long]("b1_min") <= 127 && r.getAs[Long]("b2_max") >= 128 &&
+      r.getAs[Long]("b2_min") <= 191)
+    val sel = scanned.map(_.getAs[String]("path")).sorted.toSeq
+    val rowsScanned = scanned.map(_.getAs[Long]("n_rows")).sum
+    val (boxRows, boxSum) =
+      if (sel.isEmpty) (0L, 0L)
+      else {
+        val r = s.read.parquet(sel: _*)
+          .where(col("b1").between(64, 127) && col("b2").between(128, 191))
+          .agg(count(lit(1)).as("box_rows"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("box_sum_doc"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    Seq((tag, st.length.toLong, scanned.length.toLong, rowsScanned,
+        boxRows, boxSum))
+      .toDF("phase", "n_files", "files_scanned", "rows_scanned",
+        "box_rows", "box_sum_doc")
   }
 
   /** Measured skipping audit over materialized layout roots: per-file
@@ -2847,24 +3034,7 @@ object SparkEntry {
     // pruned read returns every box row (the oracle computes the box
     // from the full table — a file wrongly pruned would hash-mismatch).
     "doc_zorder_skipping_mat" -> ((s, dir) => {
-      val path = zorderMatPath.getOrElseUpdate(dir, timedBuild("zorderMat", dir) {
-        val p = s"$scratchBase/graft_zorder_mat_" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
-        // pinned: three layout writers consume one rank frame
-        val ranked = zorderRankedFrame(s, dir).localCheckpoint(true)
-        for ((tag, rank) <- Seq(("zorder", "zrank"), ("linear", "lrank"),
-            ("hash", "hrank"))) {
-          ranked.select(col("doc_id"), col("b1"), col("b2"),
-              expr(s"($rank - 1) div _rpf").as("file_id"),
-              col(rank).as("_ord"))
-            .repartition(col("file_id"))
-            .sortWithinPartitions(col("file_id"), col("_ord"))
-            .drop("_ord")
-            .write.mode("overwrite").partitionBy("file_id")
-            .parquet(s"$p/$tag")
-        }
-        p
-      })
+      val path = zorderMatFor(s, dir)
       // the manifest prune inside zorderAudit collects a ≤64-entry file
       // list driver-side by design (table-format metadata, not data)
       def audit(tag: String): DataFrame =
@@ -2872,6 +3042,30 @@ object SparkEntry {
           .withColumnRenamed("phase", "layout")
       sortSmall(audit("zorder").unionByName(audit("linear"))
         .unionByName(audit("hash")), "layout")
+    }),
+
+    // WRITE-TIME STATS MANIFEST — the PRODUCTION read path over the
+    // same three materialized layouts (r14 verdict task: at 100 TB,
+    // re-deriving per-file stats by scanning data costs the full scan
+    // the layout exists to avoid). Each layout writer persisted a
+    // `_stats` manifest computed from the frame being written — the
+    // Delta/Iceberg discipline of stats captured in the commit, not
+    // recovered by a later audit. The reader's prune decision touches
+    // ONLY that metadata; Spark then scans exactly the surviving files,
+    // and the box aggregate over the pruned read must reproduce the
+    // full-table box (a stale or wrong manifest row would either scan a
+    // pruned-file set missing box rows — hash mismatch — or misreport
+    // files_scanned vs the oracle's logical replay). Same numbers as
+    // doc_zorder_skipping_mat BY CONSTRUCTION: that equality, enforced
+    // by the shared oracle, is the proof the write-time manifest
+    // carries the same information as the full-scan audit.
+    "doc_zorder_manifest_prune" -> ((s, dir) => {
+      val path = zorderMatFor(s, dir)
+      def au(tag: String): DataFrame =
+        manifestAudit(s, tag, Seq(s"$path/$tag/_stats"))
+          .withColumnRenamed("phase", "layout")
+      sortSmall(au("zorder").unionByName(au("linear"))
+        .unionByName(au("hash")), "layout")
     }),
 
     // Z-ORDER MAINTENANCE UNDER APPEND — the OPTIMIZE lifecycle every
@@ -2899,18 +3093,21 @@ object SparkEntry {
           .localCheckpoint(true)
         val baseRows = z.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
         val appRows = z.where(pmod(col("doc_id"), lit(5L)) === 0L)
-        zorderWriteFiles(
+        writeStatsManifest(zorderWriteFiles(
           Ranks.globalRowNumber(baseRows,
             Seq(col("zkey"), col("doc_id")), out = "_rk"),
-          "_rk", nFiles = 52, offset = 0, out = s"$p/base")
-        zorderWriteFiles(
+          "_rk", nFiles = 52, offset = 0, out = s"$p/base"),
+          s"$p/base/_stats")
+        writeStatsManifest(zorderWriteFiles(
           Ranks.globalRowNumber(appRows,
             Seq(col("hkey"), col("doc_id")), out = "_rk"),
-          "_rk", nFiles = 12, offset = 52, out = s"$p/append")
-        zorderWriteFiles(
+          "_rk", nFiles = 12, offset = 52, out = s"$p/append"),
+          s"$p/append/_stats")
+        writeStatsManifest(zorderWriteFiles(
           Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
             out = "_rk"),
-          "_rk", nFiles = 64, offset = 0, out = s"$p/optimized")
+          "_rk", nFiles = 64, offset = 0, out = s"$p/optimized"),
+          s"$p/optimized/_stats")
         p
       })
       sortSmall(
@@ -2919,6 +3116,35 @@ object SparkEntry {
             Seq(s"$path/base", s"$path/append")))
           .unionByName(zorderAudit(s, "optimized", Seq(s"$path/optimized"))),
         "phase")
+    }),
+
+    // INCREMENTAL OPTIMIZE — the r14 verdict's missing piece: the full
+    // rewrite above re-clusters the whole union, which a 100 TB table
+    // cannot schedule. Here the compaction (see [[zorderIncrFor]])
+    // rewrites ONLY the appended files plus the base files whose
+    // manifest box straddles the appended key region — selected from
+    // the write-time manifest without scanning ANY data — and the audit
+    // proves both halves: skipping restored (files_scanned back near
+    // the clustered optimum) AND files_rewritten/rows_rewritten < the
+    // table (base files outside the appended region were never touched;
+    // at scale with time-localized appends that untouched fraction is
+    // the whole point). Rewrite accounting is itself metadata: a file
+    // was rewritten iff it left the manifest between the appended and
+    // optimized snapshots.
+    "doc_zorder_incr_optimize" -> ((s, dir) => {
+      val p = zorderIncrFor(s, dir)
+      val appMan = s.read.parquet(s"$p/_stats_appended").collect()
+      val optIds = s.read.parquet(s"$p/_stats_optimized")
+        .select(col("file_id")).collect().map(_.getLong(0)).toSet
+      val rw = appMan.filter(r => !optIds(r.getAs[Long]("file_id")))
+      def au(phase: String, frw: Long, rrw: Long): DataFrame =
+        manifestAudit(s, phase, Seq(s"$p/_stats_$phase"))
+          .withColumn("files_rewritten", lit(frw))
+          .withColumn("rows_rewritten", lit(rrw))
+      sortSmall(au("base", 0L, 0L)
+        .unionByName(au("appended", 0L, 0L))
+        .unionByName(au("optimized", rw.length.toLong,
+          rw.map(_.getAs[Long]("n_rows")).sum)), "phase")
     }),
 
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
@@ -6846,6 +7072,69 @@ object SparkEntry {
         |  box_sum_doc
         |FROM fs CROSS JOIN bx ORDER BY layout""".stripMargin,
 
+    // identical logical replay to doc_zorder_skipping_mat — the ENGINE
+    // path differs (prune from the persisted write-time manifest, no
+    // data-scan stats derivation), the numbers must not: that equality
+    // is the proof the write-time manifest equals the full-scan audit
+    "doc_zorder_manifest_prune" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |zr AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS zrank,
+        |    CAST(row_number() OVER (ORDER BY b1, b2, doc_id) AS BIGINT)
+        |      AS lrank,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS hrank
+        |  FROM z),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, (zrank - 1) // ((n + 63) // 64)
+        |    AS file_id, b1, b2 FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'linear', (lrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 'hash', (hrank - 1) // ((n + 63) // 64), b1, b2
+        |  FROM zr CROSS JOIN nn),
+        |f AS (SELECT layout, file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lay GROUP BY 1, 2),
+        |fs AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(coalesce(sum(n_rows) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM f GROUP BY 1),
+        |bx AS (SELECT CAST(count(*) AS BIGINT) AS box_rows,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS box_sum_doc
+        |  FROM b WHERE b1 BETWEEN 64 AND 127 AND b2 BETWEEN 128 AND 191)
+        |SELECT layout, n_files, files_scanned, rows_scanned, box_rows,
+        |  box_sum_doc
+        |FROM fs CROSS JOIN bx ORDER BY layout""".stripMargin,
+
     // the same global bit space; per-subset window ranks replay the
     // three phase layouts logically (base z-order over 80%, hash-order
     // append files over 20%, optimized z-order over the union); stats,
@@ -6917,6 +7206,101 @@ object SparkEntry {
         |SELECT fs.phase AS phase, n_files, files_scanned, rows_scanned,
         |  box_rows, box_sum_doc
         |FROM fs JOIN bx ON fs.phase = bx.phase
+        |ORDER BY fs.phase""".stripMargin,
+
+    // incremental OPTIMIZE replay: base = corpus minus the localized
+    // batch (b2 >= 144, even doc_id) z-ordered into 52 files; append =
+    // that batch hash-ordered into 12 files; rewrite set = files whose
+    // per-file box intersects the appended rows' bounding box (the
+    // manifest-only selection), re-z-ordered into new files sized by
+    // the global rows-per-file; phase stats/prune/box as before, plus
+    // the rewrite accounting the engine reads off its manifests
+    "doc_zorder_incr_optimize" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |za AS (SELECT doc_id, b1, b2, zkey,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE NOT (b2 >= 144 AND doc_id % 2 = 0)),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM za),
+        |fa AS (SELECT doc_id, b1, b2, zkey, (rk - 1) // ((n + 51) // 52)
+        |    AS file_id FROM za CROSS JOIN na),
+        |zb AS (SELECT doc_id, b1, b2, zkey,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE b2 >= 144 AND doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zb),
+        |fb AS (SELECT doc_id, b1, b2, zkey, 52 + (rk - 1) // ((n + 11) // 12)
+        |    AS file_id FROM zb CROSS JOIN nb),
+        |allf AS (SELECT doc_id, b1, b2, zkey, file_id FROM fa
+        |  UNION ALL SELECT doc_id, b1, b2, zkey, file_id FROM fb),
+        |fst AS (SELECT file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM allf GROUP BY 1),
+        |bbox AS (SELECT min(b1) AS a1, max(b1) AS a2,
+        |    min(b2) AS a3, max(b2) AS a4 FROM zb),
+        |rw AS (SELECT file_id, n_rows FROM fst CROSS JOIN bbox
+        |  WHERE b1_min <= a2 AND b1_max >= a1
+        |    AND b2_min <= a4 AND b2_max >= a3),
+        |zn AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM allf WHERE file_id IN (SELECT file_id FROM rw)),
+        |fn AS (SELECT doc_id, b1, b2, 1000 + (rk - 1) // ((n + 63) // 64)
+        |    AS file_id FROM zn CROSS JOIN nn),
+        |ph AS (
+        |  SELECT 'base' AS phase, doc_id, b1, b2, file_id FROM fa
+        |  UNION ALL SELECT 'appended', doc_id, b1, b2, file_id FROM allf
+        |  UNION ALL SELECT 'optimized', doc_id, b1, b2, file_id FROM allf
+        |    WHERE file_id NOT IN (SELECT file_id FROM rw)
+        |  UNION ALL SELECT 'optimized', doc_id, b1, b2, file_id FROM fn),
+        |f AS (SELECT phase, file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM ph GROUP BY 1, 2),
+        |fs AS (SELECT phase, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(coalesce(sum(n_rows) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM f GROUP BY 1),
+        |bx AS (SELECT phase, CAST(count(*) FILTER (WHERE b1 BETWEEN 64
+        |      AND 127 AND b2 BETWEEN 128 AND 191) AS BIGINT) AS box_rows,
+        |    CAST(coalesce(sum(doc_id) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |      AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_sum_doc
+        |  FROM ph GROUP BY 1),
+        |rwc AS (SELECT CAST(count(*) AS BIGINT) AS frw,
+        |    CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rrw FROM rw)
+        |SELECT fs.phase AS phase, n_files, files_scanned, rows_scanned,
+        |  box_rows, box_sum_doc,
+        |  CASE WHEN fs.phase = 'optimized' THEN frw
+        |       ELSE CAST(0 AS BIGINT) END AS files_rewritten,
+        |  CASE WHEN fs.phase = 'optimized' THEN rrw
+        |       ELSE CAST(0 AS BIGINT) END AS rows_rewritten
+        |FROM fs JOIN bx ON fs.phase = bx.phase CROSS JOIN rwc
         |ORDER BY fs.phase""".stripMargin,
 
     // the same allocation CTEs, sub-quotas by residue class, and
