@@ -39,6 +39,7 @@ object ScaleSmoke {
     if (args.headOption.contains("substr1m")) { substr1m(); return }
     if (args.headOption.contains("bpe1k")) { bpe1k(); return }
     if (args.headOption.contains("unigram250k")) { unigram250k(); return }
+    if (args.headOption.contains("unigram32k")) { unigram32k(); return }
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
     if (args.headOption.contains("pipeidx1m")) { pipeidx1m(); return }
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
@@ -2349,6 +2350,92 @@ object ScaleSmoke {
     }
     if (tTrain > 420) { println("SCALEUNI train wall red"); failed = true }
     if (tApply > 180) { println("SCALEUNI apply wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** PRODUCTION-VOCAB unigram tier (`runMain graft.ScaleSmoke
+    * unigram32k`), r14 VERDICT task: SentencePiece-scale k = 32768
+    * pieces (the r14 queries prove k ≤ 256 only) over a 16-letter /
+    * 8-char-word corpus whose 4-gram space (65536) comfortably seeds a
+    * 32k vocab. Pins (a) the trainer at production vocab — every
+    * E-step's compiled cost table now rides the BROADCAST-bound
+    * segmenter ([[graft.ext.Unigram.BcastVocabThreshold]]), shipping
+    * the multi-MB table once per executor instead of inside every task
+    * binary; (b) bit-identity of the broadcast and plan-bound
+    * expressions at 32k pieces over the full type frame; (c) train and
+    * apply walls at 100k docs / ~177k word types. */
+  private def unigram32k(): Unit = {
+    import graft.ext.Unigram
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val n = 100000L; val vocabTypes = 200000L; val wordsPerDoc = 39
+    val letters = array((0 until 16).map(i =>
+      lit(('a' + i).toChar.toString)): _*)
+    def wordExpr(wid: org.apache.spark.sql.Column) =
+      concat_ws("", transform(sequence(lit(0), lit(7)), d =>
+        element_at(letters,
+          (pmod(floor(wid.cast("double") / pow(lit(16.0), d.cast("double")))
+            .cast("long"), lit(16L)) + 1).cast("int"))))
+    val docs = spark.range(n).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(wordsPerDoc)), j =>
+          wordExpr(pmod(xxhash64(col("id"), j), lit(vocabTypes)))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    var failed = false
+    var t0 = System.nanoTime()
+    val trained = Unigram.train(docs, "text", k = 32768)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEUNI32K train-32768 $tTrain%6.1f s (${trained.size} pieces)")
+    if (trained.size != 32768) {
+      println("SCALEUNI32K vocab size off"); failed = true
+    }
+    val types = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val nTypes = types.count()
+    // bit-identity at production vocab: broadcast-bound vs plan-bound
+    t0 = System.nanoTime()
+    val bc = graft.ext.Pin.pin(
+      Unigram.viterbiPathsNativeBcast(types, trained, 12))
+    val tBc = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val plan = graft.ext.Pin.pin(types.where(length(col("word")) <= 12)
+      .withColumn("path",
+        graft.functions.UnigramFunctions.segment(col("word"), trained, 12))
+      .where(col("path").isNotNull)
+      .select(col("word"), col("freq"), col("path")))
+    val tPlan = (System.nanoTime() - t0) / 1e9
+    println(f"SCALEUNI32K apply bcast $tBc%6.1f s / plan-bound $tPlan%6.1f s" +
+      f" over $nTypes types")
+    if (bc.exceptAll(plan).count() != 0 || plan.exceptAll(bc).count() != 0) {
+      println("SCALEUNI32K broadcast segmenter != plan-bound"); failed = true
+    }
+    if (bc.count() == 0) { println("SCALEUNI32K empty apply"); failed = true }
+    // corpus-level apply through the typed dict (auto-routes to bcast)
+    t0 = System.nanoTime()
+    val dict = graft.ext.Pin.pin(Unigram.typedDict(docs, "text", trained))
+    val tot = Unigram.tokenCountsFromDict(docs, "id", "text", dict)
+      .agg(sum(col("n_words")).cast("long"),
+        sum(col("uni_tokens")).cast("long"))
+      .as[(Long, Long)].head()
+    val tApply = (System.nanoTime() - t0) / 1e9
+    val nOcc = n * (wordsPerDoc + 1)
+    println(f"SCALEUNI32K apply-typed $tApply%6.1f s " +
+      f"(words=${tot._1} tokens=${tot._2} symbols=${nOcc * 8})")
+    if (tot._1 != nOcc || tot._2 < nOcc || tot._2 > nOcc * 8) {
+      println("SCALEUNI32K token totals outside [n_words, n_symbols]")
+      failed = true
+    }
+    if (tTrain > 600) { println("SCALEUNI32K train wall red"); failed = true }
+    if (tApply > 240) { println("SCALEUNI32K apply wall red"); failed = true }
     spark.stop()
     if (failed) sys.exit(1)
   }

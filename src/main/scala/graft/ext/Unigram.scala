@@ -134,19 +134,46 @@ object Unigram {
         trim(expr(s"substring(enc, ${EncW + 1})")).as("path"))
   }
 
+  /** Vocab size above which [[viterbiPathsNative]] ships the compiled
+    * cost table as a Spark broadcast variable instead of a plan
+    * reference object: a reference object rides EVERY task binary
+    * (per-task wire + deserialize — a 32k-piece production vocab is a
+    * multi-MB hash table), a broadcast ships once per executor and is
+    * shared by its tasks. Results are bit-identical either way
+    * (UnigramSpec pins it; the unigram32k tier exercises it at
+    * production vocab scale). */
+  val BcastVocabThreshold = 1024
+
   /** Native-expression Viterbi — identical semantics to the relational
     * [[viterbiPaths]] (UnigramSpec pins the equivalence, including
     * tie-breaks), one codegen'd projection instead of d levels × l
     * vocab joins: the production form for both training E-steps and the
     * typed-dict apply. Uncoverable words drop (null path), mirroring
-    * the relational inner joins. */
+    * the relational inner joins. Vocabs above [[BcastVocabThreshold]]
+    * route through the broadcast-bound expression automatically. */
   def viterbiPathsNative(types: DataFrame, vocab: Seq[(String, Long)],
       d: Int): DataFrame =
+    if (vocab.size > BcastVocabThreshold) viterbiPathsNativeBcast(types, vocab, d)
+    else
+      types.where(length(col("word")) <= d)
+        .withColumn("path",
+          graft.functions.UnigramFunctions.segment(col("word"), vocab, d))
+        .where(col("path").isNotNull)
+        .select(col("word"), col("freq"), col("path"))
+
+  /** [[viterbiPathsNative]] with the compiled cost table as a BROADCAST
+    * variable — the production-vocab form, callable directly (tests pin
+    * it against the plan-bound twin at small k too). */
+  def viterbiPathsNativeBcast(types: DataFrame, vocab: Seq[(String, Long)],
+      d: Int): DataFrame = {
+    val b = types.sparkSession.sparkContext
+      .broadcast(graft.functions.UnigramHelpers.compile(vocab))
     types.where(length(col("word")) <= d)
       .withColumn("path",
-        graft.functions.UnigramFunctions.segment(col("word"), vocab, d))
+        graft.functions.UnigramFunctions.segmentBcast(col("word"), b, d))
       .where(col("path").isNotNull)
       .select(col("word"), col("freq"), col("path"))
+  }
 
   /** Train the k-piece unigram LM: returns the final (piece, costMicros)
     * table as a collected, deterministic list (count desc order is NOT

@@ -122,6 +122,47 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
       newChild: Expression): UnigramSegment = copy(child = newChild)
 }
 
+/** [[UnigramSegment]] with the compiled cost table carried by a Spark
+  * BROADCAST VARIABLE instead of a plan reference object — the
+  * [[NearestCentroidBcast]] precedent applied to tokenization. At the
+  * declared k = 64/256 the reference form is fine; at production
+  * SentencePiece vocabs (32k+ pieces, a multi-MB hash table) the
+  * reference object is serialized into EVERY task binary — per-task
+  * wire and deserialize cost on every stage that segments — while a
+  * broadcast ships once per executor (torrent protocol) and is shared
+  * by all its tasks; the generated code unwraps `bcast.value()` once
+  * per operator instance. Same [[UnigramHelpers.path]] kernel, so
+  * output is bit-identical to the reference form (UnigramSpec pins
+  * it). */
+case class UnigramSegmentBcast(child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[UnigramHelpers.VocabTable],
+    maxDepth: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramHelpers.path(input.asInstanceOf[UTF8String], bcast.value,
+      maxDepth)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tblCls = classOf[UnigramHelpers.VocabTable].getName
+    val bRef = ctx.addReferenceObj("unigramVocabBcast", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    // unwrap the broadcast ONCE per operator instance, not per row
+    val tbl = ctx.addMutableState(tblCls, "unigramBcastTbl",
+      v => s"$v = ($tblCls) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.UnigramHelpers.path($a, $tbl, $maxDepth);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramSegmentBcast = copy(child = newChild)
+}
+
 object UnigramFunctions {
   /** Viterbi segmentation path of `word` under the trained cost table
     * (space-joined pieces; null when uncoverable or longer than
@@ -130,4 +171,13 @@ object UnigramFunctions {
       maxDepth: Int): Column =
     ColumnBridge.column(
       UnigramSegment(ColumnBridge.expression(word), vocab, maxDepth))
+
+  /** [[segment]] over a BROADCAST compiled cost table — the
+    * production-vocab serving form (ships once per executor, not per
+    * task). */
+  def segmentBcast(word: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[UnigramHelpers.VocabTable],
+      maxDepth: Int): Column =
+    ColumnBridge.column(UnigramSegmentBcast(ColumnBridge.expression(word),
+      bcast, maxDepth))
 }

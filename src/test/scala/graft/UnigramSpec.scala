@@ -106,6 +106,20 @@ class UnigramSpec extends SparkSpec {
       regexp_replace(col("path"), " ", "") =!= col("word")).count() == 0)
   }
 
+  test("broadcast-bound segmenter == plan-bound segmenter, bit-identical") {
+    val docs = spark.read.parquet(sf("documents"))
+    val vocab = Unigram.train(docs, "text", k = 64)
+    val types = docs.select(explode(
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val plan = Unigram.viterbiPathsNative(types, vocab, 12) // k=64 → plan-bound
+    val bc = Unigram.viterbiPathsNativeBcast(types, vocab, 12)
+    assert(plan.exceptAll(bc).count() == 0 && bc.exceptAll(plan).count() == 0,
+      "broadcast segmenter diverged from the plan-bound form")
+    assert(bc.count() > 0)
+  }
+
   test("a piece whose probability rounds to zero gets the sentinel, not NULL") {
     // one rare char against a substring-weighted total > 2e6 makes
     // cnt/tot < 5e-7, which round6's to p = 0 — log(0) is NULL in
