@@ -3218,6 +3218,68 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // MID-STREAM INDEX EVOLUTION — the r14 verdict's last growth item:
+    // stream_pipeline probes indexes FROZEN for the replay and the
+    // append lifecycle was proven separately; here every micro-batch
+    // BOTH probes and grows the same on-disk shingle index — probe
+    // against batches 0..k−1, seal the decision in the sink, THEN
+    // append batch k (exactly-once via its own batch=<id> dir, so a
+    // retried batch rewrites only itself). Ordering is the whole
+    // query: the sink write materializes the probe against the
+    // pre-append index — an unsealed lazy decision read later would
+    // silently probe the GROWN index (its own batch included, flipping
+    // smaller-id near-dups within the batch). The oracle replays the
+    // prefix semantics relationally (dropped iff an earlier-RESIDUE doc
+    // with a smaller id shares Jaccard ≥ 0.5), so a hash match proves
+    // decision consistency while the index evolves mid-stream. Planted
+    // cross-batch exact copies (+2000001 shifts the residue by one) put
+    // a guaranteed drop in every sf; organic near-dups ride along.
+    "stream_index_evolve" -> ((s, dir) => {
+      val nRes = 4
+      val p = s"$scratchBase/graft_stream_idxev_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.unionByName(docs.where(pmod(col("doc_id"), lit(8L)) === 1L)
+          .select((col("doc_id") + 2000001L).as("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$p/planted")
+      val idx = s"$p/shingle_idx"
+      val sink = s"$p/sink"
+      graft.streaming.StreamingDedup.replayForeachBatchResidue(
+        s, s"$p/planted", s"$p/src", s"$p/ckpt", nRes, "doc_id",
+        org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      } { (batch0, batchId) =>
+        // one materialization feeds the probe, the left side of the
+        // decision join, and the index append
+        val b = batch0.localCheckpoint(true)
+        val decided =
+          if (batchId == 0L) // nothing indexed yet: all kept
+            b.select(col("doc_id").as("doc"), lit(false).as("dropped"))
+          else {
+            val dropped = graft.streaming.StreamingDedup.shingleDropStream(
+                s, b, "doc_id", "text", idx, minJ = 0.5)
+              .withColumn("_d", lit(true))
+            b.select(col("doc_id").as("doc"))
+              .join(dropped, Seq("doc"), "left")
+              .select(col("doc"),
+                coalesce(col("_d"), lit(false)).as("dropped"))
+          }
+        // SEAL the decision before the index evolves under it
+        decided.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+        graft.streaming.StreamingDedup.appendShingleIndexBatch(
+          b, "doc_id", "text", idx, batchId)
+      }
+      sortBig(s.read.option("basePath", sink).parquet(sink)
+          .select(col("doc"), col("batch").cast("long").as("batch"),
+            col("dropped")),
+        "doc")
+    }),
+
     // BLOCKLIST AT INGEST — the streaming twin of doc_host_blocklist:
     // the frozen blocklist ships as a literal array (at cluster scale, a
     // broadcast variable) and the whole decision is a stateless
@@ -7345,6 +7407,32 @@ object SparkEntry {
         |FROM c JOIN sub ON c.lang = sub.lang AND c.res = sub.res
         |WHERE cum_tokens <= sub_alloc
         |ORDER BY doc_id""".stripMargin,
+
+    // prefix-batch replay of the evolving-index decisions: doc d
+    // (residue/batch d % 4) is dropped iff some doc in an EARLIER
+    // residue with a SMALLER id shares 3-shingle Jaccard >= 0.5 —
+    // exactly what probing the growing index sees, without any notion
+    // of the index (same string-shingle math as JaccardOracle)
+    "stream_index_evolve" ->
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000001, text FROM documents WHERE doc_id % 8 = 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |      for i in generate_series(1, greatest(len(w)-2, 0))])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM src)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d, b.doc_id AS e, COUNT(*) i
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |    AND b.doc_id % 4 < a.doc_id % 4 AND b.doc_id < a.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT d AS doc_id FROM inter
+        |  JOIN cnt ca ON inter.d = ca.doc_id
+        |  JOIN cnt cb ON inter.e = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5)
+        |SELECT src.doc_id AS doc, CAST(src.doc_id % 4 AS BIGINT) AS batch,
+        |  src.doc_id IN (SELECT doc_id FROM drops) AS dropped
+        |FROM src ORDER BY doc""".stripMargin,
 
     // the streamed stateless decision must land on the batch blocklist
     // verdicts exactly — same oracle as doc_host_blocklist

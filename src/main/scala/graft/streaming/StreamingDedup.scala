@@ -481,6 +481,21 @@ object StreamingDedup {
     (before, appended)
   }
 
+  /** Exactly-once per-micro-batch shingle-index append: batch
+    * `batchId`'s rows land in their OWN `batch=<id>` subdir with
+    * overwrite — a RETRIED micro-batch rewrites only its directory (the
+    * stream_sink_rollup discipline), where [[appendShingleIndex]]'s
+    * flat append would double the replayed batch's rows and corrupt
+    * every later Jaccard against them. Probes keep reading the index
+    * root (partition discovery unions the batch dirs; the extra
+    * `batch` partition column is inert to the probe join). The form a
+    * stream that BOTH probes and evolves the index needs. */
+  def appendShingleIndexBatch(df: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long, n: Int = 3): Unit =
+    shingleRows(df, idCol, textCol, n)
+      .sortWithinPartitions("sh")
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
   /** Re-sort the shingle index by sh after many appends (row set is
     * already exact — this reclaims file handles and probe locality). */
   def compactShingleIndex(spark: SparkSession, path: String): Unit = {

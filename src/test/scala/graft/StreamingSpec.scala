@@ -621,6 +621,38 @@ class StreamingSpec extends SparkSpec {
     assert(drops(grown) == g)
   }
 
+  test("mid-stream index evolution: frozen-index decisions are a strict subset") {
+    import graft.streaming.StreamingDedup
+    val dir = "/root/testdata/sf0.001"
+    val evolved = SparkEntry.queries("stream_index_evolve")(spark, dir)
+      .where(col("dropped")).select(col("doc")).as[Long].collect().toSet
+    assert(evolved.nonEmpty, "no drops — degenerate fixture")
+    // replay the same batches against an index FROZEN at batch 0: every
+    // frozen drop must also be an evolved drop (the growing index only
+    // ADDS candidates), and some evolved drop must be missing — the
+    // decision that REQUIRED the mid-stream growth
+    val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = docsAll.unionByName(
+      docsAll.where(pmod(col("doc_id"), lit(8L)) === 1L)
+        .select((col("doc_id") + 2000001L).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    val frozenIdx = "/tmp/graft_test_idxev_frozen"
+    StreamingDedup.buildShingleIndex(
+      planted.where(pmod(col("doc_id"), lit(4L)) === 0L), "doc_id", "text",
+      frozenIdx)
+    val frozen = (1 to 3).flatMap { k =>
+      StreamingDedup.shingleDropStream(spark,
+          planted.where(pmod(col("doc_id"), lit(4L)) === k.toLong),
+          "doc_id", "text", frozenIdx, minJ = 0.5)
+        .as[Long].collect()
+    }.toSet
+    assert(frozen.subsetOf(evolved),
+      "frozen-index drop not reproduced by the evolving index")
+    assert((evolved -- frozen).nonEmpty,
+      "no decision required the mid-stream growth")
+  }
+
   test("stream-stream interval join over a bounded replay equals the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("stream_stream_join")(spark, dir)
