@@ -881,6 +881,17 @@ object SparkEntry {
     zorderIncrPath.getOrElseUpdate(dir, timedBuild("zorderIncr", dir) {
       val p = s"$scratchBase/graft_zorder_incr2_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
+      buildZorderIncrTable(s, dir, p)
+      p
+    })
+
+  /** The three incremental-OPTIMIZE transactions into `p/table` +
+    * manifest snapshots under `p` — shared by the incr-optimize and
+    * VACUUM experiments, each on its own table dir (VACUUM deletes
+    * files earlier snapshots reference, so the two audits cannot share
+    * a table). */
+  private def buildZorderIncrTable(s: SparkSession, dir: String,
+      p: String): Unit = {
       val z = zorderRankedFrame(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
           col("hkey"))
@@ -924,6 +935,44 @@ object SparkEntry {
       val keep = s.read.parquet(s"$p/_stats_appended")
         .where(!col("file_id").isInCollection(rwIds))
       writeStatsManifest(keep.unionByName(stNew), s"$p/_stats_optimized")
+  }
+
+  /** Per-JVM registry of the VACUUM experiment (doc_zorder_vacuum):
+    * the incremental-OPTIMIZE table with its fourth transaction —
+    * physically deleting every data file the NEWEST manifest no longer
+    * references. */
+  private val zorderVacPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the VACUUM experiment: the same three transactions on a
+    * fresh table, then VACUUM — list the table's data files
+    * (metadata), diff against the optimized manifest's referenced
+    * paths, DELETE the orphans (the files the incremental OPTIMIZE
+    * logically removed; earlier snapshots become time-travel-expired,
+    * the Delta VACUUM contract). Accounting lands in `_vacuum.json`. */
+  private def zorderVacFor(s: SparkSession, dir: String): String =
+    zorderVacPath.getOrElseUpdate(dir, timedBuild("zorderVac", dir) {
+      val p = s"$scratchBase/graft_zorder_vac_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      buildZorderIncrTable(s, dir, p)
+      val live = s.read.parquet(s"$p/_stats_optimized")
+        .select(col("path")).collect().map(_.getString(0)).toSet
+      val conf = s.sparkContext.hadoopConfiguration
+      val tableP = new org.apache.hadoop.fs.Path(s"$p/table")
+      val fs = tableP.getFileSystem(conf)
+      val all = fs.listStatus(tableP).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("file_id="))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val dead = all.filterNot(f => live(f.toString))
+      dead.foreach(f => fs.delete(f, false))
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$p/_vacuum.json"), true)
+      out.write(
+        s"""{"before":${all.length},"deleted":${dead.length}}"""
+          .getBytes("UTF-8"))
+      out.close()
       p
     })
 
@@ -3145,6 +3194,42 @@ object SparkEntry {
         .unionByName(au("appended", 0L, 0L))
         .unionByName(au("optimized", rw.length.toLong,
           rw.map(_.getAs[Long]("n_rows")).sum)), "phase")
+    }),
+
+    // VACUUM — the lifecycle's last transaction: the incremental
+    // OPTIMIZE above only LOGICALLY removes rewritten files (they stay
+    // on disk so earlier manifest snapshots remain readable — time
+    // travel); at 100 TB those orphans are real storage, so a
+    // scheduled VACUUM deletes every data file the newest manifest no
+    // longer references (selection is a listing-vs-manifest diff —
+    // metadata only, no data read). Runs on its OWN table build
+    // ([[zorderVacFor]]) because deletion expires the earlier
+    // snapshots doc_zorder_incr_optimize audits. The declared row
+    // proves all three halves: files really deleted
+    // (files_on_disk_after recounted from a fresh listing), exactly
+    // the logically-removed set deleted (counts match the manifest
+    // diff), and the live snapshot intact post-delete (manifest prune
+    // + box aggregate still reproduce the full table).
+    "doc_zorder_vacuum" -> ((s, dir) => {
+      val p = zorderVacFor(s, dir)
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_vacuum.json")
+      val fs2 = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val in = fs2.open(accP)
+      val acc = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close()
+      def field(k: String): Long =
+        s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(acc).get.group(1).toLong
+      val tableP = new org.apache.hadoop.fs.Path(s"$p/table")
+      val after = fs2.listStatus(tableP).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("file_id="))
+        .flatMap(d => fs2.listStatus(d.getPath)).map(_.getPath)
+        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .toLong
+      manifestAudit(s, "vacuumed", Seq(s"$p/_stats_optimized"))
+        .withColumn("files_on_disk_before", lit(field("before")))
+        .withColumn("files_deleted", lit(field("deleted")))
+        .withColumn("files_on_disk_after", lit(after))
     }),
 
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
@@ -7364,6 +7449,96 @@ object SparkEntry {
         |       ELSE CAST(0 AS BIGINT) END AS rows_rewritten
         |FROM fs JOIN bx ON fs.phase = bx.phase CROSS JOIN rwc
         |ORDER BY fs.phase""".stripMargin,
+
+    // same replay as doc_zorder_incr_optimize, final state only, plus
+    // the vacuum accounting: on-disk-before = every file any snapshot
+    // references (base + append + new), deleted = the rewrite set,
+    // after = the optimized manifest's files — the engine recounts
+    // `after` from a fresh post-delete listing, so a match proves the
+    // orphans are physically gone and the live snapshot is intact
+    "doc_zorder_vacuum" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey,
+        |    md5('h:' || CAST(doc_id AS VARCHAR)) AS hkey
+        |  FROM b),
+        |za AS (SELECT doc_id, b1, b2, zkey,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE NOT (b2 >= 144 AND doc_id % 2 = 0)),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM za),
+        |fa AS (SELECT doc_id, b1, b2, zkey, (rk - 1) // ((n + 51) // 52)
+        |    AS file_id FROM za CROSS JOIN na),
+        |zb AS (SELECT doc_id, b1, b2, zkey,
+        |    CAST(row_number() OVER (ORDER BY hkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE b2 >= 144 AND doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zb),
+        |fb AS (SELECT doc_id, b1, b2, zkey, 52 + (rk - 1) // ((n + 11) // 12)
+        |    AS file_id FROM zb CROSS JOIN nb),
+        |allf AS (SELECT doc_id, b1, b2, zkey, file_id FROM fa
+        |  UNION ALL SELECT doc_id, b1, b2, zkey, file_id FROM fb),
+        |fst AS (SELECT file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM allf GROUP BY 1),
+        |bbox AS (SELECT min(b1) AS a1, max(b1) AS a2,
+        |    min(b2) AS a3, max(b2) AS a4 FROM zb),
+        |rw AS (SELECT file_id, n_rows FROM fst CROSS JOIN bbox
+        |  WHERE b1_min <= a2 AND b1_max >= a1
+        |    AND b2_min <= a4 AND b2_max >= a3),
+        |zn AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM allf WHERE file_id IN (SELECT file_id FROM rw)),
+        |fn AS (SELECT doc_id, b1, b2, 1000 + (rk - 1) // ((n + 63) // 64)
+        |    AS file_id FROM zn CROSS JOIN nn),
+        |opt AS (SELECT doc_id, b1, b2, file_id FROM allf
+        |    WHERE file_id NOT IN (SELECT file_id FROM rw)
+        |  UNION ALL SELECT doc_id, b1, b2, file_id FROM fn),
+        |f AS (SELECT file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM opt GROUP BY 1),
+        |fs AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS files_scanned,
+        |    CAST(coalesce(sum(n_rows) FILTER (WHERE b1_max >= 64
+        |      AND b1_min <= 127 AND b2_max >= 128 AND b2_min <= 191), 0)
+        |      AS BIGINT) AS rows_scanned
+        |  FROM f),
+        |bx AS (SELECT CAST(count(*) AS BIGINT) AS box_rows,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS box_sum_doc
+        |  FROM opt WHERE b1 BETWEEN 64 AND 127 AND b2 BETWEEN 128 AND 191),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS nfn
+        |  FROM (SELECT DISTINCT file_id FROM fn)),
+        |acc AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fst) + nfn AS before_f,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rw) AS deleted_f
+        |  FROM nf)
+        |SELECT 'vacuumed' AS phase, n_files, files_scanned, rows_scanned,
+        |  box_rows, box_sum_doc,
+        |  before_f AS files_on_disk_before, deleted_f AS files_deleted,
+        |  before_f - deleted_f AS files_on_disk_after
+        |FROM fs CROSS JOIN bx CROSS JOIN acc""".stripMargin,
 
     // the same allocation CTEs, sub-quotas by residue class, and
     // per-(lang, shard) window prefix fill — batch arrival order cannot
