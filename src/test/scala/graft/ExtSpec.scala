@@ -2633,4 +2633,37 @@ class ExtSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._4)).toSeq != out2.toSeq,
       "different seed must produce a different order")
   }
+
+  test("write-time stats manifest equals stats re-derived from the data files") {
+    // the oracle only proves manifest-pruned reads return the right
+    // rows; this pins the manifest VALUES themselves — every per-file
+    // min/max/count persisted at write time must equal what a full
+    // scan of the files derives (the doc_zorder_skipping_mat audit
+    // path), file by file, for all three layouts
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries("doc_zorder_manifest_prune")(spark, dir).collect()
+    // the layouts live under this JVM's graft_scratch_* temp dir
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val matDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_scratch_"))
+      .flatMap(s => Option(s.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_zorder_mat_")
+        && f.getName.contains("sf0.001"))
+    assert(matDirs.nonEmpty, "no materialized layout root found")
+    for (tag <- Seq("zorder", "linear", "hash")) {
+      val base = s"${matDirs.head}/$tag"
+      val manifest = spark.read.parquet(s"$base/_stats")
+        .select(col("file_id"), col("b1_min"), col("b1_max"),
+          col("b2_min"), col("b2_max"), col("n_rows"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val derived = spark.read.parquet(base)
+        .groupBy(col("file_id").cast("long").as("file_id"))
+        .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
+          min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
+          count(lit(1)).as("n_rows"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(manifest == derived, s"$tag manifest != derived stats")
+      assert(manifest.nonEmpty)
+    }
+  }
 }
