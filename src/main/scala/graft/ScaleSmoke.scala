@@ -40,6 +40,7 @@ object ScaleSmoke {
     if (args.headOption.contains("bpe1k")) { bpe1k(); return }
     if (args.headOption.contains("unigram250k")) { unigram250k(); return }
     if (args.headOption.contains("unigram32k")) { unigram32k(); return }
+    if (args.headOption.contains("zorderinc1m")) { zorderinc1m(); return }
     if (args.headOption.contains("winappend1m")) { winappend1m(); return }
     if (args.headOption.contains("pipeidx1m")) { pipeidx1m(); return }
     if (args.headOption.contains("all10x")) { all10x(args.drop(1)); return }
@@ -2350,6 +2351,139 @@ object ScaleSmoke {
     }
     if (tTrain > 420) { println("SCALEUNI train wall red"); failed = true }
     if (tApply > 180) { println("SCALEUNI apply wall red"); failed = true }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** Multi-generation incremental-OPTIMIZE tier (`runMain
+    * graft.ScaleSmoke zorderinc1m`): the declared query proves ONE
+    * append→compact cycle; a production table lives through MANY. 1M
+    * base rows z-ordered into 256 files, then five generations of 50k
+    * key-space-localized appends (shifting b2 bands — the
+    * time-correlated ingest shape), each followed by a manifest-driven
+    * incremental OPTIMIZE sized by the TABLE's rows-per-file, then a
+    * final VACUUM. Pins, per cycle: (a) the rewrite set stays a
+    * BOUNDED fraction of the table (the whole point — a 100 TB table
+    * cannot rewrite itself per cycle); (b) manifest-pruned scans of the
+    * fixed quarter×quarter box stay near the clustered optimum after
+    * every compaction and never exceed a red line; (c) box counts from
+    * the pruned read equal an independently-derived truth every cycle
+    * (a wrong manifest or a lost row surfaces immediately); (d) VACUUM
+    * reclaims exactly the cumulative logically-removed files and the
+    * listing equals the live manifest. */
+  private def zorderinc1m(): Unit = {
+    import graft.ext.{Ranks, ZTable}
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = 1000000L
+    val p = "/tmp/graft_scale_zinc"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+    val table = s"$p/table"
+    def h(c: org.apache.spark.sql.Column, tag: String) =
+      pmod(xxhash64(c, lit(tag)), lit(256L))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+        h(col("id"), "b1").as("b1"), h(col("id"), "b2").as("b2"))
+      .withColumn("zkey", ZTable.zkeyExpr)
+    val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
+    var expectedBox = base.where(boxPred).count()
+    var failed = false
+    var t0 = System.nanoTime()
+    var manifest = ZTable.writeFiles(
+      Ranks.globalRowNumber(base, Seq(col("zkey"), col("doc_id")),
+        out = "_rk"),
+      "_rk", nFiles = 256, offset = 0, out = table)
+    ZTable.writeManifest(manifest, s"$p/_stats_g0")
+    manifest = spark.read.parquet(s"$p/_stats_g0")
+    val rpfT = (n + 255L) / 256L // the TABLE's target rows-per-file
+    println(f"SCALEZINC base-write    ${(System.nanoTime() - t0) / 1e9}%6.1f s" +
+      f" (256 files, rpf $rpfT)")
+    var totalRows = n
+    var cumDeleted = 0L
+    def scanned(m: org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] =
+      ZTable.pruneManifest(m.collect(), 64, 127, 128, 191)
+    for (g <- 1 to 5) {
+      val lo = 128 + 16 * g // shifting localized band [lo, lo+31]
+      val app = spark.range(50000).select(
+          (col("id") + lit(100000000L * g)).as("doc_id"),
+          h(col("id") + lit(7919L * g), "b1").as("b1"),
+          (lit(lo.toLong) + pmod(xxhash64(col("id"), lit(s"band$g")),
+            lit(32L))).as("b2"))
+        .withColumn("hkey",
+          md5(concat(lit(s"g$g:"), col("doc_id").cast("string"))))
+        .localCheckpoint(true)
+      expectedBox += app.where(boxPred).count()
+      totalRows += 50000L
+      t0 = System.nanoTime()
+      val stApp = ZTable.writeFiles(
+        Ranks.globalRowNumber(app, Seq(col("hkey"), col("doc_id")),
+          out = "_rk"),
+        "_rk", nFiles = 12, offset = 10000 * g, out = table,
+        mode = "append")
+      val tApp = (System.nanoTime() - t0) / 1e9
+      val appIds = stApp.select(col("file_id"))
+        .collect().map(_.getLong(0)).toSet
+      val grown = manifest.unionByName(stApp)
+      val scannedBefore = scanned(grown).length
+      t0 = System.nanoTime()
+      val (newMan, frw, rrw) = ZTable.incrementalOptimize(spark, grown,
+        isAppended = r => appIds(r.getAs[Long]("file_id")),
+        tablePath = table, newOffset = 1000000 * g, rpf = rpfT)
+      val tOpt = (System.nanoTime() - t0) / 1e9
+      ZTable.writeManifest(newMan, s"$p/_stats_g$g")
+      manifest = spark.read.parquet(s"$p/_stats_g$g")
+      cumDeleted += frw
+      val sc = scanned(manifest)
+      val nFiles = manifest.count()
+      // box truth from the pruned read — the correctness of the whole
+      // manifest chain, re-proven every cycle
+      val boxRows = spark.read
+        .parquet(sc.map(_.getAs[String]("path")).toSeq.sorted: _*)
+        .where(boxPred).count()
+      val frac = rrw.toDouble / totalRows
+      println(f"SCALEZINC gen$g append $tApp%5.1f s  optimize $tOpt%5.1f s  " +
+        f"rewrote $frw%3d files/$rrw%7d rows (${frac * 100}%4.1f%%)  " +
+        f"scan $scannedBefore%3d -> ${sc.length}%3d of $nFiles files  " +
+        f"box $boxRows")
+      if (boxRows != expectedBox) {
+        println(s"SCALEZINC gen$g box mismatch: $boxRows != $expectedBox")
+        failed = true
+      }
+      if (frac > 0.6) {
+        println(s"SCALEZINC gen$g rewrite fraction red"); failed = true
+      }
+      if (sc.length > nFiles / 4) {
+        println(s"SCALEZINC gen$g post-optimize skipping red"); failed = true
+      }
+      // ±2 files of boundary jitter allowed: re-clustering a band
+      // OUTSIDE the probe box repacks rows near the box edge, so a new
+      // file can straddle the boundary a pruned old file didn't
+      // (measured: gen4's [192,223] band, 27 → 28 of 308) — the health
+      // line is the nFiles/4 bound above, not monotonicity
+      if (sc.length > scannedBefore + 2) {
+        println(s"SCALEZINC gen$g optimize worsened skipping"); failed = true
+      }
+      if (tOpt > 180) { println(s"SCALEZINC gen$g wall red"); failed = true }
+    }
+    // VACUUM: exactly the cumulative logically-removed files go; the
+    // listing equals the live manifest afterwards
+    val live = manifest.count()
+    val (before, deleted) = ZTable.vacuum(spark, table, manifest)
+    val after = ZTable.listDataFiles(spark, table).length.toLong
+    println(f"SCALEZINC vacuum        $before%4d files -> $after%4d " +
+      f"(deleted $deleted, live manifest $live)")
+    if (deleted != cumDeleted || after != live || before - deleted != after) {
+      println("SCALEZINC vacuum accounting off"); failed = true
+    }
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -785,13 +785,8 @@ object SparkEntry {
     * passes ride [[graft.ext.Ranks.globalRowNumber]] — the same range
     * shuffles a real OPTIMIZE ZORDER runs. */
   /** Bit-interleaved 16-bit Morton key over the b1/b2 bucket columns —
-    * a pure function of (b1, b2), so a compaction job can re-derive it
-    * row-locally from the data files without touching the corpus
-    * table. */
-  private def zkeyExpr: Column = (0 until 8).map { i =>
-    shiftright(col("b1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-      shiftright(col("b2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
-  }.reduce(_ + _)
+    * [[graft.ext.ZTable.zkeyExpr]]. */
+  private def zkeyExpr: Column = graft.ext.ZTable.zkeyExpr
 
   private def zorderRankedFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
@@ -911,30 +906,12 @@ object SparkEntry {
         "_rk", nFiles = 12, offset = 52, out = table, mode = "append")
       writeStatsManifest(stBase.unionByName(stApp), s"$p/_stats_appended")
       // txn 3: incremental OPTIMIZE — metadata-only rewrite selection
-      val man = s.read.parquet(s"$p/_stats_appended").collect()
-      val app = man.filter(_.getAs[Long]("file_id") >= 52)
-      val (a1, a2) = (app.map(_.getAs[Long]("b1_min")).min,
-        app.map(_.getAs[Long]("b1_max")).max)
-      val (a3, a4) = (app.map(_.getAs[Long]("b2_min")).min,
-        app.map(_.getAs[Long]("b2_max")).max)
-      val rewrite = man.filter(r => r.getAs[Long]("b1_min") <= a2 &&
-        r.getAs[Long]("b1_max") >= a1 && r.getAs[Long]("b2_min") <= a4 &&
-        r.getAs[Long]("b2_max") >= a3)
-      val rwIds = rewrite.map(_.getAs[Long]("file_id")).toSet
-      val rpfG = (man.map(_.getAs[Long]("n_rows")).sum + 63L) / 64L
-      // the only data read of the whole compaction: the rewrite set
-      val rw = s.read
-        .parquet(rewrite.map(_.getAs[String]("path")).sorted.toSeq: _*)
-        .select(col("doc_id"), col("b1"), col("b2"))
-        .withColumn("zkey", zkeyExpr)
-      val stNew = zorderWriteFiles(
-        Ranks.globalRowNumber(rw, Seq(col("zkey"), col("doc_id")),
-          out = "_rk"),
-        "_rk", nFiles = 64, offset = 1000, out = table, mode = "append",
-        rpfOverride = rpfG)
-      val keep = s.read.parquet(s"$p/_stats_appended")
-        .where(!col("file_id").isInCollection(rwIds))
-      writeStatsManifest(keep.unionByName(stNew), s"$p/_stats_optimized")
+      // (appended files are the ids ≥ 52 this table's txn 2 wrote)
+      val (optimized, _, _) = graft.ext.ZTable.incrementalOptimize(s,
+        s.read.parquet(s"$p/_stats_appended"),
+        isAppended = _.getAs[Long]("file_id") >= 52,
+        tablePath = table, newOffset = 1000)
+      writeStatsManifest(optimized, s"$p/_stats_optimized")
   }
 
   /** Per-JVM registry of the VACUUM experiment (doc_zorder_vacuum):
@@ -955,23 +932,13 @@ object SparkEntry {
       val p = s"$scratchBase/graft_zorder_vac_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       buildZorderIncrTable(s, dir, p)
-      val live = s.read.parquet(s"$p/_stats_optimized")
-        .select(col("path")).collect().map(_.getString(0)).toSet
+      val (before, deleted) = graft.ext.ZTable.vacuum(s, s"$p/table",
+        s.read.parquet(s"$p/_stats_optimized"))
       val conf = s.sparkContext.hadoopConfiguration
-      val tableP = new org.apache.hadoop.fs.Path(s"$p/table")
-      val fs = tableP.getFileSystem(conf)
-      val all = fs.listStatus(tableP).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("file_id="))
-        .flatMap(d => fs.listStatus(d.getPath))
-        .map(_.getPath)
-        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      val dead = all.filterNot(f => live(f.toString))
-      dead.foreach(f => fs.delete(f, false))
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$p/_vacuum.json"), true)
-      out.write(
-        s"""{"before":${all.length},"deleted":${dead.length}}"""
-          .getBytes("UTF-8"))
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_vacuum.json")
+      val out = accP.getFileSystem(conf).create(accP, true)
+      out.write(s"""{"before":$before,"deleted":$deleted}"""
+        .getBytes("UTF-8"))
       out.close()
       p
     })
@@ -996,52 +963,15 @@ object SparkEntry {
     * manifest can live under the table root. */
   private def zorderWriteFiles(frame: DataFrame, rankCol: String,
       nFiles: Int, offset: Int, out: String, mode: String = "overwrite",
-      rpfOverride: Long = -1L): DataFrame = {
-    val s = frame.sparkSession
-    import s.implicits._
-    val nF = frame.agg(count(lit(1)).as("_n"))
-    val rpfCol =
-      if (rpfOverride >= 1L) lit(rpfOverride)
-      else expr(s"(_n + ${nFiles - 1}) div $nFiles")
-    // pinned so the write and the write-time stats aggregate are two
-    // consumers of ONE materialization (never two computations that
-    // could disagree on file assignment)
-    val staged = graft.ext.Pin.pin(frame.crossJoin(broadcast(nF))
-      .withColumn("_rpf", rpfCol)
-      .select(col("doc_id"), col("b1"), col("b2"),
-        (lit(offset) + expr(s"($rankCol - 1) div _rpf")).as("file_id"),
-        col(rankCol).as("_ord")))
-    staged
-      .repartition(col("file_id"))
-      .sortWithinPartitions(col("file_id"), col("_ord"))
-      .drop("_ord")
-      .write.mode(mode).partitionBy("file_id").parquet(out)
-    val stats = staged.groupBy(col("file_id"))
-      .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
-        min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
-        count(lit(1)).as("n_rows"))
-      .collect() // ≤ nFiles rows — table-format metadata, not data
-    val conf = s.sparkContext.hadoopConfiguration
-    val rows = stats.map { r =>
-      val id = r.getAs[Long]("file_id")
-      val dirP = new org.apache.hadoop.fs.Path(s"$out/file_id=$id")
-      val data = dirP.getFileSystem(conf).listStatus(dirP).map(_.getPath)
-        .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-      require(data.length == 1,
-        s"expected one data file under $dirP, found ${data.length}")
-      (id, data.head.toString, r.getAs[Long]("b1_min"),
-        r.getAs[Long]("b1_max"), r.getAs[Long]("b2_min"),
-        r.getAs[Long]("b2_max"), r.getAs[Long]("n_rows"))
-    }.toSeq.sortBy(_._1)
-    rows.toDF("file_id", "path", "b1_min", "b1_max", "b2_min", "b2_max",
-      "n_rows")
-  }
+      rpfOverride: Long = -1L): DataFrame =
+    graft.ext.ZTable.writeFiles(frame, rankCol, nFiles, offset, out, mode,
+      rpfOverride)
 
   /** Persist a [[zorderWriteFiles]] stats manifest (one small file —
     * the table-format transaction-log role: the reader prunes from this
     * metadata without touching data files). */
   private def writeStatsManifest(st: DataFrame, path: String): Unit =
-    st.coalesce(1).write.mode("overwrite").parquet(path)
+    graft.ext.ZTable.writeManifest(st, path)
 
   /** Skipping audit from a PERSISTED write-time stats manifest — the
     * production read path (Delta/Iceberg discipline): the prune
@@ -3220,12 +3150,8 @@ object SparkEntry {
       in.close()
       def field(k: String): Long =
         s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(acc).get.group(1).toLong
-      val tableP = new org.apache.hadoop.fs.Path(s"$p/table")
-      val after = fs2.listStatus(tableP).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("file_id="))
-        .flatMap(d => fs2.listStatus(d.getPath)).map(_.getPath)
-        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .toLong
+      val after =
+        graft.ext.ZTable.listDataFiles(s, s"$p/table").length.toLong
       manifestAudit(s, "vacuumed", Seq(s"$p/_stats_optimized"))
         .withColumn("files_on_disk_before", lit(field("before")))
         .withColumn("files_deleted", lit(field("deleted")))
