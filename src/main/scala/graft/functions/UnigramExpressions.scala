@@ -90,8 +90,11 @@ object UnigramHelpers {
   * (UnigramSpec pins native ≡ relational including tie-breaks; the
   * declared queries' generated oracles replay the relational form, so
   * every hash-match also gates this expression). The vocab is a
-  * plan-time constant (trained cost table, ≤ a few hundred pieces)
-  * bound into codegen as a reference object.
+  * plan-time constant (trained cost table) bound into codegen as a
+  * reference object — right up to ~1k pieces; production vocabs (32k+)
+  * take the broadcast-bound twin [[UnigramSegmentBcast]], which
+  * [[graft.ext.Unigram.viterbiPathsNative]] auto-selects above
+  * [[graft.ext.Unigram.BcastVocabThreshold]].
   *
   * nullable: a word the vocab can't cover (or longer than `maxDepth`)
   * yields NULL from a non-null input — without `nullable = true` codegen
