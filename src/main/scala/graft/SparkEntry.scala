@@ -3229,6 +3229,58 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // SUB-QUOTA BOUNDARY LOSS — the number an operator needs to SIZE
+    // shards: per language, how far stream_budget_fill's
+    // coordination-free per-shard sub-quotas land from doc_budget_fill's
+    // global cutoff. `lost` = kept by the global fill but dropped by the
+    // sharded one (a shard hit its sub-quota while another had slack);
+    // `extra` = the converse (a shard's slack admitted a doc the global
+    // prefix had already cut). Both fills are pure functions of (salt,
+    // ids, allocs) — the stream-kept set is computed RELATIONALLY here
+    // (its ≡-to-the-stream is stream_budget_fill's own oracle), as two
+    // chained skew-safe stratified running sums over ONE keyed frame:
+    // per-(lang, shard) for the sub-quota decision, per-lang for the
+    // global one — no corpus-scale self-join, flags are row-local, and
+    // the output is |langs| rows.
+    "stream_budget_loss" -> ((s, dir) => {
+      val nRes = 8
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val alloc = Corpus.waterfillAlloc(docs, "lang", "n_chars", 8000L)
+        .select(col("lang"), col("alloc_tokens"))
+      val sub = alloc
+        .crossJoin(s.range(nRes).select(col("id").as("res")))
+        .withColumn("sub_alloc", expr(s"alloc_tokens div ${nRes}L") +
+          when(col("res") < pmod(col("alloc_tokens"), lit(nRes.toLong)), 1L)
+            .otherwise(0L))
+        .select(col("lang"), col("res"), col("sub_alloc"))
+      val keyed = docs
+        .withColumn("res", pmod(col("doc_id"), lit(nRes.toLong)))
+        .withColumn("fill_key", Corpus.sampleKey(col("doc_id"), "bfill"))
+      val ord = Seq(col("fill_key"), col("doc_id"))
+      val both = Ranks.stratifiedRunningSum(
+          Ranks.stratifiedRunningSum(keyed, Seq("lang", "res"), ord,
+            col("n_chars"), out = "cum_s"),
+          Seq("lang"), ord, col("n_chars"), out = "cum_g")
+        .join(broadcast(alloc), Seq("lang"))
+        .join(broadcast(sub), Seq("lang", "res"))
+        .withColumn("kg", col("cum_g") <= col("alloc_tokens"))
+        .withColumn("ks", col("cum_s") <= col("sub_alloc"))
+      sortSmall(both.groupBy(col("lang")).agg(
+          sum(when(col("kg") && col("ks"), 1L).otherwise(0L))
+            .as("kept_both"),
+          sum(when(col("kg") && !col("ks"), 1L).otherwise(0L))
+            .as("lost_docs"),
+          sum(when(col("kg") && !col("ks"), col("n_chars")).otherwise(0L))
+            .cast("long").as("lost_tokens"),
+          sum(when(!col("kg") && col("ks"), 1L).otherwise(0L))
+            .as("extra_docs"),
+          sum(when(!col("kg") && col("ks"), col("n_chars")).otherwise(0L))
+            .cast("long").as("extra_tokens"),
+          max(col("alloc_tokens")).as("alloc_tokens")),
+        "lang")
+    }),
+
     // MID-STREAM INDEX EVOLUTION — the r14 verdict's last growth item:
     // stream_pipeline probes indexes FROZEN for the replay and the
     // append lifecycle was proven separately; here every micro-batch
@@ -3272,8 +3324,14 @@ object SparkEntry {
           if (batchId == 0L) // nothing indexed yet: all kept
             b.select(col("doc_id").as("doc"), lit(false).as("dropped"))
           else {
+            // excludeBatchFrom = batchId: foreachBatch is at-least-once,
+            // and a batch that crashed AFTER its own append re-fires —
+            // without the exclusion the retry would probe its own
+            // appended rows and seal a diverged decision (intra-batch
+            // smaller-id near-dups flipped to drops)
             val dropped = graft.streaming.StreamingDedup.shingleDropStream(
-                s, b, "doc_id", "text", idx, minJ = 0.5)
+                s, b, "doc_id", "text", idx, minJ = 0.5,
+                excludeBatchFrom = batchId)
               .withColumn("_d", lit(true))
             b.select(col("doc_id").as("doc"))
               .join(dropped, Seq("doc"), "left")
@@ -7508,6 +7566,60 @@ object SparkEntry {
         |FROM c JOIN sub ON c.lang = sub.lang AND c.res = sub.res
         |WHERE cum_tokens <= sub_alloc
         |ORDER BY doc_id""".stripMargin,
+
+    // both fills replayed over one keyed frame: per-(lang, res) prefix
+    // for the sub-quota decision, per-lang prefix for the global one,
+    // flags row-local, |langs| aggregate rows
+    "stream_budget_loss" ->
+      """WITH caps AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST((sum(cap) * 8000) // 10000 AS BIGINT) AS b FROM caps),
+        |r AS (SELECT lang, cap,
+        |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS p
+        |  FROM caps),
+        |s AS (SELECT r.*, n, b,
+        |    (p - cap) + cap * (n - i + 1) <= b AS saturated
+        |  FROM r CROSS JOIN tot),
+        |a AS (SELECT CAST(count(*) FILTER (WHERE saturated) AS BIGINT) AS nsat,
+        |    CAST(coalesce(sum(cap) FILTER (WHERE saturated), 0) AS BIGINT)
+        |      AS psat
+        |  FROM s),
+        |al AS (SELECT lang,
+        |    CASE WHEN saturated THEN cap
+        |         ELSE least(cap, (b - psat) // (n - nsat)
+        |           + CASE WHEN i - nsat <= (b - psat) % (n - nsat)
+        |                  THEN 1 ELSE 0 END) END AS alloc_tokens
+        |  FROM s CROSS JOIN a),
+        |rb AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS res),
+        |sub AS (SELECT lang, res,
+        |    alloc_tokens // 8 + CASE WHEN res < alloc_tokens % 8
+        |                             THEN 1 ELSE 0 END AS sub_alloc
+        |  FROM al CROSS JOIN rb),
+        |k AS (SELECT doc_id, lang, n_chars, doc_id % 8 AS res,
+        |    md5('bfill:' || CAST(doc_id AS VARCHAR)) AS fill_key
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars, res,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang, res
+        |      ORDER BY fill_key, doc_id) AS BIGINT) AS cum_s,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY fill_key, doc_id) AS BIGINT) AS cum_g
+        |  FROM k),
+        |f AS (SELECT c.lang, n_chars, alloc_tokens,
+        |    cum_g <= alloc_tokens AS kg, cum_s <= sub_alloc AS ks
+        |  FROM c JOIN al ON c.lang = al.lang
+        |    JOIN sub ON c.lang = sub.lang AND c.res = sub.res)
+        |SELECT lang,
+        |  CAST(count(*) FILTER (WHERE kg AND ks) AS BIGINT) AS kept_both,
+        |  CAST(count(*) FILTER (WHERE kg AND NOT ks) AS BIGINT) AS lost_docs,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE kg AND NOT ks), 0)
+        |    AS BIGINT) AS lost_tokens,
+        |  CAST(count(*) FILTER (WHERE NOT kg AND ks) AS BIGINT) AS extra_docs,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE NOT kg AND ks), 0)
+        |    AS BIGINT) AS extra_tokens,
+        |  CAST(max(alloc_tokens) AS BIGINT) AS alloc_tokens
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // prefix-batch replay of the evolving-index decisions: doc d
     // (residue/batch d % 4) is dropped iff some doc in an EARLIER

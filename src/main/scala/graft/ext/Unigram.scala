@@ -163,17 +163,33 @@ object Unigram {
 
   /** [[viterbiPathsNative]] with the compiled cost table as a BROADCAST
     * variable — the production-vocab form, callable directly (tests pin
-    * it against the plan-bound twin at small k too). */
+    * it against the plan-bound twin at small k too).
+    *
+    * Broadcast lifecycle: each call allocates a fresh multi-MB
+    * broadcast that this method cannot destroy (the returned frame is
+    * lazy — the consuming action happens in the caller). One-shot
+    * callers rely on driver GC + ContextCleaner to reclaim it, which is
+    * fine for a single apply but accumulates in long loops; iterative
+    * callers (e.g. [[train]]'s E-step, whose table changes every round
+    * so the broadcast can never be reused) should allocate the
+    * broadcast themselves via the two-arg overload and `destroy()` it
+    * after the consuming action. */
   def viterbiPathsNativeBcast(types: DataFrame, vocab: Seq[(String, Long)],
-      d: Int): DataFrame = {
-    val b = types.sparkSession.sparkContext
-      .broadcast(graft.functions.UnigramHelpers.compile(vocab))
+      d: Int): DataFrame =
+    viterbiPathsNativeBcast(types, types.sparkSession.sparkContext
+      .broadcast(graft.functions.UnigramHelpers.compile(vocab)), d)
+
+  /** [[viterbiPathsNativeBcast]] over a caller-owned broadcast of the
+    * compiled cost table — the caller controls the lifecycle (destroy
+    * after the action that consumes the returned frame). */
+  def viterbiPathsNativeBcast(types: DataFrame,
+      b: org.apache.spark.broadcast.Broadcast[graft.functions.UnigramHelpers.VocabTable],
+      d: Int): DataFrame =
     types.where(length(col("word")) <= d)
       .withColumn("path",
         graft.functions.UnigramFunctions.segmentBcast(col("word"), b, d))
       .where(col("path").isNotNull)
       .select(col("word"), col("freq"), col("path"))
-  }
 
   /** Train the k-piece unigram LM: returns the final (piece, costMicros)
     * table as a collected, deterministic list (count desc order is NOT
@@ -203,11 +219,22 @@ object Unigram {
         .map(r => (r.getString(0), r.getLong(1))).toSeq
     var vSeq = collected(costs(pieces, pieces))
     for (_ <- 1 to rounds) {
-      val segs = viterbiPathsNative(t0, vSeq, d)
+      // above the broadcast threshold, own the round's broadcast and
+      // destroy it once the M-step collect has consumed the E-step —
+      // the table changes every round so it can never be reused, and
+      // leaving multi-MB broadcasts to ContextCleaner accumulates
+      // executor/driver memory across long-lived sessions
+      val b = if (vSeq.size > BcastVocabThreshold)
+        Some(t0.sparkSession.sparkContext
+          .broadcast(graft.functions.UnigramHelpers.compile(vSeq)))
+      else None
+      val segs = b.map(viterbiPathsNativeBcast(t0, _, d))
+        .getOrElse(viterbiPathsNative(t0, vSeq, d))
       val cnts = segs
         .select(col("freq"), explode(split(col("path"), " ")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
       vSeq = collected(costs(pieces, cnts))
+      b.foreach(_.destroy())
     }
     vSeq
   }

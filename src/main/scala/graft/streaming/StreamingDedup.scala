@@ -407,7 +407,11 @@ object StreamingDedup {
     * row accounting, `appended` counts the pinned batch frame only, so
     * the append touches NO existing index files (a whole-index count
     * here would make every append O(index) in footer work as the index
-    * grows, contradicting the cost-∝-batch contract). */
+    * grows, contradicting the cost-∝-batch contract). Crash window:
+    * the parquet append commits before the meta write, so after an
+    * unclean shutdown `before` is ADVISORY until the next compaction
+    * reconciles it ([[compactKeeperIndex]] re-records the true count —
+    * probe correctness never depends on it, [[keeperOf]] folds rows). */
   def appendKeeperIndex(pairs: DataFrame, path: String): (Long, Long) = {
     val spark = pairs.sparkSession
     recoverIndex(spark, path)
@@ -465,7 +469,10 @@ object StreamingDedup {
   /** Append a batch of NEW docs' shingles. Returns (rows before, rows
     * appended); as with [[appendKeeperIndex]], `before` is meta-file
     * row accounting and `appended` counts only the pinned batch frame —
-    * the append never re-reads the existing index. */
+    * the append never re-reads the existing index. Same crash window:
+    * after an unclean shutdown between the parquet commit and the meta
+    * write, `before` is advisory until [[compactShingleIndex]]
+    * reconciles the count (probe results never depend on it). */
   def appendShingleIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3): (Long, Long) = {
     val spark = df.sparkSession
@@ -488,23 +495,59 @@ object StreamingDedup {
     * flat append would double the replayed batch's rows and corrupt
     * every later Jaccard against them. Probes keep reading the index
     * root (partition discovery unions the batch dirs; the extra
-    * `batch` partition column is inert to the probe join). The form a
-    * stream that BOTH probes and evolves the index needs. */
+    * `batch` partition column is inert to the probe join — and a
+    * probe-then-append stream passes its own batch id as
+    * [[shingleDropStream]]'s `excludeBatchFrom` so an at-least-once
+    * retry reproduces the pre-append decision). The form a stream that
+    * BOTH probes and evolves the index needs.
+    *
+    * MUTUALLY EXCLUSIVE with the flat [[buildShingleIndex]] /
+    * [[appendShingleIndex]] layout: Spark partition discovery cannot
+    * read a root mixing bare data files with `batch=` dirs, so the
+    * first batch append REQUIRES an empty/absent root or an
+    * already-batch-partitioned one (guarded here, not at read time —
+    * the failure would otherwise surface as an opaque discovery error
+    * on some later probe). Batch appends deliberately do NOT maintain
+    * `meta.json` row accounting: per-row counts would cost an extra
+    * action per micro-batch, and the flat-append `before` contract
+    * doesn't apply to this layout ([[appendShingleIndex]] must not be
+    * mixed in anyway). */
   def appendShingleIndexBatch(df: DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long, n: Int = 3): Unit =
+      textCol: String, path: String, batchId: Long, n: Int = 3): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).exists(st =>
+        !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") &&
+          !(st.isDirectory && st.getPath.getName.startsWith("batch=")))
+      require(!flat, s"shingle index at $path has a FLAT layout " +
+        "(buildShingleIndex/appendShingleIndex); batch appends require " +
+        "an empty or batch-partitioned root — the two layouts cannot mix")
+    }
     shingleRows(df, idCol, textCol, n)
       .sortWithinPartitions("sh")
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
 
   /** Re-sort the shingle index by sh after many appends (row set is
-    * already exact — this reclaims file handles and probe locality). */
+    * already exact — this reclaims file handles and probe locality).
+    * Also RECONCILES `meta.json` row accounting: the append path
+    * commits parquet before meta, so a crash in that window leaves the
+    * meta count stale forever (the count fallback only fires when the
+    * key is ABSENT); compaction is already O(index), so the true count
+    * rides the compacted frame for free — the self-heal point. Until a
+    * compaction runs, `before` from the append methods is ADVISORY
+    * after an unclean shutdown. */
   def compactShingleIndex(spark: SparkSession, path: String): Unit = {
     recoverIndex(spark, path)
     val tmp = s"${path}_compacting"
-    spark.read.parquet(path)
-      .repartition(col("sh")).sortWithinPartitions("sh")
-      .write.mode("overwrite").parquet(tmp)
+    val g = graft.ext.Pin.pin(spark.read.parquet(path)
+      .repartition(col("sh")).sortWithinPartitions("sh"))
+    g.write.mode("overwrite").parquet(tmp)
     swapCompacted(spark, path, tmp)
+    writeMetaFile(spark, s"$path.meta.json", 0, g.count())
   }
 
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
@@ -522,12 +565,25 @@ object StreamingDedup {
   /** The near-dup Jaccard probe against a persisted shingle index: a
     * probe doc is DROPPED iff some indexed doc with a smaller id shares
     * Jaccard ≥ minJ — exactly stream_pipeline's batch decision, from
-    * the files on disk. Returns the dropped probe ids. */
+    * the files on disk. Returns the dropped probe ids.
+    *
+    * `excludeBatchFrom`: for a BATCH-PARTITIONED index (grown by
+    * [[appendShingleIndexBatch]]) pass the probing micro-batch's own id
+    * so the probe reads only `batch < excludeBatchFrom`. foreachBatch
+    * is at-least-once: a batch that fails AFTER its own append
+    * succeeded re-fires, and without the exclusion the retry would
+    * probe an index that already contains the batch's own rows —
+    * flipping intra-batch smaller-id near-dups into drops and sealing a
+    * decision that diverges from the original. With it, a retried
+    * batch reproduces the original decision exactly. Leave at -1 for
+    * flat (non-batch-partitioned) indexes. */
   def shingleDropStream(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, indexPath: String,
-      minJ: Double, n: Int = 3): DataFrame = {
+      minJ: Double, n: Int = 3, excludeBatchFrom: Long = -1L): DataFrame = {
     recoverIndex(spark, indexPath)
-    val idx = spark.read.parquet(indexPath)
+    val idx0 = spark.read.parquet(indexPath)
+    val idx = if (excludeBatchFrom >= 0L)
+      idx0.where(col("batch") < lit(excludeBatchFrom)) else idx0
     val xs = graft.ext.Dedup.hashedShingles(batch, idCol, textCol, n)
     val xc = xs.groupBy(col("doc")).agg(count(lit(1)).as("nx"))
     xs.join(idx, "sh")

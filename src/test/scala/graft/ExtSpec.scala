@@ -2644,11 +2644,18 @@ class ExtSpec extends SparkSpec {
     SparkEntry.queries("doc_zorder_manifest_prune")(spark, dir).collect()
     // the layouts live under this JVM's graft_scratch_* temp dir
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    // a leftover dir from a crashed pre-r15 JVM (no _stats child) or a
+    // concurrently running JVM can also match the name pattern — keep
+    // only candidates that actually carry the write-time manifest for
+    // all three layouts, newest first
     val matDirs = Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_scratch_"))
       .flatMap(s => Option(s.listFiles()).getOrElse(Array.empty))
       .filter(f => f.isDirectory && f.getName.startsWith("graft_zorder_mat_")
-        && f.getName.contains("sf0.001"))
+        && f.getName.contains("sf0.001")
+        && Seq("zorder", "linear", "hash").forall(t =>
+          new java.io.File(f, s"$t/_stats").isDirectory))
+      .sortBy(-_.lastModified())
     assert(matDirs.nonEmpty, "no materialized layout root found")
     for (tag <- Seq("zorder", "linear", "hash")) {
       val base = s"${matDirs.head}/$tag"

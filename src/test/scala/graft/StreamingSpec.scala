@@ -749,4 +749,149 @@ class StreamingSpec extends SparkSpec {
     // together they cover the table exactly once
     assert(batches.map(_.size).sum == n)
   }
+
+  test("checkpoint restart: killed sink-backed rollup resumes to the uninterrupted result") {
+    // the exactly-once claim of the sink-backed streams
+    // (stream_sink_rollup / stream_budget_fill) proven ACROSS a
+    // kill-and-resume, not just per-batch overwrite idempotence: batch 2
+    // commits its sink dir, then the query dies BEFORE the checkpoint
+    // commit; the restarted query re-fires batch 2 from the WAL,
+    // rewrites only its own batch=<id> dir, and the final sink equals an
+    // uninterrupted run byte-for-byte
+    import graft.streaming.StreamingDedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val base = "/tmp/graft_test_restart_rollup"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    docs.coalesce(1).write.parquet(s"$base/in")
+    def runReplay(sink: String, ckpt: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean): Unit =
+      StreamingDedup.replayForeachBatchResidue(spark, s"$base/in",
+          s"$base/src", ckpt, 4, "doc_id",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id"), col("lang"))
+      } { (b, batchId) =>
+        b.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+        if (batchId == 2L && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("injected crash after sink commit")
+      }
+    // crashed run: dies on batch 2 AFTER its sink dir committed
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runReplay(s"$base/sink", s"$base/ckpt", crash)
+    }
+    assert(new java.io.File(s"$base/sink/batch=2").isDirectory,
+      "crash must land after batch 2's sink commit")
+    assert(!new java.io.File(s"$base/sink/batch=3").exists,
+      "batch 3 must not have run before the crash")
+    // resume from the same checkpoint — batch 2 re-fires, 3 follows
+    runReplay(s"$base/sink", s"$base/ckpt",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    // uninterrupted control run (fresh sink + checkpoint)
+    runReplay(s"$base/sink_ctl", s"$base/ckpt_ctl",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    def slurp(p: String) = spark.read.option("basePath", p).parquet(p)
+      .select(col("batch").cast("long"), col("lang"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val resumed = slurp(s"$base/sink")
+    assert(resumed == slurp(s"$base/sink_ctl"),
+      "resumed sink != uninterrupted run")
+    assert(resumed.map(_._1) == Set(0L, 1L, 2L, 3L), "missing batches")
+  }
+
+  test("checkpoint restart: index-evolve batch killed after its append re-probes the pre-append index") {
+    // the seal-then-append ordering of stream_index_evolve across a
+    // restart: batch 2 seals its decision, APPENDS itself to the shingle
+    // index, then dies before the checkpoint commit. The retry re-probes
+    // with excludeBatchFrom = batchId, so its own already-appended rows
+    // are invisible and the decision is reproduced exactly — without the
+    // exclusion, a planted same-residue clone pair inside batch 2 would
+    // flip to dropped on the retry (negative control asserted below)
+    import graft.streaming.StreamingDedup
+    val base = "/tmp/graft_test_restart_idxev"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    // +2000001 shifts residue (cross-batch dups, dropped by the evolving
+    // probe); +4000000 preserves residue mod 4 (intra-batch dups in
+    // batch 2 — the pairs ONLY a self-probing retry would flip)
+    val planted = docs
+      .unionByName(docs.where(pmod(col("doc_id"), lit(8L)) === 1L)
+        .select((col("doc_id") + 2000001L).as("doc_id"), col("text")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(4L)) === 2L)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    planted.coalesce(1).write.parquet(s"$base/in")
+    def runReplay(sink: String, idx: String, ckpt: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean): Unit =
+      StreamingDedup.replayForeachBatchResidue(spark, s"$base/in",
+          s"$base/src", ckpt, 4, "doc_id",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id"), col("text"))
+      } { (batch0, batchId) =>
+        val b = batch0.localCheckpoint(true)
+        val decided =
+          if (batchId == 0L)
+            b.select(col("doc_id").as("doc"), lit(false).as("dropped"))
+          else {
+            val dropped = StreamingDedup.shingleDropStream(
+                spark, b, "doc_id", "text", idx, minJ = 0.5,
+                excludeBatchFrom = batchId)
+              .withColumn("_d", lit(true))
+            b.select(col("doc_id").as("doc"))
+              .join(dropped, Seq("doc"), "left")
+              .select(col("doc"), coalesce(col("_d"), lit(false)).as("dropped"))
+          }
+        decided.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+        StreamingDedup.appendShingleIndexBatch(b, "doc_id", "text", idx, batchId)
+        if (batchId == 2L && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("injected crash after index append")
+      }
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runReplay(s"$base/sink", s"$base/idx", s"$base/ckpt", crash)
+    }
+    assert(new java.io.File(s"$base/idx/batch=2").isDirectory,
+      "crash must land after batch 2's own index append")
+    // negative control at the crash point: batch 2's frame re-probed
+    // WITHOUT the exclusion sees its own appended rows — the planted
+    // same-residue clones flip to dropped; WITH it, the original
+    // (pre-append) decision is reproduced
+    val b2 = planted.where(pmod(col("doc_id"), lit(4L)) === 2L)
+    val withOwn = StreamingDedup.shingleDropStream(spark, b2, "doc_id",
+      "text", s"$base/idx", minJ = 0.5).as[Long].collect().toSet
+    val excluded = StreamingDedup.shingleDropStream(spark, b2, "doc_id",
+      "text", s"$base/idx", minJ = 0.5, excludeBatchFrom = 2L)
+      .as[Long].collect().toSet
+    assert((withOwn -- excluded).exists(_ >= 4000000L),
+      "self-probe must flip a planted intra-batch clone (negative control)")
+    val sealedDrops = spark.read.parquet(s"$base/sink/batch=2")
+      .where(col("dropped")).select(col("doc")).as[Long].collect().toSet
+    assert(excluded == sealedDrops,
+      "excluded re-probe must reproduce the sealed pre-crash decision")
+    // resume, then compare against an uninterrupted control run
+    runReplay(s"$base/sink", s"$base/idx", s"$base/ckpt",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    runReplay(s"$base/sink_ctl", s"$base/idx_ctl", s"$base/ckpt_ctl",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    def slurp(p: String) = spark.read.option("basePath", p).parquet(p)
+      .select(col("doc"), col("batch").cast("long"), col("dropped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val resumed = slurp(s"$base/sink")
+    assert(resumed == slurp(s"$base/sink_ctl"),
+      "resumed decisions != uninterrupted run")
+    // the planted intra-batch clones survived (probe is earlier-batch
+    // only; their cross-batch twins at +2000001 did not all survive)
+    assert(resumed.exists(r => r._1 >= 4000000L && !r._3))
+    assert(resumed.exists(r => r._1 >= 2000001L && r._1 < 4000000L && r._3))
+  }
 }
