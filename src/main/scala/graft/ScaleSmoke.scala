@@ -49,6 +49,8 @@ object ScaleSmoke {
     if (args.headOption.contains("kmhof")) { kmhof(); return }
     if (args.headOption.contains("pagerank1m")) { pagerank1m(); return }
     if (args.headOption.contains("kn1m")) { kn1m(); return }
+    if (args.headOption.contains("kn10m")) { kn10m(); return }
+    if (args.headOption.contains("semdedup10m")) { semdedup10m(); return }
     if (args.headOption.contains("shuffle1m")) { shuffle1m(); return }
     if (args.headOption.contains("pipeline1m")) { pipeline1m(); return }
     if (args.headOption.contains("bpe32k")) { bpe32k(args.drop(1)); return }
@@ -2998,6 +3000,182 @@ object ScaleSmoke {
     if (failed) sys.exit(1)
   }
 
+  /** Kneser-Ney trigram NLL at 10M docs (`runMain graft.ScaleSmoke
+    * kn10m`) — the r15 verdict's 100× headline leg for the heaviest
+    * text operator: kn1m proves 250k→1M; this pins 1M→10M (two orders
+    * above the sf0.1 bench corpus), the first place the type-frame
+    * assumption (distinct-trigram tables ≪ token stream) would crack.
+    * Unlike kn1m's adversarial all-unique token streams (where trigram
+    * TYPES ≈ tokens — 280M type rows at 10M docs, a shape no real
+    * corpus has and the honest stressor at 1M), this leg uses the
+    * REALISTIC repetition shape the claim is actually about: each doc
+    * reads a 30-token window from a 600k-position virtual tape (stride
+    * 1), so the type frame is tape-bounded (~600k trigrams) while the
+    * token stream grows with docs — type frame ≪ tokens, and every
+    * per-type aggregate is crushed by map-side combine. The planted
+    * stratum (id % 100 == 0) reads its OWN tape region at offset 10M
+    * (no sliding neighbor can approach its trigram mass), so it must
+    * score strictly lowest. Checks: row conservation, planted ordering,
+    * wall ≲ linear 1M → 10M. Needs SPARK_DRIVER_MEM=48g. */
+  private def kn10m(): Unit = {
+    import graft.ext.TextAnalysis
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    def synth(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(
+          when(pmod(col("id"), lit(100L)) === 0L, lit(10000000L))
+            .otherwise(pmod(col("id"), lit(600000L))) + j.cast("long")),
+          lit(30000L)))), " ").as("text"))
+    def runAt(n: Long, parts: Int): Double = {
+      val df = synth(n).repartition(parts).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.kn3Nll(df, "doc_id", "text").localCheckpoint(true)
+      val cnt = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (cnt != n) { println(s"SCALEKN10M row count $cnt != $n"); failed = true }
+      val planted = out.where(col("doc") % 100 === 0)
+        .agg(max(col("kn_nll"))).head().getDouble(0)
+      val uniqueMin = out.where(col("doc") % 100 =!= 0)
+        .agg(min(col("kn_nll"))).head().getDouble(0)
+      if (!(planted < uniqueMin)) {
+        println(f"SCALEKN10M planted copies must score lowest: " +
+          f"plantedMax=$planted%.4f uniqueMin=$uniqueMin%.4f"); failed = true
+      }
+      t
+    }
+    val t1m = runAt(1000000L, 32)
+    val t10m = runAt(10000000L, 64)
+    println(f"SCALEKN10M wall         1m=$t1m%6.1f s  10m=$t10m%6.1f s " +
+      f"(ratio ${t10m / t1m}%.2f)")
+    if (t10m > 12 * t1m + 30) {
+      println("SCALEKN10M scaling red (super-linear)"); failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
+  /** SemDeDup at 10M vectors (`runMain graft.ScaleSmoke semdedup10m`) —
+    * the r15 verdict's 100× leg for the heaviest embedding operator,
+    * and the place the exact path's Σ|cluster|² pair stage CRACKS by
+    * design: at 10M vectors / k=4096 the intra-cluster all-pairs join
+    * is ~12G comparisons (projected here from the measured assignment,
+    * never run). The tier measures the crack and the fix:
+    *  - 1M / k=4096: exact [[Kmeans.semDedup]](fast) wall AND banded
+    *    [[Kmeans.semDedupBanded]] wall; their keep decisions must be
+    *    IDENTICAL (planted twins are exact copies, so they collide in
+    *    every band — deterministic recovery; organic cosines sit ~0.5,
+    *    far below the 0.999 cut, so neither path has near-threshold
+    *    pairs to disagree on);
+    *  - 10M / k=4096: banded only — planted accounting must be exact
+    *    (every id%100==1 twin dropped with keeper id−1, zero extra
+    *    drops), and the wall must scale FAR below the 100× the implicit
+    *    candidate count grew (the banded stage's shuffle is linear in
+    *    rows; the Σ|c|² mass dies in the signature equality).
+    * Synthetic: 4096 anchor clusters in [0,1)^64 + centered ±1 noise
+    * (within-cluster organic cosine ≈ 0.5), twins = exact copies.
+    * Needs `SPARK_DRIVER_MEM=48g` (the 10M×64-dim checkpoint plus the
+    * banding shuffle exceed the 8g default heap). Measured (16 cores):
+    * 1M exact 55.9 s ≡ 1M banded 55.5 s (0 keep mismatches), 10M banded
+    * 587 s — 10.6× wall for 10× rows while the implicit pair mass grew
+    * ~100× (12.7G projected); planted accounting exact at both scales. */
+  private def semdedup10m(): Unit = {
+    import graft.ext.Kmeans
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
+    val kA = 4096
+    def synthVecs(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j => {
+        val baseId = when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1)
+          .otherwise(col("id"))
+        pmod(xxhash64(pmod(baseId, lit(kA.toLong)), j), lit(1000L))
+          .cast("double") / 1000.0 +
+          (pmod(xxhash64(baseId, j, lit(7)), lit(2001L)) - 1000L)
+            .cast("double") / 1000.0
+      }).as("embedding"))
+    def accounting(tag: String, out: org.apache.spark.sql.DataFrame,
+        n: Long): Unit = {
+      val twins = n / 100L // ids 1, 101, ... (id % 100 == 1)
+      val dropped = out.where(!col("keep")).localCheckpoint(true)
+      val nDrop = dropped.count()
+      val wrongKeeper = dropped.where(pmod(col("vec_id"), lit(100L)) === 1L)
+        .where(col("keeper") =!= col("vec_id") - 1).count()
+      val extra = dropped.where(pmod(col("vec_id"), lit(100L)) =!= 1L).count()
+      println(s"SCALESEMDEDUP10M $tag drops=$nDrop (planted=$twins " +
+        s"extra=$extra wrongKeeper=$wrongKeeper)")
+      if (nDrop != twins || extra != 0L || wrongKeeper != 0L) {
+        println(s"SCALESEMDEDUP10M $tag planted accounting red")
+        failed = true
+      }
+    }
+    // --- 1M: exact vs banded, identical decisions ---
+    val v1 = synthVecs(1000000L).repartition(32).localCheckpoint(true)
+    var t0 = System.nanoTime()
+    val exact1 = Kmeans.semDedup(v1, "vec_id", "embedding", k = kA,
+      iters = 1, minCosine = 0.999, fast = true).localCheckpoint(true)
+    val tExact1 = (System.nanoTime() - t0) / 1e9
+    accounting("1m-exact", exact1, 1000000L)
+    t0 = System.nanoTime()
+    val banded1 = Kmeans.semDedupBanded(v1, "vec_id", "embedding", k = kA,
+      iters = 1, minCosine = 0.999, bits = 20, bands = 4)
+      .localCheckpoint(true)
+    val tBanded1 = (System.nanoTime() - t0) / 1e9
+    accounting("1m-banded", banded1, 1000000L)
+    val mism = exact1.select(col("vec_id"), col("keep").as("_ke"))
+      .join(banded1.select(col("vec_id"), col("keep")), "vec_id")
+      .where(col("_ke") =!= col("keep")).count()
+    println(s"SCALESEMDEDUP10M 1m keep-decision mismatches exact vs " +
+      s"banded: $mism")
+    if (mism != 0L) { failed = true }
+    // --- 10M: banded only; project the exact path's pair mass ---
+    val v10 = synthVecs(10000000L).repartition(64).localCheckpoint(true)
+    t0 = System.nanoTime()
+    val banded10 = Kmeans.semDedupBanded(v10, "vec_id", "embedding",
+      k = kA, iters = 1, minCosine = 0.999, bits = 20, bands = 4)
+      .localCheckpoint(true)
+    val tBanded10 = (System.nanoTime() - t0) / 1e9
+    accounting("10m-banded", banded10, 10000000L)
+    // Σ|cluster|² projection from the committed assignment — the pair
+    // mass the EXACT path would have had to verify at 10M
+    val sizes = banded10.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("m"))
+    val proj = sizes
+      .agg(sum(expr("m * (m - 1) div 2")).cast("double"), max(col("m")))
+      .head()
+    val projPairs = proj.getDouble(0)
+    val maxM = proj.getLong(1)
+    println(f"SCALESEMDEDUP10M walls: 1m exact=$tExact1%6.1f s  " +
+      f"1m banded=$tBanded1%6.1f s  10m banded=$tBanded10%6.1f s " +
+      f"(banded ratio ${tBanded10 / tBanded1}%.1f x for 10x rows)")
+    println(f"SCALESEMDEDUP10M exact-path projection at 10m: " +
+      f"${projPairs / 1e9}%.1f G intra-cluster pairs " +
+      f"(max cluster $maxM) — the crack the banding absorbs")
+    if (maxM > 10L * (10000000L / kA)) {
+      println("SCALESEMDEDUP10M cluster balance red"); failed = true
+    }
+    // banded wall must absorb the ~100x implicit-pair growth: allow
+    // ~linear-in-rows plus slack, nothing near the 100x pair mass
+    if (tBanded10 > 20 * tBanded1 + 60) {
+      println("SCALESEMDEDUP10M banded scaling red"); failed = true
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+
   /** PageRank at scale (`runMain graft.ScaleSmoke pagerank1m`):
     * 8 damped rounds over the affine synthetic graph (out-degree
     * 1 + id % 3, ~2 edges/node) plus a planted hub (every id % 100 == 1
@@ -4017,6 +4195,57 @@ object ScaleSmoke {
     if (c16 != c48) {
       println("SCALERANKS ranks differ across fan-out settings")
       failed = true
+    }
+    // z-order LAYOUT BUILD under a 90%-skewed dimension (r15 verdict
+    // task 7): 90% of rows share b2 bucket 7, so zkeys collide heavily —
+    // but the layout's rank pass orders by (zkey, doc_id) and
+    // range-partitions on BOTH, so tied keys spread by the tiebreak; and
+    // file assignment is rank ARITHMETIC (file_id = (rank−1) div rpf, so
+    // every file carries exactly rpf rows whatever the dimension skew),
+    // which means repartition(col("file_id")) can have no hot file — a
+    // task is at worst a few whole files by hash-bin collision, never a
+    // skewed key's whole mass
+    val zrows = spark.range(n).select(col("id").as("doc_id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(256L)).as("b1"),
+        when(pmod(col("id"), lit(10L)) < 9L, lit(7L))
+          .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(256L))).as("b2"))
+      .withColumn("zkey", graft.ext.ZTable.zkeyExpr)
+      .localCheckpoint(true)
+    val maxZRank = zrows
+      .repartitionByRange(nParts, col("zkey"), col("doc_id"))
+      .groupBy(spark_partition_id().as("_p")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    println(s"SCALERANKS zorder skewed rank-stage max task input: " +
+      f"$maxZRank rows (ratio ${maxZRank.toDouble / even}%.2f; " +
+      "90% of rows share one b2 bucket)")
+    if (maxZRank > 3 * even) {
+      println("SCALERANKS zorder skewed rank stage red"); failed = true
+    }
+    val nFiles = 64
+    val rpf = (n + nFiles - 1) / nFiles
+    val staged = Ranks.globalRowNumber(zrows,
+        Seq(col("zkey"), col("doc_id")), nParts, out = "_rk")
+      .withColumn("file_id", expr(s"(_rk - 1) div $rpf"))
+      .localCheckpoint(true)
+    val shufParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val evenW = n / shufParts
+    val maxWrite = staged.repartition(col("file_id"))
+      .groupBy(spark_partition_id().as("_p")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val fileRows = staged.groupBy(col("file_id")).count()
+      .agg(max(col("count")), count(lit(1))).head()
+    println(s"SCALERANKS zorder write-stage max task input: $maxWrite " +
+      f"rows (even $evenW, ratio ${maxWrite.toDouble / evenW}%.2f; " +
+      s"max file rows ${fileRows.getLong(0)} == rpf $rpf over " +
+      s"${fileRows.getLong(1)} files)")
+    if (fileRows.getLong(0) != rpf) {
+      println("SCALERANKS zorder file rows must be exactly rpf under skew")
+      failed = true
+    }
+    // bins-into-tasks bound: worst task holds a few whole files, never a
+    // skewed fraction of the corpus
+    if (maxWrite > 6 * evenW) {
+      println("SCALERANKS zorder write-stage task input red"); failed = true
     }
     spark.stop()
     if (failed) sys.exit(1)

@@ -630,6 +630,58 @@ object SparkEntry {
   private val ivfIndexPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Per-JVM registry of the drift-retrain lifecycle index
+    * (emb_ivf_drift_retrain): build → drifted append → bounded retrain
+    * runs once per (JVM, sf dir) with its wall in buildWalls; the
+    * declared query probes the retrained index. */
+  private val ivfDriftPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The IVF RETRAIN-ON-DRIFT lifecycle (r15 VERDICT task 5): build an
+    * index on the base embeddings, append a deterministically DRIFTED
+    * wave (+3.0 on every dimension in double space — far from every
+    * trained centroid, so its mass concentrates in whichever few lists
+    * point that way), then [[Similarity.ivfRetrainDrifted]] re-clusters
+    * ONLY the lists whose per-list mean distance crossed 1.5× the
+    * index-wide mean. The requires pin the incremental contract at
+    * build time: some lists drifted, NOT all (the untouched majority is
+    * the point), and the retrain reduced the drifted set's mean
+    * distance. Accounting lands in `_retrain.json` for the spec/tier. */
+  private def ivfDriftFor(s: SparkSession, dir: String): String =
+    ivfDriftPath.getOrElseUpdate(dir, timedBuild("ivfDriftRetrain", dir) {
+      val p = s"$scratchBase/graft_ivf_drift_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", p,
+        nLists = 16, iters = 2)
+      val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(3.0d)).as("embedding"))
+      Similarity.ivfAppend(s, p, shifted, "vec_id", "embedding")
+      val rt = Similarity.ivfRetrainDrifted(s, p, "vec_id", "embedding",
+        bound = 1.5, iters = 2)
+      require(rt.drifted.nonEmpty, "no list crossed the drift bound")
+      require(rt.drifted.length < rt.nLists,
+        s"retrain must be incremental: ${rt.drifted.length}/${rt.nLists}")
+      require(rt.meanDriftedAfter < rt.meanDriftedBefore,
+        "retrain must reduce the drifted lists' mean distance")
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_retrain.json")
+      val out = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(accP, true)
+      out.write((s"""{"drifted":[${rt.drifted.mkString(",")}],""" +
+        s""""nLists":${rt.nLists},"rows":${rt.rowsReclustered},""" +
+        s""""before":${rt.meanDriftedBefore},"after":${rt.meanDriftedAfter}}""")
+        .getBytes("UTF-8"))
+      out.close()
+      p
+    })
+
   /** Per-JVM registry of persisted Bloom indexes + probe replay fixtures
     * (stream_bloom_filter): the corpus's set-bit frame and the
     * probes-plus-planted-duplicates table, built once per (JVM, sf dir)
@@ -938,6 +990,128 @@ object SparkEntry {
       val accP = new org.apache.hadoop.fs.Path(s"$p/_vacuum.json")
       val out = accP.getFileSystem(conf).create(accP, true)
       out.write(s"""{"before":$before,"deleted":$deleted}"""
+        .getBytes("UTF-8"))
+      out.close()
+      p
+    })
+
+  /** Per-JVM registry of the OCC interleaved-writer experiment
+    * (doc_zorder_occ). */
+  private val zorderOccPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the OCC interleaved-writer experiment (r15 VERDICT task 1):
+    * the zorderVac lifecycle re-run through the VERSIONED manifest log
+    * ([[graft.ext.ZTable.logCommit]]) with two adversarial
+    * interleavings. v0 base (z-ordered), v1 hot append A1; optimizer O1
+    * reads v1 and rewrites A1's region, but appender A2 (synthetic
+    * rows forced to the DISJOINT cold band b2 % 64) commits v2 first —
+    * O1's commit detects the advance, the boxes are disjoint, so it
+    * REBASES to v3 carrying A2's rows (the lost update the single-file
+    * overwrite would silently drop, and a VACUUM would then delete A2's
+    * live files). Optimizer O2 then reads v3 to compact A2's region,
+    * but appender A3 lands INSIDE its box and commits v4 first — O2's
+    * commit is SUPERSEDED (stale selection must abort, its attempt
+    * files become orphans), and the OCC loop re-selects from v4
+    * (now covering A2 ∪ A3) and commits v5. VACUUM against v5 then
+    * reclaims the replaced files AND the superseded attempt's orphans.
+    * Every protocol step is enforced by a require, so the declared
+    * query's hash match certifies the whole interleaving. */
+  private def zorderOccFor(s: SparkSession, dir: String): String =
+    zorderOccPath.getOrElseUpdate(dir, timedBuild("zorderOcc", dir) {
+      import graft.ext.ZTable
+      val p = s"$scratchBase/graft_zorder_occ_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      val table = s"$p/table"
+      val root = s"$p/_log"
+      val z = zorderRankedFrame(s, dir)
+        .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
+          col("hkey"))
+        .localCheckpoint(true)
+      val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
+      val stBase = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(!isApp),
+          Seq(col("zkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 52, offset = 0, out = table)
+      require(ZTable.logCommit(s, root, -1L, stBase) == 0L)
+      val stA1 = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(isApp),
+          Seq(col("hkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 12, offset = 100, out = table, mode = "append")
+      require(ZTable.commitAppend(s, root, 0L, stA1) == 1L)
+      // O1 reads v1 and rewrites the hot region (data files land now;
+      // the stale v1-based manifest is what a non-OCC writer would
+      // overwrite the log with)
+      val man1 = ZTable.logRead(s, root, 1L).collect()
+      val isApp1 = (r: org.apache.spark.sql.Row) => {
+        val f = r.getAs[Long]("file_id"); f >= 100 && f < 200
+      }
+      val box1 = ZTable.appendedBox(man1, isApp1)
+      val (staleManDf, _, _) = ZTable.incrementalOptimize(s,
+        ZTable.logRead(s, root, 1L), isApp1, table, newOffset = 1000)
+      val staleIds = staleManDf.collect().map(_.getAs[Long]("file_id")).toSet
+      val rwIds1 = man1.map(_.getAs[Long]("file_id")).toSet -- staleIds
+      val stNew1 = staleManDf.where(col("file_id") >= 1000)
+      // concurrent A2: synthetic rows pinned to the cold band (b2 % 64
+      // — disjoint from O1's box), arrival order, fresh ids
+      val a2 = z.where(pmod(col("doc_id"), lit(31L)) === 5L)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("b1"),
+          pmod(col("b2"), lit(64L)).as("b2"), col("hkey"))
+      val stA2 = zorderWriteFiles(
+        Ranks.globalRowNumber(a2, Seq(col("hkey"), col("doc_id")),
+          out = "_rk"),
+        "_rk", nFiles = 3, offset = 200, out = table, mode = "append")
+      require(ZTable.commitAppend(s, root, 1L, stA2) == 2L)
+      // O1 commits at its v1 snapshot: conflict → disjoint → rebase
+      require(ZTable.commitOptimize(s, root, 1L, rwIds1, stNew1,
+        box1) == 3L)
+      val man3 = ZTable.logRead(s, root, 3L).collect()
+      require(stA2.collect().map(_.getAs[Long]("file_id")).toSet
+          .subsetOf(man3.map(_.getAs[Long]("file_id")).toSet),
+        "rebase must carry the concurrent append (lost update)")
+      // O2 reads v3 to compact A2's region; A3 lands INSIDE its box
+      val isApp2 = (r: org.apache.spark.sql.Row) => {
+        val f = r.getAs[Long]("file_id"); f >= 200 && f < 300
+      }
+      val box2 = ZTable.appendedBox(man3, isApp2)
+      val (staleMan2Df, _, _) = ZTable.incrementalOptimize(s,
+        ZTable.logRead(s, root, 3L), isApp2, table, newOffset = 2000)
+      val stale2Ids = staleMan2Df.collect().map(_.getAs[Long]("file_id")).toSet
+      val rwIds2 = man3.map(_.getAs[Long]("file_id")).toSet -- stale2Ids
+      val stNew2 = staleMan2Df.where(col("file_id") >= 2000)
+      val a3 = z.where(pmod(col("doc_id"), lit(31L)) === 6L)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("b1"),
+          pmod(col("b2"), lit(64L)).as("b2"), col("hkey"))
+      val stA3 = zorderWriteFiles(
+        Ranks.globalRowNumber(a3, Seq(col("hkey"), col("doc_id")),
+          out = "_rk"),
+        "_rk", nFiles = 2, offset = 300, out = table, mode = "append")
+      require(ZTable.commitAppend(s, root, 3L, stA3) == 4L)
+      val superseded =
+        try { ZTable.commitOptimize(s, root, 3L, rwIds2, stNew2, box2)
+          false }
+        catch { case _: ZTable.OptimizeSuperseded => true }
+      require(superseded, "O2 must abort: A3 landed inside its box")
+      val (v5, _, _, aborts) = ZTable.incrementalOptimizeOcc(s, root,
+        table, r => { val f = r.getAs[Long]("file_id")
+          f >= 200 && f < 1000 }, newOffset = 3000)
+      require(v5 == 5L && aborts == 0L)
+      // VACUUM against the COMMITTED latest: replaced files + the
+      // superseded attempt's orphans go; everything live survives
+      val man5 = ZTable.logRead(s, root, 5L).collect()
+      val (_, _) = ZTable.vacuum(s, table, ZTable.logRead(s, root, 5L))
+      require(ZTable.listDataFiles(s, table).length == man5.length,
+        "post-vacuum listing must equal the committed manifest")
+      // by-construction protocol counters (each enforced above)
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_occ.json")
+      val out = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(accP, true)
+      out.write("""{"versions":6,"conflicts":2,"aborts":1}"""
         .getBytes("UTF-8"))
       out.close()
       p
@@ -3158,6 +3332,50 @@ object SparkEntry {
         .withColumn("files_on_disk_after", lit(after))
     }),
 
+    // OCC COMMIT PROTOCOL, end to end (r15 VERDICT task 1): two
+    // interleaved append+optimize transactions run through the
+    // versioned manifest log — O1's commit rebases over a DISJOINT
+    // concurrent append (lost-update prevention), O2's commit ABORTS
+    // when a concurrent append lands inside its box (stale selection),
+    // the OCC loop re-selects and commits, and VACUUM runs against the
+    // committed latest. Every protocol step is a require in the
+    // builder; the declared row certifies the outcome: live-row truth
+    // (count + id sum + hot-box aggregate) read back THROUGH the final
+    // manifest's file set equals the logical row set the four writers
+    // produced — a lost append, doubled rewrite, or vacuumed live file
+    // hash-mismatches.
+    "doc_zorder_occ" -> ((s, dir) => {
+      import graft.ext.ZTable
+      val p = zorderOccFor(s, dir)
+      val root = s"$p/_log"
+      val man = ZTable.logRead(s, root, ZTable.logLatest(s, root)).collect()
+      val manRows = man.map(_.getAs[Long]("n_rows")).sum
+      val paths = man.map(_.getAs[String]("path")).sorted.toSeq
+      val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
+      val acc = {
+        val accP = new org.apache.hadoop.fs.Path(s"$p/_occ.json")
+        val in = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .open(accP)
+        val str = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        (k: String) => s""""$k"\\s*:\\s*(\\d+)""".r
+          .findFirstMatchIn(str).get.group(1).toLong
+      }
+      s.read.parquet(paths: _*).agg(
+          count(lit(1)).as("live_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("live_sum_doc"),
+          coalesce(sum(when(boxPred, 1L)), lit(0L)).as("box_rows"),
+          coalesce(sum(when(boxPred, col("doc_id"))), lit(0L))
+            .as("box_sum_doc"))
+        .select(lit("occ").as("phase"),
+          lit(acc("versions")).as("n_versions"),
+          lit(acc("conflicts")).as("conflicts"),
+          lit(acc("aborts")).as("aborts"),
+          col("live_rows"), lit(manRows).as("man_rows"),
+          col("live_sum_doc"), col("box_rows"), col("box_sum_doc"))
+    }),
+
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
     // doc_budget_fill: a GLOBAL exact prefix fill needs every smaller
     // hash key before deciding a doc, which an unbounded stream can't
@@ -3880,6 +4098,29 @@ object SparkEntry {
           "embedding", k = 7, nLists = 16, nProbe = 16,
           precomputedCents = Some(cents))
         .select(col("query_id"), col("rank"), col("candidate_id"), col("cosine")),
+        "query_id", "rank")
+    }),
+
+    // IVF RETRAIN-ON-DRIFT, oracle-pinned probe parity: after the
+    // build → drifted append → bounded retrain lifecycle ([[ivfDriftFor]],
+    // requires pin incrementality + drift reduction at build time), the
+    // exhaustive probe (nProbe = nLists) over the retrained index still
+    // returns brute-force top-k bit-for-bit — assignment is routing
+    // metadata, never scoring, so re-clustering the drifted lists CANNOT
+    // change exact results (what it restores is approximate-probe recall
+    // and the exact probe's scan fraction). A lost/duplicated row or a
+    // mangled vector in the partition swap would hash-mismatch the
+    // brute-force oracle over base ∪ shifted wave. Query slice 24..31,
+    // k = 8 — not a literal re-run of the other ANN anchors.
+    "emb_ivf_drift_retrain" -> ((s, dir) => {
+      val p = ivfDriftFor(s, dir)
+      val queries = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .where(col("vec_id") >= 24 && col("vec_id") < 32)
+      sortSmall(Similarity.ivfProbeIndex(s, p, queries, "vec_id",
+          "embedding", k = 8, nProbe = 16)
+        .select(col("query_id"), col("rank"), col("candidate_id"),
+          col("cosine")),
         "query_id", "rank")
     }),
 
@@ -4700,6 +4941,67 @@ object SparkEntry {
       val fps = graft.ext.Multimodal.audioFps(media, "doc_id", "payload")
       sortSmall(graft.ext.Multimodal.phashPairs(fps, maxHamming = 3),
         "doc_a", "doc_b")
+    }),
+
+    // CROSS-MODAL DEDUP COMPOSITION (r15 VERDICT task 6): one keep
+    // decision over the UNION of the text simhash pair graph and the
+    // image dHash pair graph — the curation form a multimodal corpus
+    // needs, because each planted twin class is INVISIBLE to the other
+    // modality: `imgclone` rows (+1000000, doc_id % 20 == 3) re-ship the
+    // SAME image under token-wise unrelated text (only the image graph
+    // pairs them); `txtclone` rows (+2000000, doc_id % 20 == 11) re-ship
+    // the same text under a DIFFERENT image (only the text graph pairs
+    // them). A doc is a duplicate iff EITHER modality pairs it with a
+    // smaller id. Both graphs are banded (Manku combination bands — no
+    // all-pairs stage), images are REAL decoded pixels (dHash over the
+    // procedural-PNG stand-in, brightness-invariant), and the oracle
+    // replays the text side's portable simhash bit-exactly and the image
+    // side by seed equality (the multimodal_phash_pairs content-match
+    // replay).
+    "multimodal_cross_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // (doc_id, text, iseed): iseed is the image CONTENT key (the
+      // procedural pattern seed); text is what the simhash sees
+      val corpus = docs.select(col("doc_id"), col("text"),
+          col("text").as("iseed"))
+        .unionByName(docs.where(col("doc_id") % 20 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", lit("imgclone"), col("doc_id").cast("string"),
+              md5(col("text"))).as("text"),
+            col("text").as("iseed")))
+        .unionByName(docs.where(col("doc_id") % 20 === 11)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            concat_ws(" ", lit("txtimgseed"), col("doc_id").cast("string"),
+              md5(col("text"))).as("iseed")))
+        .localCheckpoint(true) // three consumers: text graph, media, ids
+      val media = corpus.select(col("doc_id"), col("iseed"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, seed) =>
+          val sd = java.security.MessageDigest.getInstance("MD5")
+            .digest(seed.getBytes("UTF-8"))
+          (id, graft.ext.MultimodalCodecs.syntheticImage(sd, w = 18, h = 16,
+            brightness = (id % 33).toInt))
+        }).toDF("doc_id", "payload")
+      val pairsT = Dedup.simhashDupPairsAtScalePortable(corpus, "doc_id",
+        "text", maxDist = 3, nBlocks = 6)
+      val pairsI = graft.ext.Multimodal.phashPairs(
+        graft.ext.Multimodal.dHashes(media, "doc_id", "payload"),
+        maxHamming = 3)
+      sortBig(corpus.select(col("doc_id"))
+        .join(pairsT.select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("_t", lit(true)), Seq("doc_id"), "left")
+        .join(pairsI.select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("_i", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_t"), lit(false)).as("dup_text"),
+          coalesce(col("_i"), lit(false)).as("dup_image"),
+          (!(coalesce(col("_t"), lit(false)) ||
+             coalesce(col("_i"), lit(false)))).as("keep")),
+        "doc_id")
     }),
 
     // E6/E7/E8 persistence round trip: pipeline → save (parquet + JSON
@@ -7524,6 +7826,41 @@ object SparkEntry {
         |  before_f - deleted_f AS files_on_disk_after
         |FROM fs CROSS JOIN bx CROSS JOIN acc""".stripMargin,
 
+    // OCC interleaving row truth: the live set after the four writers is
+    // every base doc (base ∪ A1 = all documents, whatever optimize did
+    // to the file layout) plus the two synthetic cold-band appends; the
+    // protocol counters are by-construction constants, each enforced by
+    // a require in the builder
+    "doc_zorder_occ" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |live AS (
+        |  SELECT doc_id, b1, b2 FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, b1, b2 % 64 FROM b WHERE doc_id % 31 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, b1, b2 % 64 FROM b WHERE doc_id % 31 = 6)
+        |SELECT 'occ' AS phase, CAST(6 AS BIGINT) AS n_versions,
+        |  CAST(2 AS BIGINT) AS conflicts, CAST(1 AS BIGINT) AS aborts,
+        |  CAST(count(*) AS BIGINT) AS live_rows,
+        |  CAST(count(*) AS BIGINT) AS man_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS live_sum_doc,
+        |  CAST(coalesce(count(*) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |    AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_rows,
+        |  CAST(coalesce(sum(doc_id) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |    AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_sum_doc
+        |FROM live""".stripMargin,
+
     // the same allocation CTEs, sub-quotas by residue class, and
     // per-(lang, shard) window prefix fill — batch arrival order cannot
     // appear anywhere because shard membership is doc_id mod 8
@@ -8634,6 +8971,30 @@ object SparkEntry {
         |SELECT query_id, rank, candidate_id, cosine FROM r
         |WHERE rank <= 7 ORDER BY query_id, rank""".stripMargin,
 
+    // retrain-on-drift probe parity: the retrained index's exhaustive
+    // probe is still brute-force top-k over base ∪ the +3.0-shifted
+    // drifted wave (queries are base vectors 24..31; the shifted twins
+    // are candidates like any other row)
+    "emb_ivf_drift_retrain" ->
+      """WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, [x + 3.0 for x in v] FROM e0),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+        |    round(
+        |      list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))]) /
+        |      (sqrt(list_sum([q.v[i] * q.v[i] for i in generate_series(1, len(q.v))])) *
+        |       sqrt(list_sum([c.v[i] * c.v[i] for i in generate_series(1, len(c.v))]))), 6) AS cosine
+        |  FROM e0 q JOIN e c ON q.vec_id >= 24 AND q.vec_id < 32
+        |    AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, candidate_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, candidate_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, candidate_id, cosine FROM r
+        |WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
+
     // exhaustive-routing IVFADC+R ≡ brute-force exact top-k (ExtSpec pins
     // the bit-for-bit set equality), so the oracle is brute force over the
     // same query slice — identical score formula and (cosine desc,
@@ -9368,6 +9729,48 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS hamming
         |FROM t a JOIN t b ON a.m = b.m AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+
+    // union-of-graphs keep decision: the text side replays the portable
+    // simhash bit-exactly (doc_simhash_pairs machinery over the planted
+    // corpus), the image side pairs by seed equality (same md5 ⇒ same
+    // pattern ⇒ dHash 0, the multimodal_phash_pairs content replay)
+    "multimodal_cross_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, text AS iseed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    concat_ws(' ', 'imgclone', CAST(doc_id AS VARCHAR), md5(text)),
+        |    text
+        |  FROM documents WHERE doc_id % 20 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text,
+        |    concat_ws(' ', 'txtimgseed', CAST(doc_id AS VARCHAR), md5(text))
+        |  FROM documents WHERE doc_id % 20 = 11),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t),1,15))::BIGINT AS v FROM toks),
+        |contrib AS (
+        |  SELECT doc_id, b.b AS b,
+        |    SUM(CASE WHEN ((v >> (59 - b.b)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0,59)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sim AS (SELECT doc_id,
+        |          SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (59 - b)) ELSE 0 END)::BIGINT AS simhash
+        |        FROM contrib GROUP BY doc_id),
+        |tp AS (SELECT b.doc_id AS doc_id
+        |       FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |dupt AS (SELECT DISTINCT doc_id FROM tp),
+        |im AS (SELECT doc_id, md5(iseed) AS m FROM d),
+        |dupi AS (SELECT DISTINCT b.doc_id AS doc_id
+        |         FROM im a JOIN im b ON a.m = b.m AND a.doc_id < b.doc_id)
+        |SELECT d.doc_id,
+        |  (dupt.doc_id IS NOT NULL) AS dup_text,
+        |  (dupi.doc_id IS NOT NULL) AS dup_image,
+        |  NOT ((dupt.doc_id IS NOT NULL) OR (dupi.doc_id IS NOT NULL)) AS keep
+        |FROM d LEFT JOIN dupt ON d.doc_id = dupt.doc_id
+        |  LEFT JOIN dupi ON d.doc_id = dupi.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same planted set as the image path: twins are the gain-shifted
     // renders, content-equal ⇒ hamming 0

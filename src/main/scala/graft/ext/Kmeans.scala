@@ -363,6 +363,14 @@ object Kmeans {
           / (Similarity.norm(col("_va")) * Similarity.norm(col("_vb"))))
           .as("_cos"))
       .where(col("_cos") >= lit(minCosine))
+    keepFromPairs(af, idCol, pairs)
+  }
+
+  /** Shared SemDeDup tail: verified near-dup pairs → pointer-doubling
+    * components → min-(dist2, id) keeper per component → per-doc keep
+    * decision. */
+  private def keepFromPairs(af: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val comp = Dedup.dedupClusters(pairs, "id_a", "id_b")
     val withRoot = af
       .join(comp.select(col("doc").as(idCol), col("root")), Seq(idCol), "left")
@@ -376,6 +384,59 @@ object Kmeans {
     withRoot.join(keepers, Seq("root"))
       .select(col(idCol), col("cluster"), col("root"), col("keeper"),
         (col(idCol) === col("keeper")).as("keep"))
+  }
+
+  /** SemDeDup SCALE PATH (r15 VERDICT task 3): [[semDedup]]'s
+    * intra-cluster pair stage is Σ|cluster|² comparisons — fine at
+    * survey scale, a wall once clusters carry thousands of members
+    * (10M vectors at k=4096 is ~24G pair comparisons; the semdedup10m
+    * tier measures the crack and this fix). Here cluster members are
+    * additionally BANDED by sign-LSH hyperplane signatures and pairs
+    * form only within (cluster, band, signature) buckets — the same
+    * move every near-dup operator in the repo makes (MinHash/SimHash
+    * bands, [[Similarity.lshBucketedPairs]]): pair work ∝ true
+    * near-dups + O(1)-occupancy random collisions, never member².
+    * Exact/near-exact duplicates share every band signature, so their
+    * recovery is deterministic (p = 1); general pairs at cosine c are
+    * caught with the OR-amplified 1 − (1 − p^bits)^bands, p = 1 − θ/π —
+    * recall is the knob, and the exact-cosine verify keeps false
+    * positives impossible. Keeper semantics identical to [[semDedup]]
+    * (components over verified pairs, min-dist2 keeper); uses the
+    * serving (IEEE-double) arithmetic — the production tier, not the
+    * oracle-replay form. */
+  def semDedupBanded(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, minCosine: Double, bits: Int = 12,
+      bands: Int = 8): DataFrame = {
+    val m = trainFast(df, idCol, vecCol, k, iters)
+    val af = assignServing(df, idCol, vecCol, m).transform(Pin.pin)
+    val vecs = df.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    // signature rows stay NARROW (id, cluster, band, sig — no vector):
+    // the band self-join shuffles bands·n fixed-width rows, and only the
+    // deduped CANDIDATES ever see the vectors again (two id-equi-joins),
+    // so shuffle bytes are linear in rows however large Σ|cluster|² got
+    val sigs = Pin.pin(af.select(col(idCol), col("cluster"))
+      .join(vecs.select(col("_vid").as(idCol), col("_v")), Seq(idCol))
+      .select(col(idCol), col("cluster"),
+        posexplode(array((0 until bands).map(b =>
+          graft.functions.VectorFunctions
+            .hyperplaneSig(col("_v"), bits, b.toLong)): _*)))
+      .toDF(idCol, "cluster", "band", "sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val pairs = cand
+      .join(vecs.select(col("_vid").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(vecs.select(col("_vid").as("id_b"), col("_v").as("_vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        r6p(Similarity.dot(col("_va"), col("_vb"))
+          / (Similarity.norm(col("_va")) * Similarity.norm(col("_vb"))))
+          .as("_cos"))
+      .where(col("_cos") >= lit(minCosine))
+    keepFromPairs(af, idCol, pairs)
   }
 
   /** DuckDB replay of [[train]] + [[assignFinal]]: the shared CTE prefix.

@@ -784,6 +784,135 @@ object Similarity {
     fs.delete(old, true)
   }
 
+  /** Per-list drift stats of a persisted IVF index: one aggregate pass
+    * emitting ≤ nLists rows of (list, n, mean_dist) — the SELECTION
+    * input for [[ivfRetrainDrifted]], exactly the role the z-table
+    * manifest plays for [[ZTable.incrementalOptimize]] (cheap metadata
+    * that decides which partitions the expensive rewrite touches).
+    * Distances aggregate through exact decimal sums, so the stats are
+    * partition-count invariant. */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String): Array[(Int, Long, Double)] = {
+    recoverCorpus(spark, path)
+    val cents = loadIvfCentroids(spark, path)
+    spark.read.parquet(s"$path/corpus")
+      .select(col("list"),
+        distToCentroid(col(vecCol), col("list"), cents).as("_d"))
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Resample.detMean(col("_d")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+  }
+
+  /** Accounting returned by [[ivfRetrainDrifted]]: which lists were
+    * re-clustered, how many rows that touched, and the drifted set's
+    * mean distance-to-centroid before/after (the number that proves the
+    * retrain helped). `drifted.isEmpty` means no list crossed the bound
+    * and NOTHING was read or written. */
+  final case class IvfRetrainStats(drifted: Seq[Int], nLists: Int,
+      rowsReclustered: Long, meanDriftedBefore: Double,
+      meanDriftedAfter: Double)
+
+  /** Retrain-on-drift for a persisted IVF index: re-cluster ONLY the
+    * lists whose mean distance-to-centroid exceeds `bound` × the
+    * index-wide mean — the [[ZTable.incrementalOptimize]] discipline
+    * applied to the ANN index (r15 VERDICT task 5). A 100 TB index
+    * cannot be rebuilt because one region of the key space drifted:
+    * selection runs on the ≤ nLists [[ivfListStats]] rows, the ONLY
+    * data read is the drifted lists' partitions (static pruning), new
+    * sub-centroids are trained on those rows alone
+    * ([[learnCentroidArrays]], exact-decimal — deterministic under any
+    * partitioning), rows are reassigned among them, and the new
+    * sub-centroid j takes over the j-th drifted list id, so the list-id
+    * space, the untouched lists' files, and centroids.json's shape are
+    * all stable.
+    *
+    * Untouched-partition safety: the rewrite lands in a scratch dir and
+    * replaces exactly the drifted `list=` directories (delete + rename
+    * per drifted id — NOT a dynamic partition overwrite, which would
+    * leave a drifted list's OLD rows alive if no reassigned row landed
+    * back on its id). Same single-writer / no-concurrent-probe contract
+    * as [[ivfCompact]].
+    *
+    * Probe correctness: assignment is metadata for routing, never for
+    * scoring — the exhaustive probe (nProbe = nLists) and the
+    * bound-complete exact probe return brute-force top-k for ANY
+    * centroid quality, so retrain CANNOT change their results (the
+    * emb_ivf_drift_retrain oracle pins this); what it changes is the
+    * approximate probe's recall and the exact probe's scan fraction,
+    * which drift had degraded. */
+  def ivfRetrainDrifted(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, bound: Double = 1.5,
+      iters: Int = 3): IvfRetrainStats = {
+    val stats = ivfListStats(spark, path, vecCol)
+    val nLists = loadIvfCentroids(spark, path).length
+    val total = stats.map(_._2).sum
+    val globalMean =
+      if (total == 0) 0.0
+      else stats.map(s => s._2.toDouble * s._3).sum / total
+    val drifted = stats.filter(_._3 > bound * globalMean).map(_._1)
+    if (drifted.isEmpty)
+      return IvfRetrainStats(Nil, nLists, 0L, 0.0, 0.0)
+    val dSet = drifted.map(Integer.valueOf).toSeq
+    val before = {
+      val picked = stats.filter(s => drifted.contains(s._1))
+      picked.map(s => s._2.toDouble * s._3).sum / picked.map(_._2).sum
+    }
+    // the only data read of the whole retrain: the drifted partitions
+    val rows = spark.read.parquet(s"$path/corpus")
+      .where(col("list").isin(dSet: _*))
+      .drop("list")
+    val newCents = learnCentroidArrays(rows, idCol, vecCol,
+      k = drifted.length, iters)
+    val idOf = array(drifted.map(i => lit(i)): _*)
+    val reassigned = rows
+      .withColumn("_sub", nearestList(col(vecCol), newCents))
+      .withColumn("list", element_at(idOf, col("_sub") + 1))
+      .drop("_sub")
+    val tmp = s"$path/corpus_retrain"
+    reassigned.write.mode("overwrite").partitionBy("list").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
+      .getFileSystem(conf)
+    // move each replaced partition ASIDE (outside corpus/, so partition
+    // discovery never sees it) before promoting its rewrite: a crash
+    // mid-swap leaves every list's rows alive under exactly one of
+    // corpus/list=<l> or _retrain_old/list=<l> — never a deleted-and-
+    // not-yet-replaced window (the ivfCompact rename-aside discipline,
+    // per partition). Single-writer, no-concurrent-probe contract.
+    val aside = new org.apache.hadoop.fs.Path(s"$path/_retrain_old")
+    fs.delete(aside, true)
+    fs.mkdirs(aside)
+    drifted.foreach { l =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/corpus/list=$l")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/list=$l")
+      if (fs.exists(dst)) {
+        fs.rename(dst, new org.apache.hadoop.fs.Path(s"$path/_retrain_old/list=$l")): Unit
+      }
+      if (fs.exists(src)) { fs.rename(src, dst): Unit }
+    }
+    fs.delete(aside, true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // centroid slot j of the drifted id list takes the new sub-centroid
+    val cents = loadIvfCentroids(spark, path)
+    drifted.zipWithIndex.foreach { case (l, j) => cents(l) = newCents(j) }
+    writeJson(spark, s"$path/centroids.json",
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+    // post-stat reads the drifted partitions only (pruned, like the
+    // rewrite itself — never a full-index pass)
+    val after = {
+      val r = spark.read.parquet(s"$path/corpus")
+        .where(col("list").isin(dSet: _*))
+        .select(distToCentroid(col(vecCol), col("list"), cents).as("_d"))
+        .agg(graft.ops.Resample.detMean(col("_d")).as("m")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    IvfRetrainStats(drifted.toSeq, nLists,
+      stats.filter(s => drifted.contains(s._1)).map(_._2).sum, before, after)
+  }
+
   /** Probe a persisted IVF index. The probed list ids are collected
     * first (≤ nLists values — bounded by the index, never by the data)
     * and applied as an `isin` filter, so the parquet scan statically

@@ -172,6 +172,230 @@ object ZTable {
     (all.length.toLong, dead.length.toLong)
   }
 
+  // ------------------------------------------------------------------ //
+  // Optimistic-concurrency manifest LOG (r15 VERDICT task 1): the       //
+  // single overwritten manifest file loses one writer's rows when an    //
+  // append and an incremental OPTIMIZE commit concurrently — and a      //
+  // VACUUM against the lost-update manifest DELETES LIVE DATA. The log  //
+  // below is the Delta-style fix in miniature: versioned snapshot       //
+  // commits arbitrated by an atomic-exclusive claim file, readers pin   //
+  // the newest COMPLETE version, appenders rebase on conflict, and an   //
+  // optimizer whose read snapshot was superseded by an overlapping      //
+  // commit ABORTS and re-selects — never corrupts the live file set.    //
+  // ------------------------------------------------------------------ //
+
+  /** Thrown by [[logCommit]] when another writer took the next version
+    * slot first. Appenders rebase and retry; optimizers re-check their
+    * selection against the new latest (see [[commitOptimize]]). */
+  final case class ManifestConflict(expectedLatest: Long, foundLatest: Long)
+    extends RuntimeException(
+      s"manifest log advanced: expected latest v$expectedLatest, " +
+        s"found v$foundLatest")
+
+  /** Thrown by [[commitOptimize]] when a concurrent commit invalidated
+    * the optimizer's read snapshot (a rewritten file was removed, or new
+    * files landed inside the optimize box): the rewrite selection is
+    * stale and the caller must RE-SELECT from the new latest — the
+    * already-written attempt files become orphans that [[vacuum]]
+    * reclaims (the Delta failed-txn discipline). */
+  final class OptimizeSuperseded(msg: String) extends RuntimeException(msg)
+
+  private def fsOf(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Newest COMPLETE snapshot version in the log (readers' pin), or -1
+    * on an empty log. A version is complete when its parquet `_SUCCESS`
+    * exists — a claim whose writer crashed mid-snapshot is invisible to
+    * readers (snapshot isolation over the claim-then-write window). */
+  def logLatest(s: SparkSession, root: String): Long = {
+    val fs = fsOf(s, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootP)) return -1L
+    fs.listStatus(rootP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The manifest snapshot at version `v`. */
+  def logRead(s: SparkSession, root: String, v: Long): DataFrame =
+    s.read.parquet(s"$root/v=$v")
+
+  /** Commit `manifest` as version expectedLatest+1. The arbiter is an
+    * ATOMIC-EXCLUSIVE create of `_claim_<n>` (HDFS/local `create` with
+    * overwrite=false — exactly one writer can win a slot); losers get
+    * [[ManifestConflict]] and must re-read. The snapshot parquet lands
+    * AFTER the claim; readers only see it once `_SUCCESS` exists, so a
+    * crash between claim and snapshot leaves an invisible (incomplete)
+    * version — [[logRecover]] frees the slot. Returns the committed
+    * version. */
+  def logCommit(s: SparkSession, root: String, expectedLatest: Long,
+      manifest: DataFrame): Long = {
+    val fs = fsOf(s, root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val latest = logLatest(s, root)
+    if (latest != expectedLatest) throw ManifestConflict(expectedLatest, latest)
+    val next = expectedLatest + 1
+    val claim = new org.apache.hadoop.fs.Path(s"$root/_claim_$next")
+    try { fs.create(claim, false).close() }
+    catch {
+      case _: java.io.IOException =>
+        throw ManifestConflict(expectedLatest, logLatest(s, root))
+    }
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Free claim slots whose snapshot never completed (a writer crashed
+    * between claim and snapshot write). Safe ONLY when no writer is
+    * live — the stale-lock cleanup every claim-based protocol needs. */
+  def logRecover(s: SparkSession, root: String): Unit = {
+    val fs = fsOf(s, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootP)) return
+    fs.listStatus(rootP)
+      .filter(st => !st.isDirectory && st.getPath.getName.startsWith("_claim_"))
+      .foreach { st =>
+        val n = st.getPath.getName.stripPrefix("_claim_")
+        val ok = new org.apache.hadoop.fs.Path(s"$root/v=$n/_SUCCESS")
+        if (!fs.exists(ok)) { fs.delete(st.getPath, false): Unit }
+      }
+  }
+
+  /** Append commit with rebase-on-conflict: an append conflicts with
+    * NOTHING (it only adds rows), so when another writer takes the slot
+    * first the append re-reads the new latest, re-unions its rows, and
+    * retries — requiring only that its file_ids are globally fresh
+    * (enforced here; a clash means the id-allocation contract broke and
+    * blind union would corrupt). Returns the committed version. */
+  def commitAppend(s: SparkSession, root: String, readVersion: Long,
+      appended: DataFrame, maxRetries: Int = 5): Long = {
+    val mine = appended.select(col("file_id")).collect()
+      .map(_.getLong(0)).toSet
+    var v = readVersion
+    var tries = 0
+    while (true) {
+      val base = logRead(s, root, v)
+      val clash = base.collect().map(_.getAs[Long]("file_id")).toSet & mine
+      require(clash.isEmpty,
+        s"append file_ids not fresh (already live): $clash")
+      try return logCommit(s, root, v, base.unionByName(appended))
+      catch {
+        case c: ManifestConflict =>
+          tries += 1
+          if (tries > maxRetries) throw c
+          v = logLatest(s, root)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Optimize commit with CONFLICT DETECTION: version readVersion's
+    * snapshot drove the rewrite selection (`rewrittenIds`, chosen from
+    * boxes intersecting `box`); by commit time other writers may have
+    * advanced the log. The rebase rule: concurrent commits that only
+    * touched files OUTSIDE the optimize box are harmless — rebase onto
+    * the new latest (latest − rewrittenIds + newRows) and retry. But if
+    * a rewritten file was REMOVED, or new files landed INSIDE the box
+    * (they belonged in this rewrite), the selection is stale —
+    * [[OptimizeSuperseded]] forces a re-select. The silent alternative
+    * (overwriting the manifest computed from the stale snapshot) drops
+    * the concurrent append's rows, and VACUUM then deletes its live
+    * data files. Returns the committed version. */
+  def commitOptimize(s: SparkSession, root: String, readVersion: Long,
+      rewrittenIds: Set[Long], newRows: DataFrame,
+      box: (Long, Long, Long, Long), maxRetries: Int = 5): Long = {
+    val readIds = logRead(s, root, readVersion).collect()
+      .map(_.getAs[Long]("file_id")).toSet
+    var v = readVersion
+    var tries = 0
+    while (true) {
+      val cur = logRead(s, root, v)
+      val curRows = cur.collect()
+      val curIds = curRows.map(_.getAs[Long]("file_id")).toSet
+      if (!rewrittenIds.subsetOf(curIds))
+        throw new OptimizeSuperseded("a rewritten file was removed by a " +
+          s"concurrent commit: ${rewrittenIds -- curIds} no longer live")
+      val addedInBox = curRows
+        .filter(r => !readIds.contains(r.getAs[Long]("file_id")))
+        .exists(r => r.getAs[Long]("b1_max") >= box._1 &&
+          r.getAs[Long]("b1_min") <= box._2 &&
+          r.getAs[Long]("b2_max") >= box._3 &&
+          r.getAs[Long]("b2_min") <= box._4)
+      if (addedInBox)
+        throw new OptimizeSuperseded("a concurrent commit added files " +
+          "inside the optimize box; the rewrite selection is stale")
+      val rebased = cur
+        .where(!col("file_id").isInCollection(rewrittenIds))
+        .unionByName(newRows)
+      try return logCommit(s, root, v, rebased)
+      catch {
+        case c: ManifestConflict =>
+          tries += 1
+          if (tries > maxRetries) throw c
+          v = logLatest(s, root)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The bounding box of the manifest rows matching `isAppended` — the
+    * rewrite-selection box [[incrementalOptimize]] derives internally,
+    * exposed for the OCC path (callers pass it to [[commitOptimize]]). */
+  def appendedBox(man: Array[Row], isAppended: Row => Boolean)
+      : (Long, Long, Long, Long) = {
+    val app = man.filter(isAppended)
+    require(app.nonEmpty, "no appended files to optimize")
+    (app.map(_.getAs[Long]("b1_min")).min,
+      app.map(_.getAs[Long]("b1_max")).max,
+      app.map(_.getAs[Long]("b2_min")).min,
+      app.map(_.getAs[Long]("b2_max")).max)
+  }
+
+  /** The full OCC optimize loop: select from the log's latest snapshot,
+    * rewrite, [[commitOptimize]]; on [[OptimizeSuperseded]] RE-SELECT
+    * from the fresh latest (attempt files of the superseded try become
+    * vacuum-reclaimable orphans) with the next attempt's file ids at
+    * `newOffset + attempt·attemptStride`. Returns (committed version,
+    * files rewritten, rows rewritten, aborts). */
+  def incrementalOptimizeOcc(s: SparkSession, root: String,
+      tablePath: String, isAppended: Row => Boolean, newOffset: Int,
+      rpf: Long = -1L, idCol: String = "doc_id", maxAttempts: Int = 3,
+      attemptStride: Int = 1000): (Long, Long, Long, Long) = {
+    var attempt = 0
+    while (true) {
+      val v = logLatest(s, root)
+      val man = logRead(s, root, v).collect()
+      val box = appendedBox(man, isAppended)
+      val rewrite = pruneManifest(man, box._1, box._2, box._3, box._4)
+      val rwIds = rewrite.map(_.getAs[Long]("file_id")).toSet
+      val rpfG =
+        if (rpf >= 1L) rpf
+        else (man.map(_.getAs[Long]("n_rows")).sum + 63L) / 64L
+      val rw = s.read
+        .parquet(rewrite.map(_.getAs[String]("path")).sorted.toSeq: _*)
+        .select(col(idCol), col("b1"), col("b2"))
+        .withColumn("zkey", zkeyExpr)
+      val stNew = writeFiles(
+        Ranks.globalRowNumber(rw, Seq(col("zkey"), col(idCol)), out = "_rk"),
+        "_rk", nFiles = 64, offset = newOffset + attempt * attemptStride,
+        out = tablePath, mode = "append", rpfOverride = rpfG, idCol = idCol)
+      try {
+        val nv = commitOptimize(s, root, v, rwIds, stNew, box)
+        return (nv, rewrite.length.toLong,
+          rewrite.map(_.getAs[Long]("n_rows")).sum, attempt.toLong)
+      } catch {
+        case e: OptimizeSuperseded =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** All data-file paths under the table's file_id partitions
     * (listing only). */
   def listDataFiles(s: SparkSession, tablePath: String): Array[String] = {

@@ -435,6 +435,69 @@ class ExtSpec extends SparkSpec {
       s"outlier append must raise the drift stat: $s3")
   }
 
+  test("ivfRetrainDrifted re-clusters only drifted lists; exact probe parity; untouched files intact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val p = "/tmp/graft_test_ivf_retrain"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", p,
+      nLists = 8, iters = 2)
+    // drifted wave: +3.0 on every dim, far from every trained centroid —
+    // its mass concentrates in the few lists pointing that way
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x + lit(3.0d)).as("embedding"))
+    Similarity.ivfAppend(spark, p, shifted, "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 8)
+    val cols = Seq("query_id", "rank", "candidate_id", "cosine")
+    def exhaustive() = Similarity.ivfProbeIndex(spark, p, queries,
+        "vec_id", "embedding", k = 5, nProbe = 8)
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val probeBefore = exhaustive()
+    val rowsBefore = spark.read.parquet(s"$p/corpus").count()
+    def listFiles(l: Int): Set[String] = {
+      val d = new java.io.File(s"$p/corpus/list=$l")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => s"${f.getName}:${f.lastModified}").toSet
+    }
+    val filesBefore = (0 until 8).map(l => l -> listFiles(l)).toMap
+    val rt = Similarity.ivfRetrainDrifted(spark, p, "vec_id", "embedding",
+      bound = 1.5, iters = 2)
+    // incremental: some lists drifted, not all; drift reduced
+    assert(rt.drifted.nonEmpty, "no drifted list found")
+    assert(rt.drifted.length < rt.nLists, s"all lists drifted: $rt")
+    assert(rt.meanDriftedAfter < rt.meanDriftedBefore, rt.toString)
+    // untouched lists' files are byte-untouched (name + mtime)
+    val untouched = (0 until 8).filterNot(rt.drifted.contains)
+    assert(untouched.nonEmpty)
+    untouched.foreach { l =>
+      assert(listFiles(l) == filesBefore(l), s"untouched list $l rewritten")
+    }
+    // rows conserved, and the drifted ids' row total equals the
+    // accounting (rows only moved WITHIN the drifted id set)
+    assert(spark.read.parquet(s"$p/corpus").count() == rowsBefore)
+    val driftedRows = spark.read.parquet(s"$p/corpus")
+      .where(col("list").isin(rt.drifted.map(Integer.valueOf): _*)).count()
+    assert(driftedRows == rt.rowsReclustered,
+      s"drifted rows $driftedRows != accounting ${rt.rowsReclustered}")
+    // exhaustive probe parity: assignment is routing metadata, never
+    // scoring — re-clustering cannot change exact results
+    assert(exhaustive() == probeBefore, "exact probe changed after retrain")
+    // a second retrain at the same bound is a no-op or keeps shrinking;
+    // bound below 0 forces "everything drifted" to be rejected upstream
+    val rt2 = Similarity.ivfRetrainDrifted(spark, p, "vec_id", "embedding",
+      bound = 100.0, iters = 2)
+    assert(rt2.drifted.isEmpty && rt2.rowsReclustered == 0L,
+      s"absurd bound must select nothing: $rt2")
+  }
+
   test("topPairsLsh recovers planted duplicates deterministically, no all-pairs stage") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // exact duplicates have identical sign-LSH signatures in every band,
@@ -2672,5 +2735,175 @@ class ExtSpec extends SparkSpec {
       assert(manifest == derived, s"$tag manifest != derived stats")
       assert(manifest.nonEmpty)
     }
+  }
+
+  test("ZTable OCC: interleaved append+optimize rebases on disjoint commits, aborts on overlap, never loses rows; vacuum over the committed log is safe") {
+    import graft.ext.ZTable
+    val p = "/tmp/graft_test_ztable_occ"
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(p))
+    val table = s"$p/table"
+    val root = s"$p/_log"
+    def mk(n: Int, idOff: Long, b1f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column, b2f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) =
+      spark.range(n).select((col("id") + idOff).as("doc_id"),
+        b1f(col("id")).as("b1"), b2f(col("id")).as("b2"),
+        (col("id") + 1).as("_rk"))
+    // base: b2 in [0,127]; A1 hot append: b2 in [200,239]
+    val base = mk(400, 0L, i => pmod(i * 13, lit(256L)),
+      i => pmod(i * 7, lit(128L)))
+    val stBase = ZTable.writeFiles(base, "_rk", nFiles = 8, offset = 0,
+      out = table)
+    assert(ZTable.logCommit(spark, root, -1L, stBase) == 0L)
+    val a1 = mk(100, 10000L, i => pmod(i * 11, lit(256L)),
+      i => lit(200L) + pmod(i, lit(40L)))
+    val stA1 = ZTable.writeFiles(a1, "_rk", nFiles = 2, offset = 100,
+      out = table, mode = "append")
+    assert(ZTable.commitAppend(spark, root, 0L, stA1) == 1L)
+    // ---- interleave 1: optimizer O1 reads v1; appender A2 (box
+    // DISJOINT from O1's) commits first; O1 rebases and serializes ----
+    val man1 = ZTable.logRead(spark, root, 1L).collect()
+    val isApp1 = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("file_id") >= 100 && r.getAs[Long]("file_id") < 200
+    val box1 = ZTable.appendedBox(man1, isApp1)
+    assert(box1._3 >= 200L, s"A1 box must sit in the hot region: $box1")
+    // incrementalOptimize both WRITES the rewrite files and returns the
+    // STALE v1-based combined manifest — exactly what the single-file
+    // overwrite would have persisted
+    val (staleManDf, _, _) = ZTable.incrementalOptimize(spark,
+      ZTable.logRead(spark, root, 1L), isApp1, table, newOffset = 1000)
+    val staleMan = staleManDf.collect()
+    val staleIds = staleMan.map(_.getAs[Long]("file_id")).toSet
+    val rwIds1 = man1.map(_.getAs[Long]("file_id")).toSet -- staleIds
+    assert(rwIds1.nonEmpty && rwIds1.forall(id => id >= 100 && id < 200),
+      s"O1 must rewrite exactly (a subset of) A1's files: $rwIds1")
+    val stNew1 = staleManDf.where(col("file_id") >= 1000)
+    // concurrent appender A2: b2 in [0,63] — outside O1's box
+    val a2 = mk(60, 20000L, i => pmod(i * 5, lit(256L)),
+      i => pmod(i, lit(64L)))
+    val stA2 = ZTable.writeFiles(a2, "_rk", nFiles = 2, offset = 200,
+      out = table, mode = "append")
+    assert(ZTable.commitAppend(spark, root, 1L, stA2) == 2L)
+    // O1 commits at its read snapshot v1 → conflict → disjoint → rebase
+    val v3 = ZTable.commitOptimize(spark, root, 1L, rwIds1, stNew1, box1)
+    assert(v3 == 3L)
+    val man3 = ZTable.logRead(spark, root, 3L).collect()
+    val man3Ids = man3.map(_.getAs[Long]("file_id")).toSet
+    assert(Set(200L, 201L).subsetOf(man3Ids),
+      "rebase must carry the concurrent append's rows (lost update)")
+    assert((rwIds1 & man3Ids).isEmpty, "rewritten files must be gone")
+    // the hazard the protocol prevents, made concrete: the stale
+    // manifest LACKS A2's files, so a VACUUM against it would DELETE
+    // A2's live data
+    assert((Set(200L, 201L) & staleIds).isEmpty)
+    val stalePaths = staleMan.map(_.getAs[String]("path")).toSet
+    val a2Paths = stA2.collect().map(_.getAs[String]("path")).toSet
+    val wouldDelete = ZTable.listDataFiles(spark, table)
+      .filterNot(stalePaths).toSet
+    assert(a2Paths.subsetOf(wouldDelete),
+      "single-file-overwrite hazard: stale manifest orphans A2's live files")
+    // ---- interleave 2: optimizer O2 reads v3; appender A3 lands
+    // INSIDE O2's box first → O2 must ABORT (stale selection) ----
+    val isApp2 = (r: org.apache.spark.sql.Row) =>
+      r.getAs[Long]("file_id") >= 200 && r.getAs[Long]("file_id") < 300
+    val box2 = ZTable.appendedBox(man3, isApp2)
+    val (staleMan2Df, _, _) = ZTable.incrementalOptimize(spark,
+      ZTable.logRead(spark, root, 3L), isApp2, table, newOffset = 2000)
+    val stale2Ids = staleMan2Df.collect().map(_.getAs[Long]("file_id")).toSet
+    val rwIds2 = man3Ids -- stale2Ids
+    val stNew2 = staleMan2Df.where(col("file_id") >= 2000)
+    val a3 = mk(40, 30000L, i => pmod(i * 3, lit(256L)),
+      i => pmod(i, lit(64L)))
+    val stA3 = ZTable.writeFiles(a3, "_rk", nFiles = 1, offset = 300,
+      out = table, mode = "append")
+    assert(ZTable.commitAppend(spark, root, 3L, stA3) == 4L)
+    intercept[graft.ext.ZTable.OptimizeSuperseded] {
+      ZTable.commitOptimize(spark, root, 3L, rwIds2, stNew2, box2)
+    }
+    // re-select from the fresh latest: the OCC loop picks up A3's files
+    // (they intersect the box) and commits; the superseded attempt's
+    // offset-2000 files stay orphaned until vacuum
+    val (v5, nF, nR, aborts) = ZTable.incrementalOptimizeOcc(spark, root,
+      table, r => { val f = r.getAs[Long]("file_id"); f >= 200 && f < 1000 },
+      newOffset = 3000)
+    assert(v5 == 5L && aborts == 0L)
+    val man5 = ZTable.logRead(spark, root, 5L).collect()
+    val man5Ids = man5.map(_.getAs[Long]("file_id")).toSet
+    assert(!man5Ids.exists(id => id >= 200 && id < 400),
+      "A2+A3 files must have been rewritten in the re-selected pass")
+    assert(nR == 400L + 60L + 40L,
+      s"re-selection must cover base-in-box + A2 + A3 rows, got $nR")
+    // ---- no lost rows: manifest accounting == logical row set ----
+    assert(man5.map(_.getAs[Long]("n_rows")).sum == 600L)
+    // box truth through the committed log: prune v5's manifest with the
+    // cold region box and reproduce the logical frame's aggregate
+    val logical = base.unionByName(a1).unionByName(a2).unionByName(a3)
+      .select(col("doc_id"), col("b1"), col("b2"))
+      .localCheckpoint(true)
+    def boxTruth(lo2: Long, hi2: Long): (Long, Long) = {
+      val survivors = ZTable.pruneManifest(man5, 0L, 255L, lo2, hi2)
+        .map(_.getAs[String]("path")).sorted.toSeq
+      val r = spark.read.parquet(survivors: _*)
+        .where(col("b2").between(lo2, hi2))
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val exp = logical.where(col("b2").between(0L, 63L))
+      .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+    assert(boxTruth(0L, 63L) == ((exp.getLong(0), exp.getLong(1))))
+    // ---- VACUUM against the COMMITTED latest: reclaims the replaced
+    // files and the superseded attempt's orphans, touches nothing live
+    val (before, deleted) = ZTable.vacuum(spark, table,
+      ZTable.logRead(spark, root, 5L))
+    assert(deleted > 0L && before - deleted == man5.length.toLong)
+    assert(ZTable.listDataFiles(spark, table).length == man5.length)
+    assert(boxTruth(0L, 63L) == ((exp.getLong(0), exp.getLong(1))),
+      "vacuum against the committed log must not touch live data")
+  }
+
+  test("ZTable OCC: claim file arbitrates racing appenders; logRecover frees a crashed claim") {
+    import graft.ext.ZTable
+    val p = "/tmp/graft_test_ztable_occ_race"
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(p))
+    val root = s"$p/_log"
+    import spark.implicits._
+    def man(fid: Long) = Seq((fid, s"p$fid", 0L, 1L, 0L, 1L, 1L))
+      .toDF("file_id", "path", "b1_min", "b1_max", "b2_min", "b2_max",
+        "n_rows")
+    assert(ZTable.logCommit(spark, root, -1L, man(0L)) == 0L)
+    // four appenders race from the SAME read snapshot; the claim file is
+    // the arbiter — every loser rebases, all four rows land
+    val readV = ZTable.logLatest(spark, root)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        ZTable.commitAppend(spark, root, readV, man(i.toLong),
+          maxRetries = 10): Unit
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(ZTable.logLatest(spark, root) == 4L)
+    val ids = ZTable.logRead(spark, root, 4L).collect()
+      .map(_.getAs[Long]("file_id")).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 4L),
+      s"every racing append must serialize into the log: $ids")
+    // crashed claim: slot v=5 claimed but never written — commits block
+    // on the slot until logRecover frees it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_claim_5"), false).close()
+    intercept[graft.ext.ZTable.ManifestConflict] {
+      ZTable.logCommit(spark, root, 4L, man(9L))
+    }
+    ZTable.logRecover(spark, root)
+    assert(ZTable.commitAppend(spark, root, 4L, man(9L)) == 5L)
   }
 }

@@ -163,4 +163,36 @@ class KmeansSpec extends SparkSpec {
     }
     assert(out.count(_.getAs[Boolean]("keep")) === 20)
   }
+
+  test("semDedupBanded matches the exact path's keep decision on planted copies") {
+    // the Σ|cluster|² scale path: banding by sign-LSH signatures inside
+    // clusters — exact copies share every band signature, so their
+    // recovery is deterministic and the keep decision must equal
+    // semDedup's; organic cosines in the fixture sit far below the cut,
+    // so neither path has near-threshold pairs to disagree on
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val copies = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(copies).localCheckpoint(true)
+    val cols = Seq("vec_id", "cluster", "root", "keeper", "keep")
+    val exact = Kmeans.semDedup(corpus, "vec_id", "embedding", k = 8,
+      iters = 1, minCosine = 0.9, fast = true)
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val banded = Kmeans.semDedupBanded(corpus, "vec_id", "embedding",
+      k = 8, iters = 1, minCosine = 0.9, bits = 12, bands = 4)
+      .select(cols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(banded == exact, "banded path diverged from the exact path")
+    // and the decision is the right one: every planted copy dropped with
+    // its original as keeper
+    val byId = banded.map(t => t._1 -> t).toMap
+    copies.select("vec_id").as[Long].collect().foreach { cid =>
+      assert(!byId(cid)._5 && byId(cid)._4 == cid - 50000L,
+        s"copy $cid must drop with keeper ${cid - 50000L}")
+    }
+  }
 }
