@@ -4229,9 +4229,20 @@ object ScaleSmoke {
       .localCheckpoint(true)
     val shufParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val evenW = n / shufParts
+    // Measure the raw HASH distribution of file_ids over write tasks:
+    // at this tier's scale the whole staged frame is ~50 MB, so AQE's
+    // partition coalescing (advisory 64 MB) legitimately merges every
+    // bin into ONE task — correct for tiny tables, but it hides the
+    // distribution under test (at real file sizes no coalescing fires:
+    // each bin is ≥ one ~100 MB file). Disable just the coalescer for
+    // the measurement.
+    val coalesceConf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceConf)
+    spark.conf.set(coalesceConf, "false")
     val maxWrite = staged.repartition(col("file_id"))
       .groupBy(spark_partition_id().as("_p")).count()
       .agg(max(col("count"))).head().getLong(0)
+    spark.conf.set(coalesceConf, prevCoalesce)
     val fileRows = staged.groupBy(col("file_id")).count()
       .agg(max(col("count")), count(lit(1))).head()
     println(s"SCALERANKS zorder write-stage max task input: $maxWrite " +

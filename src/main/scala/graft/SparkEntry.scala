@@ -1117,6 +1117,171 @@ object SparkEntry {
       p
     })
 
+  /** Per-JVM registry of the TIME-TRAVEL / retention-VACUUM experiment
+    * (doc_zorder_timetravel). */
+  private val zorderTTPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the time-travel experiment (r16): the incremental-OPTIMIZE
+    * lifecycle through the versioned log — v0 base, v1 hot append, v2
+    * incremental OPTIMIZE, v3 cold-band append — then a
+    * RETENTION-BOUNDED VACUUM with version floor 2
+    * ([[graft.ext.ZTable.vacuumRetain]]): files referenced only by
+    * expired snapshots (exactly the optimize's rewrite set) are
+    * physically deleted, while v2 — a HISTORICAL version, one commit
+    * behind latest — must stay fully readable: A2's rows are on disk
+    * but invisible to a v2 reader (snapshot isolation for time-travel
+    * reads). Each retention property is a require; the declared row
+    * certifies content at both versions plus the expiry accounting. */
+  private def zorderTTFor(s: SparkSession, dir: String): String =
+    zorderTTPath.getOrElseUpdate(dir, timedBuild("zorderTT", dir) {
+      import graft.ext.ZTable
+      val p = s"$scratchBase/graft_zorder_tt_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      val table = s"$p/table"
+      val root = s"$p/_log"
+      val z = zorderRankedFrame(s, dir)
+        .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
+          col("hkey"))
+        .localCheckpoint(true)
+      val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
+      val stBase = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(!isApp),
+          Seq(col("zkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 52, offset = 0, out = table)
+      require(ZTable.logCommit(s, root, -1L, stBase) == 0L)
+      val stA1 = zorderWriteFiles(
+        Ranks.globalRowNumber(z.where(isApp),
+          Seq(col("hkey"), col("doc_id")), out = "_rk"),
+        "_rk", nFiles = 12, offset = 100, out = table, mode = "append")
+      require(ZTable.commitAppend(s, root, 0L, stA1) == 1L)
+      val (v2, filesRw, _, aborts) = ZTable.incrementalOptimizeOcc(s, root,
+        table, r => { val f = r.getAs[Long]("file_id")
+          f >= 100 && f < 200 }, newOffset = 1000)
+      require(v2 == 2L && aborts == 0L)
+      val a2 = z.where(pmod(col("doc_id"), lit(31L)) === 5L)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("b1"),
+          pmod(col("b2"), lit(64L)).as("b2"), col("hkey"))
+      val stA2 = zorderWriteFiles(
+        Ranks.globalRowNumber(a2, Seq(col("hkey"), col("doc_id")),
+          out = "_rk"),
+        "_rk", nFiles = 3, offset = 200, out = table, mode = "append")
+      require(ZTable.commitAppend(s, root, 2L, stA2) == 3L)
+      val (before, deleted) = ZTable.vacuumRetain(s, table, root,
+        fromVersion = 2L)
+      require(deleted == filesRw, "retention must expire exactly the " +
+        s"rewrite set ($filesRw files), got $deleted")
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(conf)
+      def onDisk(f: String) = fs.exists(new org.apache.hadoop.fs.Path(f))
+      val v2Paths = ZTable.logRead(s, root, 2L).select(col("path"))
+        .collect().map(_.getString(0))
+      require(v2Paths.forall(onDisk),
+        "every retained snapshot's file must survive the retention vacuum")
+      val v1Paths = ZTable.logRead(s, root, 1L).select(col("path"))
+        .collect().map(_.getString(0))
+      require(v1Paths.exists(f => !onDisk(f)),
+        "the expired snapshot must have lost files (time-travel expiry)")
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_tt.json")
+      val out = accP.getFileSystem(conf).create(accP, true)
+      out.write(s"""{"before":$before,"deleted":$deleted}"""
+        .getBytes("UTF-8"))
+      out.close()
+      p
+    })
+
+  /** Per-JVM registry of the STREAMING logged-table ingest experiment
+    * (stream_ztable_append). */
+  private val ztabStreamPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build the streaming-ingest-into-a-logged-table experiment (r16):
+    * four residue-class micro-batches each append to the z-table
+    * THROUGH the versioned manifest log via
+    * [[graft.ext.ZTable.appendBatchTxn]] — the Delta txnAppId/
+    * txnVersion discipline that turns foreachBatch's at-least-once
+    * delivery into exactly-once at the table. Both replay hazards are
+    * INJECTED and proven harmless: batch 1 simulates a crash AFTER its
+    * data landed but BEFORE its commit (the retry's dynamic
+    * partition-overwrite rewrites exactly its own file dirs — a plain
+    * append would leave two part files per dir), and batch 2 runs its
+    * whole commit path TWICE (the retry sees its txn marker in the log
+    * and writes nothing). A final full VACUUM against the committed
+    * latest must find ZERO orphans — nothing leaked, nothing doubled —
+    * and the on-disk file count must equal the manifest's. */
+  private def ztabStreamFor(s: SparkSession, dir: String): String =
+    ztabStreamPath.getOrElseUpdate(dir, timedBuild("ztabStream", dir) {
+      import graft.ext.ZTable
+      val p = s"$scratchBase/graft_ztab_stream_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+      val table = s"$p/table"
+      val root = s"$p/_log"
+      val nRes = 4
+      var skips = 0L
+      graft.streaming.StreamingDedup.replayForeachBatchResidue(
+        s, s"$dir/documents.parquet", s"$p/src", s"$p/ckpt", nRes,
+        "doc_id", org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+      } { (batch, batchId) =>
+        // bucket dims derived ROW-LOCALLY (a stream cannot know global
+        // ranks): b1 from length, b2 from the portable md5 dimension
+        val rows = batch.select(col("doc_id"),
+          pmod(col("n_chars"), lit(256L)).as("b1"),
+          pmod(pmod(conv(substring(md5(concat(lit("zdim:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+            lit(10000L)), lit(256L)).as("b2"))
+        val ranked = Ranks.globalRowNumber(rows, Seq(col("doc_id")),
+          out = "_rk")
+        val offset = (batchId * 10).toInt
+        if (batchId == 1L) {
+          // pre-commit crash: data landed, log didn't advance — the
+          // retry below must rewrite these very dirs, never double them
+          ZTable.writeFiles(ranked, "_rk", nFiles = 4, offset = offset,
+            out = table, dynamicOverwrite = true): Unit
+        }
+        val (_, committed) = ZTable.appendBatchTxn(s, table, root,
+          "ztap", batchId, ranked, "_rk", nFiles = 4, offset = offset)
+        require(committed, s"batch $batchId first commit must land")
+        if (batchId == 2L) {
+          // post-commit replay: the whole commit path re-fires; the txn
+          // marker must short-circuit it BEFORE any data write
+          val before = ZTable.logLatest(s, root)
+          val (v, again) = ZTable.appendBatchTxn(s, table, root,
+            "ztap", batchId, ranked, "_rk", nFiles = 4, offset = offset)
+          require(!again && v == before,
+            "replayed batch must skip via its txn marker")
+          skips += 1
+        }
+      }
+      val latest = ZTable.logLatest(s, root)
+      require(latest == nRes - 1L, s"expected v${nRes - 1}, got v$latest")
+      val man = ZTable.logRead(s, root, latest)
+      val (_, orphans) = ZTable.vacuum(s, table, man)
+      require(orphans == 0L,
+        s"exactly-once ingest must leave zero orphan files, got $orphans")
+      require(ZTable.listDataFiles(s, table).length == man.count(),
+        "on-disk files must equal the committed manifest")
+      val conf = s.sparkContext.hadoopConfiguration
+      val accP = new org.apache.hadoop.fs.Path(s"$p/_ztap.json")
+      val out = accP.getFileSystem(conf).create(accP, true)
+      out.write(
+        s"""{"versions":$nRes,"skips":$skips,"orphans":0}"""
+          .getBytes("UTF-8"))
+      out.close()
+      p
+    })
+
   /** Write `frame` (doc_id, b1, b2 + a rank column) as real parquet
     * under `out`, one data file per logical file id: file_id = offset +
     * (rank−1) div rpf with rpf = ceil(n/nFiles) (or `rpfOverride` when
@@ -3376,6 +3541,52 @@ object SparkEntry {
           col("live_sum_doc"), col("box_rows"), col("box_sum_doc"))
     }),
 
+    // TIME TRAVEL + RETENTION-BOUNDED VACUUM (r16): v0 base, v1 hot
+    // append, v2 incremental OPTIMIZE, v3 cold append, then
+    // vacuumRetain(floor = 2). The declared row reads the table at TWO
+    // versions through their manifests — the HISTORICAL v2 (A2's rows
+    // are on disk but invisible: snapshot isolation for time-travel
+    // readers) and the latest v3 — and certifies the expiry accounting:
+    // exactly the optimize's rewrite set was deleted (it is referenced
+    // only by expired snapshots), every retained file survived (a
+    // wrongly deleted v2 file crashes the v2 read; a kept orphan
+    // mismatches files_on_disk_after, recounted from a fresh listing).
+    "doc_zorder_timetravel" -> ((s, dir) => {
+      import graft.ext.ZTable
+      val p = zorderTTFor(s, dir)
+      val root = s"$p/_log"
+      val boxPred = col("b1").between(64, 127) && col("b2").between(128, 191)
+      def pathsAt(v: Long) = ZTable.logRead(s, root, v).collect()
+        .map(_.getAs[String]("path")).sorted.toSeq
+      val acc = {
+        val accP = new org.apache.hadoop.fs.Path(s"$p/_tt.json")
+        val in = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .open(accP)
+        val str = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        (k: String) => s""""$k"\\s*:\\s*(\\d+)""".r
+          .findFirstMatchIn(str).get.group(1).toLong
+      }
+      val after = ZTable.listDataFiles(s, s"$p/table").length.toLong
+      val v2Agg = s.read.parquet(pathsAt(2L): _*).agg(
+        count(lit(1)).as("rows_v2"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_v2"),
+        coalesce(sum(when(boxPred, 1L)), lit(0L)).as("box_rows_v2"),
+        coalesce(sum(when(boxPred, col("doc_id"))), lit(0L))
+          .as("box_sum_doc_v2"))
+      val v3Agg = s.read.parquet(pathsAt(3L): _*).agg(
+        count(lit(1)).as("rows_latest"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc_latest"))
+      v2Agg.crossJoin(v3Agg)
+        .select(lit("timetravel").as("phase"),
+          lit(4L).as("n_versions"), lit(2L).as("retained_from"),
+          col("rows_v2"), col("sum_doc_v2"), col("box_rows_v2"),
+          col("box_sum_doc_v2"), col("rows_latest"), col("sum_doc_latest"),
+          lit(acc("deleted")).as("files_expired"),
+          lit(after).as("files_on_disk_after"))
+    }),
+
     // HASH-SHARDED QUOTA ENFORCEMENT AT INGEST — the streaming form of
     // doc_budget_fill: a GLOBAL exact prefix fill needs every smaller
     // hash key before deciding a doc, which an unbounded stream can't
@@ -3445,6 +3656,44 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("n_chars"), col("res"),
             col("cum_tokens"), col("sub_alloc")),
         "doc_id")
+    }),
+
+    // STREAMING INGEST INTO THE LOGGED TABLE (r16): micro-batches
+    // append through the OCC manifest log with Delta-style txn markers
+    // (appId, batchId) — foreachBatch is at-least-once, and BOTH replay
+    // hazards are injected in the builder: a pre-commit crash (data
+    // landed, log didn't — the retry's dynamic partition-overwrite
+    // rewrites exactly its own file dirs) and a post-commit replay (the
+    // txn marker short-circuits before any data write). The declared
+    // rows read the live set THROUGH the final manifest: a doubled
+    // batch, lost batch, or leaked orphan mismatches the per-residue
+    // content sums; the counters are by-construction, each a require.
+    "stream_ztable_append" -> ((s, dir) => {
+      import graft.ext.ZTable
+      val p = ztabStreamFor(s, dir)
+      val root = s"$p/_log"
+      val man = ZTable.logRead(s, root, ZTable.logLatest(s, root)).collect()
+      val paths = man.map(_.getAs[String]("path")).sorted.toSeq
+      val acc = {
+        val accP = new org.apache.hadoop.fs.Path(s"$p/_ztap.json")
+        val in = accP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .open(accP)
+        val str = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        in.close()
+        (k: String) => s""""$k"\\s*:\\s*(\\d+)""".r
+          .findFirstMatchIn(str).get.group(1).toLong
+      }
+      s.read.parquet(paths: _*)
+        .groupBy(pmod(col("doc_id"), lit(4L)).as("res"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_doc"),
+          coalesce(sum(col("b1")), lit(0L)).as("sum_b1"),
+          coalesce(sum(col("b2")), lit(0L)).as("sum_b2"))
+        .withColumn("n_versions", lit(acc("versions")))
+        .withColumn("txn_skips", lit(acc("skips")))
+        .withColumn("orphan_files", lit(acc("orphans")))
+        .orderBy(col("res"))
     }),
 
     // SUB-QUOTA BOUNDARY LOSS — the number an operator needs to SIZE
@@ -7861,6 +8110,87 @@ object SparkEntry {
         |    AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_sum_doc
         |FROM live""".stripMargin,
 
+    // Time-travel row truth: v2's content is the whole corpus (base ∪
+    // A1 — optimize is content-neutral), latest adds the synthetic
+    // cold-band A2; files_expired replays the optimize's rewrite-set
+    // selection (boxes intersecting A1's bbox), and files_on_disk_after
+    // is pure file-assignment arithmetic — base+append file count, plus
+    // ceil(rewritten_rows / global_rpf) optimize files, plus A2's
+    // ceil(m / rpf2) files, minus the expired rewrite set
+    "doc_zorder_timetravel" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 AS d2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+        |    CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT) AS r2
+        |  FROM d),
+        |b AS (SELECT doc_id, ((r1 - 1) * 256) // n AS b1,
+        |    ((r2 - 1) * 256) // n AS b2
+        |  FROM r CROSS JOIN nn),
+        |z AS (SELECT doc_id, b1, b2,
+        |    ((b1 // 1) % 2) * 2 + ((b1 // 2) % 2) * 8
+        |      + ((b1 // 4) % 2) * 32 + ((b1 // 8) % 2) * 128
+        |      + ((b1 // 16) % 2) * 512 + ((b1 // 32) % 2) * 2048
+        |      + ((b1 // 64) % 2) * 8192 + ((b1 // 128) % 2) * 32768
+        |      + ((b2 // 1) % 2) * 1 + ((b2 // 2) % 2) * 4
+        |      + ((b2 // 4) % 2) * 16 + ((b2 // 8) % 2) * 64
+        |      + ((b2 // 16) % 2) * 256 + ((b2 // 32) % 2) * 1024
+        |      + ((b2 // 64) % 2) * 4096 + ((b2 // 128) % 2) * 16384 AS zkey
+        |  FROM b),
+        |za AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY zkey, doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE NOT (b2 >= 144 AND doc_id % 2 = 0)),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM za),
+        |fa AS (SELECT doc_id, b1, b2, (rk - 1) // ((n + 51) // 52)
+        |    AS file_id FROM za CROSS JOIN na),
+        |zb AS (SELECT doc_id, b1, b2,
+        |    CAST(row_number() OVER (ORDER BY
+        |      md5('h:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM z WHERE b2 >= 144 AND doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zb),
+        |fb AS (SELECT doc_id, b1, b2, 100 + (rk - 1) // ((n + 11) // 12)
+        |    AS file_id FROM zb CROSS JOIN nb),
+        |allf AS (SELECT doc_id, b1, b2, file_id FROM fa
+        |  UNION ALL SELECT doc_id, b1, b2, file_id FROM fb),
+        |fst AS (SELECT file_id,
+        |    min(b1) AS b1_min, max(b1) AS b1_max,
+        |    min(b2) AS b2_min, max(b2) AS b2_max,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM allf GROUP BY 1),
+        |nfst AS (SELECT CAST(count(*) AS BIGINT) AS nf FROM fst),
+        |bbox AS (SELECT min(b1) AS a1, max(b1) AS a2,
+        |    min(b2) AS a3, max(b2) AS a4 FROM zb),
+        |rwc AS (SELECT CAST(count(*) AS BIGINT) AS nrw,
+        |    CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rws
+        |  FROM fst CROSS JOIN bbox
+        |  WHERE b1_min <= a2 AND b1_max >= a1
+        |    AND b2_min <= a4 AND b2_max >= a3),
+        |a2c AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(doc_id + 3000000), 0) AS BIGINT) AS sm
+        |  FROM b WHERE doc_id % 31 = 5),
+        |v2c AS (SELECT CAST(count(*) AS BIGINT) AS rows_v2,
+        |    CAST(sum(doc_id) AS BIGINT) AS sum_doc_v2,
+        |    CAST(coalesce(count(*) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |      AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_rows_v2,
+        |    CAST(coalesce(sum(doc_id) FILTER (WHERE b1 BETWEEN 64 AND 127
+        |      AND b2 BETWEEN 128 AND 191), 0) AS BIGINT) AS box_sum_doc_v2
+        |  FROM b)
+        |SELECT 'timetravel' AS phase, CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(2 AS BIGINT) AS retained_from,
+        |  rows_v2, sum_doc_v2, box_rows_v2, box_sum_doc_v2,
+        |  CAST(rows_v2 + m AS BIGINT) AS rows_latest,
+        |  CAST(sum_doc_v2 + sm AS BIGINT) AS sum_doc_latest,
+        |  nrw AS files_expired,
+        |  CAST(nf + (rws + ((n + 63) // 64) - 1) // ((n + 63) // 64)
+        |    + (CASE WHEN m = 0 THEN 0
+        |        ELSE (m + ((m + 2) // 3) - 1) // ((m + 2) // 3) END)
+        |    - nrw AS BIGINT) AS files_on_disk_after
+        |FROM v2c CROSS JOIN a2c CROSS JOIN rwc CROSS JOIN nfst
+        |  CROSS JOIN nn""".stripMargin,
+
     // the same allocation CTEs, sub-quotas by residue class, and
     // per-(lang, shard) window prefix fill — batch arrival order cannot
     // appear anywhere because shard membership is doc_id mod 8
@@ -7903,6 +8233,25 @@ object SparkEntry {
         |FROM c JOIN sub ON c.lang = sub.lang AND c.res = sub.res
         |WHERE cum_tokens <= sub_alloc
         |ORDER BY doc_id""".stripMargin,
+
+    // exactly-once ingest truth: every document lands exactly once
+    // whatever batch replays fired — the per-residue content sums over
+    // the row-local bucket dims; the counters are by-construction,
+    // each enforced by a require in the builder
+    "stream_ztable_append" ->
+      """WITH d AS (SELECT doc_id, n_chars % 256 AS b1,
+        |    ('0x' || substring(md5('zdim:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 10000 % 256 AS b2
+        |  FROM documents)
+        |SELECT CAST(doc_id % 4 AS BIGINT) AS res,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |  CAST(sum(b1) AS BIGINT) AS sum_b1,
+        |  CAST(sum(b2) AS BIGINT) AS sum_b2,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS txn_skips,
+        |  CAST(0 AS BIGINT) AS orphan_files
+        |FROM d GROUP BY 1""".stripMargin,
 
     // both fills replayed over one keyed frame: per-(lang, res) prefix
     // for the sub-quota decision, per-lang prefix for the global one,

@@ -57,7 +57,8 @@ object ZTable {
     * `_`-prefixed dirs, so manifests can live under the table root. */
   def writeFiles(frame: DataFrame, rankCol: String, nFiles: Int,
       offset: Int, out: String, mode: String = "overwrite",
-      rpfOverride: Long = -1L, idCol: String = "doc_id"): DataFrame = {
+      rpfOverride: Long = -1L, idCol: String = "doc_id",
+      dynamicOverwrite: Boolean = false): DataFrame = {
     val s = frame.sparkSession
     import s.implicits._
     val nF = frame.agg(count(lit(1)).as("_n"))
@@ -72,11 +73,20 @@ object ZTable {
       .select(col(idCol), col("b1"), col("b2"),
         (lit(offset) + expr(s"($rankCol - 1) div _rpf")).as("file_id"),
         col(rankCol).as("_ord")))
-    staged
+    // dynamicOverwrite: replace ONLY the file_id dirs this write
+    // touches (Spark's dynamic partition-overwrite) — the retry-
+    // idempotent data write a streaming appender needs: a replayed
+    // batch rewrites exactly its own files, where mode "append" would
+    // land a SECOND part file in each dir and corrupt later reads,
+    // and a static overwrite would wipe the whole table.
+    val writer = staged
       .repartition(col("file_id"))
       .sortWithinPartitions(col("file_id"), col("_ord"))
       .drop("_ord")
-      .write.mode(mode).partitionBy("file_id").parquet(out)
+      .write.mode(if (dynamicOverwrite) "overwrite" else mode)
+    (if (dynamicOverwrite) writer.option("partitionOverwriteMode", "dynamic")
+     else writer)
+      .partitionBy("file_id").parquet(out)
     val stats = staged.groupBy(col("file_id"))
       .agg(min(col("b1")).as("b1_min"), max(col("b1")).as("b1_max"),
         min(col("b2")).as("b2_min"), max(col("b2")).as("b2_max"),
@@ -394,6 +404,108 @@ object ZTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Retention-bounded VACUUM (time travel): delete every data file
+    * under `tablePath` referenced by NO log snapshot with version ≥
+    * `fromVersion`. Snapshots inside the retention window stay fully
+    * readable afterwards — [[logRead]] at any retained version plus its
+    * manifest's file set IS the time-travel read — while older versions
+    * become time-travel-expired (the Delta `VACUUM ... RETAIN` contract,
+    * where retention is an age; here it is an explicit version floor).
+    * Selection is a listing-vs-log diff over ≤ (versions × files)
+    * metadata rows. Returns (files on disk before, files deleted). */
+  def vacuumRetain(s: SparkSession, tablePath: String, root: String,
+      fromVersion: Long): (Long, Long) = {
+    val latest = logLatest(s, root)
+    require(fromVersion >= 0 && fromVersion <= latest,
+      s"retention floor v$fromVersion outside the log [0, v$latest]")
+    val live = (fromVersion to latest).flatMap(v =>
+      logRead(s, root, v).select(col("path")).collect()
+        .map(_.getString(0))).toSet
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tablePath).getFileSystem(conf)
+    val all = listDataFiles(s, tablePath)
+    val dead = all.filterNot(live)
+    dead.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false): Unit)
+    (all.length.toLong, dead.length.toLong)
+  }
+
+  /** Whether the log's snapshot at `v` already carries transaction
+    * (`txnApp`, `txnV`) — the Delta txnAppId/txnVersion dedup check
+    * that makes at-least-once micro-batch delivery exactly-once at the
+    * table: a replayed batch sees its own marker and commits nothing. */
+  def txnCommitted(s: SparkSession, root: String, v: Long,
+      txnApp: String, txnV: Long): Boolean =
+    v >= 0 && {
+      val b = logRead(s, root, v)
+      b.columns.contains("txn_app") &&
+        b.where(col("txn_app") === txnApp && col("txn_v") === txnV)
+          .limit(1).count() > 0
+    }
+
+  /** [[commitAppend]] stamped with a transaction marker: the appended
+    * manifest rows carry (`txnApp`, `txnV`), and a commit whose marker
+    * is already present in the latest snapshot is SKIPPED — the retry
+    * short-circuit of a replayed micro-batch whose previous attempt
+    * crashed after its commit. Rebase-on-conflict re-checks the marker
+    * against each fresh latest (the conflicting writer may have been
+    * this batch's own earlier attempt). Base snapshots without txn
+    * columns align via null-filled union. Returns (version holding the
+    * txn, whether THIS call committed it). */
+  def commitAppendTxn(s: SparkSession, root: String, txnApp: String,
+      txnV: Long, appended: DataFrame, maxRetries: Int = 5)
+      : (Long, Boolean) = {
+    val stamped = appended
+      .withColumn("txn_app", lit(txnApp))
+      .withColumn("txn_v", lit(txnV))
+    val mine = appended.select(col("file_id")).collect()
+      .map(_.getLong(0)).toSet
+    var v = logLatest(s, root)
+    var tries = 0
+    while (true) {
+      if (txnCommitted(s, root, v, txnApp, txnV)) return (v, false)
+      val next =
+        if (v < 0) stamped
+        else {
+          val base = logRead(s, root, v)
+          val clash = base.collect().map(_.getAs[Long]("file_id")).toSet & mine
+          require(clash.isEmpty,
+            s"append file_ids not fresh (already live): $clash")
+          base.unionByName(stamped, allowMissingColumns = true)
+        }
+      try return (logCommit(s, root, v, next), true)
+      catch {
+        case c: ManifestConflict =>
+          tries += 1
+          if (tries > maxRetries) throw c
+          v = logLatest(s, root)
+      }
+    }
+    (-1L, false) // unreachable
+  }
+
+  /** Exactly-once micro-batch append into a logged table — the
+    * streaming writer's whole commit path, retry-safe at BOTH layers:
+    * the txn-marker check runs BEFORE any data write (a post-commit
+    * replay writes nothing at all), and the data write uses dynamic
+    * partition overwrite of the batch's own file_id dirs (a pre-commit
+    * replay — crashed after data landed, before the log advanced —
+    * rewrites exactly itself, never doubling a file dir the way a plain
+    * append would). Callers derive `offset` from the batch id so file
+    * ids are a pure function of the batch (fresh across batches,
+    * stable across retries). Returns (version holding the txn, whether
+    * THIS call committed it). */
+  def appendBatchTxn(s: SparkSession, tablePath: String, root: String,
+      txnApp: String, txnV: Long, ranked: DataFrame, rankCol: String,
+      nFiles: Int, offset: Int, idCol: String = "doc_id")
+      : (Long, Boolean) = {
+    val v = logLatest(s, root)
+    if (txnCommitted(s, root, v, txnApp, txnV)) return (v, false)
+    val st = writeFiles(ranked, rankCol, nFiles, offset, tablePath,
+      idCol = idCol, dynamicOverwrite = true)
+    commitAppendTxn(s, root, txnApp, txnV, st)
   }
 
   /** All data-file paths under the table's file_id partitions

@@ -2906,4 +2906,64 @@ class ExtSpec extends SparkSpec {
     ZTable.logRecover(spark, root)
     assert(ZTable.commitAppend(spark, root, 4L, man(9L)) == 5L)
   }
+
+  test("ZTable txn markers + retention vacuum: a replayed batch commits " +
+      "nothing, a pre-commit retry never doubles a file dir, and time " +
+      "travel survives inside the retention window") {
+    import graft.ext.ZTable
+    val p = "/tmp/graft_test_ztable_txn"
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete(): Unit
+    }
+    rmr(new java.io.File(p))
+    val table = s"$p/table"
+    val root = s"$p/_log"
+    def mk(n: Int, idOff: Long) = spark.range(n)
+      .select((col("id") + idOff).as("doc_id"),
+        pmod(col("id") * 13, lit(256L)).as("b1"),
+        pmod(col("id") * 7, lit(256L)).as("b2"),
+        (col("id") + 1).as("_rk"))
+    val b0 = mk(100, 0L)
+    assert(ZTable.appendBatchTxn(spark, table, root, "app", 0L, b0,
+      "_rk", nFiles = 2, offset = 0) == (0L, true))
+    // pre-commit crash replay: batch 1's data lands but the log never
+    // advances; the retry's dynamic overwrite rewrites exactly its own
+    // dirs (writeFiles' one-file-per-dir require would blow on a double)
+    val b1 = mk(80, 1000L)
+    ZTable.writeFiles(b1, "_rk", nFiles = 2, offset = 10, out = table,
+      dynamicOverwrite = true): Unit
+    assert(ZTable.appendBatchTxn(spark, table, root, "app", 1L, b1,
+      "_rk", nFiles = 2, offset = 10) == (1L, true))
+    // post-commit replay: the txn marker short-circuits before any write
+    assert(ZTable.appendBatchTxn(spark, table, root, "app", 1L, b1,
+      "_rk", nFiles = 2, offset = 10) == (1L, false))
+    assert(ZTable.logLatest(spark, root) == 1L)
+    val b2 = mk(60, 2000L)
+    assert(ZTable.appendBatchTxn(spark, table, root, "app", 2L, b2,
+      "_rk", nFiles = 2, offset = 20) == (2L, true))
+    // exactly-once audit: zero orphans, disk ≡ manifest, content once
+    val man2 = ZTable.logRead(spark, root, 2L)
+    val (_, orphans) = ZTable.vacuum(spark, table, man2)
+    assert(orphans == 0L, "replays must leave no orphan data files")
+    assert(ZTable.listDataFiles(spark, table).length == man2.count())
+    def rowsAt(v: Long) = spark.read.parquet(
+      ZTable.logRead(spark, root, v).collect()
+        .map(_.getAs[String]("path")).toSeq: _*).count()
+    assert(rowsAt(2L) == 240L)
+    // v3 compacts batch 0 (files 0,1 leave the manifest, file 30 joins)
+    val stRw = ZTable.writeFiles(mk(100, 0L), "_rk", nFiles = 1,
+      offset = 30, out = table, mode = "append")
+    val man3df = man2.where(!col("file_id").isInCollection(Set(0L, 1L)))
+      .unionByName(stRw, allowMissingColumns = true)
+    assert(ZTable.logCommit(spark, root, 2L, man3df) == 3L)
+    // retention floor v2: v2 still references files 0,1 → they survive
+    val (_, del0) = ZTable.vacuumRetain(spark, table, root, 2L)
+    assert(del0 == 0L, "files inside the retention window must survive")
+    assert(rowsAt(2L) == 240L, "time travel at a retained version")
+    // retention floor v3: v2 expires, exactly the replaced files go
+    val (_, del1) = ZTable.vacuumRetain(spark, table, root, 3L)
+    assert(del1 == 2L, s"exactly batch 0's replaced files expire: $del1")
+    assert(rowsAt(3L) == 240L, "the live snapshot is untouched")
+  }
 }
