@@ -894,4 +894,71 @@ class StreamingSpec extends SparkSpec {
     assert(resumed.exists(r => r._1 >= 4000000L && !r._3))
     assert(resumed.exists(r => r._1 >= 2000001L && r._1 < 4000000L && r._3))
   }
+
+  test("checkpoint restart: killed z-table txn ingest resumes " +
+      "exactly-once through its txn markers") {
+    // stream_ztable_append's exactly-once ACROSS a kill-and-resume:
+    // batch 2's appendBatchTxn commits to the manifest log, then the
+    // query dies BEFORE the checkpoint commit; the WAL re-fires batch 2
+    // on restart, its txn marker short-circuits the replay BEFORE any
+    // data write, and the resumed table — log version, manifest, and
+    // row content — equals an uninterrupted control run with zero
+    // orphan files.
+    import graft.streaming.StreamingDedup
+    import graft.ext.{Ranks, ZTable}
+    val base = "/tmp/graft_test_restart_ztap"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$base/in")
+    def runReplay(tag: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean): Unit =
+      StreamingDedup.replayForeachBatchResidue(spark, s"$base/in",
+          s"$base/src", s"$base/ckpt_$tag", 4, "doc_id",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { st =>
+        st.select(col("doc_id"), col("n_chars"))
+      } { (b, batchId) =>
+        val rows = b.select(col("doc_id"),
+          pmod(col("n_chars"), lit(256L)).as("b1"),
+          pmod(col("doc_id"), lit(256L)).as("b2"))
+        val ranked = Ranks.globalRowNumber(rows, Seq(col("doc_id")),
+          out = "_rk")
+        ZTable.appendBatchTxn(spark, s"$base/table_$tag",
+          s"$base/log_$tag", "ztap", batchId, ranked, "_rk",
+          nFiles = 2, offset = (batchId * 10).toInt): Unit
+        if (batchId == 2L && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("injected crash after table commit")
+      }
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runReplay("a", crash)
+    }
+    assert(ZTable.logLatest(spark, s"$base/log_a") == 2L,
+      "crash must land after batch 2's log commit")
+    runReplay("a", new java.util.concurrent.atomic.AtomicBoolean(false))
+    runReplay("b", new java.util.concurrent.atomic.AtomicBoolean(false))
+    def state(tag: String) = {
+      val root = s"$base/log_$tag"
+      val latest = ZTable.logLatest(spark, root)
+      val man = ZTable.logRead(spark, root, latest)
+      val (_, orphans) = ZTable.vacuum(spark, s"$base/table_$tag", man)
+      val rows = spark.read.parquet(man.collect()
+          .map(_.getAs[String]("path")).toSeq: _*)
+        .select(col("doc_id"), col("b1"), col("b2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      (latest, orphans, rows)
+    }
+    val (la, oa, ra) = state("a")
+    val (lb, ob, rb) = state("b")
+    assert(la == 3L && lb == 3L, s"both logs must end at v3: $la, $lb")
+    assert(oa == 0L && ob == 0L,
+      "the resumed run must leave zero orphan files")
+    assert(ra == rb, "resumed table content != uninterrupted run")
+  }
 }
