@@ -40,18 +40,24 @@ import org.apache.spark.sql.types.DecimalType
   *
   * == Scale shape ==
   *
-  * The working set is the flat (id, dim, x) frame — posexplode once,
-  * cache, reuse every round; no vector is ever re-assembled on a single
-  * task. Each round is: one BROADCAST join against the k·d centroid
-  * frame + one map-side-combinable (id, cluster) hash aggregate + one
-  * per-id window over k rows (assignment), then one (cluster, dim) hash
-  * aggregate collecting k·d rows to the driver (update) — driver traffic
+  * The working set is the cached (id, vector) frame. Each round is ONE
+  * job: the row-local [[graft.functions.NearestCentroidDecimal]] argmin
+  * labels every vector inside the scan stage (exact decimal sums are
+  * order-free, so nothing about the exactness discipline needs a
+  * shuffle), posexplode feeds a map-side-combinable (cluster, dim) hash
+  * aggregate, and k·d rows reach the driver (update) — driver traffic
   * O(k·d·iters) doubles, independent of corpus size, the
-  * [[QualityModel.trainLogReg]] contract. Empty clusters keep their
-  * previous centroid (no re-seed RNG). At 100 TB the same loop runs with
-  * k in the thousands: the centroid frame stays a broadcast (k·d ≤ a few
-  * hundred MB), and the per-round shuffle is one narrow aggregate of the
-  * exploded frame — the canonical distributed-Lloyd layout.
+  * [[QualityModel.trainLogReg]] contract. The pre-r16 formulation built
+  * the same decimal sums relationally (posexplode → broadcast join on
+  * dim → N·k-group aggregate → per-id window) and paid two exchanges +
+  * an N-keyed update join per round for arithmetic a row can do alone;
+  * the r16 rewrite is bit-identical (KmeansSpec pins it against the
+  * relational reference) and leaves one narrow aggregate per round.
+  * Empty clusters keep their previous centroid (no re-seed RNG). At
+  * 100 TB the same loop runs with k in the thousands: the centroid
+  * matrix rides as a task reference (or broadcast via the trainFastBcast
+  * twin), and the per-round shuffle is one narrow aggregate — the
+  * canonical distributed-Lloyd layout.
   */
 object Kmeans {
 
@@ -67,13 +73,7 @@ object Kmeans {
     * index = rank of the seed vector's id. */
   final case class Model(cents: Array[Array[Double]])
 
-  /** Flat (id, dim, x) working set — posexplode of the widened vector. */
-  private def longForm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("_kid"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "_x")))
-
-  /** k·d centroid frame (cluster, dim, component) from driver arrays —
-    * broadcast into every assignment join. */
+  /** k·d centroid frame (cluster, dim, component) from driver arrays. */
   private def centLong(spark: SparkSession, cents: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     val rows = for {
@@ -88,17 +88,23 @@ object Kmeans {
     centLong(spark, m.cents)
       .select(col("_cl").as("cluster"), col("dim"), col("_c").as("c"))
 
-  /** Exact-decimal distance + portable argmin: (id, cluster, dist2),
-    * ties toward the smaller cluster index. */
-  private def assignAgainst(ex: DataFrame, cdf: DataFrame): DataFrame = {
-    val d2 = ex.join(broadcast(cdf), "dim")
-      .groupBy(col("_kid"), col("_cl"))
-      .agg(r6p(sum(((col("_x") - col("_c")) * (col("_x") - col("_c")))
-        .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
-    val w = Window.partitionBy(col("_kid")).orderBy(col("dist2"), col("_cl"))
-    d2.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("_kid"), col("_cl"), col("dist2"))
-  }
+  /** Exact-decimal distance + portable argmin as ONE row-local codegen'd
+    * expression ([[graft.functions.NearestCentroidDecimal]]): per-term
+    * double→DECIMAL(38,12) casts, exact decimal sum, 6-dp round, then
+    * strict-< first-min — bit-identical to the explode → broadcast-join
+    * → decimal-SUM groupBy → per-id window pipeline this replaces
+    * (decimal addition is order-free, so a row-local accumulation is the
+    * same value the shuffled aggregate computed), with zero exchanges
+    * and zero N·k intermediate rows. Null vectors / ragged dims drop the
+    * row, matching the relational form (posexplode emitted nothing). */
+  private def assignDecimal(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).cast("long").as("_kid"),
+        graft.functions.VectorFunctions.nearestCentroidDecimal(
+          col(vecCol).cast("array<double>"), cents).as("_best"))
+      .where(col("_best").isNotNull)
+      .select(col("_kid"), col("_best").getField("cluster").as("_cl"),
+        col("_best").getField("dist2").as("dist2"))
 
   /** Grid-snapped seed centroids: the k smallest-id vectors. */
   private def seedCents(df: DataFrame, idCol: String, vecCol: String,
@@ -263,13 +269,26 @@ object Kmeans {
     * exactness and scale contracts. */
   def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Model = {
-    val spark = df.sparkSession
-    val ex = longForm(df, idCol, vecCol).persist()
+    val vdf = df.select(col(idCol).cast("long").as("_kid"),
+      col(vecCol).cast("array<double>").as("_v")).persist()
     try {
       var cents = seedCents(df, idCol, vecCol, k)
       for (_ <- 1 to iters) {
-        val a = assignAgainst(ex, centLong(spark, cents))
-        val upd = ex.join(a.select(col("_kid"), col("_cl")), "_kid")
+        // one job per round: the row-local decimal argmin labels each
+        // vector in the scan stage, posexplode feeds the (cluster, dim)
+        // exact-decimal hash aggregate (map-side combinable, k·d groups
+        // collected) — the per-round explode-join/groupBy/window
+        // assignment pipeline and the N-keyed update join are gone
+        // the argmin projects BELOW the explode (its own select), so it
+        // runs once per VECTOR — in one select with posexplode the
+        // projection lands above the Generate and re-evaluates the
+        // k·d decimal loop once per exploded ROW (d× the work; the first
+        // cut of this rewrite measured exactly that in a thread dump)
+        val upd = vdf.select(col("_v"),
+            graft.functions.VectorFunctions.nearestCentroidDecimal(
+              col("_v"), cents).getField("cluster").as("_cl"))
+          .where(col("_cl").isNotNull)
+          .select(col("_cl"), posexplode(col("_v")).as(Seq("dim", "_x")))
           .groupBy(col("_cl"), col("dim"))
           .agg(r6p(sum(col("_x").cast(DecimalType(38, 12))).cast("double")
             / count(lit(1))).as("_c"))
@@ -285,15 +304,15 @@ object Kmeans {
         cents = next
       }
       Model(cents)
-    } finally { ex.unpersist(false): Unit }
+    } finally { vdf.unpersist(false): Unit }
   }
 
   /** Assignment of every vector against a trained model's (final)
-    * centroids: (idCol, cluster, dist2). One explode + broadcast join +
-    * hash aggregate + per-id window — no training state needed. */
+    * centroids: (idCol, cluster, dist2). One row-local codegen'd
+    * decimal-argmin pass — zero shuffles, no training state needed. */
   def assignFinal(df: DataFrame, idCol: String, vecCol: String,
       m: Model): DataFrame =
-    assignAgainst(longForm(df, idCol, vecCol), centLong(df.sparkSession, m.cents))
+    assignDecimal(df, idCol, vecCol, m.cents)
       .select(col("_kid").as(idCol), col("_cl").as("cluster"), col("dist2"))
 
   /** Streaming SemDeDup probe — the ingest-time twin of [[semDedup]]:
@@ -348,14 +367,30 @@ object Kmeans {
       iters: Int, minCosine: Double, fast: Boolean = false): DataFrame = {
     val m = if (fast) trainFast(df, idCol, vecCol, k, iters)
             else train(df, idCol, vecCol, k, iters)
-    val af = (if (fast) assignServing(df, idCol, vecCol, m)
-              else assignFinal(df, idCol, vecCol, m)).transform(Pin.pin)
-    val vecs = df.select(col(idCol).cast("long").as("_vid"),
-      col(vecCol).cast("array<double>").as("_v"))
-    val a = af.select(col(idCol).as("id_a"), col("cluster"))
-      .join(vecs.select(col("_vid").as("id_a"), col("_v").as("_va")), "id_a")
-    val b = af.select(col(idCol).as("id_b"), col("cluster"))
-      .join(vecs.select(col("_vid").as("id_b"), col("_v").as("_vb")), "id_b")
+    // assignment is row-local for BOTH arithmetic paths now, so the
+    // pinned frame carries the vector alongside (id, cluster, dist2) —
+    // the two id-equi-joins that re-attached vectors to each pair side
+    // are gone (the pair self-join on the cluster key shuffled the
+    // vectors either way; now they ride the same rows one hop earlier)
+    val best = {
+      val v = col("_v")
+      if (fast) graft.functions.VectorFunctions
+        .nearestCentroidNative(v, m.cents)
+      else graft.functions.VectorFunctions
+        .nearestCentroidDecimal(v, m.cents)
+    }
+    val avf = df.select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_best", best)
+      .where(col("_best").isNotNull)
+      .select(col(idCol), col("_best").getField("cluster").as("cluster"),
+        col("_best").getField("dist2").as("dist2"), col("_v"))
+      .transform(Pin.pin)
+    val af = avf.select(col(idCol), col("cluster"), col("dist2"))
+    val a = avf.select(col(idCol).as("id_a"), col("cluster"),
+      col("_v").as("_va"))
+    val b = avf.select(col(idCol).as("id_b"), col("cluster"),
+      col("_v").as("_vb"))
     val pairs = a.join(b, Seq("cluster"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search over an `array<float>` column.
   *
@@ -69,33 +68,42 @@ object Similarity {
     * exactly this way; also the confusion-audit for labelled corpora).
     * Ties break toward the smallest key.
     *
-    * Relational exact-decimal form, partitioning-invariant end to end:
+    * Exact-decimal discipline, partitioning-invariant end to end:
     * centroids are the 6-dp-rounded exact-decimal means; per-(vector,
     * centroid) distance accumulates the IEEE (x−mean)² terms as
     * DECIMAL(38,12) (order-free), is rounded to 6 dp, and ONLY then
     * enters the argmin — so the assignment decision is bit-stable across
-    * engines and shuffles. Scale shape: posexplode + a BROADCAST join on
-    * `dim` against the k·dims centroid frame, one map-side-combinable
-    * (id, key) hash aggregate, one per-id window over k rows. The
-    * serving-path twin with centroids as plan literals (zero explode) is
-    * [[nearestList]]; this is the audit/oracle form. */
+    * engines and shuffles. Scale shape (r16): one map-side-combinable
+    * (key, dim) mean aggregate whose k·dims rows COLLECT to the driver
+    * (metadata-bounded — the [[graft.ext.Kmeans]] centroid-collect
+    * contract), then the assignment runs as the row-local codegen'd
+    * [[graft.functions.NearestCentroidDecimal]] argmin — bit-identical
+    * to the pre-r16 posexplode → broadcast-join-on-dim → N·k-group
+    * aggregate → per-id window pipeline (exact decimal sums are
+    * order-free), with zero assignment-side exchanges. Keys must be
+    * integral (they always were: the output casts the key to long). */
   def nearestCentroid(df: DataFrame, idCol: String, keyCol: String,
       vecCol: String): DataFrame = {
-    val cents = meanVectorByKey(df, keyCol, vecCol)
-      .select(col(keyCol).as("_ckey"), col("dim"), col("mean"))
-    val ex = asDouble(df, vecCol)
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
-    val d2 = ex.join(broadcast(cents), "dim")
-      .groupBy(col(idCol), col("_ckey"))
-      // r6p, not round: this value feeds the argmin below, so the
-      // rounding op sequence must be engine-identical (ADVICE r9)
-      .agg(r6p(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
-          .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("dist2"), col("_ckey"))
-    d2.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col(idCol), col("_ckey").cast("long").as("assigned"),
-        col("dist2"))
+    val rows = meanVectorByKey(df, keyCol, vecCol)
+      .select(col(keyCol).cast("long").as("_ckey"), col("dim"), col("mean"))
+      .collect()
+    // ascending key order = the window's (dist2, key) tie-break: the
+    // first-min argmin lands on the smallest key among exact ties
+    val byKey = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val keys = byKey.map(_._1)
+    val cents = byKey.map { case (_, rs) =>
+      val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }.toArray
+    val best = graft.functions.VectorFunctions.nearestCentroidDecimal(
+      col(vecCol).cast("array<double>"), cents)
+    df.withColumn("_best", best)
+      .where(col("_best").isNotNull)
+      .select(col(idCol),
+        element_at(typedLit(keys),
+          col("_best").getField("cluster").cast("int") + 1).as("assigned"),
+        col("_best").getField("dist2").as("dist2"))
   }
 
   /** The ±1 sign for projection cell (i, j): +1 when the first hex digit

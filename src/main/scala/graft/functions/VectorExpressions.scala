@@ -662,6 +662,94 @@ case class NearestCentroidBcast(child: Expression,
     copy(child = newChild)
 }
 
+/** [[NearestCentroid]] with the EXACT-DECIMAL distance discipline of
+  * [[graft.ext.Kmeans.train]]'s relational assignment, row-local: each
+  * (x−c)² term is one correctly-rounded IEEE double op, cast to
+  * DECIMAL(38,12) by Spark's rule (`BigDecimal.valueOf(term)` — the
+  * shortest-decimal string — `setScale(12, HALF_UP)`), summed EXACTLY,
+  * cast back to double (`BigDecimal.doubleValue`), 6-dp floor-rounded,
+  * and only then argmin'd (strict <, first minimum — ties toward the
+  * smaller cluster index). This is bit-for-bit the op sequence of the
+  * explode → broadcast-join-on-dim → decimal-SUM groupBy → per-id
+  * window pipeline it replaces (the DuckDB oracle's replay target), with
+  * ZERO shuffles: the relational form materialized N·k aggregate groups
+  * plus an N-keyed window per Lloyd round purely to get order-invariant
+  * decimal sums, which a row-local exact accumulation gets for free
+  * (decimal addition is associative and commutative — there is no
+  * ordering to protect). */
+case class NearestCentroidDecimal(child: Expression,
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist2", DoubleType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  // NULL on a null element / dims mismatch — see DotProduct.nullable
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroidDecimal.assign(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCentsDec", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.NearestCentroidDecimal.assign($a, $centsRef);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $boxed; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidDecimal =
+    copy(child = newChild)
+}
+
+object NearestCentroidDecimal {
+  /** (dist2, cluster) InternalRow under the exact-decimal op sequence, or
+    * null on null element / length mismatch — shared by interpreted eval
+    * and generated code. */
+  def assign(vec: ArrayData,
+      cents: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.length
+    val dims = cents(0).length
+    if (vec.numElements() != dims) return null
+    var j = 0
+    while (j < dims) { if (vec.isNullAt(j)) return null; j += 1 }
+    var bestD = Double.MaxValue
+    var bestJ = -1L
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      // exact decimal accumulation of the per-dim terms: each term is
+      // cast double → DECIMAL(38,12) exactly as Spark's Cast does
+      // (valueOf = shortest-decimal string, then HALF_UP to scale 12),
+      // and java.math.BigDecimal.add is exact, so the sum is the same
+      // value SUM(CAST(term AS DECIMAL(38,12))) aggregates — in any
+      // order, on any engine.
+      var acc: java.math.BigDecimal = null
+      j = 0
+      while (j < dims) {
+        val t = vec.getDouble(j) - c(j)
+        val term = java.math.BigDecimal.valueOf(t * t)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+        acc = if (acc == null) term else acc.add(term)
+        j += 1
+      }
+      val d = math.floor(acc.doubleValue() * 1000000.0 + 0.5) / 1000000.0
+      if (d < bestD) { bestD = d; bestJ = i }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestJ))
+  }
+}
+
 object NearestCentroid {
   /** (dist2, cluster) InternalRow, or null on null element / length
     * mismatch — shared by interpreted eval and generated code. Keeps the
@@ -706,6 +794,14 @@ object VectorFunctions {
     * vector against a literal centroid matrix. */
   def nearestCentroidNative(vec: Column, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), cents))
+
+  /** Nearest-centroid (dist2, cluster) struct under the EXACT-DECIMAL
+    * distance discipline of [[graft.ext.Kmeans.train]] — the
+    * oracle-replayable assignment as one row-local codegen'd loop. */
+  def nearestCentroidDecimal(vec: Column,
+      cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidDecimal(
+      ColumnBridge.expression(vec), cents))
 
   /** [[nearestCentroidNative]] over a BROADCAST centroid matrix — the
     * large-k serving form (ships once per executor, not per task). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Kmeans
+import graft.ext.{Kmeans, Similarity}
 import org.apache.spark.sql.functions._
 
 /** In-engine exact Lloyd k-means + SemDeDup semantic dedup. */
@@ -194,5 +194,76 @@ class KmeansSpec extends SparkSpec {
       assert(!byId(cid)._5 && byId(cid)._4 == cid - 50000L,
         s"copy $cid must drop with keeper ${cid - 50000L}")
     }
+  }
+
+  test("NearestCentroidDecimal ≡ the relational decimal assignment " +
+      "pipeline it replaced (r16)") {
+    // the r16 row-local assignment must reproduce the pre-r16
+    // posexplode → broadcast-join-on-dim → decimal-SUM groupBy →
+    // per-id window pipeline BIT-FOR-BIT on real data (this is the op
+    // sequence the DuckDB oracle replays): rebuild the relational form
+    // inline as the reference and diff the full (id, cluster, dist2)
+    // assignment on the sf0.001 embeddings fixture against the model's
+    // trained centroids
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Kmeans.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    def r6p(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val cdf = {
+      val rows = for {
+        cl <- m.cents.indices; j <- m.cents(cl).indices
+      } yield (cl.toLong, j, m.cents(cl)(j))
+      rows.toDF("_cl", "dim", "_c")
+    }
+    val ex = emb.select(col("vec_id").cast("long").as("_kid"),
+      posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "_x")))
+    val d2 = ex.join(broadcast(cdf), "dim")
+      .groupBy(col("_kid"), col("_cl"))
+      .agg(r6p(sum(((col("_x") - col("_c")) * (col("_x") - col("_c")))
+        .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
+    val w = Window.partitionBy(col("_kid")).orderBy(col("dist2"), col("_cl"))
+    val relational = d2.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("_kid"), col("_cl"), col("dist2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rowLocal = Kmeans.assignFinal(emb, "vec_id", "embedding", m)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rowLocal == relational,
+      "row-local decimal assignment diverged from the relational pipeline")
+  }
+
+  test("Similarity.nearestCentroid (row-local) ≡ relational reference " +
+      "on the embeddings fixture (r16)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def r6p(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    val cents = Similarity.meanVectorByKey(emb, "label", "embedding")
+      .select(col("label").as("_ckey"), col("dim"), col("mean"))
+    val ex = emb.withColumn("embedding",
+        col("embedding").cast("array<double>"))
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("dim", "_x")))
+    val d2 = ex.join(broadcast(cents), "dim")
+      .groupBy(col("vec_id"), col("_ckey"))
+      .agg(r6p(sum(((col("_x") - col("mean")) * (col("_x") - col("mean")))
+        .cast(DecimalType(38, 12))).cast("double")).as("dist2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("_ckey"))
+    val relational = d2.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("vec_id"), col("_ckey").cast("long").as("assigned"),
+        col("dist2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rowLocal = Similarity.nearestCentroid(emb, "vec_id", "label",
+        "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rowLocal == relational,
+      "row-local nearestCentroid diverged from the relational pipeline")
   }
 }
