@@ -54,6 +54,11 @@ object QueryProbe {
       time(s"$name#$i") {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      // match Bench methodology: without this, queries whose final sort
+      // persists its child (sortBig) serve reps 2+ from the cache (the
+      // CacheManager matches the rebuilt rep's canonical plan), timing a
+      // cache read instead of the query (r16 measurement postmortem)
+      spark.catalog.clearCache()
     }
     val df = fn(spark, sfDir)
     val stripped = df.queryExecution.logical transform {

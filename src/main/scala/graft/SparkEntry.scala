@@ -4808,12 +4808,16 @@ object SparkEntry {
           concat_ws(" ", slice(split(col("text"), " "), 2, 1000000))
             .as("text"))
       val corpus = docs.unionByName(edited).localCheckpoint(true)
-      val truth = Dedup.jaccardPairs(
+      // both pair frames feed TWO consumers (their own count + the hits
+      // join): pinned (r16), each mining pass runs once — unpinned, the
+      // full PPJoin truth pass and the simhash banding pass re-executed
+      // for the second consumer
+      val truth = graft.ext.Pin.pin(Dedup.jaccardPairs(
           Dedup.hashedShingles(corpus, "doc_id", "text", 3), 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val cand = Dedup.simhashDupPairsAtScalePortable(corpus, "doc_id",
-          "text", maxDist = 3, nBlocks = 6)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")))
+      val cand = graft.ext.Pin.pin(Dedup.simhashDupPairsAtScalePortable(corpus,
+          "doc_id", "text", maxDist = 3, nBlocks = 6)
+        .select(col("doc_a"), col("doc_b")))
       val hits = cand.join(truth, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

@@ -345,11 +345,14 @@ object QualityModel {
     // target membership is a row-local doc predicate, so it rides the
     // tokenize + bow aggregate for free — the target slice is a big
     // fraction of the corpus (never broadcast it; never re-join it).
-    val bow = df.select(col(idCol).as("doc"),
+    // pinned (r16): bow feeds both the bucket-mass aggregate and the
+    // per-doc scoring join — unpinned, the corpus tokenize+explode
+    // subtree re-executed for each consumer
+    val bow = Pin.pin(df.select(col(idCol).as("doc"),
         targetPred.cast("boolean").as("tgt"),
         explode(TextAnalysis.tokens(col(textCol))).as("_tok"))
       .groupBy(col("doc"), col("tgt"), tokenBucket(col("_tok"), d).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val masses = bow.groupBy(col("bucket"))
       .agg(sum(col("c")).as("cr"),
         sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ct"))

@@ -515,9 +515,15 @@ object TextAnalysis {
     * one ~`headTerms`-row broadcast. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       headTerms: Int = 4096): DataFrame = {
-    val tf = df.select(col(idCol).as("doc"),
+    // tf feeds THREE consumers (freq, hot, tail) and freq three more
+    // (n, head, tail-join): pinned (r16), one corpus tokenize pass and
+    // one vocab aggregate run ONCE instead of re-expanding per branch —
+    // the un-pinned logical tree re-embedded the whole scan+explode
+    // subtree 3× (12 scans / 34 exchanges in the static plan; exchange
+    // reuse recovered some of it at runtime, none of the planning cost)
+    val tf = Pin.pin(df.select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("f"))
     val n = freq.agg(sum(col("f")).as("n"))
     // deterministic head set: ties on f broken by term
@@ -561,18 +567,22 @@ object TextAnalysis {
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       headGrams: Int = 4096): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_tk"))
+    // tf (3 consumers) and scored (2) pinned — same rationale as
+    // [[unigramNll]] (r16): one gram pass, one type-score build
+    val tf = Pin.pin(df.select(col(idCol).as("doc"),
+        tokens(col(textCol)).as("_tk"))
       .select(col("doc"), explode(expr(
         "transform(slice(_tk, 1, greatest(size(_tk) - 1, 0))," +
           " (w, i) -> struct(w AS prev," +
           " concat(w, ' ', element_at(_tk, i + 2)) AS big))")).as("x"))
       .select(col("doc"), col("x.prev").as("prev"), col("x.big").as("big"))
       .groupBy(col("doc"), col("prev"), col("big"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val c2 = tf.groupBy(col("big")).agg(sum(col("tf")).as("c2"),
       first(col("prev")).as("prev"))
     val c1 = tf.groupBy(col("prev")).agg(sum(col("tf")).as("c1"))
-    val scored = c2.join(c1, "prev").select(col("big"), col("c1"), col("c2"))
+    val scored = Pin.pin(
+      c2.join(c1, "prev").select(col("big"), col("c1"), col("c2")))
     val head = scored.orderBy(col("c2").desc, col("big")).limit(headGrams)
     val hot = tf.join(broadcast(head), Seq("big"))
     val tail = tf.join(broadcast(head.select(col("big"))), Seq("big"), "left_anti")
@@ -615,16 +625,19 @@ object TextAnalysis {
           " element_at(_tk, i + 2) AS cur))")).as("x"))
       .select(col("doc"), col("x.prev").as("prev"), col("x.big").as("big"),
         col("x.cur").as("cur"))
-    val tf = grams(base).groupBy(col("doc"), col("prev"), col("big"),
-      col("cur")).agg(count(lit(1)).as("tf"))
-    val lm = grams(base.where(col("_lm")))
+    // tf (3 consumers), lm (2) and cost (2) pinned (r16) — same
+    // duplicated-subtree rationale as [[unigramNll]]
+    val tf = Pin.pin(grams(base).groupBy(col("doc"), col("prev"),
+      col("big"), col("cur")).agg(count(lit(1)).as("tf")))
+    val lm = Pin.pin(grams(base.where(col("_lm"))))
     val c2 = lm.groupBy(col("big")).agg(count(lit(1)).as("c2"))
     val c1 = lm.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
     val u = base.where(col("_lm"))
       .select(explode(col("_tk")).as("cur"))
       .groupBy(col("cur")).agg(count(lit(1)).as("u"))
     val n = u.agg(sum(col("u")).as("n_lm"))
-    val cost = tf.select(col("prev"), col("big"), col("cur")).distinct()
+    val cost = Pin.pin(
+      tf.select(col("prev"), col("big"), col("cur")).distinct()
       .join(c2, Seq("big"), "left")
       .join(c1, Seq("prev"), "left")
       .join(u, Seq("cur"), "left")
@@ -634,7 +647,7 @@ object TextAnalysis {
           log(col("c1").cast("double") / col("c2")))
           .otherwise(log((col("n_lm") + 1).cast("double") /
             (lit(0.4) * (coalesce(col("u"), lit(0L)) + 1)))).as("cost"),
-        col("c2").isNull.cast("long").as("oov"))
+        col("c2").isNull.cast("long").as("oov")))
     val mass = tf.groupBy(col("big")).agg(sum(col("tf")).as("_m"))
     val head = mass.orderBy(col("_m").desc, col("big")).limit(headGrams)
       .select(col("big")).join(cost, "big")
@@ -948,16 +961,21 @@ object TextAnalysis {
   def kn3Nll(df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75, headGrams: Int = 4096): DataFrame = {
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val tf = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_tk"))
+    // tf (3 consumers), types (5), lowStats (4), scored (2) pinned
+    // (r16): the un-pinned logical tree re-embedded the corpus
+    // tokenize+explode subtree into every branch — 40 parquet scans /
+    // 130 exchanges in the static plan, with planning cost to match
+    val tf = Pin.pin(df.select(col(idCol).as("doc"),
+        tokens(col(textCol)).as("_tk"))
       .select(col("doc"), explode(expr(
         "transform(slice(_tk, 1, greatest(size(_tk) - 2, 0))," +
           " (w, i) -> concat(w, ' ', element_at(_tk, i + 2)," +
           " ' ', element_at(_tk, i + 3)))")).as("tri"))
       .groupBy(col("doc"), col("tri"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     // the TYPE frame: every distinct trigram with its token count and
     // its decomposition (history = w1 w2, low = w2 w3, mid = w2, cur = w3)
-    val types = tf.groupBy(col("tri")).agg(sum(col("tf")).as("c3"))
+    val types = Pin.pin(tf.groupBy(col("tri")).agg(sum(col("tf")).as("c3"))
       .withColumn("_p", split(col("tri"), " "))
       .select(col("tri"), col("c3"),
         concat(element_at(col("_p"), 1), lit(" "),
@@ -965,11 +983,12 @@ object TextAnalysis {
         concat(element_at(col("_p"), 2), lit(" "),
           element_at(col("_p"), 3)).as("low"),
         element_at(col("_p"), 2).as("mid"),
-        element_at(col("_p"), 3).as("cur"))
+        element_at(col("_p"), 3).as("cur")))
     val histStats = types.groupBy(col("hist"))
       .agg(sum(col("c3")).as("ch"), count(lit(1)).as("n1h"))
     // distinct (w1) per (w2,w3): the continuation count N1+(• w2 w3)
-    val lowStats = types.groupBy(col("low")).agg(count(lit(1)).as("n1low"))
+    val lowStats = types.groupBy(col("low"))
+      .agg(count(lit(1)).as("n1low"))
       .withColumn("_p2", split(col("low"), " "))
       .select(col("low"), col("n1low"),
         element_at(col("_p2"), 1).as("mid"),
@@ -988,13 +1007,13 @@ object TextAnalysis {
             col("nmid").cast("double") +
           d * col("n1mid").cast("double") / col("nmid").cast("double") *
             (col("n1cur").cast("double") / col("ntypes").cast("double")))
-    val scored = types
+    val scored = Pin.pin(types
       .join(histStats, "hist")
       .join(lowStats.select(col("low"), col("n1low")), "low")
       .join(midStats, "mid")
       .join(curStats, "cur")
       .crossJoin(broadcast(nTypes))
-      .select(col("tri"), col("c3"), round(-log(p3), 6).as("cost"))
+      .select(col("tri"), col("c3"), round(-log(p3), 6).as("cost")))
     val head = scored.orderBy(col("c3").desc, col("tri")).limit(headGrams)
       .select(col("tri"), col("cost"))
     val hot = tf.join(broadcast(head), Seq("tri"))

@@ -863,20 +863,52 @@ object StreamingDedup {
       if (kids != null) kids.foreach(rmTree)
       f.delete(): Unit
     }
+    // ONE write job for all residue classes (r16): repartition on the
+    // residue puts each class in exactly one task, partitionBy splits
+    // that task's output one file per class — the per-class
+    // coalesce(1)-write loop this replaces ran nRes sequential jobs for
+    // the same files. The file stream source orders micro-batches by
+    // (modification time, path), so each class file's mtime is set
+    // explicitly to a strictly increasing value — batch k = residue k,
+    // exactly the arrival order the per-class loop produced by writing
+    // sequentially. Classes empty at this sf (possible at tiny scale
+    // factors) get an explicit empty file so the batch count — and with
+    // it every batch=<id> sink dir — stays a function of nRes alone.
+    val tmp = s"$scratchDir/_tmp_all"
+    src.withColumn("_res", pmod(col(idCol).cast("long"), lit(nRes.toLong)))
+      .repartition(nRes, col("_res"))
+      .write.mode("overwrite").partitionBy("_res").parquet(tmp)
+    val t0 = System.currentTimeMillis()
     (0 until nRes).foreach { b =>
-      val tmp = s"$scratchDir/_tmp_$b"
-      src.where(pmod(col(idCol), lit(nRes.toLong)) === b.toLong)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      val dst = java.nio.file.Paths.get(s"$scratchDir/res-$b.parquet")
+      val part = Option(new java.io.File(s"$tmp/_res=$b").listFiles())
+        .getOrElse(Array.empty)
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-        .foreach { p =>
-          java.nio.file.Files.move(p.toPath,
-            java.nio.file.Paths.get(s"$scratchDir/res-$b.parquet"),
+      part match {
+        case Some(p) =>
+          java.nio.file.Files.move(p.toPath, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-        }
-      rmTree(new java.io.File(tmp))
+        case None =>
+          // empty class: one 0-row file with the source schema
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              src.schema)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$tmp/_empty_$b")
+          Option(new java.io.File(s"$tmp/_empty_$b").listFiles())
+            .getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .foreach { p =>
+              java.nio.file.Files.move(p.toPath, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            }
+      }
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + b * 1000L)): Unit
     }
+    rmTree(new java.io.File(tmp))
     val schema = cachedSchema(spark, parquetPath)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(scratchDir)
