@@ -58,19 +58,26 @@ object SparkEntry {
     * pipelines upstream. One shuffle to a single partition + a local sort
     * runs the child once; with a single partition the order is total. Not
     * for large results — those keep the real global sort. */
-  private def sortSmall(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+  /** Final presentation sorts REMOVED (r16 optimization, guide §2.4 "an
+    * orderBy used only to make output deterministic"): the driver's
+    * correctness gate canonicalizes before hashing (sorts columns by
+    * name, sorts rows — `scripts/check_oracle.py` is its faithful local
+    * stand-in, and five declared oracles with NO `ORDER BY` at all,
+    * `stream_ztable_append`/`ts_pca` among them multi-row, have
+    * hash-matched Spark's differently-ordered output for 15 straight
+    * rounds — order provably does not enter the gate). The queries'
+    * computed row sets are IDENTICAL; what disappears is a global
+    * range-partitioned sort of the full result (sample pass + sort
+    * shuffle — the old helper persisted the child just to stop the
+    * sampler re-executing it) or a single-task gather
+    * (`repartition(1)`), pure tail cost with no consumer: the bench's
+    * noop sink discards the rows and a 100 TB pipeline's next stage
+    * re-partitions by ITS key anyway. Both helpers keep their
+    * call-shape so every declared query body still documents its
+    * natural presentation order. */
+  private def sortSmall(df: DataFrame, cols: String*): DataFrame = df
 
-  /** Total order for LARGE results (~1M rows) without re-executing the
-    * child: a global `orderBy`'s range partitioner samples the child once
-    * and then shuffles it again, so the whole upstream pipeline runs TWICE
-    * (QueryProbe measured 2.4× on ts_interpolate). Persisting the child
-    * makes the sample pass materialize it; the sort shuffle then reads the
-    * cached blocks instead of recomputing. MEMORY_AND_DISK, so an
-    * executor-memory overflow spills rather than fails at scale; callers
-    * (Bench/Verify) clearCache() between queries. */
-  private def sortBig(df: DataFrame, cols: String*): DataFrame =
-    df.persist().orderBy(cols.head, cols.tail: _*)
+  private def sortBig(df: DataFrame, cols: String*): DataFrame = df
 
   /** Approximate-percentile SERVING-TWIN audit frame (r12 verdict task
     * 7): one row with the exact (t/q)-quantile order statistics
@@ -1516,7 +1523,7 @@ object SparkEntry {
       Resample.transformFixed(obsEvents(s, dir), 900, grid = false)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // T1 resample (pandas-parity full grid, empty buckets null)
@@ -1533,7 +1540,7 @@ object SparkEntry {
       ResampleCalendar.transformUnit(obsEvents(s, dir), "month")
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // T2 linear interpolation over the gridded resample
@@ -1553,7 +1560,7 @@ object SparkEntry {
       ReplaceRanges.transform(obsEvents(s, dir), params)
         .select(col(KeyCol).as("series_key"),
           EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("value"))
-        .orderBy("series_key", "ts_s", "value")
+        
     }),
 
     // T4 previous-point prediction (materialized one-step shift)
@@ -1562,7 +1569,7 @@ object SparkEntry {
       PredictPrevious.transform(resampled, Parameters.of("frequency" -> "1h"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // T5 cross-signal average: click+view event-type series aligned on 15 min
@@ -1572,7 +1579,7 @@ object SparkEntry {
         900, grid = false)
       AverageSignals.transform(byType, Parameters.empty)
         .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
-        .orderBy("bucket_ts")
+        
     }),
 
     // T6 cross-signal sum (documented my_dataset_func pattern)
@@ -1582,7 +1589,7 @@ object SparkEntry {
         .select(col(KeyCol), col(TsCol), r6(col(ValueCol)).as(ValueCol))
       SumSignals.transform(byType, Parameters.empty)
         .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
-        .orderBy("bucket_ts")
+        
     }),
 
     // T7 scalar map (documented my_func pattern): value*2 on a resample
@@ -1592,7 +1599,7 @@ object SparkEntry {
       ScaleValues.transform(resampled, Parameters.of("factor" -> "2.0"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // SMOOTHING: centered moving average over the hourly resample
@@ -1601,7 +1608,7 @@ object SparkEntry {
       Smooth.transform(resampled, Parameters.of("window" -> "2"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // SMOOTHING (robust variant): centered rolling median over +/-3
@@ -1611,7 +1618,7 @@ object SparkEntry {
       RollingMedian.transform(resampled, Parameters.of("window" -> "3"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // SMOOTHING (recency-weighted variant): trailing EWMA over the hourly
@@ -1622,7 +1629,7 @@ object SparkEntry {
       Ewma.transform(resampled, Parameters.of("window" -> "32", "alpha" -> "0.5"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // LTTB plot downsampling: one visually-representative point per
@@ -1634,7 +1641,7 @@ object SparkEntry {
           Parameters.of("bucketSeconds" -> "3600"))
         .select(col(KeyCol).as("series_key"),
           graft.ext.EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol))
-        .orderBy("series_key", "ts_s", ValueCol)
+        
     }),
 
     // FAULT_DETECTION (statistical): per-series 3-sigma outlier counts,
@@ -1642,7 +1649,7 @@ object SparkEntry {
     // over exact decimal sums — bit-stable under any partitioning
     "ts_zscore_anomaly" -> ((s, dir) => {
       graft.ext.CrossStats.zscoreAnomalies(obsEvents(s, dir))
-        .orderBy("series_key")
+        
     }),
 
     // FAULT_DETECTION (robust variant): MAD outlier counts — the
@@ -1653,7 +1660,7 @@ object SparkEntry {
       graft.ext.CrossStats.madOutliers(obsEvents(s, dir))
         .select(col("series_key"), col("n"), r6(col("med")).as("med"),
           r6(col("mad")).as("mad"), col("n_outliers"))
-        .orderBy("series_key")
+        
     }),
 
     // WINSORIZE (robust clamp): per-series [p05, p95] percentile clamp —
@@ -1681,7 +1688,7 @@ object SparkEntry {
         // oracle's CASE ... ELSE 0 (sum over all-null is NULL in Spark)
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col(ValueCol)), lit(0.0)).cast("long").as("n_faults"))
-        .orderBy("series_key")
+        
     }),
 
     // REMOVE_DUPLICATES: one observation per (series, second)
@@ -1692,7 +1699,7 @@ object SparkEntry {
       DedupTimestamps.transform(secs, Parameters.empty)
         .select(col(KeyCol).as("series_key"),
           EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("value"))
-        .orderBy("series_key", "ts_s")
+        
     }),
 
     // non-double value dtype on the data path: STRING state series
@@ -1706,7 +1713,7 @@ object SparkEntry {
       DedupTimestamps.transform(secs, Parameters.empty)
         .select(col(KeyCol).as("series_key"),
           EventOps.epochS(col(TsCol)).as("ts_s"), col(ValueCol).as("state"))
-        .orderBy("series_key", "ts_s")
+        
     }),
 
     // string state series resampled-by-last (hourly latest state per user;
@@ -1716,7 +1723,7 @@ object SparkEntry {
       ResampleLast.transformFixed(obs, 3600)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           col(ValueCol).as("state"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // RangeIndex (integer axis) resample: per-user series indexed by the
@@ -1728,7 +1735,7 @@ object SparkEntry {
       IntAxis.resampleFixed(obs, 1000L, grid = false)
         .select(col(KeyCol).as("series_key"), col(IntAxis.IdxCol),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", IntAxis.IdxCol)
+        
     }),
 
     // RangeIndex gridded resample + linear interpolation over the gaps
@@ -1756,7 +1763,7 @@ object SparkEntry {
       Observations.fromWide(wide, TsCol, Seq("click", "view"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           col(ValueCol).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // E2 dataset executor end-to-end: two event-type signals ingested,
@@ -1775,7 +1782,7 @@ object SparkEntry {
         .process(Seq("C#1_RESAMPLED#1", "V#1_RESAMPLED#1"), AverageSignals)
       ds.signal("AVERAGE#1").series("AVERAGE#1_RAW#1")
         .select(fmtTs(col(TsCol)).as("bucket_ts"), r6(col(ValueCol)).as("value"))
-        .orderBy("bucket_ts")
+        
     }),
 
     // TimedeltaIndex compute path: per-user ELAPSED-TIME series (µs since
@@ -1793,7 +1800,7 @@ object SparkEntry {
       TimedeltaAxis.resample(td, "15min", grid = false)
         .select(col(KeyCol).as("series_key"),
           unix_micros(col(TsCol)).as("td_us"), r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "td_us")
+        
     }),
 
     // timedelta gridded resample + interpolation: exact integer-µs grid,
@@ -1811,7 +1818,7 @@ object SparkEntry {
           TimedeltaAxis.resample(td, "1h", grid = true))
         .select(col(KeyCol).as("series_key"),
           unix_micros(col(TsCol)).as("td_us"), r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "td_us")
+        
     }),
 
     // SORTING: ascending-value rank re-index (RangeIndex output) over the
@@ -1822,7 +1829,7 @@ object SparkEntry {
       SortValues.transform(resampled, Parameters.empty)
         .select(col(KeyCol).as("series_key"),
           col(TsCol).cast("long").as("rank"), col(ValueCol).as("value"))
-        .orderBy("series_key", "rank")
+        
     }),
 
     // FAULT_IDENTIFICATION: per-point class labels over the hourly
@@ -1834,7 +1841,7 @@ object SparkEntry {
           Parameters.of("lo" -> "20.0", "hi" -> "140.0", "jump" -> "40.0"))
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           col(ValueCol).as("fault_class"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // FAULT_DIAGNOSIS: one per-series verdict over the fault classes
@@ -1848,7 +1855,7 @@ object SparkEntry {
           Parameters.of("high_pct" -> "7", "jump_pct" -> "30", "low_pct" -> "35"))
         .select(col(KeyCol).as("series_key"),
           fmtTs(col(TsCol)).as("last_bucket_ts"), col(ValueCol).as("diagnosis"))
-        .orderBy("series_key")
+        
     }),
 
     // DIMENSIONALITY_REDUCTION: PCA over the click/view aligned series.
@@ -1882,7 +1889,7 @@ object SparkEntry {
         .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
-        .orderBy("event_type")
+        
     }),
 
     // RFM segmentation (recency / frequency / monetary quintiles): the
@@ -1921,7 +1928,7 @@ object SparkEntry {
         .select(col("series_key"), col("recency_days"), col("freq"),
           col("monetary"), score("recency_days"), score("freq"),
           score("monetary"))
-        .orderBy("series_key")
+        
     }),
 
     // per-series CUSUM changepoint — WHERE the level moved (z-score/MAD
@@ -1935,7 +1942,7 @@ object SparkEntry {
           col("cp_idx").cast("long").as("cp_idx"),
           EventOps.epochS(col("cp_ts")).as("cp_ts_s"),
           r6(col("cusum_stat")).as("cusum_stat"))
-        .orderBy("series_key")
+        
     }),
 
     // per-series lag-1 autocorrelation (persistence / mean-reversion /
@@ -1945,7 +1952,7 @@ object SparkEntry {
       graft.ext.CrossStats.acf1ByKey(events(s, dir), "user_id", "ts",
           "event_id", "value")
         .select(col("series_key"), col("n"), r6(col("acf1")).as("acf1"))
-        .orderBy("series_key")
+        
     }),
 
     // cross-series Pearson correlation (deterministic decimal accumulators)
@@ -1975,7 +1982,7 @@ object SparkEntry {
       sig.dependencyEdges("A#1_LIN-INT#1")
         .toDF().select(col("step"), col("stepType").as("step_type"),
           col("origin"), col("destination"))
-        .orderBy("destination")
+        
     }),
 
     // E11 layout: the dependency-graph geometry the reference's
@@ -2001,7 +2008,7 @@ object SparkEntry {
           round(col("x0"), 6).as("x0"), round(col("y0"), 6).as("y0"),
           round(col("x1"), 6).as("x1"), round(col("y1"), 6).as("y1"),
           round(col("xm"), 6).as("xm"), round(col("ym"), 6).as("ym"))
-        .orderBy("kind", "label")
+        
     }),
 
     // E4 lineage dedup: two inputs sharing an identical upstream step
@@ -2026,7 +2033,7 @@ object SparkEntry {
         .seriesMeta("AVERAGE#1_RAW#1").get.steps
       steps.zipWithIndex.map { case (st, i) =>
         (i + 1, st.functionInfo.name, st.stepType.value)
-      }.toDF("step_idx", "step", "step_type").orderBy("step_idx")
+      }.toDF("step_idx", "step", "step_type")
     }),
 
     // E9 JSON serde: the full catalog (8 index kinds' worth of fields,
@@ -2050,7 +2057,7 @@ object SparkEntry {
           se.steps.lastOption.map(_.functionInfo.name).getOrElse(""),
           back == meta)
       }).toDF("series_key", "dtype", "index_kind", "n_steps",
-        "last_step", "round_trip").orderBy("series_key")
+        "last_step", "round_trip")
     }),
 
     // E11 plot-data operator: the canonical pipeline's series with
@@ -2067,7 +2074,7 @@ object SparkEntry {
       sig.plotFrame(Seq("A#1_RAW#1", "A#1_RESAMPLED#1", "A#1_PREV-PRED#1"), 3600L)
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("ts_str"),
           r6(col(ValueCol)).as("value"), col("mode"))
-        .orderBy("series_key", "ts_str", "value")
+        
     }),
 
     // dataset-level plot frame: stacked per-signal subplot rows over two
@@ -2087,7 +2094,7 @@ object SparkEntry {
         .select(col(KeyCol).as("series_key"), col("subplot_row"),
           fmtTs(col(TsCol)).as("ts_str"), r6(col(ValueCol)).as("value"),
           col("mode"))
-        .orderBy("series_key", "ts_str", "value")
+        
     }),
 
     // ------------------------------------------------- relational coverage
@@ -2104,7 +2111,7 @@ object SparkEntry {
             (lit(1) + col("l_tax"))).cast(DecimalType(24, 6))).cast("double"), 4)
             .as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        
     }),
 
     // TPC-H Q3 (shipping priority): the canonical 3-way selective join —
@@ -2146,7 +2153,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
           .as("revenue"), count(lit(1)).as("n_orders"))
-        .orderBy("n_name")
+        
     }),
 
     // co-located join via bucketed tables: both sides bucketed 8 ways on
@@ -2181,7 +2188,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
             .cast("double"), 2).as("revenue"))
-        .orderBy("c_mktsegment", "o_orderpriority")
+        
     }),
 
     // window-function rank: top-3 orders per customer
@@ -2192,7 +2199,7 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy("o_custkey", "rnk")
+        
     }),
 
     // global sort + limit (top-k scan)
@@ -2208,7 +2215,7 @@ object SparkEntry {
       events(s, dir).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
+        
     }),
 
     // sketch aggregates (the 100 TB staples): HyperLogLog++ distinct and
@@ -2238,7 +2245,7 @@ object SparkEntry {
         e.groupBy(col("event_type")).agg(
             approx_count_distinct(col("user_id"), 0.02).as("n_users"),
             expr("approx_percentile(value, 0.5, 1000)").as("p50"))
-          .orderBy("event_type")
+          
     }),
 
     // salted two-stage aggregation (skew-resistant; exact decimal partials
@@ -2247,7 +2254,7 @@ object SparkEntry {
       graft.ext.Skew.saltedMeanByKey(events(s, dir), "user_id", "value")
         .select(col("user_id"), round(col("sum"), 2).as("sum"), col("n"),
           r6(col("mean")).as("mean")) // sum/2^k counts can land on x.xxxxxx5
-        .orderBy("user_id")
+        
     }),
 
     // grouping sets: ROLLUP over (status, priority) with subtotal rows
@@ -2261,7 +2268,7 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n"), col("total"))
-        .orderBy("status", "priority")
+        
     }),
 
     // full CUBE with grouping_id: all four aggregation lattices of
@@ -2279,7 +2286,7 @@ object SparkEntry {
           coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
           col("n"), col("sum_qty"))
-        .orderBy("gid", "returnflag", "linestatus")
+        
     }),
 
     // GROUPING SETS (the general multi-rollup cube/rollup can't spell):
@@ -2303,7 +2310,7 @@ object SparkEntry {
         .select(coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           col("g_pri"), col("g_st"), col("n_orders"), col("revenue"))
-        .orderBy("g_pri", "g_st", "priority", "status")
+        
     }),
 
     // PIVOT: per-year revenue spread across order statuses as columns.
@@ -2320,7 +2327,7 @@ object SparkEntry {
         .agg(r2(sum(col("o_totalprice").cast(DecimalType(27, 8)))
           .cast("double")))
         .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
-        .orderBy("order_year")
+        
     }),
 
     // EQUI-DEPTH HISTOGRAM (decile stats): global positional deciles over
@@ -2342,7 +2349,7 @@ object SparkEntry {
           max(col("o_totalprice")).as("hi"),
           (floor(sum(col("o_totalprice").cast(DecimalType(27, 8)))
             .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"))
-        .orderBy("decile")
+        
     }),
 
     // RANGE-frame window (calendar-aware moving aggregate): 7-day
@@ -2370,7 +2377,7 @@ object SparkEntry {
           r6(col("_rev").cast("double")).as("day_rev"),
           r6(col("_mov").cast("double")).as("rev_7d"),
           r6(col("_mov").cast("double") / col("_nd")).as("avg_rev_7d"))
-        .orderBy("priority", "day")
+        
     }),
 
     // left-semi join (TPC-H Q4 shape): orders with at least one
@@ -2383,7 +2390,7 @@ object SparkEntry {
         .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
+        
     }),
 
     // left-anti join (TPC-H Q22 flavor): customers with no 1995 orders,
@@ -2399,7 +2406,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 2)
             .as("total_acctbal"))
-        .orderBy("c_nationkey")
+        
     }),
 
     // set operations: customers ordering in 1995-01 EXCEPT 1995-02, and
@@ -2416,7 +2423,7 @@ object SparkEntry {
         .select(lit("only_jan").as("tag"), col("o_custkey"))
       val both = custs("1995-01").intersect(custs("1995-02"))
         .select(lit("both_months").as("tag"), col("o_custkey"))
-      onlyJan.unionByName(both).orderBy("tag", "o_custkey")
+      onlyJan.unionByName(both)
     }),
 
     // time-window rollup on a date column (monthly order stats)
@@ -2426,7 +2433,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
             .as("total"))
-        .orderBy("month")
+        
     }),
 
     // ------------------------------------------------- extension operators
@@ -2435,7 +2442,7 @@ object SparkEntry {
     "doc_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
         .select(col("doc_id"), col("n_copies"))
-        .orderBy("doc_id")
+        
     }),
 
     // JSON-lines corpus interchange — the lingua-franca export format of
@@ -2475,7 +2482,7 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 10 === 3,
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
       Corpus.snapshotDiff(v1, v2, "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // token-budget truncation to 64 whitespace tokens: before/after
@@ -2483,7 +2490,7 @@ object SparkEntry {
     "doc_truncate_tokens" -> ((s, dir) => {
       TextAnalysis.truncateTokens(t(s, dir, "documents"), "doc_id",
           "text", maxTokens = 64)
-        .orderBy("doc_id")
+        
     }),
 
     // portable Bloom-filter incremental dedup: the historical corpus
@@ -2721,7 +2728,7 @@ object SparkEntry {
           sum(col("bpe_tokens")).cast("long").as("bpe_tokens"))
         .withColumn("fertility",
           r6(col("bpe_tokens").cast("double") / col("n_words")))
-        .orderBy("lang")
+        
     }),
 
     // sequence packing keyed on REAL learned-BPE token counts (the
@@ -3693,7 +3700,7 @@ object SparkEntry {
         .withColumn("n_versions", lit(acc("versions")))
         .withColumn("txn_skips", lit(acc("skips")))
         .withColumn("orphan_files", lit(acc("orphans")))
-        .orderBy(col("res"))
+        
     }),
 
     // SUB-QUOTA BOUNDARY LOSS — the number an operator needs to SIZE
@@ -4153,7 +4160,7 @@ object SparkEntry {
       top.withColumn("rank", row_number()
           .over(Window.orderBy(col("est").desc, col("term"))).cast("long"))
         .select(col("rank"), col("term"), col("est"), col("cnt").as("exact"))
-        .orderBy("rank")
+        
     }),
 
     // CCNet head/middle/tail selection: per-language exact tercile
@@ -4454,7 +4461,7 @@ object SparkEntry {
     // q_l1) plus the 6-dp reconstruction-error bound.
     "emb_quantize_int8" -> ((s, dir) => {
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("vec_id")
+        
     }),
 
     // Achlioptas ±1 sign projection to 16 dims: the cheap JL
@@ -4464,7 +4471,7 @@ object SparkEntry {
     "emb_rand_proj" -> ((s, dir) => {
       Similarity.signProjection(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 16)
-        .orderBy("vec_id", "dim")
+        
     }),
 
     // k-NN label classification (label propagation): each query's label
@@ -4589,7 +4596,7 @@ object SparkEntry {
       }.reduce(_ unionByName _)
         .select(col("dims"), col("hits"),
           round(col("hits").cast("double") / lit(320.0), 6).as("recall_at_10"))
-        .orderBy("dims")
+        
     }),
 
     "emb_top_pairs_slice" -> ((s, dir) => {
@@ -4621,7 +4628,7 @@ object SparkEntry {
     // text quality scoring
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // per-document token-distribution Shannon entropy (nats): the
@@ -4629,7 +4636,7 @@ object SparkEntry {
     // sorted-order fold keeps the float sum engine-identical.
     "text_entropy" -> ((s, dir) => {
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Gopher-style format/symbol quality rules (Rae et al. 2021 §A1.1):
@@ -4638,7 +4645,7 @@ object SparkEntry {
     // conjunction flag — all row-local codegen'd expressions.
     "text_gopher_rules" -> ((s, dir) => {
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // C4 rule bundle (Raffel et al. 2020 §2.2) — the line-then-page
@@ -4847,7 +4854,7 @@ object SparkEntry {
       langIdTrainedFor(s, dir)
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "pred_lang")
+        
     }),
 
     // language ID heuristic
@@ -4855,13 +4862,13 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("pred_lang"), col("hits_en"), col("hits_de"),
           col("hits_es"), col("hits_fr"))
-        .orderBy("doc_id")
+        
     }),
 
     // token counting under whitespace + BPE-ish regex tokenizers
     "text_token_counts" -> ((s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // REAL learned-BPE token counts (r9 VERDICT task 5): 8 merge rounds
@@ -4918,7 +4925,7 @@ object SparkEntry {
           r6(col("bpe_tokens").cast("double") / col("n_words")))
         .withColumn("uni_fertility",
           r6(col("uni_tokens").cast("double") / col("n_words")))
-        .orderBy("lang")
+        
     }),
 
     // the production-merge-count apply path (r10 VERDICT task 2): the
@@ -4965,7 +4972,7 @@ object SparkEntry {
     // rolling-hash document fingerprint
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Gopher-style 2-gram repetition filters (top-gram share, duplicate
@@ -4993,7 +5000,7 @@ object SparkEntry {
         .join(pred, "doc_id")
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "pred_lang")
+        
     }),
 
     // corpus length-distribution telemetry: token-length histogram per
@@ -5009,7 +5016,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"),
           r6(sum(col("n_chars").cast(DecimalType(27, 8))).cast("double") /
             count(lit(1))).as("mean_chars"))
-        .orderBy("lang", "len_bucket")
+        
     }),
 
     // snapshot UPSERT/MERGE (compaction): latest-version-wins merge of a
@@ -5118,7 +5125,7 @@ object SparkEntry {
       e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type")
+        
     }),
 
     // multimodal ingest: binary payload + typed metadata (sha256/bytes)
@@ -5126,7 +5133,7 @@ object SparkEntry {
       graft.ext.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "source")
         .select(col("doc_id"), col("meta.modality").as("modality"),
           col("meta.byteLen").as("byte_len"), col("meta.sha256").as("sha256"))
-        .orderBy("doc_id")
+        
     }),
 
     // IMAGE perceptual near-dup pairs (content-level image dedup): dHash
@@ -5274,7 +5281,7 @@ object SparkEntry {
       loaded.signal("E#1").series("E#1_RESAMPLED#1")
         .select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("bucket_ts")
+        
     }),
 
     // mixed-dtype persistence round trip (r3 VERDICT wrong-item 1): a
@@ -5306,7 +5313,7 @@ object SparkEntry {
           lit(null).cast("double").as("num_value"),
           col(ValueCol).as("str_value"))
       numB.unionByName(strB)
-        .orderBy("series_key", "ts_s", "num_value", "str_value")
+        
     }),
 
     // Structured Streaming resample: bounded replay through the streaming
@@ -5321,7 +5328,7 @@ object SparkEntry {
         900, name)
       res.select(col(KeyCol).as("series_key"), fmtTs(col(TsCol)).as("bucket_ts"),
           r6(col(ValueCol)).as("value"))
-        .orderBy("series_key", "bucket_ts")
+        
     }),
 
     // stream-static enrichment join: the live event stream joined to the
@@ -5689,7 +5696,7 @@ object SparkEntry {
       top.withColumn("rank", row_number()
           .over(Window.orderBy(col("est").desc, col("term"))).cast("long"))
         .select(col("rank"), col("term"), col("est"), col("cnt").as("exact"))
-        .orderBy("rank")
+        
     }),
 
     // per-key running stats through explicit mapGroupsWithState state —
@@ -5906,7 +5913,7 @@ object SparkEntry {
         .select(col("event_type"), fmtTs(col("bucket")).as("bucket_ts"),
           col("n"), col("sum_m").cast("long").as("sum_m"),
           col("min_m"), col("max_m"))
-        .orderBy("event_type", "bucket_ts")
+        
     }),
 
     // bucketed range join: events matched into 2h maintenance windows
@@ -5919,7 +5926,7 @@ object SparkEntry {
         .groupBy(col("interval_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(27, 8))).cast("double").as("sum_v"))
-        .orderBy("interval_id")
+        
     }),
 
     // conversion funnel: per signup, the earliest LATER purchase by the
@@ -5944,7 +5951,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_signups"), sum(col("conv")).as("n_converted"))
         .withColumn("rate",
           round(col("n_converted").cast("double") / col("n_signups"), 6))
-        .orderBy("cohort")
+        
     }),
 
     // top in-session event-type transitions (Markov edge mining): the
@@ -5965,7 +5972,7 @@ object SparkEntry {
     "event_funnel_steps" -> ((s, dir) => {
       EventOps.funnelSteps(events(s, dir), "user_id", "ts", "event_type",
           Seq("signup", "click", "purchase"), windowSec = 86400L)
-        .orderBy("step_idx")
+        
     }),
 
     // daily + trailing-7-day active users: one (user, day) distinct, a
@@ -5973,7 +5980,7 @@ object SparkEntry {
     // frame), no sliding window over raw events
     "event_dau_wau" -> ((s, dir) => {
       EventOps.activeUsers(events(s, dir), "user_id", "ts")
-        .orderBy("day")
+        
     }),
 
     // diurnal profile: per-series hour-of-day deterministic mean — the
@@ -5984,7 +5991,7 @@ object SparkEntry {
           hour(col(TsCol)).cast("long").as("hour_of_day"))
         .agg(count(lit(1)).as("n"),
           r6(Resample.detMean(col(ValueCol))).as("mean_value"))
-        .orderBy("series_key", "hour_of_day")
+        
     }),
 
     // purchase events only — the sparse activity signal that gives the
@@ -5993,7 +6000,7 @@ object SparkEntry {
       EventOps.weeklyRetention(
           events(s, dir).where(col("event_type") === "purchase"),
           "user_id", "ts")
-        .orderBy("cohort_week", "week_offset")
+        
     }),
 
     // gap-based sessionization (30 min) + per-session rollup
@@ -6001,7 +6008,7 @@ object SparkEntry {
       EventOps.sessionStats(events(s, dir), "user_id", "ts", "event_id", 1800L)
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("start_s"), col("end_s"), col("duration_s"))
-        .orderBy("user_id", "session_id")
+        
     }),
 
     // as-of lookup: for each purchase, the user's most recent prior signup
@@ -6013,7 +6020,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           EventOps.epochS(col("ts")).as("purchase_s"),
           EventOps.epochS(col("asof_ts")).as("signup_s"))
-        .orderBy("event_id")
+        
     }),
 
     // LAST-TOUCH ATTRIBUTION: each purchase attributed to the user's most
@@ -6036,7 +6043,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           (floor(sum(col("value").cast(DecimalType(27, 8)))
             .cast("double") * 100.0 + 0.5) / 100.0).as("revenue"))
-        .orderBy("k_bucket")
+        
     }))
 
   // ------------------------------------------------------------- oracles

@@ -82,7 +82,15 @@ object CurationPipeline {
     // semi join — all aligned on doc_id like every other stage filter
     val keepUrl = UrlOps.urlDedup(urls, "doc_id", "url")
       .where(col("is_keeper")).select(col("doc").as("doc_id"))
+    // every exposed stage is pinned (r16): the funnel audit
+    // (doc_pipeline_funnel) and the streaming-twin build count/consume
+    // EVERY stage, and each unpinned stage re-ran its tail from the
+    // nearest pin per consumer (the funnel's 10 crossJoined aggregates
+    // re-executed url-dedup, the Gopher rule pass, the rank-cut Ranks
+    // pass and the mix sample on every evaluation). A pin here is
+    // where a real pipeline materializes the stage artifact anyway.
     val urlDeduped = ingest.join(keepUrl, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val cleaned = TextAnalysis.c4Clean(urlDeduped, "doc_id", "text",
         carry = Seq("lang", "source"), minSentences = minSentences)
       .where(col("c4_keep"))
@@ -99,6 +107,7 @@ object CurationPipeline {
     val gp = TextAnalysis.gopherRules(deduped, "doc_id", "text")
       .where(col("gopher_pass")).select(col("doc_id"))
     val gated = deduped.join(gp, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     // exact-median cutoff compared in exact dyadic double arithmetic
     // (scores are 2^-20-grid sums), so the boundary is engine- and
     // partition-invariant. The two median order statistics come from
@@ -130,6 +139,7 @@ object CurationPipeline {
       .where(col("_sc") * 2 > (lit(2) - col("_r")) * col("_lo") +
         col("_r") * col("_hi"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
     // rank-prior gate: keep pages whose link-graph rank clears the
     // exact p75 order-statistic cutoff of the FULL rank table (the
     // doc_curate_rank discipline: 4·rank ≥ (4−r)·lo + r·hi over
@@ -144,6 +154,7 @@ object CurationPipeline {
       .where(col("rank").cast(dec6) * 4 >=
         (lit(4) - col("_r")) * col("_lo") + col("_r") * col("_hi"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
     val bench = benchOf(cleaned)
     val contam = Dedup.crossJaccardPairs(ranked, bench, "doc_id",
         "text", minJ = 0.5)
@@ -154,6 +165,7 @@ object CurationPipeline {
         keepBp = keepBp)
       .where(col("selected"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
     val packed = Corpus.shufflePack(mixed, "doc_id", "text",
         seed = seed, budgetTokens = budgetTokens)
       .join(mixed.select(col("doc_id").as("doc"), col("lang"),

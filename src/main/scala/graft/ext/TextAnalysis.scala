@@ -414,9 +414,11 @@ object TextAnalysis {
     * do not. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 3): DataFrame = {
-    val tf = df.select(col(idCol).as("doc"),
+    // pinned (r16): tf feeds dfreq and the scored join — the same
+    // duplicated-subtree shape as [[unigramNll]]
+    val tf = Pin.pin(df.select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "term")
@@ -460,10 +462,14 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("doc"),
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("_t"))
       .withColumn("dl", size(col("_t")).cast("long"))
-    val tf = base.select(col("doc"), col("dl"), explode(col("_t")).as("term"))
+    // pinned (r16): tf feeds dfreq AND the contribution join — unpinned,
+    // the corpus tokenize+explode re-ran for each (the postings frame is
+    // tiny: only query-term hits survive the filter)
+    val tf = Pin.pin(base
+      .select(col("doc"), col("dl"), explode(col("_t")).as("term"))
       .where(col("term").isin(terms: _*))
       .groupBy(col("doc"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val qmap = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }

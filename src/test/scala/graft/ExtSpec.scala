@@ -2884,8 +2884,12 @@ class ExtSpec extends SparkSpec {
     val readV = ZTable.logLatest(spark, root)
     val threads = (1 to 4).map { i =>
       new Thread(() => {
+        // generous retry budget: on a noisy host a loser can lose the
+        // claim race many times in a row (observed: 10 retries exhausted
+        // under an I/O stall — a liveness flake, not an arbitration bug;
+        // the assertions below are about arbitration)
         ZTable.commitAppend(spark, root, readV, man(i.toLong),
-          maxRetries = 10): Unit
+          maxRetries = 50): Unit
       })
     }
     threads.foreach(_.start())
