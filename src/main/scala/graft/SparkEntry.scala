@@ -872,6 +872,26 @@ object SparkEntry {
       .withColumn("_rpf", expr("(_n + 63) div 64"))
   }
 
+  /** Per-JVM registry of the PINNED z-order rank frame (r17): seven call
+    * sites (the logical skipping audit + six materialized-table builds)
+    * each re-derived the identical deterministic frame — 5 range-rank
+    * passes apiece, ~30 s of the bench's fixture build wall re-spent on
+    * the same rows. Cached once per (JVM, sf dir) under the same
+    * contract as [[rankCache]]/[[clusterCache]] (a real lakehouse
+    * materializes its layout-rank table once per OPTIMIZE, not per
+    * consumer); the cold build wall is reported as `zorderRanked` in
+    * `build_walls`. */
+  private val zorderRankedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def zorderRankedFor(s: SparkSession, dir: String): DataFrame =
+    zorderRankedCache.get(dir).filter(_.sparkSession eq s).getOrElse(
+        timedBuild("zorderRanked", dir) {
+      val f = zorderRankedFrame(s, dir).localCheckpoint(true)
+      zorderRankedCache.put(dir, f)
+      f
+    })
+
   /** Per-JVM registry of MATERIALIZED z-order layout corpora
     * (doc_zorder_skipping_mat): the three layouts written as real
     * parquet, one data file per logical file_id. */
@@ -886,13 +906,12 @@ object SparkEntry {
     zorderMatPath.getOrElseUpdate(dir, timedBuild("zorderMat", dir) {
       val p = s"$scratchBase/graft_zorder_mat_" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-      // pinned: three layout writers consume one rank frame (the
-      // writer derives its own rpf — drop the frame's _n/_rpf so its
-      // internal count crossJoin can't collide)
-      val ranked = zorderRankedFrame(s, dir)
+      // three layout writers consume one rank frame, already pinned by
+      // the shared registry (the writer derives its own rpf — drop the
+      // frame's _n/_rpf so its internal count crossJoin can't collide)
+      val ranked = zorderRankedFor(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"),
           col("zrank"), col("lrank"), col("hrank"))
-        .localCheckpoint(true)
       for ((tag, rank) <- Seq(("zorder", "zrank"), ("linear", "lrank"),
           ("hash", "hrank"))) {
         val st = zorderWriteFiles(ranked, rank, nFiles = 64, offset = 0,
@@ -946,10 +965,9 @@ object SparkEntry {
     * a table). */
   private def buildZorderIncrTable(s: SparkSession, dir: String,
       p: String): Unit = {
-      val z = zorderRankedFrame(s, dir)
+      val z = zorderRankedFor(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
           col("hkey"))
-        .localCheckpoint(true)
       val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
       val table = s"$p/table"
       // txn 1 (static overwrite wipes any stale table dir): base
@@ -1036,10 +1054,9 @@ object SparkEntry {
       rm(new java.io.File(p))
       val table = s"$p/table"
       val root = s"$p/_log"
-      val z = zorderRankedFrame(s, dir)
+      val z = zorderRankedFor(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
           col("hkey"))
-        .localCheckpoint(true)
       val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
       val stBase = zorderWriteFiles(
         Ranks.globalRowNumber(z.where(!isApp),
@@ -1152,10 +1169,9 @@ object SparkEntry {
       rm(new java.io.File(p))
       val table = s"$p/table"
       val root = s"$p/_log"
-      val z = zorderRankedFrame(s, dir)
+      val z = zorderRankedFor(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
           col("hkey"))
-        .localCheckpoint(true)
       val isApp = col("b2") >= 144 && pmod(col("doc_id"), lit(2L)) === 0L
       val stBase = zorderWriteFiles(
         Ranks.globalRowNumber(z.where(!isApp),
@@ -3326,7 +3342,7 @@ object SparkEntry {
     // shuffles — the same passes a real OPTIMIZE ZORDER runs); the
     // audit output is 3 × 64 rows.
     "doc_zorder_skipping" -> ((s, dir) => {
-      val ranked = zorderRankedFrame(s, dir)
+      val ranked = zorderRankedFor(s, dir)
       def layout(tag: String, rank: String) =
         ranked.select(lit(tag).as("layout"),
           expr(s"($rank - 1) div _rpf").as("file_id"),
@@ -3412,10 +3428,9 @@ object SparkEntry {
           dir.replaceAll("[^A-Za-z0-9.]", "_")
         // global equi-depth bits + z/h keys (shared with the audits so
         // appended rows land in the same bit space as base rows)
-        val z = zorderRankedFrame(s, dir)
+        val z = zorderRankedFor(s, dir)
           .select(col("doc_id"), col("b1"), col("b2"), col("zkey"),
             col("hkey"))
-          .localCheckpoint(true)
         val baseRows = z.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
         val appRows = z.where(pmod(col("doc_id"), lit(5L)) === 0L)
         writeStatsManifest(zorderWriteFiles(
