@@ -227,15 +227,24 @@ object Dedup {
     * the deduplicated corpus accounting — (doc, n_tokens,
     * removed_tokens, kept_md5), the md5 pinning every surviving byte.
     *
-    * Shape: window hashes (row-local; RECOMPUTED per consumer, not
+    * Shape (r17): window hashes (row-local; RECOMPUTED per consumer, not
     * materialized — a corpus-scale localCheckpoint measured SLOWER than
     * re-running the cheap regex+md5 projection at both sf0.1 and 1M,
     * and at 100 TB there is nowhere to park the frame anyway) → keeper
-    * decision (one hash-keyed map-side-combinable
-    * struct-min aggregate) → covered/protected-position explodes
-    * (∝ duplicated tokens, not corpus²) → one (doc, pos)-keyed left
-    * join against the exploded token frame → per-doc sorted-struct
-    * fold. All joins hash-keyed; no corpus-global order. */
+    * decision (one hash-keyed map-side-combinable struct-min aggregate)
+    * → per-doc sorted occurrence list (one doc-keyed aggregate, rows ∝
+    * duplicated windows) → ONE doc-keyed join back to the corpus → the
+    * [[graft.functions.SubstringStripScan]] row-local coverage sweep
+    * (O(tokens + occurrences) per doc). This replaces the r16 shape's
+    * covered-position explode (`sequence(pos, pos+k-1)` — a k× row
+    * blowup of the duplicated volume), its (doc, pos)-keyed aggregate,
+    * the corpus token explode, the (doc, pos)-keyed join, and the
+    * per-doc sorted-struct fold: at 100 TB the k× exploded shuffle and
+    * the token-level join were the two heaviest exchanges of the query.
+    * Same values by construction (fixed-length-k coverage reduces to a
+    * two-pointer sweep over sorted starts); ExtSpec pins equality
+    * against the exploded pipeline rebuilt inline over the real
+    * fixture. All joins hash-keyed; no corpus-global order. */
   def substringStrip(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val windows = windowHashes(df, idCol, textCol, k)
@@ -245,39 +254,33 @@ object Dedup {
       .where(col("_c") >= 2)
       .select(col("whash"), col("_k.doc").as("_kdoc"),
         col("_k.pos").as("_kpos"))
-    // duplicated-hash occurrences with their keeper flag — ONE coverage
-    // explode + ONE (doc, pos) aggregate decides both sides of the rule
-    // (removable-covered AND not keeper-protected) instead of two
-    // explodes + distinct + anti-join; keyed is consumed once, so
-    // nothing needs materializing
+    // duplicated-hash occurrences with their keeper flag — the
+    // occurrence list decides both sides of the rule (removable-covered
+    // AND not keeper-protected) inside the row-local sweep
     val keyed = windows.join(keepers, "whash")
       .select(col("doc"), col("pos"),
         (col("doc") === col("_kdoc") && col("pos") === col("_kpos"))
           .as("_isk"))
-    val covered = keyed
-      .select(col("doc"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"),
-        col("_isk"))
-      .groupBy(col("doc"), col("pos"))
-      .agg(max(when(col("_isk"), 1).otherwise(0)).as("_p"),
-        max(when(!col("_isk"), 1).otherwise(0)).as("_r"))
-      .where(col("_r") === 1 && col("_p") === 0)
-      .select(col("doc"), col("pos"))
-      .withColumn("_cov", lit(1))
+    // one row per doc: its duplicated-window occurrences sorted by pos
+    // (pos is unique per doc, so the struct sort IS a pos sort)
+    val markedPerDoc = keyed.groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("_isk"))))
+        .as("_mk"))
     val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
-    val tokens = df.select(col(idCol).as("doc"), toks.as("_t"))
-      .select(col("doc"), posexplode(col("_t")).as(Seq("pos", "tok")))
-    tokens.join(covered, Seq("doc", "pos"), "left")
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("_cov"), lit(0))).cast("long").as("removed_tokens"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(when(col("_cov").isNull,
-            struct(col("pos"), col("tok"))))),
-          s => s.getField("tok"))).as("_kept"))
-      .select(col("doc"), col("n_tokens"), col("removed_tokens"),
-        when(col("n_tokens") > col("removed_tokens"), md5(col("_kept")))
-          .as("kept_md5"))
+    df.select(col(idCol).as("doc"), toks.as("_t"))
+      // posexplode of an empty/null token array emitted nothing — docs
+      // with no tokens stay absent from the output, as before
+      .where(size(col("_t")) >= 1)
+      .join(markedPerDoc, Seq("doc"), "left")
+      // staged projection: the scan struct is expensive and referenced
+      // twice below, so CollapseProject keeps it evaluated once per row
+      .withColumn("_sr", graft.functions.StripFunctions.substringStripScan(
+        col("_t"), coalesce(col("_mk"), array()), k))
+      .select(col("doc"), size(col("_t")).cast("long").as("n_tokens"),
+        col("_sr").getField("removed").as("removed_tokens"),
+        when(size(col("_t")).cast("long") >
+            col("_sr").getField("removed"),
+          md5(col("_sr").getField("kept"))).as("kept_md5"))
   }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,

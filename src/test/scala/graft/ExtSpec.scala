@@ -208,6 +208,64 @@ class ExtSpec extends SparkSpec {
     assert(out(2) == ((3L, 2L, 2L, null)))
   }
 
+  test("substring strip: row-local scan ≡ the relational coverage pipeline") {
+    // the r17 rewrite replaced the covered-position explode
+    // (sequence(pos, pos+k-1) → (doc,pos) aggregate → token-level join →
+    // sorted-struct fold) with the SubstringStripScan per-doc sweep;
+    // rebuild the OLD pipeline inline and assert identical output rows
+    // on the real fixture WITH the declared query's plant (offset-
+    // shifted full-doc duplicates) — the k-means-rewrite proof
+    // discipline.
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base.where(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("planted leak prefix alpha beta "), col("text"))
+          .as("text"))
+    val df = base.unionByName(planted)
+    val k = 8
+    val windows = Dedup.windowHashes(df, "doc_id", "text", k)
+    val keepers = windows.groupBy(col("whash"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col("doc"), col("pos"))).as("_k"))
+      .where(col("_c") >= 2)
+      .select(col("whash"), col("_k.doc").as("_kdoc"),
+        col("_k.pos").as("_kpos"))
+    val keyed = windows.join(keepers, "whash")
+      .select(col("doc"), col("pos"),
+        (col("doc") === col("_kdoc") && col("pos") === col("_kpos"))
+          .as("_isk"))
+    val covered = keyed
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"),
+        col("_isk"))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(when(col("_isk"), 1).otherwise(0)).as("_p"),
+        max(when(!col("_isk"), 1).otherwise(0)).as("_r"))
+      .where(col("_r") === 1 && col("_p") === 0)
+      .select(col("doc"), col("pos"))
+      .withColumn("_cov", lit(1))
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val tokens = df.select(col("doc_id").as("doc"), toks.as("_t"))
+      .select(col("doc"), posexplode(col("_t")).as(Seq("pos", "tok")))
+    val reference = tokens.join(covered, Seq("doc", "pos"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_cov"), lit(0))).cast("long").as("removed_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("_cov").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("_kept"))
+      .select(col("doc"), col("n_tokens"), col("removed_tokens"),
+        when(col("n_tokens") > col("removed_tokens"), md5(col("_kept")))
+          .as("kept_md5"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val rewritten = Dedup.substringStrip(df, "doc_id", "text", k)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(reference.nonEmpty &&
+      reference.exists(_._3 > 0), "plant must produce stripped docs")
+    assert(rewritten == reference)
+  }
+
   test("html extraction keeps the article body and drops the chrome") {
     val html = "<html><head><title>T</title><style>p {c:1}</style></head>" +
       "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
