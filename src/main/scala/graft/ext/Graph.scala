@@ -98,6 +98,15 @@ object Graph {
     val dangling = nodesN
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
       .transform(Pin.pin)
+    // decided ONCE on the pinned frame (r17): a dangling-free graph's
+    // per-round mass aggregate is identically the decimal 0, whose share
+    // term rp(0.0/n) = 0.0 adds nothing (x + 0.0 ≡ x in IEEE for the
+    // non-negative sums here) — the object doc's "bit-identical to the
+    // pure contribution recursion" equivalence. Skipping it removes one
+    // broadcast job (a full pass over the rank frame) per round; the
+    // dangling-free callers (doc_pagerank's synthetic graph, most host
+    // graphs) run ONE job per round.
+    val hasDangling = !dangling.isEmpty
     // same op order as the oracle: 1.0/n, ×scale, +0.5, floor, ÷scale
     val r0 = math.floor(1.0 / n * scaleD + 0.5) / scaleD
     val base = (1.0 - damping) / n
@@ -107,20 +116,30 @@ object Graph {
         .select(col("dst"),
           rp(col("rank") / col("outdeg")).cast(dec).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_s"))
-      // dangling mass: ranks are already grid values, so the decimal sum
-      // is exact with no pre-round; the per-node share is ONE IEEE
-      // division re-snapped to the grid, spelled identically in SQL
-      val dm = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
-          .as("_dm"))
-      ranks = nodesN
-        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(broadcast(dm))
-        .select(col("node"),
-          rp(lit(base) + lit(damping) *
-            (coalesce(col("_s").cast("double"), lit(0.0)) +
-              rp(col("_dm").cast("double") / lit(n.toDouble)))).as("rank"))
-        .transform(Pin.pin)
+      val contrib = coalesce(col("_s").cast("double"), lit(0.0))
+      ranks =
+        if (!hasDangling)
+          nodesN
+            .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .select(col("node"),
+              rp(lit(base) + lit(damping) * contrib).as("rank"))
+            .transform(Pin.pin)
+        else {
+          // dangling mass: ranks are already grid values, so the decimal
+          // sum is exact with no pre-round; the per-node share is ONE
+          // IEEE division re-snapped to the grid, spelled identically in
+          // SQL
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
+              .as("_dm"))
+          nodesN
+            .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              rp(lit(base) + lit(damping) * (contrib +
+                rp(col("_dm").cast("double") / lit(n.toDouble)))).as("rank"))
+            .transform(Pin.pin)
+        }
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     ranks
