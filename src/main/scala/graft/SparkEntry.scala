@@ -4594,24 +4594,43 @@ object SparkEntry {
     // recall_* audit discipline); ranks on the 6-dp-rounded cosine with
     // the id tie order, so the recall fractions are engine-exact.
     "emb_dim_truncate" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 32)
-      def proj(df: DataFrame, d: Int) =
-        df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
-      val full = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("candidate_id"))
-        .localCheckpoint(true)
-      Seq(8, 16, 32, 64).map { d =>
-        Similarity.cosineTopK(proj(emb, d), proj(q, d), "vec_id",
-            "embedding", k = 10)
+      // r17: ONE pair pass instead of five brute-force cosineTopK passes.
+      // The sliced cosine at cut d is the dot fold's accumulator after d
+      // terms (DotProduct sums left-to-right from 0.0), so a single
+      // PrefixCosines kernel observes all four budgets' cosines
+      // bit-identically in one corpus × query scan; the d = 64 cut IS the
+      // full-dimension reference set. Four rank windows share the one
+      // pinned scored frame (ExtSpec pins equality against the five-pass
+      // formulation rebuilt inline).
+      val cuts = Seq(8, 16, 32, 64)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("_v"))
+      val q = base.where(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("_v").as("_qv"))
+      val scored = graft.ext.Pin.pin(base.repartition(col("vec_id"))
+        .crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("_pc", graft.functions.VectorFunctions.prefixCosines(
+          col("_qv"), col("_v"), cuts))
+        .select(Seq(col("query_id"), col("vec_id").as("candidate_id")) ++
+          cuts.indices.map(i =>
+            round(element_at(col("_pc"), i + 1), 6).as(s"_cos$i")): _*))
+      def topk(i: Int) = {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col(s"_cos$i").desc, col("candidate_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
           .select(col("query_id"), col("candidate_id"))
-          .join(full, Seq("query_id", "candidate_id"))
+      }
+      val full = topk(cuts.length - 1).localCheckpoint(true)
+      cuts.zipWithIndex.map { case (d, i) =>
+        topk(i).join(full, Seq("query_id", "candidate_id"))
           .agg(count(lit(1)).as("hits"))
           .select(lit(d.toLong).as("dims"), col("hits"))
       }.reduce(_ unionByName _)
         .select(col("dims"), col("hits"),
           round(col("hits").cast("double") / lit(320.0), 6).as("recall_at_10"))
-        
+
     }),
 
     "emb_top_pairs_slice" -> ((s, dir) => {

@@ -75,6 +75,76 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Prefix cosines of two `array<double>` vectors at fixed dimension cut
+  * points — the matryoshka dimension-truncation audit's pair kernel
+  * (`emb_dim_truncate`): for each cut d it returns
+  * `dot(a[0..d), b[0..d)) / (sqrt(Σa²) · sqrt(Σb²))` over the first
+  * min(d, len) elements, UNROUNDED (callers apply the engine `round`
+  * so the 6-dp boundary semantics stay Spark's own).
+  *
+  * Bit-identity with the sliced formulation it replaces
+  * (`dot(slice(a,1,d), slice(b,1,d)) / (norm(slice(a,1,d)) *
+  * norm(slice(b,1,d)))`): [[DotProduct]] folds products left-to-right
+  * from 0.0, so the value of the accumulator after d terms IS the dot
+  * of the d-slice — one pass per cut observes the identical IEEE op
+  * sequence, and one pair row yields every cut without re-scanning the
+  * corpus per dimension budget. Null semantics mirror the sliced form:
+  * effective lengths min(d, len) must match between the sides and a
+  * null element inside the window nulls that cut. */
+case class PrefixCosines(left: Expression, right: Expression, cuts: Seq[Int])
+    extends BinaryExpression {
+  require(cuts.nonEmpty && cuts.forall(_ >= 1), s"bad cuts $cuts")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PrefixCosines.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], cuts.toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cutsRef = ctx.addReferenceObj("pfxCuts", cuts.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PrefixCosines.compute($a, $b, $cutsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrefixCosines =
+    copy(left = newLeft, right = newRight)
+}
+
+object PrefixCosines {
+  /** One cosine per cut (see class doc) — shared by interpreted eval and
+    * generated code. */
+  def compute(a: ArrayData, b: ArrayData,
+      cuts: Array[Int]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val la = a.numElements(); val lb = b.numElements()
+    val out = new Array[Any](cuts.length)
+    var i = 0
+    while (i < cuts.length) {
+      val ea = math.min(cuts(i), la); val eb = math.min(cuts(i), lb)
+      if (ea == eb) {
+        var dot = 0.0; var aa = 0.0; var bb = 0.0
+        var j = 0
+        var ok = true
+        while (ok && j < ea) {
+          if (a.isNullAt(j) || b.isNullAt(j)) ok = false
+          else {
+            val x = a.getDouble(j); val y = b.getDouble(j)
+            dot += x * y; aa += x * x; bb += y * y
+            j += 1
+          }
+        }
+        if (ok) out(i) = dot / (math.sqrt(aa) * math.sqrt(bb))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Intersection size of two SORTED `array<long>` columns by linear merge —
   * O(n+m) with zero allocation, vs `array_intersect`'s per-row hash-set
   * build. Used for near-dup candidate verification where millions of pairs
@@ -789,6 +859,12 @@ object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Prefix cosines of two `array<double>` columns at fixed dimension
+    * cuts (unrounded — see [[PrefixCosines]]). */
+  def prefixCosines(a: Column, b: Column, cuts: Seq[Int]): Column =
+    ColumnBridge.column(PrefixCosines(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), cuts))
 
   /** Nearest-centroid (dist2, cluster) struct of an `array<double>`
     * vector against a literal centroid matrix. */

@@ -300,6 +300,36 @@ class ExtSpec extends SparkSpec {
     assert(spans == Set((1L, 3, 14, 5L), (2L, 1, 12, 5L)))
   }
 
+  test("dim-truncation audit: prefix-cosine single pass ≡ five sliced cosineTopK passes") {
+    // the r17 emb_dim_truncate rewrite: one PrefixCosines pair pass +
+    // four rank windows must reproduce the five-pass sliced formulation
+    // exactly (the declared query's old shape, rebuilt inline here).
+    val cuts = Seq(8, 16, 32, 64)
+    val q = emb.where(col("vec_id") < 32)
+    def proj(df: org.apache.spark.sql.DataFrame, d: Int) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+    val full = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("candidate_id"))
+      .localCheckpoint(true)
+    val reference = cuts.map { d =>
+      Similarity.cosineTopK(proj(emb, d), proj(q, d), "vec_id",
+          "embedding", k = 10)
+        .select(col("query_id"), col("candidate_id"))
+        .join(full, Seq("query_id", "candidate_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("dims"), col("hits"))
+    }.reduce(_ unionByName _)
+      .select(col("dims"), col("hits"),
+        round(col("hits").cast("double") / lit(320.0), 6).as("recall_at_10"))
+      .as[(Long, Long, Double)].collect().toSet
+    // the rewritten declared query over the same fixture dir
+    val rewritten = SparkEntry.queries("emb_dim_truncate")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reference.exists(_._2 > 0), "fixture must produce hits")
+    assert(rewritten == reference)
+  }
+
   test("exact pruned IVF/PQ search == brute force on adversarial uniform data") {
     // the embeddings fixture is near-orthogonal uniform noise — ANN's
     // statistically hardest case, where the triangle-inequality bound
