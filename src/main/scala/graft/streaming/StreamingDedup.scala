@@ -551,16 +551,17 @@ object StreamingDedup {
   }
 
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    // pin before the nc self-join: unpinned, Catalyst plans the join's
-    // two branches as two copies of the shingle-extraction subtree and
-    // evaluates it twice per build/append
-    val sh = graft.ext.Pin.pin(
-      graft.ext.Dedup.hashedShingles(df, idCol, textCol, n)
-        .select(col("doc").cast("long").as("cdoc"), col("sh")))
-    sh.join(sh.groupBy(col("cdoc")).agg(count(lit(1)).as("nc")), "cdoc")
-      .select(col("cdoc"), col("sh"), col("nc"))
-  }
+      n: Int): DataFrame =
+    // nc rides the row-local distinct shingle ARRAY (its size IS the
+    // per-doc distinct count hashedShingles' explode produces), so the
+    // pin + doc-keyed count self-join the r15 form ran per build/append
+    // — two jobs and a shuffle per micro-batch on the evolve path — is
+    // one stateless projection (r17; values identical: shingleArray is
+    // exactly hashedShingles' pre-explode array)
+    df.select(col(idCol).cast("long").as("cdoc"),
+        graft.ext.Dedup.shingleArray(split(col(textCol), " "), n).as("_shs"))
+      .select(col("cdoc"), explode(col("_shs")).as("sh"),
+        size(col("_shs")).cast("long").as("nc"))
 
   /** The near-dup Jaccard probe against a persisted shingle index: a
     * probe doc is DROPPED iff some indexed doc with a smaller id shares
