@@ -102,8 +102,18 @@ object TextAnalysis {
       .where(length(col("_t")) === 3)
       .select(col("doc"), col("lang"),
         QualityModel.tokenBucket(col("_t"), d).as("bucket"))
-    val cl = tri.groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    // ONE corpus trigram pass (r17): the (doc, lang, bucket) counts are
+    // the finest grain both model sides need — doc determines lang, so
+    // grouping by (doc, lang, bucket) is the per-doc bag-of-buckets with
+    // lang carried, and the per-(lang, bucket) training counts are its
+    // re-aggregation (sum of counts ≡ count of rows). Unpinned, the
+    // trigram explode subtree — one row per corpus character — was
+    // planned into BOTH consumers; the pin is ≤ docs·d rows.
+    val bowl = graft.ext.Pin.pin(
+      tri.groupBy(col("doc"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+    val cl = bowl.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
     val grid = df.select(col(langCol).as("lang")).distinct()
       .crossJoin(df.sparkSession.range(d).select(col("id").as("bucket")))
     val nl = cl.groupBy(col("lang")).agg(sum(col("c")).as("n"))
@@ -118,8 +128,7 @@ object TextAnalysis {
       .select(col("lang"),
         round(log(col("dl").cast("double") / col("dt").cast("double")), 6)
           .as("pri"))
-    val bow = tri.groupBy(col("doc"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val bow = bowl.select(col("doc"), col("bucket"), col("c"))
     val sc = bow.join(broadcast(lam), "bucket")
       .withColumn("_contrib", round(col("c") * col("lam"), 6).cast(dec6))
       .groupBy(col("doc"), col("lang"))
