@@ -912,14 +912,35 @@ object SparkEntry {
       val ranked = zorderRankedFor(s, dir)
         .select(col("doc_id"), col("b1"), col("b2"),
           col("zrank"), col("lrank"), col("hrank"))
-      for ((tag, rank) <- Seq(("zorder", "zrank"), ("linear", "lrank"),
-          ("hash", "hrank"))) {
+      // the three layouts are independent writers over the one pinned
+      // frame into disjoint dirs — submit them concurrently (guide §2.6:
+      // actions are only sequential because the driver calls them
+      // sequentially); wall ≈ the slowest write instead of the sum
+      concurrently(Seq(("zorder", "zrank"), ("linear", "lrank"),
+          ("hash", "hrank"))) { case (tag, rank) =>
         val st = zorderWriteFiles(ranked, rank, nFiles = 64, offset = 0,
           out = s"$p/$tag")
         writeStatsManifest(st, s"$p/$tag/_stats")
       }
       p
     })
+
+  /** Run independent Spark actions from a small thread pool so the next
+    * job's tasks back-fill executors freed by the current job's tail
+    * (guide §2.6). FIFO scheduling keeps the earlier job first; any
+    * failure propagates to the caller after all threads settle. */
+  private def concurrently[T](items: Seq[T])(f: T => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.size, 4))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(
+        Future.sequence(items.map(it => Future(f(it)))),
+        scala.concurrent.duration.Duration.Inf): Unit
+    } finally pool.shutdown()
+  }
 
   /** Per-JVM registry of the z-order append/OPTIMIZE experiment
     * (doc_zorder_append_optimize): base z-ordered files + an unsorted
@@ -3433,21 +3454,21 @@ object SparkEntry {
             col("hkey"))
         val baseRows = z.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
         val appRows = z.where(pmod(col("doc_id"), lit(5L)) === 0L)
-        writeStatsManifest(zorderWriteFiles(
-          Ranks.globalRowNumber(baseRows,
-            Seq(col("zkey"), col("doc_id")), out = "_rk"),
-          "_rk", nFiles = 52, offset = 0, out = s"$p/base"),
-          s"$p/base/_stats")
-        writeStatsManifest(zorderWriteFiles(
-          Ranks.globalRowNumber(appRows,
-            Seq(col("hkey"), col("doc_id")), out = "_rk"),
-          "_rk", nFiles = 12, offset = 52, out = s"$p/append"),
-          s"$p/append/_stats")
-        writeStatsManifest(zorderWriteFiles(
-          Ranks.globalRowNumber(z, Seq(col("zkey"), col("doc_id")),
-            out = "_rk"),
-          "_rk", nFiles = 64, offset = 0, out = s"$p/optimized"),
-          s"$p/optimized/_stats")
+        // the three phase tables are independent writers over the one
+        // pinned frame into disjoint dirs (unlike the incremental table,
+        // whose transactions share a dir and must serialize) — submit
+        // concurrently, guide §2.6
+        concurrently(Seq(
+          (baseRows, col("zkey"), 52, 0, "base"),
+          (appRows, col("hkey"), 12, 52, "append"),
+          (z, col("zkey"), 64, 0, "optimized"))) {
+          case (rows, key, nFiles, offset, tag) =>
+            writeStatsManifest(zorderWriteFiles(
+              Ranks.globalRowNumber(rows, Seq(key, col("doc_id")),
+                out = "_rk"),
+              "_rk", nFiles = nFiles, offset = offset, out = s"$p/$tag"),
+              s"$p/$tag/_stats")
+        }
         p
       })
       sortSmall(
