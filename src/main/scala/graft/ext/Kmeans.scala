@@ -95,8 +95,14 @@ object Kmeans {
     * → decimal-SUM groupBy → per-id window pipeline this replaces
     * (decimal addition is order-free, so a row-local accumulation is the
     * same value the shuffled aggregate computed), with zero exchanges
-    * and zero N·k intermediate rows. Null vectors / ragged dims drop the
-    * row, matching the relational form (posexplode emitted nothing). */
+    * and zero N·k intermediate rows. Input contract (r16 ADVICE,
+    * documented rather than silently assumed): vectors must be CLEAN —
+    * uniform dims equal to the centroids', no null elements. Rows
+    * violating it are DROPPED (the expression returns null), which is
+    * STRICTER than the old relational form (a posexplode'd null element
+    * or ragged tail produced a partial decimal sum and the row was still
+    * assigned); every declared corpus satisfies the contract, and a
+    * partial-distance assignment was never a meaningful answer anyway. */
   private def assignDecimal(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]]): DataFrame =
     df.select(col(idCol).cast("long").as("_kid"),

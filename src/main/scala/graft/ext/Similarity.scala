@@ -90,6 +90,18 @@ object Similarity {
     // ascending key order = the window's (dist2, key) tie-break: the
     // first-min argmin lands on the smallest key among exact ties
     val byKey = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    // fail fast on inputs the array reconstruction would silently
+    // corrupt (r16 ADVICE): distinct keys colliding after the long cast
+    // would merge two centroids into one array, and uneven dim coverage
+    // across keys would index past cents(0).length inside the codegen'd
+    // argmin. Both are caller contract violations, not data states.
+    require(rows.length ==
+        rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length,
+      "centroid keys collide after cast('long'): two distinct group keys " +
+        "map to one long, which would silently overwrite array slots")
+    val dimSets = byKey.map(_._2.map(_.getInt(1)).sorted.toSeq)
+    require(dimSets.distinct.size <= 1,
+      s"uneven centroid dim coverage across keys: ${dimSets.map(_.length).distinct}")
     val keys = byKey.map(_._1)
     val cents = byKey.map { case (_, rs) =>
       val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)

@@ -806,15 +806,30 @@ object NearestCentroidDecimal {
       j = 0
       while (j < dims) {
         val t = vec.getDouble(j) - c(j)
-        val term = java.math.BigDecimal.valueOf(t * t)
-          .setScale(12, java.math.RoundingMode.HALF_UP)
-        acc = if (acc == null) term else acc.add(term)
+        val t2 = t * t
+        // non-finite guard (r16 ADVICE): the relational pipeline cast
+        // each term to DECIMAL(38,12) — Infinity/NaN casts to NULL and
+        // SUM skips it — where BigDecimal.valueOf would THROW. Skip the
+        // term to reproduce the cast-to-null + skip semantics.
+        if (java.lang.Double.isFinite(t2)) {
+          val term = java.math.BigDecimal.valueOf(t2)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          acc = if (acc == null) term else acc.add(term)
+        }
         j += 1
       }
-      val d = math.floor(acc.doubleValue() * 1000000.0 + 0.5) / 1000000.0
-      if (d < bestD) { bestD = d; bestJ = i }
+      // all-null terms → NULL distance; the relational window's argmin
+      // ignored such centroids (NULLS LAST under ascending order)
+      if (acc != null) {
+        val d = math.floor(acc.doubleValue() * 1000000.0 + 0.5) / 1000000.0
+        if (d < bestD) { bestD = d; bestJ = i }
+      }
       i += 1
     }
+    // every centroid's distance degenerated (pathological input): the
+    // relational argmin emitted no row for this id — return null rather
+    // than a cluster = -1 row (r16 ADVICE: element_at(_, 0) crash)
+    if (bestJ < 0) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bestD, bestJ))
   }
